@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 is exposed as a named batch
+  * query over the driver testdata dir, with a DuckDB oracle restatement in
+  * [[oracleSql]] where the semantics are SQL-expressible. */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    BehaviorQueries.hotItemsTopN(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // §2.5/2.6 windowed aggregations + Top-N (A1-A8, T1-T2)
+    "hot_items_topn"  -> (BehaviorQueries.hotItemsTopN _),
+    "hot_pages_topn"  -> (BehaviorQueries.hotPagesTopN _),
+    "page_views"      -> (BehaviorQueries.pageViews _),
+    "unique_visitors" -> (BehaviorQueries.uniqueVisitors _),
+    "market_channel"  -> (BehaviorQueries.marketChannel _),
+    "market_total"    -> (BehaviorQueries.marketTotal _),
+    "ad_province"     -> (BehaviorQueries.adProvince _),
+    // relational core (scan/filter/join/agg/rank at scale)
+    "q1_pricing"        -> (RelationalQueries.q1Pricing _),
+    "q3_top_orders"     -> (RelationalQueries.q3TopOrders _),
+    "q5_nation_revenue" -> (RelationalQueries.q5NationRevenue _),
+    // training-data pipeline (dedup / text analysis)
+    "dedup_exact"  -> (PipelineQueries.dedupExact _),
+    "text_stats"   -> (PipelineQueries.textStats _),
+    "text_quality" -> (PipelineQueries.textQuality _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    BehaviorOracles.all ++ RelationalOracles.all ++ PipelineOracles.all
 }

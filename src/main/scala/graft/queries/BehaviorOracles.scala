@@ -1,0 +1,85 @@
+package graft.queries
+
+/**
+ * DuckDB restatements of BehaviorQueries for the driver's correctness gate.
+ * Sliding windows are expanded arithmetically: an event at epoch-second `sec`
+ * falls into the size/slide windows whose start is
+ * `((sec // slide) - k) * slide` for k in 0..(size/slide - 1) — exactly the
+ * window set Spark's `window(ts, size, slide)` assigns (epoch-aligned).
+ */
+object BehaviorOracles {
+
+  /** Shared CTE head: epoch seconds + JSON item key. */
+  private val evt =
+    "SELECT (epoch_us(ts) // 1000000) AS sec, user_id, event_type, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id FROM events"
+
+  private def sliding(filter: String, keySel: String, keyGroup: String,
+                      size: Long, slide: Long): String = {
+    val nw = size / slide
+    s"""WITH e AS ($evt${if (filter.isEmpty) "" else s" WHERE $filter"}),
+       |w AS (
+       |  SELECT ((sec // $slide) - g.k) * $slide AS window_start, e.*
+       |  FROM e CROSS JOIN generate_series(0, ${nw - 1}) g(k)
+       |)
+       |SELECT window_start, window_start + $size AS window_end${if (keySel.isEmpty) "" else s", $keySel"},
+       |       count(*) AS cnt
+       |FROM w
+       |GROUP BY window_start${if (keyGroup.isEmpty) "" else s", $keyGroup"}""".stripMargin
+  }
+
+  private def topN(inner: String, keyCol: String, n: Int): String =
+    s"""WITH c AS ($inner)
+       |SELECT window_start, window_end, $keyCol, cnt, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY window_start ORDER BY cnt DESC, $keyCol ASC) AS rn
+       |  FROM c
+       |) WHERE rn <= $n""".stripMargin
+
+  val hotItemsTopN: String = topN(
+    sliding("event_type = 'view'", "item_id", "item_id", 3600, 900), "item_id", 3)
+
+  val hotPagesTopN: String = topN(
+    sliding("NOT regexp_matches(event_type, '^(error)$')",
+      "event_type AS page", "event_type", 3600, 900), "page", 3)
+
+  val pageViews: String =
+    """SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS window_start,
+      |       (epoch_us(ts) // 1000000) // 3600 * 3600 + 3600 AS window_end,
+      |       count(*) AS pv
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
+  val uniqueVisitors: String =
+    """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
+      |       (epoch_us(ts) // 1000000) // 86400 * 86400 + 86400 AS window_end,
+      |       count(DISTINCT user_id) AS uv
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
+  val marketChannel: String = {
+    val inner = sliding("event_type <> 'error'",
+      "'ch' || (user_id % 4) AS channel, event_type AS behavior",
+      "user_id % 4, event_type", 3600, 900)
+    s"""WITH m AS ($inner)
+       |SELECT window_start, window_end,
+       |       strftime(make_timestamp(window_end * 1000000), '%Y-%m-%d %H:%M:%S') AS window_time,
+       |       channel, behavior, cnt
+       |FROM m""".stripMargin
+  }
+
+  val marketTotal: String = sliding("event_type <> 'error'", "", "", 3600, 900)
+
+  val adProvince: String = sliding("event_type = 'click'",
+    "'p' || (item_id % 10) AS province", "item_id % 10", 3600, 900)
+
+  val all: Map[String, String] = Map(
+    "hot_items_topn"  -> hotItemsTopN,
+    "hot_pages_topn"  -> hotPagesTopN,
+    "page_views"      -> pageViews,
+    "unique_visitors" -> uniqueVisitors,
+    "market_channel"  -> marketChannel,
+    "market_total"    -> marketTotal,
+    "ad_province"     -> adProvince,
+  )
+}

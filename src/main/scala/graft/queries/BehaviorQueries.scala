@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RankOps, WindowOps}
+import graft.sources.Tables
+
+/**
+ * The reference's 13 user-behavior jobs re-expressed as declarative Spark
+ * queries over the driver `events` table (event_id, ts, user_id,
+ * event_type ∈ {view,click,purchase,signup,error}, value, props JSON).
+ *
+ * Mapping of reference streams onto `events` (SURVEY.md §1.1):
+ *  - UserBehavior.pv        → event_type = 'view'
+ *  - itemId                 → props.k (JSON field, 0..99)
+ *  - url / page             → event_type (low-cardinality page analogue)
+ *  - marketing channel      → 'ch' || user_id % 4
+ *  - ad province            → 'p' || props.k % 10
+ *  - login fail             → event_type = 'error'
+ *  - order create / pay     → view / purchase per user
+ *  - pay / receipt streams  → purchase / click per user
+ *
+ * All window bounds are emitted as epoch seconds (BIGINT) so the DuckDB
+ * oracle compares engine-agnostically.
+ */
+object BehaviorQueries {
+
+  /** events with epoch-second `sec` and JSON-extracted `k`. */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  private def itemId = get_json_object(col("props"), "$.k").cast("long")
+
+  /** A1+T1 HotItems: top-3 items per sliding 1h/15m window of views.
+    * Reference: HotItem.java:73-80 (window agg) + :134-192 (TopN process
+    * fn); here one groupBy + rank-over-window, no state/timers. */
+  def hotItemsTopN(spark: SparkSession, dir: String): DataFrame = {
+    val views = ev(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(itemId.as("item_id"), col("ts"))
+    val counts = WindowOps.epochWindow(
+      WindowOps.slidingCount(views, col("ts"), "1 hour", "15 minutes", col("item_id")))
+    RankOps.topN(counts, 3, Seq(col("window_start")),
+        Seq(col("cnt").desc, col("item_id").asc))
+      .select("window_start", "window_end", "item_id", "cnt", "rn")
+  }
+
+  /** A2+T2 HotPages: top-3 "pages" (event_type) per sliding 1h/15m window,
+    * excluding the error page (the reference excludes static resources via
+    * regex, HotPage.java:70-73 — same shape: negative filter then rank). */
+  def hotPagesTopN(spark: SparkSession, dir: String): DataFrame = {
+    val pages = ev(spark, dir)
+      .filter(!col("event_type").rlike("^(error)$"))
+      .select(col("event_type").as("page"), col("ts"))
+    val counts = WindowOps.epochWindow(
+      WindowOps.slidingCount(pages, col("ts"), "1 hour", "15 minutes", col("page")))
+    RankOps.topN(counts, 3, Seq(col("window_start")),
+        Seq(col("cnt").desc, col("page").asc))
+      .select("window_start", "window_end", "page", "cnt", "rn")
+  }
+
+  /** A3 PageView: global tumbling 1h count of views. The reference's 10-way
+    * salted two-phase count (PageView.java:66-166) is parallelism plumbing;
+    * Spark's partial/final hash agg over the window key is the same thing,
+    * planned automatically. */
+  def pageViews(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      WindowOps.tumblingCount(
+        ev(spark, dir).filter(col("event_type") === "view").select("ts"),
+        col("ts"), "1 hour"))
+      .withColumnRenamed("cnt", "pv")
+      .select("window_start", "window_end", "pv")
+
+  /** A4 UniqueVisitor: tumbling 1-day exact distinct users over views
+    * (UniqueVisitor.java:64-79 builds a HashSet per window; here
+    * count_distinct with partial aggregation). */
+  def uniqueVisitors(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      WindowOps.tumblingDistinct(
+        ev(spark, dir).filter(col("event_type") === "view")
+          .select("ts", "user_id"),
+        col("ts"), "1 day", col("user_id")))
+      .select("window_start", "window_end", "uv")
+
+  /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
+    * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted
+    * as 'yyyy-MM-dd HH:mm:ss' (P6, AppMarketingByChannel.java:136-137). */
+  def marketChannel(spark: SparkSession, dir: String): DataFrame = {
+    val m = ev(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(concat(lit("ch"), (col("user_id") % 4).cast("string")).as("channel"),
+        col("event_type").as("behavior"), col("ts"))
+    WindowOps.epochWindow(
+        WindowOps.slidingCount(m, col("ts"), "1 hour", "15 minutes",
+          col("channel"), col("behavior")))
+      .withColumn("window_time",
+        date_format(to_timestamp(col("window_end")), "yyyy-MM-dd HH:mm:ss"))
+      .select("window_start", "window_end", "window_time", "channel", "behavior", "cnt")
+  }
+
+  /** A7 AppMarketingStatistics: sliding 1h/15m global count (constant-key
+    * P5 collapses to a keyless window groupBy). */
+  def marketTotal(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      WindowOps.slidingCount(
+        ev(spark, dir).filter(col("event_type") =!= "error").select("ts"),
+        col("ts"), "1 hour", "15 minutes"))
+      .select("window_start", "window_end", "cnt")
+
+  /** A8 AdStatisticsByProvince: sliding 1h/15m click count per province
+    * ('p' || props.k % 10). */
+  def adProvince(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = ev(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(concat(lit("p"), (itemId % 10).cast("string")).as("province"), col("ts"))
+    WindowOps.epochWindow(
+        WindowOps.slidingCount(clicks, col("ts"), "1 hour", "15 minutes",
+          col("province")))
+      .select("window_start", "window_end", "province", "cnt")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Relational core over the TPC-H-ish star schema: scan → filter → join →
+ * aggregate → rank, the batch backbone the reference lacks entirely (its
+ * only join surface is keyed co-process / interval join, SURVEY.md §2.7) but
+ * that a 100 TB engine needs.
+ *
+ * Float-sum determinism: money columns are exact 2-decimal values stored as
+ * doubles, so every aggregate works in exact DECIMAL arithmetic — cast the
+ * inputs to DECIMAL(_,2) per row (unambiguous: the doubles sit at most an
+ * ulp from the 2-decimal value), multiply/sum exactly, and emit DECIMAL.
+ * Precisions are kept small enough that no engine hits its precision cap
+ * (38), so no engine-specific scale-reduction/rounding rule ever fires and
+ * results hash-match DuckDB bit-for-bit regardless of partition order.
+ *
+ * Scale notes: dimension tables (region/nation/supplier/customer) are
+ * broadcast — no shuffle on the fact side for those joins; the only big
+ * exchanges are lineitem⋈orders (on the order key) and the final
+ * aggregation, both AQE-managed. Filters on scan columns push down to
+ * parquet (verified via explain: PushedFilters on l_shipdate/o_orderdate).
+ */
+object RelationalQueries {
+
+  /** Exact per-row revenue term in decimal: price × (1 − discount),
+    * scale 4, precision ≤ 18 — exact in both Spark and DuckDB. */
+  private val revenueTerm =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private val chargeTerm =
+    s"($revenueTerm) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_base_price"),
+        expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("sum_disc_price"),
+        expr(s"CAST(SUM($chargeTerm) AS DECIMAL(38,6))").as("sum_charge"),
+        // scale-2 sums stay < 2^53 when viewed in cents, so the decimal →
+        // double conversion is exact and the single division is correctly
+        // rounded in both engines.
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q3-style: top-10 revenue orders for one market segment. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ under the UTC session then →
+      // epoch seconds, matching DuckDB's naive epoch_us().
+      .withColumn("order_date", col("o_orderdate").cast("timestamp").cast("long"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("order_date"), col("o_orderpriority"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "order_date", "o_orderpriority", "revenue")
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region/year, customer and
+    * supplier in the same nation. All dims broadcast. */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).withColumnRenamed("c_nationkey", "cn_key")
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("cn_key") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+  }
+}
+
+object RelationalOracles {
+  private val revenueTerm =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private val chargeTerm =
+    s"($revenueTerm) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+  val q1Pricing: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS sum_disc_price,
+       |  CAST(SUM($chargeTerm) AS DECIMAL(38,6)) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  count(*) AS cnt
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3TopOrders: String =
+    s"""SELECT o_orderkey, (epoch_us(o_orderdate) // 1000000) AS order_date, o_orderpriority,
+       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01'
+       |  AND l_shipdate > TIMESTAMP '1999-01-01'
+       |GROUP BY o_orderkey, order_date, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  val q5NationRevenue: String =
+    s"""SELECT n_name,
+       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q1_pricing"        -> q1Pricing,
+    "q3_top_orders"     -> q3TopOrders,
+    "q5_nation_revenue" -> q5NationRevenue,
+  )
+}

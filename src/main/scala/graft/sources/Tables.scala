@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Fixed-schema readers for the driver-generated parquet testdata
+ * (TESTDATA.md): TPC-H-ish star schema + an `events` stream table +
+ * `documents`/`embeddings` for the data-pipeline operators.
+ *
+ * Schemas are carried by the parquet footers; readers are thin on purpose so
+ * Catalyst sees a plain `FileSourceScanExec` and can push filters/prune
+ * columns into the scan. Mirrors the reference's fixed-compile-time-schema
+ * stance (SURVEY.md §1.4) without re-declaring what parquet already encodes.
+ */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+
+  /** The events parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Reading with an
+    * explicit LongType schema yields the raw nanosecond ticks, which we
+    * convert to a proper TimestampType (µs) — schema-on-read with a fixed,
+    * declared schema, mirroring the reference's stance (SURVEY.md §1.4). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Behavior-event stream table: the Spark analogue of the reference's
+    * `UserBehavior`/`AdClickEvent`/`LoginEvent` CSV streams
+    * (reference: hot-items-analysis/.../beans/UserBehavior.java:11-15).
+    * Columns: event_id, ts (timestamp, µs), user_id, event_type
+    * (view|click|purchase|signup|error), value, props (JSON string). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+      // integer `div`, NOT `/`: ~1.7e18 ns exceeds double's 2^53 mantissa,
+      // so float division would corrupt the low microseconds.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}
