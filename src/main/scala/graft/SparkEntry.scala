@@ -26,6 +26,14 @@ object SparkEntry {
     "market_channel"  -> (BehaviorQueries.marketChannel _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),
+    // §2.3/2.7/2.8 detectors, CEP-lite, two-stream joins (F6, J1-J2, C1-C5)
+    "login_fail"            -> (DetectQueries.loginFail _),
+    "login_fail_cep"        -> (DetectQueries.loginFailCep _),
+    "order_timeout"         -> (DetectQueries.orderTimeout _),
+    "tx_match"              -> (DetectQueries.txMatch _),
+    "tx_unmatched"          -> (DetectQueries.txUnmatched _),
+    "ad_blacklist_kept"     -> (DetectQueries.adBlacklistKept _),
+    "ad_blacklist_warnings" -> (DetectQueries.adBlacklistWarnings _),
     // relational core (scan/filter/join/agg/rank at scale)
     "q1_pricing"        -> (RelationalQueries.q1Pricing _),
     "q3_top_orders"     -> (RelationalQueries.q3TopOrders _),
@@ -39,5 +47,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    BehaviorOracles.all ++ RelationalOracles.all ++ PipelineOracles.all
+    BehaviorOracles.all ++ DetectOracles.all ++ RelationalOracles.all ++
+      PipelineOracles.all
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Two-stream operators (SURVEY.md §2.7): the reference's whole join surface
+ * is an equi-key + time-band interval join (order-pay-detect/...
+ * /TxPayMatchByJoin.java:63-67) and a keyed co-process reconciliation with
+ * unmatched side-outputs (TxPayMatch.java:82-170). Declaratively:
+ *
+ *  - interval join  → inner join with `rightTs BETWEEN leftTs+lower AND
+ *    leftTs+upper` — Spark plans the equi-key part as a hash join and
+ *    evaluates the band as a post-condition; at scale both sides shuffle
+ *    once on the key.
+ *  - reconcile      → matched (inner) ∪ unmatched-left (anti) ∪
+ *    unmatched-right (anti), emitted as a tagged union — the side-output
+ *    pattern (SURVEY.md §1.4). Three hash joins on the same key, which AQE
+ *    plans off one shuffle per input side; no nested-loop full-outer.
+ *  - followedByWithin → C4/C5 "A then B within d, else timeout": semi/anti
+ *    time-band join splitting A rows into matched/timeout.
+ */
+object JoinOps {
+
+  /** J2: inner equi-join on `key` with `rTs` in [lTs+lowerSec, lTs+upperSec].
+    * Caller projects/aliases columns to avoid name collisions. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+                   lTs: Column, rTs: Column, lowerSec: Long, upperSec: Long): DataFrame =
+    left.join(right,
+      keyEq && rTs >= lTs + lowerSec && rTs <= lTs + upperSec, "inner")
+
+  /** J1 side-outputs: rows of `left` with no band-matching `right` partner
+    * and vice versa, as a tagged union. `leftCols`/`rightCols` name the
+    * projected output of each side (same arity/names for the union). */
+  def unmatched(left: DataFrame, right: DataFrame, keyEq: Column,
+                lTs: Column, rTs: Column, lowerSec: Long, upperSec: Long,
+                leftTag: String, rightTag: String,
+                leftCols: Seq[Column], rightCols: Seq[Column]): DataFrame = {
+    val cond = keyEq && rTs >= lTs + lowerSec && rTs <= lTs + upperSec
+    val ul = left.join(right, cond, "left_anti")
+      .select(lit(leftTag).as("tag") +: leftCols: _*)
+    // same band from the right row's perspective: lTs ∈ [rTs-upper, rTs-lower]
+    val ur = right.join(left, cond, "left_anti")
+      .select(lit(rightTag).as("tag") +: rightCols: _*)
+    ul.union(ur)
+  }
+
+  /** C4/C5 batch form: for each `a` row, 'matched' if some `b` row shares
+    * the key with ts in (aTs, aTs+withinSec], else 'timeout'. Semi + anti
+    * join, statuses unioned. */
+  def followedByWithin(a: DataFrame, b: DataFrame, keyEq: Column,
+                       aTs: Column, bTs: Column, withinSec: Long,
+                       matchedTag: String, timeoutTag: String): DataFrame = {
+    val cond = keyEq && bTs > aTs && bTs <= aTs + withinSec
+    a.join(b, cond, "left_semi").withColumn("status", lit(matchedTag))
+      .union(a.join(b, cond, "left_anti").withColumn("status", lit(timeoutTag)))
+  }
+}
