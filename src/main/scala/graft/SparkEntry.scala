@@ -23,6 +23,8 @@ object SparkEntry {
     "hot_pages_topn"  -> (BehaviorQueries.hotPagesTopN _),
     "page_views"      -> (BehaviorQueries.pageViews _),
     "unique_visitors" -> (BehaviorQueries.uniqueVisitors _),
+    "uv_bitmap"       -> (BehaviorQueries.uvBitmap _),
+    "uv_approx"       -> (BehaviorQueries.uvApprox _),
     "market_channel"  -> (BehaviorQueries.marketChannel _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),
@@ -38,10 +40,20 @@ object SparkEntry {
     "q1_pricing"        -> (RelationalQueries.q1Pricing _),
     "q3_top_orders"     -> (RelationalQueries.q3TopOrders _),
     "q5_nation_revenue" -> (RelationalQueries.q5NationRevenue _),
-    // training-data pipeline (dedup / text analysis)
-    "dedup_exact"  -> (PipelineQueries.dedupExact _),
-    "text_stats"   -> (PipelineQueries.textStats _),
-    "text_quality" -> (PipelineQueries.textQuality _),
+    // training-data pipeline (dedup / similarity / text analysis)
+    "dedup_exact"     -> (PipelineQueries.dedupExact _),
+    "text_stats"      -> (PipelineQueries.textStats _),
+    "text_quality"    -> (PipelineQueries.textQuality _),
+    "dedup_ngram"     -> (PipelineQueries.dedupNgram _),
+    "dedup_minhash"   -> (PipelineQueries.dedupMinhash _),
+    "dedup_simhash"   -> (PipelineQueries.dedupSimhash _),
+    "embed_topk"      -> (PipelineQueries.embedTopK _),
+    "embed_topk_lsh"  -> (PipelineQueries.embedTopKLsh _),
+    "lang_id"         -> (PipelineQueries.langId _),
+    "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    // multimodal plumbing (binary payload + partition-batched decode stub)
+    "multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
+    "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

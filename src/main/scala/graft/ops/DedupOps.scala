@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines: exact, n-gram
+ * Jaccard, MinHash+LSH, and SimHash — all as declarative Catalyst plans
+ * (no UDFs; every hash derives from the codegen'd `md5` built-in so the
+ * DuckDB oracle can restate it bit-for-bit).
+ *
+ * Scale shape (100 TB corpus):
+ *  - exact dedup: one shuffle on a 128-bit content hash;
+ *  - shingling: narrow explode (rows × shingles) feeding a distinct — the
+ *    expensive part is the shingle self-join, which LSH exists to avoid;
+ *  - MinHash: signatures are one groupBy over (doc, perm) — shuffle volume
+ *    O(docs × perms); banding turns the quadratic candidate search into an
+ *    equi-join on (band, signature), the standard web-scale dedup plan;
+ *  - SimHash: one groupBy over (doc, bit) then a 64-bit fingerprint join.
+ */
+object DedupOps {
+
+  /** Distinct word `n`-shingles per doc: (doc_id, extra cols..., sh). */
+  def shingles(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame = {
+    val parts = (0 until n).map(i => s"element_at(w, i + $i)").mkString(", ' ', ")
+    docs.selectExpr(Seq("doc_id") ++ carry ++
+        Seq(s"filter(split(trim($textCol), ' '), t -> t <> '') AS w"): _*)
+      .selectExpr(Seq("doc_id") ++ carry ++
+        Seq("w", "explode(sequence(1, size(w))) AS i"): _*)
+      .filter(expr(s"i + ${n - 1} <= size(w)"))
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq(s"concat($parts) AS sh"): _*)
+      .distinct()
+  }
+
+  /** All-pairs exact n-gram Jaccard ≥ `threshold` within the same `scope`
+    * column (bounds the quadratic self-join; pass a constant column for
+    * global). Output: doc_a, doc_b, common, jaccard. */
+  def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col(scope).as("scope_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("sh_a") === col("sh_b") && col("scope_a") === col("scope_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(cnt.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(cnt.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
+  /** Deterministic MinHash permutation constants (a, b) for perm i — a
+    * fixed LCG so the Spark plan and the DuckDB oracle share them. */
+  def permConstants(nPerms: Int): Seq[(Int, Long, Long)] =
+    (0 until nPerms).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % 2147483629L + 1L
+      val b = (134775813L * (i + 1) + 1L) % 2147483647L
+      (i, a, b)
+    }
+
+  /** 60-bit md5-prefix hash of a string column, as a SQL fragment shared
+    * verbatim (modulo dialect) with the oracle. */
+  def md5Long(colExpr: String): String =
+    s"CAST(conv(substr(md5($colExpr), 1, 15), 16, 10) AS BIGINT)"
+
+  /** MinHash signatures: one row per (doc_id, perm) with the min permuted
+    * hash. `nPerms` permutations over `(a*h32 + b) % 2147483647`. */
+  def minhashSignatures(sh: DataFrame, nPerms: Int): DataFrame = {
+    val perms = permConstants(nPerms)
+      .map { case (i, a, b) => s"struct(${i}L AS i, ${a}L AS a, ${b}L AS b)" }
+      .mkString(", ")
+    sh.selectExpr("doc_id", s"${md5Long("sh")} % 2147483647 AS h32")
+      .selectExpr("doc_id", "h32", s"explode(array($perms)) AS p")
+      .selectExpr("doc_id", "p.i AS i", "(p.a * h32 + p.b) % 2147483647 AS v")
+      .groupBy("doc_id", "i").agg(min("v").as("mh"))
+  }
+
+  /** LSH banding: signature rows → (doc_id, band, sig-string); docs sharing
+    * any (band, sig) are candidate pairs. */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("sig"))
+
+  /** Candidate pairs from shared LSH buckets. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * → verify with exact Jaccard ≥ threshold. */
+  def minhashPairs(sh: DataFrame, nPerms: Int, rowsPerBand: Int,
+                   threshold: Double): DataFrame = {
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, nPerms), rowsPerBand))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("ca"), col("sh"))
+    val shB = sh.select(col("doc_id").as("cb"), col("sh").as("sh_b"))
+    cand
+      .join(shA, col("doc_a") === col("ca"))
+      .join(shB, col("doc_b") === col("cb") && col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(cnt.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(cnt.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 60-bit fingerprint — bit j set iff the sum of ±1 votes from
+    * each distinct token's hash bit j is positive. */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs
+      .selectExpr("doc_id", s"explode(array_distinct(filter(split(trim($textCol), ' '), t -> t <> ''))) AS tok")
+      .selectExpr("doc_id", s"${md5Long("tok")} AS h")
+    toks
+      .selectExpr("doc_id", "h", "explode(sequence(0, 59)) AS j")
+      .selectExpr("doc_id", "j",
+        "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS vote")
+      .groupBy("doc_id", "j").agg(sum("vote").as("s"))
+      .selectExpr("doc_id", "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy("doc_id").agg(sum("bit").as("simhash"))
+  }
+}

@@ -73,7 +73,17 @@ object BehaviorOracles {
   val adProvince: String = sliding("event_type = 'click'",
     "'p' || (item_id % 10) AS province", "item_id % 10", 3600, 900)
 
+  /** uv_bitmap's custom aggregate is exact, so it shares the exact
+    * count-distinct oracle (columns renamed). */
+  val uvBitmap: String =
+    """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
+      |       (epoch_us(ts) // 1000000) // 86400 * 86400 + 86400 AS window_end,
+      |       count(DISTINCT user_id) AS uv
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
+    "uv_bitmap"       -> uvBitmap,
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,
     "page_views"      -> pageViews,

@@ -26,7 +26,6 @@ import graft.sources.Tables
  */
 object BehaviorQueries {
 
-  /** events with epoch-second `sec` and JSON-extracted `k`. */
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
 
@@ -82,6 +81,31 @@ object BehaviorQueries {
           .select("ts", "user_id"),
         col("ts"), "1 day", col("user_id")))
       .select("window_start", "window_end", "uv")
+
+  /** A5 engine-native bloom-UV parity: exact distinct via the custom
+    * `exact_distinct` TypedImperativeAggregate (graft.functions), replacing
+    * the reference's per-window Redis bitmap
+    * (UniqueVisitorWithBloomFilter.java:93-171). */
+  def uvBitmap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExactDistinct.register(spark)
+    WindowOps.epochWindow(
+      ev(spark, dir).filter(col("event_type") === "view")
+        .select(col("ts"), col("user_id"))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(expr("exact_distinct(user_id)").as("uv")))
+      .select("window_start", "window_end", "uv")
+  }
+
+  /** A5 at-scale default: HyperLogLog++ sketch distinct (fixed-size state —
+    * the 10^8-cardinality answer). No DuckDB oracle: sketch estimates are
+    * engine-specific; rows-only check. */
+  def uvApprox(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      ev(spark, dir).filter(col("event_type") === "view")
+        .select(col("ts"), col("user_id"))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(approx_count_distinct(col("user_id")).as("uv_approx")))
+      .select("window_start", "window_end", "uv_approx")
 
   /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
     * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.{DedupOps, SimilarityOps}
 import graft.sources.Tables
 
 /**
@@ -45,6 +47,93 @@ object PipelineQueries {
       "CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))" +
         " + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE) / (CAST(punct_cnt AS DOUBLE) + CAST(100.0 AS DOUBLE)))" +
         " + CAST(0.3 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)) AS quality")
+
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, scoped per source
+    * (bounds the quadratic shingle self-join). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(
+      DedupOps.shingles(Tables.documents(spark, dir), "text", 3, "source"),
+      "source", 0.5)
+
+  /** MinHash(16 perms) + LSH(4 bands × 4 rows) candidates, verified with
+    * exact Jaccard ≥ 0.5 — the scale path for near-dup dedup. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashPairs(
+      DedupOps.shingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
+
+  /** 60-bit SimHash fingerprint per document. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash(Tables.documents(spark, dir), "text")
+
+  /** Brute-force quantized-cosine top-5 neighbors for query vectors
+    * vec_id < 8. */
+  def embedTopK(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineTopK(Tables.embeddings(spark, dir), 64, "vec_id < 8", 5)
+
+  /** LSH-bucketed (8 hyperplanes) ANN top-3 for query vectors vec_id < 32;
+    * recall-bounded by bucket collisions. */
+  def embedTopKLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.lshCosineTopK(Tables.embeddings(spark, dir), 64, 8,
+      "vec_id < 32", 3)
+
+  /** Stopword-profile language ID: argmax stopword hits over four small
+    * language lists (deterministic tie-break by language code). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextLang.langs.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      s"struct('$lang' AS lang, CAST(size(filter(toks, t -> array_contains(array($arr), t))) AS BIGINT) AS score)"
+    }.mkString(", ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS toks")
+      .selectExpr("doc_id", s"explode(array($scores)) AS ls")
+      .selectExpr("doc_id", "ls.lang AS lang", "ls.score AS score")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "score")
+  }
+
+  /** Multimodal metadata pass: binary payload column + typed metadata
+    * (byte length, content hash) — the columnar media-plumbing surface. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text")
+      .select("doc_id", "byte_len", "content_hash")
+
+  /** Multimodal feature extraction (partition-batched decode with the codec
+    * STUBBED — deterministic byte statistics stand in for decoded frames).
+    * Rows-only check: the stub's array output is not oracle-SQL-stated. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.extractFeatures(
+        graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text"))
+      .toDF()
+      .selectExpr("doc_id", "n_bytes", "n_frames",
+        "chunk_means[0] AS chunk0", "chunk_means[1] AS chunk1",
+        "chunk_means[2] AS chunk2", "chunk_means[3] AS chunk3")
+
+  /** Rolling-hash document fingerprint: min of the 5-char polynomial
+    * rolling hash over the text (winnowing-style content signature). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        "explode(sequence(1, greatest(length(text) - 4, 1))) AS p")
+      .filter(expr("p + 4 <= length(text)"))
+      .selectExpr("doc_id",
+        "ascii(substring(text, p, 1)) * 923521 + ascii(substring(text, p + 1, 1)) * 29791" +
+          " + ascii(substring(text, p + 2, 1)) * 961 + ascii(substring(text, p + 3, 1)) * 31" +
+          " + ascii(substring(text, p + 4, 1)) AS h")
+      .groupBy("doc_id")
+      .agg(min(col("h")).cast("long").as("fingerprint"),
+        count(lit(1)).as("n_windows"))
+}
+
+/** Shared language stopword profiles (small on purpose — the data is
+  * synthetic; what is tested is the deterministic argmax machinery). */
+object TextLang {
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
 }
 
 object PipelineOracles {
@@ -73,9 +162,145 @@ object PipelineOracles {
        |  + CAST(0.3 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)) AS quality
        |FROM s""".stripMargin
 
+  /** Word-3-shingle CTEs shared by the dedup oracles (list comprehension:
+    * DuckDB's generate_series cannot be laterally parameterized). */
+  private def shingleCte(carrySource: Boolean): String = {
+    val src = if (carrySource) ", source" else ""
+    s"""toks AS (SELECT doc_id$src, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w FROM documents),
+       |sh0 AS (SELECT doc_id$src, unnest([w[k] || ' ' || w[k+1] || ' ' || w[k+2]
+       |                 for k in generate_series(1, len(w) - 2)]) AS sh FROM toks),
+       |sh AS (SELECT DISTINCT doc_id$src, sh FROM sh0),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  val dedupNgram: String =
+    s"""WITH ${shingleCte(carrySource = true)},
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common,
+       |  CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS jaccard
+       |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= 0.5""".stripMargin
+
+  val dedupMinhash: String = {
+    val perms = graft.ops.DedupOps.permConstants(16)
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH ${shingleCte(carrySource = false)},
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h32 FROM sh),
+       |perms(i, a, b) AS (VALUES $perms),
+       |mh AS (SELECT doc_id, i, min((a * h32 + b) % 2147483647) AS v
+       |       FROM h CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |                 string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+       |          FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |cm AS (SELECT doc_a, doc_b, count(*) AS common
+       |       FROM cand
+       |       JOIN sh sa ON sa.doc_id = doc_a
+       |       JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS jaccard
+       |FROM cm JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= 0.5""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_filter(string_split(trim(text), ' '), t -> t <> ''))) AS tok
+      |    FROM documents)),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+      |bits AS (SELECT doc_id, g.j AS j,
+      |                SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |         FROM h CROSS JOIN generate_series(0, 59) g(j) GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |FROM bits GROUP BY 1""".stripMargin
+
+  private val quantCte =
+    """qz AS (SELECT vec_id AS id, p.p AS pos,
+      |              CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
+      |       FROM embeddings CROSS JOIN generate_series(1, 64) p(p)),
+      |nrm AS (SELECT id, SUM(v * v) AS norm2 FROM qz GROUP BY 1)""".stripMargin
+
+  val embedTopK: String =
+    s"""WITH $quantCte,
+       |d AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+       |      FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |      WHERE a.id < 8 GROUP BY 1, 2),
+       |s AS (SELECT q_id, c_id,
+       |             CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id)
+       |SELECT q_id, c_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s
+       |) WHERE rn <= 5""".stripMargin
+
+  val embedTopKLsh: String =
+    s"""WITH $quantCte,
+       |w AS (SELECT j.j AS j, p.p AS pos,
+       |             CAST(('0x' || substr(md5(j.j || '_' || p.p), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+       |      FROM generate_series(0, 7) j(j) CROSS JOIN generate_series(1, 64) p(p)),
+       |sums AS (SELECT id, j, SUM(v * wt) AS s
+       |         FROM qz JOIN w ON qz.pos = w.pos GROUP BY 1, 2),
+       |b AS (SELECT id, SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |      FROM sums GROUP BY 1),
+       |cand AS (SELECT q.id AS q_id, c.id AS c_id
+       |         FROM b q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id
+       |         WHERE q.id < 32),
+       |d AS (SELECT q_id, c_id, SUM(a.v * bb.v) AS dot
+       |      FROM cand JOIN qz a ON a.id = q_id JOIN qz bb ON bb.id = c_id AND bb.pos = a.pos
+       |      GROUP BY 1, 2),
+       |s AS (SELECT q_id, c_id,
+       |             CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id)
+       |SELECT q_id, c_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s
+       |) WHERE rn <= 3""".stripMargin
+
+  val langId: String = {
+    val branches = TextLang.langs.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, t -> list_contains([$arr], t))) AS BIGINT) AS score FROM t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks FROM documents),
+       |s AS ($branches)
+       |SELECT doc_id, lang, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM s
+       |) WHERE rn = 1""".stripMargin
+  }
+
+  val docFingerprint: String =
+    """WITH h AS (
+      |  SELECT doc_id, unnest([
+      |    ascii(substr(text, p, 1)) * 923521 + ascii(substr(text, p + 1, 1)) * 29791
+      |    + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31
+      |    + ascii(substr(text, p + 4, 1))
+      |    for p in generate_series(1, length(text) - 4)]) AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint, count(*) AS n_windows
+      |FROM h GROUP BY 1""".stripMargin
+
+  val multimodalMeta: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       md5(text) AS content_hash
+      |FROM documents""".stripMargin
+
   val all: Map[String, String] = Map(
-    "dedup_exact"  -> dedupExact,
-    "text_stats"   -> textStats,
-    "text_quality" -> textQuality,
+    "multimodal_meta" -> multimodalMeta,
+    "dedup_exact"     -> dedupExact,
+    "text_stats"      -> textStats,
+    "text_quality"    -> textQuality,
+    "dedup_ngram"     -> dedupNgram,
+    "dedup_minhash"   -> dedupMinhash,
+    "dedup_simhash"   -> dedupSimhash,
+    "embed_topk"      -> embedTopK,
+    "embed_topk_lsh"  -> embedTopKLsh,
+    "lang_id"         -> langId,
+    "doc_fingerprint" -> docFingerprint,
   )
 }
