@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Detectors, StreamOps}
+import graft.streaming.Detectors.KeyedEvent
+
+/**
+ * Runnable example of the streaming surface: a login-fail CEP detector and
+ * a sliding window count fed by a MemoryStream, watermark-driven, append
+ * mode — the streaming twin of the batch queries in SparkEntry.
+ */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 2 users; user 1 fails 3x within the horizon, user 2's run is broken
+    val events = Seq(
+      KeyedEvent(1, 100, 1, hit = true), KeyedEvent(1, 110, 2, hit = true),
+      KeyedEvent(1, 120, 3, hit = true), KeyedEvent(2, 100, 4, hit = true),
+      KeyedEvent(2, 105, 5, hit = false), KeyedEvent(2, 110, 6, hit = true))
+
+    val input = MemoryStream[KeyedEvent](1, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "10 seconds")
+      .as[KeyedEvent]
+    val cep = Detectors.consecutive(withWm, n = 3, withinSec = 60, streaming = true)
+      .writeStream.format("memory").queryName("alarms").outputMode("append").start()
+
+    val input2 = MemoryStream[KeyedEvent](2, spark, None)
+    val counts = StreamOps.slidingCount(
+      input2.toDF().withColumn("ts", timestamp_seconds(col("tsSec"))),
+      "ts", "10 seconds", "60 seconds", "30 seconds", col("key"))
+    val win = counts.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+
+    input.addData(events)
+    input2.addData(events)
+    cep.processAllAvailable(); win.processAllAvailable()
+    input.addData(KeyedEvent(9, 10000, 99, hit = false)) // advance watermark
+    input2.addData(KeyedEvent(9, 10000, 99, hit = false))
+    cep.processAllAvailable(); win.processAllAvailable()
+
+    println("=== CEP alarms (expect exactly user 1) ===")
+    spark.table("alarms").show(false)
+    println("=== closed sliding windows ===")
+    spark.table("win").orderBy("window").show(20, false)
+    cep.stop(); win.stop()
+    spark.stop()
+  }
+}

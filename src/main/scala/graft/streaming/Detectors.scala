@@ -1,0 +1,249 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming twins of the batch detectors (graft.cep.Cep, graft.ops.JoinOps
+ * .followedByWithin, graft.ops.StatefulOps): per-key state machines inside
+ * `flatMapGroupsWithState`, the Spark mapping of the reference's
+ * `KeyedProcessFunction`/CEP NFA state (SURVEY.md §2.8, §7.4-1).
+ *
+ * Out-of-order handling: Flink's CEP consumes events in watermark order; a
+ * micro-batch sees arrival order. Each detector therefore buffers incoming
+ * events in state and only folds those older than the current watermark
+ * through its state machine, in (ts, id) order — identical event-time
+ * semantics, bounded state (the buffer never holds more than the watermark
+ * horizon). An `EventTimeTimeout` wakes the key to drain the buffer when
+ * the watermark advances past buffered events without new arrivals.
+ *
+ * In batch mode (`streaming = false`) the same fold runs over all events at
+ * once (watermark = ∞), which is exactly the batch lag/join formulation —
+ * the property the parity specs assert.
+ */
+object Detectors {
+
+  /** Generic keyed event: `hit` marks pattern-relevant events (e.g. login
+    * failure); `isA` distinguishes streams for two-stream detectors. */
+  case class KeyedEvent(key: Long, tsSec: Long, id: Long, hit: Boolean)
+
+  case class RunMatch(key: Long, first_id: Long, last_id: Long,
+                      first_ts: Long, last_ts: Long, n_hits: Long)
+
+  /** Buffered events + the current run tail (last ≤ n-1 consecutive hits). */
+  case class RunState(pending: Seq[KeyedEvent], run: Seq[(Long, Long)])
+
+  /** times(n).consecutive().within(d) — streaming CEP-lite. */
+  def consecutive(events: Dataset[KeyedEvent], n: Int, withinSec: Long,
+                  streaming: Boolean): Dataset[RunMatch] = {
+    implicit val outEnc = Encoders.product[RunMatch]
+    implicit val stEnc = Encoders.product[RunState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[KeyedEvent],
+                state: GroupState[RunState]): Iterator[RunMatch] = {
+      val st = state.getOption.getOrElse(RunState(Nil, Nil))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      // events older than the watermark are late: dropped, as Flink CEP does
+      val fresh = it.filter(e => !streaming || e.tsSec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
+      val (ready, rest) = all.partition(_.tsSec < wmSec)
+      var run = st.run
+      val out = Seq.newBuilder[RunMatch]
+      ready.foreach { e =>
+        if (e.hit) {
+          val full = run :+ (e.tsSec, e.id)
+          if (full.size >= n) {
+            val win = full.takeRight(n)
+            if (e.tsSec - win.head._1 <= withinSec)
+              out += RunMatch(key, win.head._2, e.id, win.head._1, e.tsSec, n.toLong)
+          }
+          run = full.takeRight(n - 1)
+        } else run = Nil
+      }
+      state.update(RunState(rest, run))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  case class FollowResult(key: Long, a_id: Long, a_ts: Long, status: String)
+
+  /** Buffered events + pending unmatched A rows (ts, id). */
+  case class FollowState(pending: Seq[KeyedEvent], openA: Seq[(Long, Long)])
+
+  /** "A followedBy B within d, else timeout" — C4/C5 streaming form.
+    * Events: `hit = true` marks A (create), false marks B (pay). An A is
+    * 'matched' on the first B with aTs < bTs ≤ aTs+d; an A whose deadline
+    * passes (next processed event or watermark) times out. */
+  def followedBy(events: Dataset[KeyedEvent], withinSec: Long,
+                 matchedTag: String, timeoutTag: String,
+                 streaming: Boolean): Dataset[FollowResult] = {
+    implicit val outEnc = Encoders.product[FollowResult]
+    implicit val stEnc = Encoders.product[FollowState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[KeyedEvent],
+                state: GroupState[FollowState]): Iterator[FollowResult] = {
+      val st = state.getOption.getOrElse(FollowState(Nil, Nil))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.tsSec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
+      val (ready, rest) = all.partition(_.tsSec < wmSec)
+      var open = st.openA
+      val out = Seq.newBuilder[FollowResult]
+      def expire(now: Long): Unit = {
+        val (dead, live) = open.partition { case (ts, _) => ts + withinSec < now }
+        dead.foreach { case (ts, id) => out += FollowResult(key, id, ts, timeoutTag) }
+        open = live
+      }
+      ready.foreach { e =>
+        expire(e.tsSec)
+        if (e.hit) open = open :+ (e.tsSec, e.id)
+        else {
+          val (matched, live) = open.partition { case (ts, _) =>
+            ts < e.tsSec && e.tsSec <= ts + withinSec }
+          matched.foreach { case (ts, id) => out += FollowResult(key, id, ts, matchedTag) }
+          open = live
+        }
+      }
+      expire(wmSec) // watermark-driven timeouts with no newer event
+      state.update(FollowState(rest, open))
+      if (streaming) {
+        val wake = (rest.map(_.tsSec) ++ open.map(_._1 + withinSec)).reduceOption(_ min _)
+        wake.foreach(w => state.setTimeoutTimestamp(
+          math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  case class BlEvent(user: Long, ad: Long, tsSec: Long, id: Long)
+  case class BlOut(tag: String, event_id: Long, user_id: Long, ad_id: Long,
+                   day_start: Long, seq: Long)
+  case class BlState(pending: Seq[BlEvent], dayStart: Long, cnt: Long, warned: Boolean)
+
+  /** F6 streaming blacklist: pass the first `threshold` clicks per
+    * (user, ad, event-time day), then one 'warning' row; reset at the next
+    * event-time day (the reference's midnight timer re-specified on event
+    * time, SURVEY.md §7.4-4). */
+  def blacklist(events: Dataset[BlEvent], threshold: Int,
+                streaming: Boolean): Dataset[BlOut] = {
+    implicit val outEnc = Encoders.product[BlOut]
+    implicit val stEnc = Encoders.product[BlState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: (Long, Long), it: Iterator[BlEvent],
+                state: GroupState[BlState]): Iterator[BlOut] = {
+      val st = state.getOption.getOrElse(BlState(Nil, -1L, 0L, warned = false))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.tsSec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
+      val (ready, rest) = all.partition(_.tsSec < wmSec)
+      var (day, cnt, warned) = (st.dayStart, st.cnt, st.warned)
+      val out = Seq.newBuilder[BlOut]
+      ready.foreach { e =>
+        val d = e.tsSec / 86400 * 86400
+        if (d != day) { day = d; cnt = 0L; warned = false }
+        cnt += 1
+        if (cnt <= threshold)
+          out += BlOut("kept", e.id, e.user, e.ad, day, cnt)
+        else if (!warned) {
+          out += BlOut("warning", e.id, e.user, e.ad, day, cnt)
+          warned = true
+        }
+      }
+      state.update(BlState(rest, day, cnt, warned))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    events.groupByKey(e => (e.user, e.ad))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  /** J1 TxPayMatch reconciliation, timer-exact: pay waits `payWaitSec` for
+    * its receipt, receipt waits `receiptWaitSec` for its pay
+    * (TxPayMatch.java:113/:139). Emits 'matched' pairs plus per-side
+    * unmatched rows when the partner misses the deadline. */
+  case class TxEvent(key: Long, tsSec: Long, id: Long, hit: Boolean) // hit = pay side
+  case class TxOut(tag: String, key: Long, pay_id: Long, receipt_id: Long,
+                   pay_ts: Long, receipt_ts: Long)
+  case class TxState(pending: Seq[TxEvent], pays: Seq[(Long, Long)],
+                     receipts: Seq[(Long, Long)])
+
+  def reconcile(events: Dataset[TxEvent], payWaitSec: Long, receiptWaitSec: Long,
+                streaming: Boolean): Dataset[TxOut] = {
+    implicit val outEnc = Encoders.product[TxOut]
+    implicit val stEnc = Encoders.product[TxState]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[TxEvent],
+                state: GroupState[TxState]): Iterator[TxOut] = {
+      val st = state.getOption.getOrElse(TxState(Nil, Nil, Nil))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.tsSec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
+      val (ready, rest) = all.partition(_.tsSec < wmSec)
+      var pays = st.pays; var receipts = st.receipts
+      val out = Seq.newBuilder[TxOut]
+      def expire(now: Long): Unit = {
+        val (pd, pl) = pays.partition { case (ts, _) => ts + payWaitSec < now }
+        pd.foreach { case (ts, id) => out += TxOut("unmatched_pay", key, id, -1L, ts, -1L) }
+        pays = pl
+        val (rd, rl) = receipts.partition { case (ts, _) => ts + receiptWaitSec < now }
+        rd.foreach { case (ts, id) => out += TxOut("unmatched_receipt", key, -1L, id, -1L, ts) }
+        receipts = rl
+      }
+      ready.foreach { e =>
+        expire(e.tsSec)
+        if (e.hit) { // pay: match a parked receipt or park
+          receipts.headOption match {
+            case Some((rts, rid)) =>
+              out += TxOut("matched", key, e.id, rid, e.tsSec, rts)
+              receipts = receipts.tail
+            case None => pays = pays :+ (e.tsSec, e.id)
+          }
+        } else {
+          pays.headOption match {
+            case Some((pts, pid)) =>
+              out += TxOut("matched", key, pid, e.id, pts, e.tsSec)
+              pays = pays.tail
+            case None => receipts = receipts :+ (e.tsSec, e.id)
+          }
+        }
+      }
+      expire(wmSec)
+      state.update(TxState(rest, pays, receipts))
+      if (streaming) {
+        val wake = (rest.map(_.tsSec) ++ pays.map(_._1 + payWaitSec) ++
+          receipts.map(_._1 + receiptWaitSec)).reduceOption(_ min _)
+        wake.foreach(w => state.setTimeoutTimestamp(
+          math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+}

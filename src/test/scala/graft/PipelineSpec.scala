@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.LongHashSet
+import graft.ops.{DedupOps, SimilarityOps}
+import graft.queries.PipelineQueries
+import graft.sources.Tables
+
+/** Dedup + similarity operators: unit tests for the custom aggregate's
+  * buffer, and recall/consistency properties on the sf0.001 corpus. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LongHashSet: add/grow/merge/serde round-trip") {
+    val s = new LongHashSet(4)
+    val values = (0L until 1000L).map(i => i * 2654435761L % 997L)
+    values.foreach(s.add)
+    assert(s.size == values.distinct.size)
+    val other = new LongHashSet()
+    (5000L until 5100L).foreach(other.add)
+    s.merge(other)
+    assert(s.size == values.distinct.size + 100)
+    val round = LongHashSet.fromBytes(s.toBytes)
+    assert(round.size == s.size)
+    var seen = Set.empty[Long]
+    round.foreach(seen += _)
+    assert(seen == (values.toSet ++ (5000L until 5100L)))
+  }
+
+  test("exact_distinct agrees with count_distinct on events") {
+    graft.functions.ExactDistinct.register(spark)
+    val ev = Tables.events(spark, sf0001)
+    val got = ev.agg(expr("exact_distinct(user_id)")).as[Long].head()
+    val exp = ev.agg(count_distinct(col("user_id"))).as[Long].head()
+    assert(got == exp && got > 0)
+  }
+
+  test("minhash+LSH finds every high-Jaccard pair (recall at threshold 0.5)") {
+    val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3, "source")
+    // ground truth: exact all-pairs Jaccard within a constant scope
+    val truth = DedupOps.ngramJaccardPairs(
+        sh.withColumn("g", lit(1)), "g", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = DedupOps.minhashPairs(sh.select("doc_id", "sh"), 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    // verified candidates can only be a subset; with 4x4 banding at j>=0.5
+    // recall should be total on this corpus
+    assert(got == truth)
+  }
+
+  test("simhash separates near-duplicates from random pairs") {
+    val fp = DedupOps.simhash(Tables.documents(spark, sf0001), "text")
+      .as[(Long, Long)].collect().toMap
+    val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+    val nearDups = DedupOps.ngramJaccardPairs(
+        sh.withColumn("g", lit(1)), "g", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(nearDups.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b)).toDouble
+    val dupMean = nearDups.map { case (a, b) => ham(a, b) }.sum / nearDups.length
+    val ids = fp.keys.toArray.sorted
+    val rnd = new scala.util.Random(3)
+    val randMean = (0 until 200).map { _ =>
+      ham(ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+    }.sum / 200
+    // random 60-bit fingerprints differ in ~30 bits; near-dups far fewer
+    assert(dupMean < randMean / 2 - 1,
+      s"near-dup mean hamming $dupMean vs random $randMean")
+  }
+
+  test("LSH ANN cosines agree with brute force on shared pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = SimilarityOps.cosineTopK(emb, 64, "vec_id < 8", 5)
+      .select("q_id", "c_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    val lsh = SimilarityOps.lshCosineTopK(emb, 64, 8, "vec_id < 8", 5)
+      .select("q_id", "c_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, c, s) =>
+      brute.get((q, c)).foreach(bs => assert(bs == s,
+        s"cos mismatch for ($q,$c): lsh=$s brute=$bs"))
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    val feats = PipelineQueries.multimodalFeatures(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(feats.length == docs)
+    val again = PipelineQueries.multimodalFeatures(spark, sf0001).collect()
+    assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}

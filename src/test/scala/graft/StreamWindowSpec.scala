@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.WindowOps
+import graft.streaming.StreamOps
+
+/** Streaming/batch prefix-consistency for the windowed-count family: the
+  * streaming append-mode result after the watermark passes equals the batch
+  * result over the same data (SURVEY.md §5 "streaming parity"). */
+case class Ev(tsSec: Long, k: String)
+
+class StreamWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sliding count equals batch over closed windows") {
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 500).map { _ =>
+      Ev(10000L + rnd.nextInt(5000), s"k${rnd.nextInt(3)}")
+    }
+    val batch = WindowOps.epochWindow(
+        WindowOps.slidingCount(evs.toDF().withColumn("ts", timestamp_seconds(col("tsSec"))),
+          col("ts"), "10 minutes", "5 minutes", col("k")))
+      .select("window_start", "window_end", "k", "cnt")
+      .as[(Long, Long, String, Long)].collect().toSet
+
+    val input = MemoryStream[Ev](10, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val counts = StreamOps.slidingCount(stream, "ts", "1 minute",
+      "10 minutes", "5 minutes", col("k"))
+    val q = WindowOps.epochWindow(counts)
+      .select("window_start", "window_end", "k", "cnt")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 50L)(_.tsSec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Ev(1000000L, "sentinel")) // close every window
+      q.processAllAvailable()
+      val got = spark.table("win_out").as[(Long, Long, String, Long)].collect()
+        .toSet.filterNot(_._3 == "sentinel")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming approx distinct produces a row per closed window") {
+    val evs = (0 until 300).map(i => Ev(10000L + i * 10, s"u${i % 37}"))
+    val input = MemoryStream[Ev](11, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val q = StreamOps.tumblingApproxDistinct(stream, "ts", "0 seconds",
+        "10 minutes", col("k"))
+      .writeStream.format("memory").queryName("uv_out").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(Ev(1000000L, "sentinel"))
+      q.processAllAvailable()
+      assert(spark.table("uv_out").count() >= 5)
+    } finally q.stop()
+  }
+}
