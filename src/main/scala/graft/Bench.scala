@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JIT/codegen/class-loading and parquet footer reads
+    // otherwise land on whichever query happens to run first
+    try {
+      spark.range(16).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
+        .format("noop").mode("overwrite").save())
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces full materialization of every output column —
+      // count() would let Catalyst prune the computed columns away.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

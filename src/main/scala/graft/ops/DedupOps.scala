@@ -70,15 +70,19 @@ object DedupOps {
     s"CAST(conv(substr(md5($colExpr), 1, 15), 16, 10) AS BIGINT)"
 
   /** MinHash signatures: one row per (doc_id, perm) with the min permuted
-    * hash. `nPerms` permutations over `(a*h32 + b) % 2147483647`. */
+    * hash. `nPerms` permutations over `(a*h32 + b) % 2147483647`, computed
+    * as nPerms parallel min-aggregates in ONE pass over the shingles (no
+    * nPerms× row expansion before the shuffle — shuffled volume is
+    * O(docs × perms), not O(shingles × perms)), then stacked to long form. */
   def minhashSignatures(sh: DataFrame, nPerms: Int): DataFrame = {
     val perms = permConstants(nPerms)
-      .map { case (i, a, b) => s"struct(${i}L AS i, ${a}L AS a, ${b}L AS b)" }
-      .mkString(", ")
-    sh.selectExpr("doc_id", s"${md5Long("sh")} % 2147483647 AS h32")
-      .selectExpr("doc_id", "h32", s"explode(array($perms)) AS p")
-      .selectExpr("doc_id", "p.i AS i", "(p.a * h32 + p.b) % 2147483647 AS v")
-      .groupBy("doc_id", "i").agg(min("v").as("mh"))
+    val aggs = perms.map { case (i, a, b) =>
+      expr(s"min(($a * h32 + $b) % 2147483647)").as(s"mh_$i")
+    }
+    val wide = sh.selectExpr("doc_id", s"${md5Long("sh")} % 2147483647 AS h32")
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = perms.map { case (i, _, _) => s"${i}L, mh_$i" }.mkString(", ")
+    wide.selectExpr("doc_id", s"stack($nPerms, $stackArgs) AS (i, mh)")
   }
 
   /** LSH banding: signature rows → (doc_id, band, sig-string); docs sharing

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,59 +15,74 @@ import org.apache.spark.sql.functions._
  * < 2^53) and the final `dot / (sqrt(na)·sqrt(nb))` is bit-deterministic —
  * brute-force top-k hash-matches the DuckDB oracle exactly.
  *
- * Scale shape: brute-force is a broadcast of the (small) query set against
- * a full scan — O(Q × N × dim) with no shuffle on the corpus side; the LSH
- * variant hashes the corpus into sign-pattern buckets (one narrow pass) and
- * only scores collisions, the standard recall/cost trade for large N.
+ * Plan shape: dots/norms are per-row higher-order expressions
+ * (`aggregate(zip_with(...))`) — a narrow, codegen-friendly pass with NO
+ * position-explode shuffle. Brute force broadcasts the small query set
+ * against a corpus scan (O(Q·N·dim) compute, zero corpus shuffle); the LSH
+ * variant first hashes every vector into a sign-pattern bucket (again one
+ * narrow pass over literal hyperplane weights) and only scores bucket
+ * collisions — the recall/cost trade that holds at large N.
  */
 object SimilarityOps {
 
-  /** (id, pos, qv): one row per vector component, quantized to BIGINT. */
-  def quantized(emb: DataFrame, dim: Int, idAs: String, vAs: String): DataFrame =
-    emb.selectExpr(s"vec_id AS $idAs", s"explode(sequence(1, $dim)) AS pos",
-        "embedding AS e")
-      .selectExpr(idAs, "pos",
-        s"CAST(round(CAST(element_at(e, CAST(pos AS INT)) AS DOUBLE) * 10000000d) AS BIGINT) AS $vAs")
+  /** Quantize a float component to BIGINT at 1e7 (see class doc). */
+  private def q(x: String): String =
+    s"CAST(round(CAST($x AS DOUBLE) * 10000000.0D) AS BIGINT)"
 
-  /** Squared norms per vector: (id, norm2). */
-  def norms(q: DataFrame, id: String, v: String): DataFrame =
-    q.groupBy(col(id)).agg(sum(col(v) * col(v)).as("norm2"))
+  /** Exact integer squared norm of an embedding column, per row. */
+  private def normExpr(e: String): String =
+    s"aggregate($e, CAST(0 AS BIGINT), (acc, x) -> acc + ${q("x")} * ${q("x")})"
+
+  /** Exact integer dot product of two embedding columns, per row. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> ${q("x")} * ${q("y")}), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
   /** Brute-force cosine top-k of `emb` for the query vectors `queryPred`
     * selects. Output: q_id, c_id, cos, rn. */
   def cosineTopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
-    val cq = quantized(emb.filter(expr(queryPred)), dim, "q_id", "qv")
-    val cc = quantized(emb, dim, "c_id", "cv")
-    val nq = norms(cq, "q_id", "qv").withColumnRenamed("norm2", "nq")
-    val nc = norms(cc, "c_id", "cv").withColumnRenamed("norm2", "nc")
-    val dots = cq.join(cc, Seq("pos"))
+    val qs = emb.filter(expr(queryPred))
+      .selectExpr("vec_id AS q_id", "embedding AS qe", s"${normExpr("embedding")} AS nq")
+    val cs = emb
+      .selectExpr("vec_id AS c_id", "embedding AS ce", s"${normExpr("embedding")} AS nc")
+    cs.crossJoin(broadcast(qs))
       .filter(col("q_id") =!= col("c_id"))
-      .groupBy("q_id", "c_id").agg(sum(col("qv") * col("cv")).as("dot"))
-    val scored = dots.join(broadcast(nq), "q_id").join(nc, "c_id")
+      .selectExpr("q_id", "c_id", "nq", "nc", s"${dotExpr("qe", "ce")} AS dot")
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
-    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cos", "rn")
   }
 
-  /** Deterministic hyperplane weight for (plane j, dim d): md5-derived
-    * integer in [-1000, 1000] — shared with the oracle. */
-  def planeWeight(j: String, d: String): String =
-    s"CAST(conv(substr(md5(concat($j, '_', $d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000"
+  /** Deterministic hyperplane weights for (plane j ∈ [0,nPlanes), dim
+    * d ∈ [1,dim]): integer in [-1000, 1000] derived from md5(s"{j}_{d}") —
+    * computed here once and inlined as plan literals; the DuckDB oracle
+    * recomputes the identical values via its own md5. */
+  def planeWeights(nPlanes: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (1 to dim).map { d =>
+        val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+  }
 
-  /** Sign-pattern LSH bucket per vector: `nPlanes` hyperplanes with
-    * deterministic integer weights; bucket = bitmask of sign bits. */
-  def lshBuckets(emb: DataFrame, dim: Int, nPlanes: Int): DataFrame =
-    quantized(emb, dim, "id", "v")
-      .selectExpr("id", "pos", "v", s"explode(sequence(0, ${nPlanes - 1})) AS j")
-      .selectExpr("id", "j", s"v * (${planeWeight("j", "pos")}) AS contrib")
-      .groupBy("id", "j").agg(sum("contrib").as("s"))
-      .selectExpr("id",
-        "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END AS bit")
-      .groupBy("id").agg(sum("bit").as("bucket"))
+  /** Sign-pattern LSH bucket per vector: one narrow pass, no shuffle. */
+  def lshBuckets(emb: DataFrame, dim: Int, nPlanes: Int): DataFrame = {
+    val ws = planeWeights(nPlanes, dim)
+    val sums = (0 until nPlanes).map { j =>
+      val wArr = s"array(${ws(j).mkString("L, ")}L)"
+      s"aggregate(zip_with(embedding, $wArr, (x, w) -> ${q("x")} * w), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS s_$j"
+    }
+    val bucket = (0 until nPlanes)
+      .map(j => s"CASE WHEN s_$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    emb.selectExpr(Seq("vec_id AS id", "embedding") ++ sums: _*)
+      .selectExpr("id", "embedding", s"$bucket AS bucket")
+  }
 
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.
     * Output: q_id, c_id, cos, rn (may return < k rows per query — the
@@ -73,23 +90,16 @@ object SimilarityOps {
   def lshCosineTopK(emb: DataFrame, dim: Int, nPlanes: Int, queryPred: String,
                     k: Int): DataFrame = {
     val buckets = lshBuckets(emb, dim, nPlanes)
-    // bucket-restricted candidate pairs
-    val q = buckets.select(col("id").as("q_id"), col("bucket"))
-      .join(emb.filter(expr(queryPred)).select(col("vec_id").as("q_id")), "q_id")
-    val c = buckets.select(col("id").as("c_id"), col("bucket").as("bucket_c"))
-    val cand = q.join(c, col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id")
-    val cq = quantized(emb.filter(expr(queryPred)), dim, "q_id", "qv")
-    val cc = quantized(emb, dim, "c_id", "cv")
-    val nq = norms(cq, "q_id", "qv").withColumnRenamed("norm2", "nq")
-    val nc = norms(cc, "c_id", "cv").withColumnRenamed("norm2", "nc")
-    val dots = cand
-      .join(cq, Seq("q_id")).join(cc, Seq("c_id", "pos"))
-      .groupBy("q_id", "c_id").agg(sum(col("qv") * col("cv")).as("dot"))
-    val scored = dots.join(broadcast(nq), "q_id").join(nc, "c_id")
+      .selectExpr("id", "embedding", "bucket", s"${normExpr("embedding")} AS norm2")
+    val qs = buckets
+      .join(emb.filter(expr(queryPred)).select(col("vec_id").as("id")), "id")
+      .selectExpr("id AS q_id", "embedding AS qe", "bucket", "norm2 AS nq")
+    val cs = buckets
+      .selectExpr("id AS c_id", "embedding AS ce", "bucket AS bucket_c", "norm2 AS nc")
+    cs.join(broadcast(qs), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", "nq", "nc", s"${dotExpr("qe", "ce")} AS dot")
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
-    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= k)

@@ -111,19 +111,16 @@ object PipelineQueries {
         "chunk_means[2] AS chunk2", "chunk_means[3] AS chunk3")
 
   /** Rolling-hash document fingerprint: min of the 5-char polynomial
-    * rolling hash over the text (winnowing-style content signature). */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    * rolling hash over the text (winnowing-style content signature).
+    * Computed per row with transform + array_min — narrow plan, no
+    * position explode and no shuffle. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingMinHash.register(spark)
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "text",
-        "explode(sequence(1, greatest(length(text) - 4, 1))) AS p")
-      .filter(expr("p + 4 <= length(text)"))
-      .selectExpr("doc_id",
-        "ascii(substring(text, p, 1)) * 923521 + ascii(substring(text, p + 1, 1)) * 29791" +
-          " + ascii(substring(text, p + 2, 1)) * 961 + ascii(substring(text, p + 3, 1)) * 31" +
-          " + ascii(substring(text, p + 4, 1)) AS h")
-      .groupBy("doc_id")
-      .agg(min(col("h")).cast("long").as("fingerprint"),
-        count(lit(1)).as("n_windows"))
+      .filter(expr("length(text) >= 5"))
+      .selectExpr("doc_id", "rolling_min5(text) AS fingerprint",
+        "CAST(length(text) - 4 AS BIGINT) AS n_windows")
+  }
 }
 
 /** Shared language stopword profiles (small on purpose — the data is
@@ -281,7 +278,7 @@ object PipelineOracles {
       |    + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31
       |    + ascii(substr(text, p + 4, 1))
       |    for p in generate_series(1, length(text) - 4)]) AS h
-      |  FROM documents)
+      |  FROM documents WHERE length(text) >= 5)
       |SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint, count(*) AS n_windows
       |FROM h GROUP BY 1""".stripMargin
 
