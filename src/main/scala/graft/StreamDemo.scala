@@ -56,6 +56,30 @@ object StreamDemo {
     println("=== closed sliding windows ===")
     spark.table("win").orderBy("window").show(20, false)
     cep.stop(); win.stop()
+
+    // fixed-schema CSV source → apache-log parse → tagged splitter sink
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo")
+    val csv = tmp.resolve("UserBehavior.csv")
+    java.nio.file.Files.writeString(csv,
+      "543462,1715136,4756105,pv,1511658000\n662867,2244074,1575622,buy,1511658060\n")
+    println("=== CSV source (fixed schema, event-time ts) ===")
+    graft.sources.EventSources.readCsv(spark, csv.toString,
+      graft.sources.EventSources.userBehaviorSchema).show(false)
+
+    println("=== apache.log parse ===")
+    graft.sources.EventSources.parseApacheLog(Seq(
+      "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /kibana-search.png")
+      .toDF("value")).show(false)
+
+    println("=== tagged splitter (side-output pattern) ===")
+    val input3 = MemoryStream[(String, Long)](3, spark, None)
+    val split = graft.sinks.Sinks.splitByTag(input3.toDF().toDF("tag", "v"), "tag",
+      Map(
+        "alarm" -> (df => { println(s"alarm sink got ${df.count()} rows") }),
+        "ok" -> (df => { println(s"ok sink got ${df.count()} rows") }))).start()
+    input3.addData(("alarm", 1L), ("ok", 2L), ("ok", 3L))
+    split.processAllAvailable()
+    split.stop()
     spark.stop()
   }
 }

@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/**
+ * Sink surface (SURVEY.md §2.9) + the side-output pattern: the reference
+ * fans alarm/late/unmatched rows out of one operator via Flink OutputTags
+ * (e.g. TxPayMatch.java:28-29); Spark has no side outputs, so detectors
+ * emit a tagged union and this splitter writes each tag to its own sink
+ * from a single `foreachBatch` — one pass over the micro-batch, N sinks.
+ */
+object Sinks {
+
+  /** Streaming tagged-union splitter: route each `tagCol` value to its own
+    * writer inside foreachBatch. Unlisted tags are dropped (or routed to
+    * `otherwise` when given). The batch is cached once per trigger so N
+    * routes do not recompute the plan N times. */
+  def splitByTag(stream: DataFrame, tagCol: String,
+                 routes: Map[String, DataFrame => Unit],
+                 otherwise: Option[DataFrame => Unit] = None): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try {
+        routes.foreach { case (tag, write) =>
+          write(batch.filter(col(tagCol) === tag))
+        }
+        otherwise.foreach { write =>
+          write(batch.filter(!col(tagCol).isin(routes.keys.toSeq: _*)))
+        }
+      } finally { batch.unpersist(); () }
+    }
+
+  /** K1 console sink (reference `.print(label)`). */
+  def console(stream: DataFrame, label: String): StreamingQuery =
+    stream.withColumn("label", lit(label))
+      .writeStream.format("console").outputMode("append").start()
+
+  /** Parquet append sink with checkpointing — the durable replacement for
+    * the reference's Redis externalization (K2): results land columnar and
+    * re-queryable instead of in a KV side-store. */
+  def parquet(stream: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+}

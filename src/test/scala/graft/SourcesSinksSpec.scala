@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+import graft.sources.EventSources
+
+/** Fixed-schema CSV sources, apache-log parse, rate-source twin, tagged
+  * splitter sink, and the SparkSessionExtensions function injection. */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixed-schema CSV source parses reference-shaped rows") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "UserBehavior.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("543462,1715136,4756105,pv,1511658000")
+    w.println("662867,2244074,1575622,buy,1511658060")
+    w.println("malformed,row,,,")
+    w.close()
+    val df = EventSources.readCsv(spark, f.getAbsolutePath,
+      EventSources.userBehaviorSchema)
+    assert(df.count() == 3)
+    val good = df.filter(col("userId").isNotNull)
+    assert(good.count() == 2)
+    assert(good.filter(col("behavior") === "pv").select("itemId")
+      .as[Long].head() == 1715136L)
+    // event-time column derived from epoch seconds
+    assert(good.select(col("ts").cast("long")).as[Long].collect().toSet ==
+      Set(1511658000L, 1511658060L))
+  }
+
+  test("apache log parse extracts ip/ts/method/url") {
+    val lines = Seq(
+      "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/logstash-monitorama-2013/images/kibana-search.png",
+      "83.149.9.216 - - 17/05/2015:10:05:43 +0000 POST /api/submit").toDF("value")
+    val parsed = EventSources.parseApacheLog(lines)
+    val rows = parsed.select("ip", "method", "url").as[(String, String, String)]
+      .collect().toSet
+    assert(rows == Set(
+      ("83.149.9.216", "GET", "/presentations/logstash-monitorama-2013/images/kibana-search.png"),
+      ("83.149.9.216", "POST", "/api/submit")))
+    assert(parsed.select(col("ts").cast("long")).as[Long].head() == 1431857103L)
+  }
+
+  test("tagged-union splitter routes each tag to its own sink") {
+    case object Collector {
+      val seen = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    }
+    val input = MemoryStream[(String, Long)](21, spark, None)
+    val q = Sinks.splitByTag(input.toDF().toDF("tag", "v"), "tag",
+      Map(
+        "a" -> ((df: org.apache.spark.sql.DataFrame) =>
+          Collector.seen.synchronized { Collector.seen("a") += df.count() }),
+        "b" -> ((df: org.apache.spark.sql.DataFrame) =>
+          Collector.seen.synchronized { Collector.seen("b") += df.count() })),
+      otherwise = Some(df =>
+        Collector.seen.synchronized { Collector.seen("other") += df.count() }))
+      .start()
+    try {
+      input.addData(Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L), ("c", 5L), ("c", 6L)))
+      q.processAllAvailable()
+      assert(Collector.seen("a") == 2 && Collector.seen("b") == 1 &&
+        Collector.seen("other") == 3)
+    } finally q.stop()
+  }
+
+  test("GraftExtensions injects custom functions into a fresh session") {
+    spark // materialize the suite session (and its SparkContext) first
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext but builds NEW session state, so
+      // withExtensions actually applies
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT exact_distinct(c) AS d, rolling_min5('hello world') AS h FROM VALUES (1L),(2L),(2L) t(c)")
+        .collect().head
+      assert(row.getLong(0) == 2L)
+      assert(row.getLong(1) > 0L)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+}

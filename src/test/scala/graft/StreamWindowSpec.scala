@@ -43,6 +43,29 @@ class StreamWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update mode re-emits a window when late-but-in-watermark rows arrive") {
+    // A2/T2 semantics (SURVEY §7.4-2): Flink's allowedLateness re-fire ≈
+    // Spark update mode — a late row within the watermark upserts its window
+    val input = MemoryStream[Ev](12, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val counts = graft.streaming.StreamOps.tumblingCount(
+      stream, "ts", "10 minutes", "5 minutes", col("k"))
+    val q = graft.ops.WindowOps.epochWindow(counts)
+      .select("window_start", "k", "cnt")
+      .writeStream.format("memory").queryName("upd_out").outputMode("update").start()
+    try {
+      input.addData(Ev(1000, "a"), Ev(1010, "a"))
+      q.processAllAvailable()
+      // late row for the same window, still within the 10 min watermark
+      input.addData(Ev(1005, "a"))
+      q.processAllAvailable()
+      val perBatch = spark.table("upd_out").as[(Long, String, Long)].collect()
+      // the window was emitted at least twice, final count visible = 3
+      assert(perBatch.count(_._1 == 900L) >= 2)
+      assert(perBatch.filter(_._1 == 900L).map(_._3).max == 3L)
+    } finally q.stop()
+  }
+
   test("streaming approx distinct produces a row per closed window") {
     val evs = (0 until 300).map(i => Ev(10000L + i * 10, s"u${i % 37}"))
     val input = MemoryStream[Ev](11, spark, None)
