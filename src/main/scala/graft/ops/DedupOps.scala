@@ -108,21 +108,47 @@ object DedupOps {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
-    * → verify with exact Jaccard ≥ threshold. */
+    * → verify with exact Jaccard ≥ threshold.
+    *
+    * Plan shape: ONE aggregation shuffle builds the per-doc hash-set array;
+    * signatures and band keys are then per-row array expressions (no
+    * per-perm row expansion, no second/third aggregation), candidates come
+    * from the band self-join, and the exact-Jaccard verify is
+    * `array_intersect` on the same arrays. */
   def minhashPairs(sh: DataFrame, nPerms: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
-    val cand = lshCandidates(lshBands(minhashSignatures(sh, nPerms), rowsPerBand))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("ca"), col("sh"))
-    val shB = sh.select(col("doc_id").as("cb"), col("sh").as("sh_b"))
+    val perms = permConstants(nPerms)
+    // per-doc distinct shingle-hash array — the single aggregation pass.
+    // Full 60-bit hashes in the set (mod-2^31 values would hit birthday
+    // collisions within a doc at larger corpora); the permutation lambda
+    // applies the modulus.
+    val docSets = sh
+      .selectExpr("doc_id", s"${md5Long("sh")} AS h")
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+    // band signature strings from the array, per row
+    val bandExprs = perms.grouped(rowsPerBand).zipWithIndex.map { case (band, bi) =>
+      val mins = band.map { case (_, a, b) =>
+        s"CAST(array_min(transform(hs, h -> ($a * (h % 2147483647) + $b) % 2147483647)) AS STRING)"
+      }.mkString(", ")
+      s"struct(${bi}L AS band, concat_ws(',', $mins) AS sig)"
+    }.mkString(", ")
+    val bands = docSets
+      .selectExpr("doc_id", s"explode(array($bandExprs)) AS bs")
+      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
-      .join(shA, col("doc_a") === col("ca"))
-      .join(shB, col("doc_b") === col("cb") && col("sh") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .join(cnt.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(cnt.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
+      .join(docSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
