@@ -18,6 +18,7 @@ import graft.functions.{ExactDistinctLong, RollingMin5Hash}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     ext.injectFunction((
       FunctionIdentifier("exact_distinct"),
       new ExpressionInfo(classOf[ExactDistinctLong].getName, "exact_distinct"),

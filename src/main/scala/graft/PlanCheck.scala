@@ -20,6 +20,21 @@ object PlanCheck {
       println(fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // the config-gated distinct→HLL optimizer rule, observed end-to-end
+    println("\n========== approxDistinct rewrite ==========")
+    val s2 = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      GraftSession.builder("graft-plancheck").master("local[4]").getOrCreate()
+    }
+    graft.sources.Tables.events(s2, dir).createOrReplaceTempView("ev")
+    val q = "SELECT count(DISTINCT user_id) AS uv FROM ev"
+    s2.conf.set("spark.graft.approxDistinct", "false")
+    println(s"exact:  uv=${s2.sql(q).collect().head.getLong(0)}")
+    s2.conf.set("spark.graft.approxDistinct", "true")
+    println(s"approx: uv=${s2.sql(q).collect().head.getLong(0)}")
+    println(s2.sql(q).queryExecution.optimizedPlan.toString.linesIterator
+      .take(2).mkString("\n"))
     spark.stop()
   }
 }

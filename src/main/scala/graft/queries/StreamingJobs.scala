@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.RankOps
+import graft.sources.Tables
+import graft.streaming.{Detectors, StreamOps}
+import graft.streaming.Detectors.KeyedEvent
+
+/**
+ * The reference jobs as live Structured Streaming pipelines over a replayed
+ * `events` table (SURVEY.md §3: same operator composition as the batch
+ * queries, streaming execution). Each `*Stream` returns an unstarted
+ * streaming DataFrame/Dataset; `run*` starts it against a sink.
+ *
+ * The parquet replay reads the events file as a file-source stream with the
+ * same explicit nanos schema the batch reader uses.
+ */
+object StreamingJobs {
+
+  /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
+  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsRawSchema)
+      // file-stream sources list a DIRECTORY; select the one table file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+
+  /** A3 PageView as a stream: tumbling 1 h count of views, append mode.
+    * The source is already watermarked — compose with the plain window op
+    * (a second withWatermark is disallowed on one stream). */
+  def pageViewsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowOps.tumblingCount(
+      eventsStream(spark, dir).filter(col("event_type") === "view").select("ts"),
+      col("ts"), "1 hour")
+
+  /** A1+T1 HotItems as a stream: windowed counts maintained incrementally;
+    * rank evaluated per micro-batch in foreachBatch (SURVEY §2.6 — ranking
+    * is not an incrementalizable streaming agg, foreachBatch is the
+    * idiomatic route). `sink` receives the ranked top-3 per window. */
+  def runHotItemsTopN(spark: SparkSession, dir: String)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val counts = eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item_id"), col("ts"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("item_id"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(RankOps.topN(
+          graft.ops.WindowOps.epochWindow(batch), 3,
+          Seq(col("window_start")), Seq(col("cnt").desc, col("item_id").asc)))
+      }
+  }.start()
+
+  /** C2/C3 login-fail alarms as a stream: error events through the
+    * consecutive-run detector. */
+  def loginFailAlarms(spark: SparkSession, dir: String, n: Int,
+                      withinSec: Long): Dataset[Detectors.RunMatch] = {
+    import spark.implicits._
+    // keep the watermarked ts column in the frame — a typed map would
+    // project it away and EventTimeTimeout needs it visible; as[KeyedEvent]
+    // binds by name and carries the extra column along
+    val keyed = eventsStream(spark, dir, watermark = "1 hour")
+      .select(col("user_id").as("key"), col("ts").cast("long").as("tsSec"),
+        col("event_id").as("id"), (col("event_type") === "error").as("hit"), col("ts"))
+      .as[KeyedEvent]
+    Detectors.consecutive(keyed, n, withinSec, streaming = true)
+  }
+}

@@ -31,7 +31,7 @@ object Tables {
     * explicit LongType schema yields the raw nanosecond ticks, which we
     * convert to a proper TimestampType (µs) — schema-on-read with a fixed,
     * declared schema, mirroring the reference's stance (SURVEY.md §1.4). */
-  private val eventsRawSchema = StructType(Seq(
+  val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{BehaviorQueries, StreamingJobs}
+
+/** The reference jobs running as live file-replay streams over the sf0.001
+  * events table, checked against their batch twins. */
+class StreamingJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming page views equals batch for watermark-closed windows") {
+    val batch = BehaviorQueries.pageViews(spark, sf0001)
+      .select("window_start", "pv").as[(Long, Long)].collect().toMap
+    val q = graft.ops.WindowOps.epochWindow(
+        StreamingJobs.pageViewsStream(spark, sf0001))
+      .select("window_start", "cnt")
+      .writeStream.format("memory").queryName("pv_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pv_stream").as[(Long, Long)].collect().toMap
+      assert(got.nonEmpty, "watermark should close most replayed windows")
+      // every closed window must agree exactly with the batch count
+      got.foreach { case (ws, cnt) => assert(batch(ws) == cnt, s"window $ws") }
+    } finally q.stop()
+  }
+
+  test("streaming hot-items ranking matches the batch query") {
+    val batch = BehaviorQueries.hotItemsTopN(spark, sf0001)
+      .select("window_start", "item_id", "rn").as[(Long, Long, Long)].collect().toSet
+    @volatile var last: Set[(Long, Long, Long)] = Set.empty
+    val q = StreamingJobs.runHotItemsTopN(spark, sf0001) { ranked =>
+      last = ranked.select("window_start", "item_id", "rn")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    try {
+      q.processAllAvailable()
+      assert(last == batch)
+    } finally q.stop()
+  }
+
+  test("streaming login-fail alarms agree with the batch detector") {
+    val batchEvents = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id").as("key"), col("ts").cast("long").as("tsSec"),
+        col("event_id").as("id"), (col("event_type") === "error").as("hit"))
+      .as[graft.streaming.Detectors.KeyedEvent]
+    val expected = graft.streaming.Detectors
+      .consecutive(batchEvents, 2, 86400, streaming = false).collect().toSet
+    val q = StreamingJobs.loginFailAlarms(spark, sf0001, 2, 86400)
+      .writeStream.format("memory").queryName("lf_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lf_stream")
+        .as[graft.streaming.Detectors.RunMatch].collect().toSet
+      // the stream's final watermark stops 1h short of the tail: emitted
+      // alarms must be a prefix-consistent subset of the batch alarms
+      assert(got.subsetOf(expected))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+}
