@@ -26,6 +26,7 @@ object SparkEntry {
     "uv_bitmap"       -> (BehaviorQueries.uvBitmap _),
     "uv_approx"       -> (BehaviorQueries.uvApprox _),
     "market_channel"  -> (BehaviorQueries.marketChannel _),
+    "event_value_stats" -> (BehaviorQueries.eventValueStats _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),
     // §2.3/2.7/2.8 detectors, CEP-lite, two-stream joins (F6, J1-J2, C1-C5)
@@ -40,6 +41,8 @@ object SparkEntry {
     "q1_pricing"        -> (RelationalQueries.q1Pricing _),
     "q3_top_orders"     -> (RelationalQueries.q3TopOrders _),
     "q5_nation_revenue" -> (RelationalQueries.q5NationRevenue _),
+    "q6_forecast"       -> (RelationalQueries.q6Forecast _),
+    "rollup_revenue"    -> (RelationalQueries.rollupRevenue _),
     // training-data pipeline (dedup / similarity / text analysis)
     "dedup_exact"     -> (PipelineQueries.dedupExact _),
     "text_stats"      -> (PipelineQueries.textStats _),
@@ -49,6 +52,7 @@ object SparkEntry {
     "dedup_simhash"   -> (PipelineQueries.dedupSimhash _),
     "embed_topk"      -> (PipelineQueries.embedTopK _),
     "embed_topk_lsh"  -> (PipelineQueries.embedTopKLsh _),
+    "dedup_embed"     -> (PipelineQueries.dedupEmbed _),
     "lang_id"         -> (PipelineQueries.langId _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     // multimodal plumbing (binary payload + partition-batched decode stub)

@@ -65,4 +65,57 @@ object MultimodalOps {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(rows => rows.map { case (id, bytes) => decodeStub(id, bytes) })(enc)
   }
+
+  /** One resized-thumbnail row per payload. */
+  case class Resized(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /**
+   * STUB RESIZE — a real deployment decodes + scales with an image codec.
+   * The stub treats the payload as a (len/width)×width byte raster and
+   * box-averages it down to `w`×`h`, so output shape, batching and
+   * determinism match a real thumbnailer.
+   */
+  def resizeStub(payloads: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+    val enc = Encoders.product[Resized]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        val srcW = math.max(math.sqrt(bytes.length.toDouble).toInt, 1)
+        val srcH = math.max(bytes.length / srcW, 1)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val sx = x * srcW / w; val sy = y * srcH / h
+            val idx = math.min(sy * srcW + sx, bytes.length - 1)
+            out(y * w + x) = bytes(math.max(idx, 0))
+            x += 1
+          }
+          y += 1
+        }
+        Resized(id, w, h, out)
+      })(enc)
+  }
+
+  /** One row per sampled "frame" (fixed-stride chunks of the payload) —
+    * the frame-sampling shape of a video pipeline, codec STUBBED. */
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long, checksum: Long)
+
+  def frameSampleStub(payloads: DataFrame, frameBytes: Int, every: Int): Dataset[Frame] = {
+    val enc = Encoders.product[Frame]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        val nFrames = math.max(bytes.length / frameBytes, 1)
+        (0L until nFrames.toLong by every.toLong).map { f =>
+          val from = (f * frameBytes).toInt
+          val until = math.min(from + frameBytes, bytes.length)
+          var sum = 0L
+          var i = from
+          while (i < until) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          Frame(id, f, from.toLong, sum)
+        }
+      })(enc)
+  }
 }

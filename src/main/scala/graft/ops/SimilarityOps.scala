@@ -13,40 +13,44 @@ import org.apache.spark.sql.functions._
  * round the identical double `v * 1e7` with the identical half-away rule,
  * so dot products and norms are exact BIGINT sums (dim 64 × |q|≈5e6 →
  * < 2^53) and the final `dot / (sqrt(na)·sqrt(nb))` is bit-deterministic —
- * brute-force top-k hash-matches the DuckDB oracle exactly.
+ * results hash-match the DuckDB oracle exactly.
  *
- * Plan shape: dots/norms are per-row higher-order expressions
- * (`aggregate(zip_with(...))`) — a narrow, codegen-friendly pass with NO
- * position-explode shuffle. Brute force broadcasts the small query set
- * against a corpus scan (O(Q·N·dim) compute, zero corpus shuffle); the LSH
- * variant first hashes every vector into a sign-pattern bucket (again one
- * narrow pass over literal hyperplane weights) and only scores bucket
- * collisions — the recall/cost trade that holds at large N.
+ * Plan shape: each vector is quantized ONCE into an `array<bigint>` column
+ * (`qvec`), and all pairwise scoring uses the native `ldot` expression
+ * (graft.functions.LongDot — a primitive loop, no per-element lambda
+ * interpretation and no re-rounding per pair). Brute force broadcasts the
+ * small query set against a corpus scan (zero corpus shuffle); the LSH
+ * variants hash vectors into sign-pattern buckets via `ldot` against
+ * literal hyperplane weights and only score collisions — the recall/cost
+ * trade that holds at large N.
  */
 object SimilarityOps {
 
-  /** Quantize a float component to BIGINT at 1e7 (see class doc). */
-  private def q(x: String): String =
-    s"CAST(round(CAST($x AS DOUBLE) * 10000000.0D) AS BIGINT)"
+  /** Quantized `array<bigint>` form of the embedding, computed per row. */
+  private val qvecExpr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))"
 
-  /** Exact integer squared norm of an embedding column, per row. */
-  private def normExpr(e: String): String =
-    s"aggregate($e, CAST(0 AS BIGINT), (acc, x) -> acc + ${q("x")} * ${q("x")})"
+  private def registered(emb: DataFrame): DataFrame = {
+    graft.functions.QuantizedDot.register(emb.sparkSession)
+    emb
+  }
 
-  /** Exact integer dot product of two embedding columns, per row. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> ${q("x")} * ${q("y")}), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  /** (vec_id, qvec, norm2) — the scored corpus representation. */
+  private def quantVecs(emb: DataFrame): DataFrame =
+    registered(emb)
+      .selectExpr("vec_id", s"$qvecExpr AS qvec")
+      .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2")
 
   /** Brute-force cosine top-k of `emb` for the query vectors `queryPred`
     * selects. Output: q_id, c_id, cos, rn. */
   def cosineTopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
-    val qs = emb.filter(expr(queryPred))
-      .selectExpr("vec_id AS q_id", "embedding AS qe", s"${normExpr("embedding")} AS nq")
-    val cs = emb
-      .selectExpr("vec_id AS c_id", "embedding AS ce", s"${normExpr("embedding")} AS nc")
+    val vecs = quantVecs(emb)
+    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
+    val cs = vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc")
     cs.crossJoin(broadcast(qs))
       .filter(col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id", "nq", "nc", s"${dotExpr("qe", "ce")} AS dot")
+      .selectExpr("q_id", "c_id", "nq", "nc", "ldot(qq, qc) AS dot")
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("rn", row_number().over(
@@ -70,18 +74,56 @@ object SimilarityOps {
     }
   }
 
+  /** Per-plane signed projections as `ldot` against literal weight arrays. */
+  private def planeSums(nPlanes: Int, dim: Int): Seq[String] = {
+    val ws = planeWeights(nPlanes, dim)
+    (0 until nPlanes).map { j =>
+      s"ldot(qvec, array(${ws(j).mkString("L, ")}L)) AS s_$j"
+    }
+  }
+
   /** Sign-pattern LSH bucket per vector: one narrow pass, no shuffle. */
   def lshBuckets(emb: DataFrame, dim: Int, nPlanes: Int): DataFrame = {
-    val ws = planeWeights(nPlanes, dim)
-    val sums = (0 until nPlanes).map { j =>
-      val wArr = s"array(${ws(j).mkString("L, ")}L)"
-      s"aggregate(zip_with(embedding, $wArr, (x, w) -> ${q("x")} * w), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS s_$j"
-    }
     val bucket = (0 until nPlanes)
       .map(j => s"CASE WHEN s_$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    emb.selectExpr(Seq("vec_id AS id", "embedding") ++ sums: _*)
-      .selectExpr("id", "embedding", s"$bucket AS bucket")
+    quantVecs(emb)
+      .selectExpr(Seq("vec_id AS id", "qvec", "norm2") ++ planeSums(nPlanes, dim): _*)
+      .selectExpr("id", "qvec", "norm2", s"$bucket AS bucket")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
+    * (collide on ANY band — a single wide bucket has ~p^nPlanes collision
+    * probability, hopeless at moderate thresholds), verified at quantized
+    * cosine ≥ threshold. Candidates carry only the id pair through the
+    * self-join + distinct; vectors are broadcast-joined back for scoring. */
+  def cosineDupPairs(emb: DataFrame, dim: Int, nPlanes: Int, bandSize: Int,
+                     threshold: Double): DataFrame = {
+    require(nPlanes % bandSize == 0)
+    val bandExprs = (0 until nPlanes / bandSize).map { b =>
+      val bits = (0 until bandSize)
+        .map(i => s"CASE WHEN s_${b * bandSize + i} >= 0 THEN shiftleft(CAST(1 AS BIGINT), $i) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"struct(${b}L AS band, $bits AS bucket)"
+    }.mkString(", ")
+    val vecs = quantVecs(emb)
+    val banded = vecs
+      .selectExpr(Seq("vec_id AS id") ++ planeSums(nPlanes, dim): _*)
+      .selectExpr("id", s"explode(array($bandExprs)) AS bb")
+      .selectExpr("id", "bb.band AS band", "bb.bucket AS bucket")
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(broadcast(vecs.selectExpr("vec_id AS id_a", "qvec AS qa", "norm2 AS na")), "id_a")
+      .join(broadcast(vecs.selectExpr("vec_id AS id_b", "qvec AS qb", "norm2 AS nb")), "id_b")
+      .selectExpr("id_a", "id_b", "na", "nb", "ldot(qa, qb) AS dot")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.
@@ -90,14 +132,13 @@ object SimilarityOps {
   def lshCosineTopK(emb: DataFrame, dim: Int, nPlanes: Int, queryPred: String,
                     k: Int): DataFrame = {
     val buckets = lshBuckets(emb, dim, nPlanes)
-      .selectExpr("id", "embedding", "bucket", s"${normExpr("embedding")} AS norm2")
     val qs = buckets
       .join(emb.filter(expr(queryPred)).select(col("vec_id").as("id")), "id")
-      .selectExpr("id AS q_id", "embedding AS qe", "bucket", "norm2 AS nq")
+      .selectExpr("id AS q_id", "qvec AS qq", "bucket", "norm2 AS nq")
     val cs = buckets
-      .selectExpr("id AS c_id", "embedding AS ce", "bucket AS bucket_c", "norm2 AS nc")
+      .selectExpr("id AS c_id", "qvec AS qc", "bucket AS bucket_c", "norm2 AS nc")
     cs.join(broadcast(qs), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id", "nq", "nc", s"${dotExpr("qe", "ce")} AS dot")
+      .selectExpr("q_id", "c_id", "nq", "nc", "ldot(qq, qc) AS dot")
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
       .withColumn("rn", row_number().over(

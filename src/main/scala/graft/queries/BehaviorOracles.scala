@@ -82,7 +82,14 @@ object BehaviorOracles {
       |FROM events WHERE event_type = 'view'
       |GROUP BY 1, 2""".stripMargin
 
+  val eventValueStats: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
+    "event_value_stats" -> eventValueStats,
     "uv_bitmap"       -> uvBitmap,
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,

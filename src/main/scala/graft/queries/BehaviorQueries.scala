@@ -107,6 +107,17 @@ object BehaviorQueries {
         .agg(approx_count_distinct(col("user_id")).as("uv_approx")))
       .select("window_start", "window_end", "uv_approx")
 
+  /** Per-type value statistics over the events stream table (count + exact
+    * decimal sum + derived average — the sum/avg surface the reference's
+    * count-only aggregations lack). */
+  def eventValueStats(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_value"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_value"))
+
   /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
     * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted
     * as 'yyyy-MM-dd HH:mm:ss' (P6, AppMarketingByChannel.java:136-137). */

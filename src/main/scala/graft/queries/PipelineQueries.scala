@@ -76,6 +76,12 @@ object PipelineQueries {
     SimilarityOps.lshCosineTopK(Tables.embeddings(spark, dir), 64, 8,
       "vec_id < 32", 3)
 
+  /** Embedding-cosine near-dup pairs: banded sign-LSH candidates (4 bands ×
+    * 4 planes) verified at quantized cosine ≥ 0.4 — the embedding-level
+    * dedup pass after text-level dedup. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineDupPairs(Tables.embeddings(spark, dir), 64, 16, 4, 0.4)
+
   /** Stopword-profile language ID: argmax stopword hits over four small
     * language lists (deterministic tie-break by language code). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -259,6 +265,26 @@ object PipelineOracles {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s
        |) WHERE rn <= 3""".stripMargin
 
+  val dedupEmbed: String =
+    s"""WITH $quantCte,
+       |w AS (SELECT j.j AS j, p.p AS pos,
+       |             CAST(('0x' || substr(md5(j.j || '_' || p.p), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+       |      FROM generate_series(0, 15) j(j) CROSS JOIN generate_series(1, 64) p(p)),
+       |sums AS (SELECT id, j, SUM(v * wt) AS s
+       |         FROM qz JOIN w ON qz.pos = w.pos GROUP BY 1, 2),
+       |bb AS (SELECT id, j // 4 AS band,
+       |              SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j % 4 AS INT)) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |       FROM sums GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |d AS (SELECT id_a, id_b, SUM(x.v * y.v) AS dot
+       |      FROM cand JOIN qz x ON x.id = id_a JOIN qz y ON y.id = id_b AND y.pos = x.pos
+       |      GROUP BY 1, 2),
+       |s AS (SELECT id_a, id_b,
+       |             CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)
+       |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4""".stripMargin
+
   val langId: String = {
     val branches = TextLang.langs.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString(", ")
@@ -297,6 +323,7 @@ object PipelineOracles {
     "dedup_simhash"   -> dedupSimhash,
     "embed_topk"      -> embedTopK,
     "embed_topk_lsh"  -> embedTopKLsh,
+    "dedup_embed"     -> dedupEmbed,
     "lang_id"         -> langId,
     "doc_fingerprint" -> docFingerprint,
   )

@@ -69,6 +69,32 @@ object RelationalQueries {
       .select("o_orderkey", "order_date", "o_orderpriority", "revenue")
   }
 
+  /** TPC-H Q6-style: pure filter-and-sum over lineitem — the pushdown
+    * showcase (every predicate reaches the parquet scan). */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4))")
+        .as("revenue"))
+
+  /** Revenue by (nation, order year) with ROLLUP subtotals — grouping-set
+    * aggregation the reference lacks entirely. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("n_name"), col("order_year"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+      // sentinel-fill the subtotal NULLs: engine-agnostic compares (and many
+      // downstream consumers) choke on mixed null/typed grouping columns
+      .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("order_year"), lit(-1L)).as("order_year"), col("revenue"))
+
   /** TPC-H Q5-style: revenue per nation for one region/year, customer and
     * supplier in the same nation. All dims broadcast. */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -136,9 +162,27 @@ object RelationalOracles {
        |  AND o_orderdate < TIMESTAMP '1997-01-01'
        |GROUP BY n_name""".stripMargin
 
+  val q6Forecast: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  val rollupRevenue: String =
+    s"""SELECT coalesce(n_name, 'ALL') AS n_name,
+       |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_pricing"        -> q1Pricing,
     "q3_top_orders"     -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
+    "q6_forecast"       -> q6Forecast,
+    "rollup_revenue"    -> rollupRevenue,
   )
 }

@@ -84,6 +84,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize/frame-sample stubs produce well-shaped output") {
+    val payloads = graft.ops.MultimodalOps.withPayload(
+      Tables.documents(spark, sf0001).limit(20), "text")
+    val thumbs = graft.ops.MultimodalOps.resizeStub(payloads, 8, 8).collect()
+    assert(thumbs.length == 20)
+    assert(thumbs.forall(t => t.thumb.length == 64 && t.width == 8 && t.height == 8))
+    val frames = graft.ops.MultimodalOps.frameSampleStub(payloads, 64, 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_idx % 2 == 0))
+    assert(frames.groupBy(_.doc_id).size == 20)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val feats = PipelineQueries.multimodalFeatures(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).count()

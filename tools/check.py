@@ -6,6 +6,7 @@ sorting columns by name (the driver's documented compare).
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json, math, sys
+from collections import Counter
 
 import duckdb
 
@@ -37,14 +38,14 @@ def main():
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got.columns)
-            got_rows = sorted(
-                [tuple(norm(v) for v in row) for row in
-                 con.sql(f"SELECT {', '.join(got_cols)} FROM got").fetchall()])
+            got_rows = Counter(
+                tuple(norm(v) for v in row) for row in
+                con.sql(f"SELECT {', '.join(got_cols)} FROM got").fetchall())
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = sorted(
-                [tuple(norm(v) for v in row) for row in
-                 con.sql(f"SELECT {', '.join(exp_cols)} FROM exp").fetchall()])
+            exp_rows = Counter(
+                tuple(norm(v) for v in row) for row in
+                con.sql(f"SELECT {', '.join(exp_cols)} FROM exp").fetchall())
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failures += 1
@@ -53,14 +54,14 @@ def main():
             print(f"FAIL {name}: cols spark={got_cols} duckdb={exp_cols}")
             failures += 1
         elif got_rows != exp_rows:
-            diff = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e]
-            print(f"FAIL {name}: rows spark={len(got_rows)} duckdb={len(exp_rows)}"
-                  f" first_diffs={diff[:3]}"
-                  f" spark_only={[r for r in got_rows if r not in exp_rows][:2]}"
-                  f" duckdb_only={[r for r in exp_rows if r not in got_rows][:2]}")
+            spark_only = list((got_rows - exp_rows).elements())[:3]
+            duckdb_only = list((exp_rows - got_rows).elements())[:3]
+            print(f"FAIL {name}: rows spark={sum(got_rows.values())}"
+                  f" duckdb={sum(exp_rows.values())}"
+                  f" spark_only={spark_only} duckdb_only={duckdb_only}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(got_rows)} rows")
+            print(f"OK   {name}: {sum(got_rows.values())} rows")
     sys.exit(1 if failures else 0)
 
 
