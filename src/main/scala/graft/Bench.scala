@@ -13,8 +13,9 @@ object Bench {
     // otherwise land on whichever query happens to run first
     try {
       spark.range(16).write.format("noop").mode("overwrite").save()
-      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
-        .format("noop").mode("overwrite").save())
+      // warm with the first TIMED query so its slot isn't inflated
+      SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach(_._2(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -44,6 +44,14 @@ object WindowOps {
     df.groupBy(window(ts, size, size) +: keys: _*)
       .agg(count_distinct(distinctCol).as("uv"))
 
+  /** Gap-based session aggregation per key: `session_window(ts, gap)` —
+    * the third event-time window type beside tumbling/sliding. A session
+    * spans first-event ts to last-event ts + gap; state is merged as
+    * sessions coalesce (streaming: watermark closes sessions). */
+  def sessionCount(df: DataFrame, ts: Column, gap: String, keys: Column*): DataFrame =
+    df.groupBy(session_window(ts, gap).as("window") +: keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Replace the `window` struct column with epoch-second bounds
     * (`window_start`, `window_end` as BIGINT) for engine-agnostic
     * comparison; the reference emits `window.getEnd()` millis the same way

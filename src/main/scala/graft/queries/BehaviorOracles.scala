@@ -88,7 +88,29 @@ object BehaviorOracles {
       |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sessionization as a gaps-and-islands query: a new session starts when
+    * the gap from the previous event of the same user exceeds 2 h; session
+    * end = last event + gap (Spark session_window semantics). */
+  val userSessions: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |), marked AS (
+      |  SELECT user_id, us,
+      |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 7200000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+      |), sessions AS (
+      |  SELECT user_id, us,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(us) // 1000000 AS window_start,
+      |       (max(us) + 7200000000) // 1000000 AS window_end, count(*) AS cnt
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+
   val all: Map[String, String] = Map(
+    "user_sessions"     -> userSessions,
     "event_value_stats" -> eventValueStats,
     "uv_bitmap"       -> uvBitmap,
     "hot_items_topn"  -> hotItemsTopN,

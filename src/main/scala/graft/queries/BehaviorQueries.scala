@@ -107,6 +107,16 @@ object BehaviorQueries {
         .agg(approx_count_distinct(col("user_id")).as("uv_approx")))
       .select("window_start", "window_end", "uv_approx")
 
+  /** Gap-based sessionization: one row per (user, session) where a session
+    * breaks after 2 h of inactivity — `session_window`, the third window
+    * type (the reference has only tumbling/sliding). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      WindowOps.sessionCount(
+        ev(spark, dir).select(col("ts"), col("user_id")),
+        col("ts"), "2 hours", col("user_id")))
+      .select("user_id", "window_start", "window_end", "cnt")
+
   /** Per-type value statistics over the events stream table (count + exact
     * decimal sum + derived average — the sum/avg surface the reference's
     * count-only aggregations lack). */
