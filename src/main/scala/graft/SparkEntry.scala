@@ -27,7 +27,9 @@ object SparkEntry {
     "uv_approx"       -> (BehaviorQueries.uvApprox _),
     "market_channel"  -> (BehaviorQueries.marketChannel _),
     "event_value_stats" -> (BehaviorQueries.eventValueStats _),
-    "user_sessions"     -> (BehaviorQueries.userSessions _),
+    "user_sessions"      -> (BehaviorQueries.userSessions _),
+    "events_asof_signup" -> (BehaviorQueries.eventsAsofSignup _),
+    "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),
     // §2.3/2.7/2.8 detectors, CEP-lite, two-stream joins (F6, J1-J2, C1-C5)

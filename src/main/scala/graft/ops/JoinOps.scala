@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -43,6 +44,37 @@ object JoinOps {
     val ur = right.join(left, cond, "left_anti")
       .select(lit(rightTag).as("tag") +: rightCols: _*)
     ul.union(ur)
+  }
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and rightTs ≤ leftTs (point-in-time attribute lookup — e.g. "the
+    * user's most recent signup before this event").
+    *
+    * Implementation is the union-and-carry formulation, not a range join:
+    * tag both inputs, union, and carry the last right value forward with
+    * `last(ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side)` — ONE
+    * hash shuffle on the key and one sort, no per-row range probe, no
+    * row-count explosion; this is the shape that survives 100 TB (a range
+    * join would be a broadcast-nested-loop or an interval explosion).
+    *
+    * `valueCols` are the right-side columns to carry. Right rows sort
+    * before left rows on ts ties (side 0 < 1): a right row AT leftTs is
+    * visible to it. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               lTs: String, rTs: String, valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(lTs))
+      .withColumns(valueCols.map(v => v -> lit(null).cast(right.schema(v).dataType)).toMap)
+    val r = right.select(Seq(col(key), col(rTs).as("__ts"), lit(0).as("__side")) ++
+      valueCols.map(col): _*)
+    val unioned = l.select(l.columns.filterNot(_ == "__side").map(col) :+ col("__side"): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side", "__ts")
   }
 
   /** C4/C5 batch form: for each `a` row, 'matched' if some `b` row shares

@@ -109,7 +109,30 @@ object BehaviorOracles {
       |       (max(us) + 7200000000) // 1000000 AS window_end, count(*) AS cnt
       |FROM sessions GROUP BY user_id, sid""".stripMargin
 
+  /** DuckDB has native ASOF JOIN — the oracle for the union-and-carry plan. */
+  val eventsAsofSignup: String =
+    """WITH e AS (SELECT event_id, user_id, ts, (epoch_us(ts) // 1000000) AS sec FROM events),
+      |s AS (SELECT user_id, ts, event_id AS signup_id, (epoch_us(ts) // 1000000) AS signup_sec
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, e.sec, s.signup_id, s.signup_sec
+      |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND s.ts <= e.ts""".stripMargin
+
+  val valuePercentiles: String =
+    """WITH r AS (
+      |  SELECT event_type, "value",
+      |         row_number() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN "value" END) AS p50,
+      |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN "value" END) AS p90,
+      |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN "value" END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
   val all: Map[String, String] = Map(
+    "events_asof_signup" -> eventsAsofSignup,
+    "value_percentiles"  -> valuePercentiles,
     "user_sessions"     -> userSessions,
     "event_value_stats" -> eventValueStats,
     "uv_bitmap"       -> uvBitmap,

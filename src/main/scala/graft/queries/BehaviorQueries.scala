@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{RankOps, WindowOps}
@@ -127,6 +128,34 @@ object BehaviorQueries {
         count(lit(1)).as("cnt"),
         expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_value"),
         expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_value"))
+
+  /** As-of join: each event annotated with the user's most recent signup
+    * at-or-before it (point-in-time attribute lookup, the training-pipeline
+    * join Spark lacks natively — JoinOps.asofJoin's union-and-carry plan). */
+  def eventsAsofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val withSec = ev(spark, dir).withColumn("sec", col("ts").cast("long"))
+    val e = withSec.select(col("event_id"), col("user_id"), col("ts"), col("sec"))
+    val s = withSec.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"),
+        col("sec").as("signup_sec"))
+    graft.ops.JoinOps.asofJoin(e, s, "user_id", "ts", "ts",
+        Seq("signup_id", "signup_sec"))
+      .select("event_id", "user_id", "sec", "signup_id", "signup_sec")
+  }
+
+  /** Discrete percentiles of `value` per event type (rank-based: the value
+    * at row ceil(p·n) in value order — deterministic, engine-agnostic). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .selectExpr("event_type", "value", "event_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(
+        expr("max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)").as("p50"),
+        expr("max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)").as("p90"),
+        expr("max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END)").as("p99"))
 
   /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
     * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted
