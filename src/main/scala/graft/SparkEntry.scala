@@ -29,6 +29,7 @@ object SparkEntry {
     "event_value_stats" -> (BehaviorQueries.eventValueStats _),
     "user_sessions"      -> (BehaviorQueries.userSessions _),
     "events_asof_signup" -> (BehaviorQueries.eventsAsofSignup _),
+    "events_enriched"    -> (BehaviorQueries.eventsEnriched _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),

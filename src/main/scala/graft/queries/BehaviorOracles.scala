@@ -130,7 +130,13 @@ object BehaviorOracles {
       |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN "value" END) AS p99
       |FROM r GROUP BY event_type""".stripMargin
 
+  val eventsEnriched: String =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |       c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "events_enriched"    -> eventsEnriched,
     "events_asof_signup" -> eventsAsofSignup,
     "value_percentiles"  -> valuePercentiles,
     "user_sessions"     -> userSessions,

@@ -143,6 +143,17 @@ object BehaviorQueries {
       .select("event_id", "user_id", "sec", "signup_id", "signup_sec")
   }
 
+  /** Dimension enrichment: events joined to the customer dim (broadcast —
+    * the stream-static join shape; streaming twin in StreamingJobs). */
+  def eventsEnriched(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        col("c_custkey") === col("user_id") + 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").cast("long").as("nation"))
+
   /** Discrete percentiles of `value` per event type (rank-based: the value
     * at row ceil(p·n) in value order — deterministic, engine-agnostic). */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =

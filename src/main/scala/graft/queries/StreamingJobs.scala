@@ -57,6 +57,17 @@ object StreamingJobs {
       }
   }.start()
 
+  /** Stream-static enrichment: the live event stream joined to the static
+    * customer dimension (broadcast per micro-batch — no state store). */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("user_id") + 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+
   /** C2/C3 login-fail alarms as a stream: error events through the
     * consecutive-run detector. */
   def loginFailAlarms(spark: SparkSession, dir: String, n: Int,

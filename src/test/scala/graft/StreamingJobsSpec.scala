@@ -39,6 +39,20 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dimension join equals the batch join") {
+    val batch = BehaviorQueries.eventsEnriched(spark, sf0001)
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    val q = StreamingJobs.enrichedStream(spark, sf0001)
+      .select("event_id", "segment")
+      .writeStream.format("memory").queryName("enr_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enr_stream").as[(Long, String)].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming login-fail alarms agree with the batch detector") {
     val batchEvents = graft.sources.Tables.events(spark, sf0001)
       .select(col("user_id").as("key"), col("ts").cast("long").as("tsSec"),
