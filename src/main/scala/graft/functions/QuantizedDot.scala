@@ -68,9 +68,12 @@ object QuantizedDot {
  * for 500k pairs), so pairwise scoring quantizes each vector once into an
  * `array<bigint>` column and scores pairs with this expression instead:
  * O(corpus) roundings + O(pairs · dim) primitive multiply-adds.
+ *
+ * Participates in whole-stage codegen (`doGenCode` emits the loop inline in
+ * the generated stage — no expression-tree interpretation per row).
  */
 case class LongDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "ldot"
@@ -84,6 +87,22 @@ case class LongDot(left: Expression, right: Expression)
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     java.lang.Long.valueOf(acc)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $x.getLong($i) * $y.getLong($i);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
     copy(left = l, right = r)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,13 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Returns NULL for strings shorter than 5 chars.
  */
-case class RollingMin5Hash(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+case class RollingMin5Hash(child: Expression) extends UnaryExpression {
 
   private val B = 31L
   private val B4 = B * B * B * B
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "rolling_min5"
 
   override def nullSafeEval(input: Any): Any = {
@@ -45,6 +45,32 @@ case class RollingMin5Hash(child: Expression)
     }
     java.lang.Long.valueOf(min)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val min = ctx.freshName("min")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $c.toString();
+         |int $n = $s.length();
+         |if ($n < 5) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $h = 0L;
+         |  int $i = 0;
+         |  for (; $i < 5; $i++) { $h = $h * ${B}L + $s.charAt($i); }
+         |  long $min = $h;
+         |  for (; $i < $n; $i++) {
+         |    $h = ($h - $s.charAt($i - 5) * ${B4}L) * ${B}L + $s.charAt($i);
+         |    if ($h < $min) $min = $h;
+         |  }
+         |  ${ev.value} = $min;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): RollingMin5Hash =
     copy(child = newChild)
