@@ -48,7 +48,9 @@ object SparkEntry {
     "q6_forecast"       -> (RelationalQueries.q6Forecast _),
     "rollup_revenue"    -> (RelationalQueries.rollupRevenue _),
     // training-data pipeline (dedup / similarity / text analysis)
-    "dedup_exact"     -> (PipelineQueries.dedupExact _),
+    "dedup_exact"      -> (PipelineQueries.dedupExact _),
+    "dedup_normalized" -> (PipelineQueries.dedupNormalized _),
+    "top_terms_lang"   -> (PipelineQueries.topTermsPerLang _),
     "text_stats"      -> (PipelineQueries.textStats _),
     "text_quality"    -> (PipelineQueries.textQuality _),
     "dedup_ngram"     -> (PipelineQueries.dedupNgram _),

@@ -24,6 +24,28 @@ object PipelineQueries {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Exact dedup after canonicalization: lower-case, trim, collapse runs of
+    * whitespace — the normalization pass real pipelines run before hashing
+    * (catches case/spacing-only duplicates the raw hash misses). */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS text_hash")
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Top-5 terms per language by document frequency (tf over distinct
+    * per-doc tokens) — the corpus-profiling aggregation. */
+  def topTermsPerLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("lang",
+        "explode(array_distinct(filter(split(trim(text), ' '), t -> t <> ''))) AS term")
+      .groupBy("lang", "term").agg(count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("df").desc, col("term").asc)).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("lang", "term", "df", "rn")
+
   /** Per-document text statistics: token count (whitespace), regex-token
     * count (BPE-ish word/number/punct split), average token length, punct
     * count, stopword count. */
@@ -313,8 +335,26 @@ object PipelineOracles {
       |       md5(text) AS content_hash
       |FROM documents""".stripMargin
 
+  val dedupNormalized: String =
+    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+      |       min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val topTermsPerLang: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS term
+      |  FROM documents
+      |), d AS (
+      |  SELECT lang, term, count(*) AS df FROM t GROUP BY 1, 2
+      |)
+      |SELECT lang, term, df, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, term ASC) AS rn FROM d
+      |) WHERE rn <= 5""".stripMargin
+
   val all: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMeta,
+    "multimodal_meta"  -> multimodalMeta,
+    "dedup_normalized" -> dedupNormalized,
+    "top_terms_lang"   -> topTermsPerLang,
     "dedup_exact"     -> dedupExact,
     "text_stats"      -> textStats,
     "text_quality"    -> textQuality,
