@@ -46,6 +46,9 @@ object SparkEntry {
     "q3_top_orders"     -> (RelationalQueries.q3TopOrders _),
     "q5_nation_revenue" -> (RelationalQueries.q5NationRevenue _),
     "q6_forecast"       -> (RelationalQueries.q6Forecast _),
+    "big_spenders"       -> (RelationalQueries.bigSpenders _),
+    "inactive_customers" -> (RelationalQueries.inactiveCustomers _),
+    "max_order_per_cust" -> (RelationalQueries.maxOrderPerCustomer _),
     "rollup_revenue"    -> (RelationalQueries.rollupRevenue _),
     // training-data pipeline (dedup / similarity / text analysis)
     "dedup_exact"      -> (PipelineQueries.dedupExact _),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -95,6 +96,35 @@ object RelationalQueries {
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
         coalesce(col("order_year"), lit(-1L)).as("order_year"), col("revenue"))
 
+  /** Q18-style big spenders: customers with ≥ 15 orders and their exact
+    * decimal total (HAVING over a join aggregation). */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("total_spent"))
+      .filter(col("n_orders") >= 15)
+
+  /** Customers with no orders in 2001 (time-scoped NOT EXISTS → anti join
+    * against the filtered orders side). */
+  def inactiveCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Each customer's maximum-value order(s) — the correlated-scalar-subquery
+    * shape, planned as a window max + filter (one shuffle, no re-scan). */
+  def maxOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("mx", max(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") === col("mx"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   /** TPC-H Q5-style: revenue per nation for one region/year, customer and
     * supplier in the same nation. All dims broadcast. */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -178,7 +208,27 @@ object RelationalOracles {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))""".stripMargin
 
+  val bigSpenders: String =
+    """SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_spent
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |HAVING count(*) >= 15""".stripMargin
+
+  val inactiveCustomers: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin
+
+  val maxOrderPerCustomer: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice = (
+      |  SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   val all: Map[String, String] = Map(
+    "big_spenders"       -> bigSpenders,
+    "inactive_customers" -> inactiveCustomers,
+    "max_order_per_cust" -> maxOrderPerCustomer,
     "q1_pricing"        -> q1Pricing,
     "q3_top_orders"     -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
