@@ -59,7 +59,9 @@ object JoinOps {
     *
     * `valueCols` are the right-side columns to carry. Right rows sort
     * before left rows on ts ties (side 0 < 1): a right row AT leftTs is
-    * visible to it. */
+    * visible to it. Two RIGHT rows with the same (key, ts) are ambiguous
+    * (any as-of join is); callers should ensure right-side (key, ts)
+    * uniqueness — trivially true for µs-resolution event times. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                lTs: String, rTs: String, valueCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
