@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_exact"      -> (PipelineQueries.dedupExact _),
     "dedup_normalized" -> (PipelineQueries.dedupNormalized _),
     "top_terms_lang"   -> (PipelineQueries.topTermsPerLang _),
+    "train_split"      -> (PipelineQueries.trainSplit _),
     "text_stats"      -> (PipelineQueries.textStats _),
     "text_quality"    -> (PipelineQueries.textQuality _),
     "dedup_ngram"     -> (PipelineQueries.dedupNgram _),

@@ -46,6 +46,16 @@ object PipelineQueries {
       .filter(col("rn") <= 5)
       .select("lang", "term", "df", "rn")
 
+  /** Deterministic train/val/test split by content-hash bucket (md5-derived
+    * so re-runs, engines, and cluster sizes all agree — never `rand()`):
+    * 80/10/10 over hash(doc_id || content_hash) % 10. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 AS bucket")
+      .selectExpr("doc_id", "bucket",
+        "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
+
   /** Per-document text statistics: token count (whitespace), regex-token
     * count (BPE-ish word/number/punct split), average token length, punct
     * count, stopword count. */
@@ -351,7 +361,18 @@ object PipelineOracles {
       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, term ASC) AS rn FROM d
       |) WHERE rn <= 5""".stripMargin
 
+  val trainSplit: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   val all: Map[String, String] = Map(
+    "train_split"      -> trainSplit,
     "multimodal_meta"  -> multimodalMeta,
     "dedup_normalized" -> dedupNormalized,
     "top_terms_lang"   -> topTermsPerLang,
