@@ -71,6 +71,28 @@ object StreamDemo {
       "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /kibana-search.png")
       .toDF("value")).show(false)
 
+    println("=== composable pattern NFA: fail x2 consecutive, then success ===")
+    import graft.cep.PatternDetector
+    import graft.cep.PatternDetector.{PatternSpec, Stage}
+    val patEvents = Seq(
+      KeyedEvent(1, 100, 1, hit = true), KeyedEvent(1, 110, 2, hit = true),
+      KeyedEvent(1, 120, 3, hit = false), // completes for user 1
+      KeyedEvent(2, 100, 4, hit = true), KeyedEvent(2, 105, 5, hit = false),
+      KeyedEvent(2, 110, 6, hit = true)) // user 2's run broken
+    val patIn = MemoryStream[KeyedEvent](4, spark, None)
+    val patStream = patIn.toDS()
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "10 seconds")
+      .as[KeyedEvent]
+    val patQ = PatternDetector.detect(patStream,
+        PatternSpec(Seq(Stage(_.hit, times = 2, consecutive = true),
+          Stage(e => !e.hit)), withinSec = 60), streaming = true)
+      .writeStream.format("memory").queryName("pat").outputMode("append").start()
+    patIn.addData(patEvents); patQ.processAllAvailable()
+    patIn.addData(KeyedEvent(9, 10000, 99, hit = true)); patQ.processAllAvailable()
+    spark.table("pat").show(false) // expect exactly user 1, events 1..3
+    patQ.stop()
+
     println("=== tagged splitter (side-output pattern) ===")
     val input3 = MemoryStream[(String, Long)](3, spark, None)
     val split = graft.sinks.Sinks.splitByTag(input3.toDF().toDF("tag", "v"), "tag",
