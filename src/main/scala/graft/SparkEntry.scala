@@ -36,6 +36,7 @@ object SparkEntry {
     // §2.3/2.7/2.8 detectors, CEP-lite, two-stream joins (F6, J1-J2, C1-C5)
     "login_fail"            -> (DetectQueries.loginFail _),
     "login_fail_cep"        -> (DetectQueries.loginFailCep _),
+    "login_fail_then_ok"    -> (DetectQueries.loginFailThenOk _),
     "order_timeout"         -> (DetectQueries.orderTimeout _),
     "tx_match"              -> (DetectQueries.txMatch _),
     "tx_unmatched"          -> (DetectQueries.txUnmatched _),

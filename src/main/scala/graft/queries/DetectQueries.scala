@@ -40,6 +40,25 @@ object DetectQueries {
         col("first_ts").as("first_fail"), col("last_ts").as("last_fail"),
         col("n_hits"))
 
+  /** Composable-pattern query (cep/PatternDetector): two CONSECUTIVE error
+    * events followed (relaxed) by the next non-error event, all within 2
+    * days — the "failed twice then recovered" sequence. Each adjacent error
+    * pair emits at its first completing event (no-skip overlap). */
+  def loginFailThenOk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.cep.PatternDetector.{PatternSpec, Stage}
+    val keyed = ev(spark, dir)
+      .select(col("user_id").as("key"), col("sec").as("tsSec"),
+        col("event_id").as("id"), (col("event_type") === "error").as("hit"))
+      .as[graft.streaming.Detectors.KeyedEvent]
+    graft.cep.PatternDetector.detect(keyed,
+        PatternSpec(Seq(Stage(_.hit, times = 2, consecutive = true),
+          Stage(e => !e.hit)), withinSec = 172800),
+        streaming = false)
+      .select(col("key").as("user_id"), col("first_id"), col("last_id"),
+        col("first_ts"), col("last_ts"), col("n_events"))
+  }
+
   /** C4/C5 OrderTimeout: each view ("create") is matched if the same user
     * purchases ("pays") within 1 h, else timeout.
     * Reference: OrderTimeout.java:52-96, OrderTimeoutWithoutCEP.java:68-161. */
@@ -189,7 +208,36 @@ object DetectOracles {
        |FROM c GROUP BY user_id, ad_id, day_start
        |HAVING count(*) > 2""".stripMargin
 
+  /** Pattern-NFA restatement: adjacent error pairs (stage 1, consecutive)
+    * each matched to their FIRST later non-error event within the horizon
+    * (stage 2, relaxed) — overlap per pair, like the NFA's no-skip. */
+  val loginFailThenOk: String =
+    s"""WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS sec,
+       |                  event_type = 'error' AS hit FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, sec, hit,
+       |         lag(hit) OVER w AS ph, lag(sec) OVER w AS psec, lag(event_id) OVER w AS pid
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+       |),
+       |pairs AS (
+       |  SELECT user_id, pid AS first_id, psec AS first_sec,
+       |         event_id AS second_id, sec AS second_sec
+       |  FROM l WHERE hit AND ph AND sec - psec <= 172800
+       |),
+       |m AS (
+       |  SELECT p.user_id, p.first_id, p.first_sec, b.event_id AS ok_id, b.sec AS ok_sec,
+       |         row_number() OVER (PARTITION BY p.user_id, p.first_id, p.second_id
+       |                            ORDER BY b.sec, b.event_id) AS rn
+       |  FROM pairs p JOIN e b ON b.user_id = p.user_id AND NOT b.hit
+       |    AND (b.sec > p.second_sec OR (b.sec = p.second_sec AND b.event_id > p.second_id))
+       |    AND b.sec - p.first_sec <= 172800
+       |)
+       |SELECT user_id, first_id, ok_id AS last_id, first_sec AS first_ts,
+       |       ok_sec AS last_ts, CAST(3 AS BIGINT) AS n_events
+       |FROM m WHERE rn = 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "login_fail_then_ok"     -> loginFailThenOk,
     "login_fail"             -> loginFail,
     "login_fail_cep"         -> loginFailCep,
     "order_timeout"          -> orderTimeout,
