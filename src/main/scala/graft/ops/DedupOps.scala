@@ -37,9 +37,10 @@ object DedupOps {
     * column (bounds the quadratic self-join; pass a constant column for
     * global). Output: doc_a, doc_b, common, jaccard. */
   def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double): DataFrame = {
-    // the shingle set feeds the count and both self-join sides; recompute
-    // (split+explode) is cheaper than caching at this row width — at real
-    // scale, checkpoint the shingle table to storage between dedup stages
+    // join-multiplicity formulation: common = row count of the shingle
+    // self-join per pair. An array-intersect candidate/verify variant (like
+    // minhashPairs) was measured SLOWER here — the scoped self-join is
+    // already small and the extra per-doc set aggregation dominates.
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
       col("sh").as("sh_a"))
