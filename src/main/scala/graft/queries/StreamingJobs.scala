@@ -57,6 +57,26 @@ object StreamingJobs {
       }
   }.start()
 
+  /** A6 marketing channel counts as a stream (sliding 1h/15m per
+    * (channel, behavior)) — same composition as the batch query. */
+  def marketChannelStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowOps.slidingCount(
+      eventsStream(spark, dir)
+        .filter(col("event_type") =!= "error")
+        .select(concat(lit("ch"), (col("user_id") % 4).cast("string")).as("channel"),
+          col("event_type").as("behavior"), col("ts")),
+      col("ts"), "1 hour", "15 minutes", col("channel"), col("behavior"))
+
+  /** A8 ad-province counts as a stream. */
+  def adProvinceStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.WindowOps.slidingCount(
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(concat(lit("p"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).cast("string"))
+          .as("province"), col("ts")),
+      col("ts"), "1 hour", "15 minutes", col("province"))
+
   /** Stream-static enrichment: the live event stream joined to the static
     * customer dimension (broadcast per micro-batch — no state store). */
   def enrichedStream(spark: SparkSession, dir: String): DataFrame =

@@ -39,6 +39,32 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming market-channel and ad-province counts equal batch on closed windows") {
+    def closedEquals(streamDf: org.apache.spark.sql.DataFrame,
+                     batchDf: org.apache.spark.sql.DataFrame,
+                     keys: Seq[String], name: String): Unit = {
+      val batch = batchDf.select("window_start", keys :+ "cnt": _*)
+        .collect().map(_.toSeq).toSet
+      val q = graft.ops.WindowOps.epochWindow(streamDf)
+        .select("window_start", keys :+ "cnt": _*)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map(_.toSeq).toSet
+        assert(got.nonEmpty, s"$name emitted nothing")
+        assert(got.subsetOf(batch), s"$name diverges from batch")
+        // emitted (closed) windows are the overwhelming majority of batch
+        assert(got.size * 10 > batch.size * 8, s"$name closed too few windows")
+      } finally q.stop()
+    }
+    closedEquals(StreamingJobs.marketChannelStream(spark, sf0001),
+      graft.queries.BehaviorQueries.marketChannel(spark, sf0001),
+      Seq("channel", "behavior"), "mc_stream")
+    closedEquals(StreamingJobs.adProvinceStream(spark, sf0001),
+      graft.queries.BehaviorQueries.adProvince(spark, sf0001),
+      Seq("province"), "ap_stream")
+  }
+
   test("stream-static dimension join equals the batch join") {
     val batch = BehaviorQueries.eventsEnriched(spark, sf0001)
       .select("event_id", "segment").as[(Long, String)].collect().toSet
