@@ -34,6 +34,20 @@ class SourcesSinksSpec extends SparkSpec {
       Set(1511658000L, 1511658060L))
   }
 
+  test("FAILFAST csv mode rejects malformed rows (reference throw-parity)") {
+    val dir = Files.createTempDirectory("graft_csv_strict").toFile
+    val f = new java.io.File(dir, "bad.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("543462,1715136,4756105,pv,1511658000")
+    w.println("not,a,number,row,xxx")
+    w.close()
+    val strict = EventSources.readCsv(spark, f.getAbsolutePath,
+      EventSources.userBehaviorSchema, strict = true)
+    intercept[org.apache.spark.SparkException] {
+      strict.collect()
+    }
+  }
+
   test("apache log parse extracts ip/ts/method/url") {
     val lines = Seq(
       "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/logstash-monitorama-2013/images/kibana-search.png",
