@@ -30,6 +30,8 @@ object SparkEntry {
     "user_sessions"      -> (BehaviorQueries.userSessions _),
     "events_asof_signup" -> (BehaviorQueries.eventsAsofSignup _),
     "events_enriched"    -> (BehaviorQueries.eventsEnriched _),
+    "activity_by_hour"   -> (BehaviorQueries.activityByHour _),
+    "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),

@@ -135,7 +135,19 @@ object BehaviorOracles {
       |       c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1""".stripMargin
 
+  /** DuckDB dayofweek: dow() is 0=Sunday; Spark dayofweek() is 1=Sunday. */
+  val activityByHour: String =
+    """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |       CAST(hour(ts) AS BIGINT) AS hod, count(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val propsParsed: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
   val all: Map[String, String] = Map(
+    "activity_by_hour"   -> activityByHour,
+    "props_parsed"       -> propsParsed,
     "events_enriched"    -> eventsEnriched,
     "events_asof_signup" -> eventsAsofSignup,
     "value_percentiles"  -> valuePercentiles,

@@ -143,6 +143,22 @@ object BehaviorQueries {
       .select("event_id", "user_id", "sec", "signup_id", "signup_sec")
   }
 
+  /** Time-dimension profile: activity by (day-of-week, hour-of-day) — the
+    * calendar-function surface (UTC session ⇒ engine-agnostic parts). */
+  def activityByHour(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .selectExpr("CAST(dayofweek(ts) AS BIGINT) AS dow",
+        "CAST(hour(ts) AS BIGINT) AS hod")
+      .groupBy("dow", "hod").agg(count(lit(1)).as("cnt"))
+
+  /** Typed JSON parse of `props` via from_json with a declared schema (the
+    * schema-on-read path for semi-structured columns; get_json_object
+    * covers the ad-hoc path elsewhere). */
+  def propsParsed(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .selectExpr("event_id", "from_json(props, 'k BIGINT') AS p")
+      .selectExpr("event_id", "p.k AS k")
+
   /** Dimension enrichment: events joined to the customer dim (broadcast —
     * the stream-static join shape; streaming twin in StreamingJobs). */
   def eventsEnriched(spark: SparkSession, dir: String): DataFrame =
