@@ -31,6 +31,8 @@ object SparkEntry {
     "events_asof_signup" -> (BehaviorQueries.eventsAsofSignup _),
     "events_enriched"    -> (BehaviorQueries.eventsEnriched _),
     "activity_by_hour"   -> (BehaviorQueries.activityByHour _),
+    "user_running_stats" -> (BehaviorQueries.userRunningStats _),
+    "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),
     "market_total"    -> (BehaviorQueries.marketTotal _),

@@ -145,7 +145,16 @@ object BehaviorOracles {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  val userRunningStats: String =
+    """SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS sec,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt,
+      |  (epoch_us(ts) // 1000000) - lag((epoch_us(ts) // 1000000)) OVER (
+      |    PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000), event_id) AS gap_sec
+      |FROM events""".stripMargin
+
   val all: Map[String, String] = Map(
+    "user_running_stats" -> userRunningStats,
     "activity_by_hour"   -> activityByHour,
     "props_parsed"       -> propsParsed,
     "events_enriched"    -> eventsEnriched,

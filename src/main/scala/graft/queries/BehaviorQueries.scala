@@ -143,6 +143,18 @@ object BehaviorQueries {
       .select("event_id", "user_id", "sec", "signup_id", "signup_sec")
   }
 
+  /** Per-user running analytics: cumulative event count and seconds since
+    * the previous event (running-frame window aggregation + lag). */
+  def userRunningStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec").asc, col("event_id").asc)
+    ev(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("running_cnt",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap_sec", col("sec") - lag(col("sec"), 1).over(w))
+      .select("event_id", "user_id", "sec", "running_cnt", "gap_sec")
+  }
+
   /** Time-dimension profile: activity by (day-of-week, hour-of-day) — the
     * calendar-function surface (UTC session ⇒ engine-agnostic parts). */
   def activityByHour(spark: SparkSession, dir: String): DataFrame =

@@ -96,6 +96,19 @@ object RelationalQueries {
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
         coalesce(col("order_year"), lit(-1L)).as("order_year"), col("revenue"))
 
+  /** Order totals by (market segment, year) with CUBE — all four grouping
+    * sets, sentinel-filled like rollup_revenue. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .cube(col("c_mktsegment"), col("order_year"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sales"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("order_year"), lit(-1L)).as("order_year"),
+        col("sales"), col("n_orders"))
+
   /** Q18-style big spenders: customers with ≥ 15 orders and their exact
     * decimal total (HAVING over a join aggregation). */
   def bigSpenders(spark: SparkSession, dir: String): DataFrame =
@@ -225,7 +238,16 @@ object RelationalOracles {
       |WHERE o_totalprice = (
       |  SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
+  val cubeSales: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sales,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, CAST(year(o_orderdate) AS BIGINT))""".stripMargin
+
   val all: Map[String, String] = Map(
+    "cube_sales"         -> cubeSales,
     "big_spenders"       -> bigSpenders,
     "inactive_customers" -> inactiveCustomers,
     "max_order_per_cust" -> maxOrderPerCustomer,
