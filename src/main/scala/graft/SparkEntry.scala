@@ -32,6 +32,7 @@ object SparkEntry {
     "events_enriched"    -> (BehaviorQueries.eventsEnriched _),
     "activity_by_hour"   -> (BehaviorQueries.activityByHour _),
     "user_running_stats" -> (BehaviorQueries.userRunningStats _),
+    "funnel_conversion"  -> (BehaviorQueries.funnelConversion _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

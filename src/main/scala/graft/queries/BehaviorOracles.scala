@@ -153,7 +153,18 @@ object BehaviorOracles {
       |    PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000), event_id) AS gap_sec
       |FROM events""".stripMargin
 
+  val funnelConversion: String =
+    """WITH e AS (SELECT 'ch' || (user_id % 4) AS channel, user_id, event_type FROM events),
+      |v AS (SELECT channel, count(DISTINCT user_id) AS viewers FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT channel, count(DISTINCT user_id) AS purchasers FROM e
+      |      WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT v.channel, v.viewers, coalesce(p.purchasers, 0) AS purchasers,
+      |       CAST(coalesce(p.purchasers, 0) AS DOUBLE) / CAST(v.viewers AS DOUBLE) AS conversion
+      |FROM v LEFT JOIN p ON v.channel = p.channel""".stripMargin
+
   val all: Map[String, String] = Map(
+    "funnel_conversion"  -> funnelConversion,
     "user_running_stats" -> userRunningStats,
     "activity_by_hour"   -> activityByHour,
     "props_parsed"       -> propsParsed,

@@ -143,6 +143,22 @@ object BehaviorQueries {
       .select("event_id", "user_id", "sec", "signup_id", "signup_sec")
   }
 
+  /** View→purchase conversion funnel per marketing channel: distinct
+    * viewers, distinct purchasers, and their ratio (exact integer counts →
+    * one deterministic double division). */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .withColumn("channel", concat(lit("ch"), (col("user_id") % 4).cast("string")))
+    val viewers = e.filter(col("event_type") === "view")
+      .groupBy("channel").agg(count_distinct(col("user_id")).as("viewers"))
+    val purchasers = e.filter(col("event_type") === "purchase")
+      .groupBy("channel").agg(count_distinct(col("user_id")).as("purchasers"))
+    viewers.join(purchasers, Seq("channel"), "left")
+      .withColumn("purchasers", coalesce(col("purchasers"), lit(0L)))
+      .withColumn("conversion",
+        col("purchasers").cast("double") / col("viewers").cast("double"))
+  }
+
   /** Per-user running analytics: cumulative event count and seconds since
     * the previous event (running-frame window aggregation + lag). */
   def userRunningStats(spark: SparkSession, dir: String): DataFrame = {
