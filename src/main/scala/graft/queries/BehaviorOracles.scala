@@ -84,7 +84,7 @@ object BehaviorOracles {
 
   val eventValueStats: String =
     """SELECT event_type, count(*) AS cnt,
-      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
       |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 

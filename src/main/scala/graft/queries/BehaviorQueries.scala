@@ -126,7 +126,7 @@ object BehaviorQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_value"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_value"),
         expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_value"))
 
   /** As-of join: each event annotated with the user's most recent signup

@@ -254,7 +254,7 @@ object PipelineOracles {
       |                SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       |         FROM h CROSS JOIN generate_series(0, 59) g(j) GROUP BY 1, 2)
       |SELECT doc_id,
-      |       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM bits GROUP BY 1""".stripMargin
 
   private val quantCte =

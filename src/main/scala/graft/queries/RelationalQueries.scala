@@ -16,9 +16,12 @@ import graft.sources.Tables
  * doubles, so every aggregate works in exact DECIMAL arithmetic — cast the
  * inputs to DECIMAL(_,2) per row (unambiguous: the doubles sit at most an
  * ulp from the 2-decimal value), multiply/sum exactly, and emit DECIMAL.
- * Precisions are kept small enough that no engine hits its precision cap
- * (38), so no engine-specific scale-reduction/rounding rule ever fires and
- * results hash-match DuckDB bit-for-bit regardless of partition order.
+ * Final outputs are DECIMAL(18,x): INT64-backed in parquet (and in DuckDB),
+ * so no engine-specific int128/FIXED_LEN_BYTE_ARRAY(16) encoding is ever in
+ * play and results hash-match DuckDB bit-for-bit regardless of partition
+ * order. 18 digits hold sums up to 10^(18-s) — far beyond bench scale; a
+ * 100 TB deployment summing past that should widen the final cast (the
+ * per-row arithmetic is unchanged).
  *
  * Scale notes: dimension tables (region/nation/supplier/customer) are
  * broadcast — no shuffle on the fact side for those joins; the only big
@@ -41,10 +44,10 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_qty"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sum_base_price"),
-        expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("sum_disc_price"),
-        expr(s"CAST(SUM($chargeTerm) AS DECIMAL(38,6))").as("sum_charge"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_base_price"),
+        expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("sum_disc_price"),
+        expr(s"CAST(SUM($chargeTerm) AS DECIMAL(18,6))").as("sum_charge"),
         // scale-2 sums stay < 2^53 when viewed in cents, so the decimal →
         // double conversion is exact and the single division is correctly
         // rounded in both engines.
@@ -64,7 +67,7 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("order_date"), col("o_orderpriority"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
       .select("o_orderkey", "order_date", "o_orderpriority", "revenue")
@@ -78,7 +81,7 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
       .agg(expr(
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4))")
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))")
         .as("revenue"))
 
   /** Revenue by (nation, order year) with ROLLUP subtotals — grouping-set
@@ -90,7 +93,7 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
       .rollup(col("n_name"), col("order_year"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
       // sentinel-fill the subtotal NULLs: engine-agnostic compares (and many
       // downstream consumers) choke on mixed null/typed grouping columns
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
@@ -103,7 +106,7 @@ object RelationalQueries {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
       .cube(col("c_mktsegment"), col("order_year"))
-      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("sales"),
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sales"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("order_year"), lit(-1L)).as("order_year"),
@@ -116,7 +119,7 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),
-        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))").as("total_spent"))
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("total_spent"))
       .filter(col("n_orders") >= 15)
 
   /** Customers with no orders in 2001 (time-scoped NOT EXISTS → anti join
@@ -156,7 +159,7 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(38,4))").as("revenue"))
+      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
   }
 }
 
@@ -168,10 +171,10 @@ object RelationalOracles {
 
   val q1Pricing: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS sum_disc_price,
-       |  CAST(SUM($chargeTerm) AS DECIMAL(38,6)) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS sum_disc_price,
+       |  CAST(SUM($chargeTerm) AS DECIMAL(18,6)) AS sum_charge,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        |  count(*) AS cnt
        |FROM lineitem
@@ -180,7 +183,7 @@ object RelationalOracles {
 
   val q3TopOrders: String =
     s"""SELECT o_orderkey, (epoch_us(o_orderdate) // 1000000) AS order_date, o_orderpriority,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON l_orderkey = o_orderkey
@@ -193,7 +196,7 @@ object RelationalOracles {
 
   val q5NationRevenue: String =
     s"""SELECT n_name,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -206,7 +209,7 @@ object RelationalOracles {
        |GROUP BY n_name""".stripMargin
 
   val q6Forecast: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -214,7 +217,7 @@ object RelationalOracles {
   val rollupRevenue: String =
     s"""SELECT coalesce(n_name, 'ALL') AS n_name,
        |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(38,4)) AS revenue
+       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -223,7 +226,7 @@ object RelationalOracles {
 
   val bigSpenders: String =
     """SELECT c_custkey, c_name, count(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_spent
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent
       |FROM customer JOIN orders ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_name
       |HAVING count(*) >= 15""".stripMargin
@@ -241,7 +244,7 @@ object RelationalOracles {
   val cubeSales: String =
     """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
       |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sales,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sales,
       |  count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE(c_mktsegment, CAST(year(o_orderdate) AS BIGINT))""".stripMargin

@@ -15,11 +15,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Tag every value with its Python type: the driver's hash canonicalization
+    # is type-sensitive (Decimal(5) == 5 in Python would mask an engine-level
+    # HUGEINT-vs-BIGINT or DECIMAL(38)-vs-DECIMAL(18) divergence — the exact
+    # failure class of round 1).
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+            return ("float", "NaN")
+        return ("float", v)
+    return (type(v).__name__, v)
+
+
+def coltypes(con, rel_name, cols):
+    """DuckDB-reported logical type per column, in sorted-column order."""
+    desc = con.sql(f"SELECT {', '.join(cols)} FROM {rel_name} LIMIT 0")
+    return list(zip(desc.columns, [str(t) for t in desc.types]))
 
 
 def main():
@@ -38,11 +48,13 @@ def main():
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got.columns)
+            got_types = coltypes(con, "got", got_cols)
             got_rows = Counter(
                 tuple(norm(v) for v in row) for row in
                 con.sql(f"SELECT {', '.join(got_cols)} FROM got").fetchall())
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = coltypes(con, "exp", exp_cols)
             exp_rows = Counter(
                 tuple(norm(v) for v in row) for row in
                 con.sql(f"SELECT {', '.join(exp_cols)} FROM exp").fetchall())
@@ -52,6 +64,10 @@ def main():
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: cols spark={got_cols} duckdb={exp_cols}")
+            failures += 1
+        elif got_types != exp_types:
+            diff = [(g, e) for g, e in zip(got_types, exp_types) if g != e]
+            print(f"FAIL {name}: types {diff}")
             failures += 1
         elif got_rows != exp_rows:
             spark_only = list((got_rows - exp_rows).elements())[:3]
