@@ -21,14 +21,20 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —
       // count() would let Catalyst prune the computed columns away.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // a crashed query must be distinguishable from a fast success in the
+      // artifact: record its elapsed-until-failure negated
+      name -> (if (ok) sec else -sec)
     }.toMap
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

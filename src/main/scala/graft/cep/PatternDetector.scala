@@ -2,6 +2,7 @@ package graft.cep
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 import graft.streaming.Detectors.KeyedEvent
 
@@ -21,11 +22,16 @@ import graft.streaming.Detectors.KeyedEvent
  *  - the whole match must complete within `withinSec` of its first element;
  *  - a completed partial emits once (its first B completes it) and dies.
  *
- * State is bounded: partial matches are capped at [[PatternSpec#maxPartials]]
- * per key (oldest dropped — at 100 TB an unbounded NFA state is the thing
- * that kills the job) and expire at the within-horizon. Events fold in
- * event-time order; the streaming mode reuses the watermark-buffer +
- * late-drop discipline of graft.streaming.Detectors.
+ * State is bounded: in streaming mode partial matches are capped at
+ * [[PatternSpec#maxPartials]] per key (oldest dropped — at 100 TB an
+ * unbounded NFA state is the thing that kills the job) and every drop is
+ * counted in a [[LongAccumulator]] (no silent caps; see
+ * [[detectWithMetrics]]). Batch mode runs CAP-FREE: its output is compared
+ * exactly against the DuckDB oracle, so it must not diverge from the
+ * no-skip semantics under any input. Partials also expire at the
+ * within-horizon. Events fold in event-time order; the streaming mode
+ * reuses the watermark-buffer + late-drop discipline of
+ * graft.streaming.Detectors.
  */
 object PatternDetector extends Serializable {
 
@@ -56,7 +62,8 @@ object PatternDetector extends Serializable {
   /** Fold events (must be in event-time order) through the NFA. Returns
     * (matches, surviving partials). */
   private def fold(spec: PatternSpec, events: Seq[KeyedEvent], key: Long,
-                   init: Seq[Partial]): (Seq[PatternMatch], Seq[Partial]) = {
+                   init: Seq[Partial],
+                   dropped: LongAccumulator): (Seq[PatternMatch], Seq[Partial]) = {
     var partials = init
     val out = Seq.newBuilder[PatternMatch]
     events.foreach { e =>
@@ -88,8 +95,10 @@ object PatternDetector extends Serializable {
           else Some(p)
         }
       }
-      if (partials.size > spec.maxPartials)
+      if (partials.size > spec.maxPartials) {
+        dropped.add(partials.size - spec.maxPartials)
         partials = partials.takeRight(spec.maxPartials)
+      }
     }
     (out.result(), partials)
   }
@@ -98,12 +107,22 @@ object PatternDetector extends Serializable {
     * once; streaming mode buffers to the watermark with late-drop and
     * wakes on EventTimeTimeout, exactly like graft.streaming.Detectors. */
   def detect(events: Dataset[KeyedEvent], spec: PatternSpec,
-             streaming: Boolean): Dataset[PatternMatch] = {
+             streaming: Boolean): Dataset[PatternMatch] =
+    detectWithMetrics(events, spec, streaming)._1
+
+  /** As [[detect]], also returning the accumulator counting partial matches
+    * dropped by the streaming `maxPartials` cap. Batch mode is cap-free
+    * (the oracle compares its output exactly), so the counter stays 0. */
+  def detectWithMetrics(events: Dataset[KeyedEvent], spec: PatternSpec,
+                        streaming: Boolean): (Dataset[PatternMatch], LongAccumulator) = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.scalaLong
     val timeout =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val effSpec = if (streaming) spec else spec.copy(maxPartials = Int.MaxValue)
+    val dropped = events.sparkSession.sparkContext
+      .longAccumulator("graft.pattern.partials_dropped")
 
     def process(key: Long, it: Iterator[KeyedEvent],
                 state: GroupState[PatternState]): Iterator[PatternMatch] = {
@@ -113,16 +132,22 @@ object PatternDetector extends Serializable {
       val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
       val (ready, rest) = all.partition(_.tsSec < wmSec)
       val init = st.partials.map(t => Partial(t._1, t._2, t._3, t._4, t._5, t._6))
-      val (matches, partials) = fold(spec, ready, key, init)
-      state.update(PatternState(rest,
-        partials.map(p => (p.stage, p.inStage, p.firstTs, p.firstId, p.nEvents, p.begun))))
-      if (streaming && rest.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      val (matches, folded) = fold(effSpec, ready, key, init, dropped)
+      // a partial older than the within-horizon behind the watermark can
+      // never complete — prune, and drop the state row once fully drained
+      val partials = folded.filter(p => wmSec - p.firstTs <= effSpec.withinSec)
+      if (rest.isEmpty && partials.isEmpty) state.remove()
+      else {
+        state.update(PatternState(rest,
+          partials.map(p => (p.stage, p.inStage, p.firstTs, p.firstId, p.nEvents, p.begun))))
+        if (streaming && rest.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      }
       matches.iterator
     }
 
-    events.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+    (events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process), dropped)
   }
 }

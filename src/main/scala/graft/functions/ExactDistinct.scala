@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -93,7 +93,12 @@ case class ExactDistinctLong(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[LongHashSet] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[LongHashSet] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // SQL-exposed via GraftExtensions: without an input-type contract a
+  // non-LONG column passes analysis and ClassCastExceptions on executors
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): LongHashSet = new LongHashSet()
 

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -20,10 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Returns NULL for strings shorter than 5 chars.
  */
-case class RollingMin5Hash(child: Expression) extends UnaryExpression {
+case class RollingMin5Hash(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
 
   private val B = 31L
   private val B4 = B * B * B * B
+
+  // SQL-exposed: fail misuse at analysis time, not with an executor-side cast
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -63,10 +63,17 @@ object Detectors {
           run = full.takeRight(n - 1)
         } else run = Nil
       }
-      state.update(RunState(rest, run))
-      if (streaming && rest.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      // a run-tail hit older than (watermark − within) can never satisfy the
+      // window constraint of any future event — prune it so a key that goes
+      // quiet doesn't pin a state-store row forever
+      val liveRun = run.filter { case (ts, _) => ts + withinSec >= wmSec }
+      if (rest.isEmpty && liveRun.isEmpty) state.remove()
+      else {
+        state.update(RunState(rest, liveRun))
+        if (streaming && rest.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      }
       out.result().iterator
     }
 
@@ -117,11 +124,14 @@ object Detectors {
         }
       }
       expire(wmSec) // watermark-driven timeouts with no newer event
-      state.update(FollowState(rest, open))
-      if (streaming) {
-        val wake = (rest.map(_.tsSec) ++ open.map(_._1 + withinSec)).reduceOption(_ min _)
-        wake.foreach(w => state.setTimeoutTimestamp(
-          math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+      if (rest.isEmpty && open.isEmpty) state.remove()
+      else {
+        state.update(FollowState(rest, open))
+        if (streaming) {
+          val wake = (rest.map(_.tsSec) ++ open.map(_._1 + withinSec)).reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
       }
       out.result().iterator
     }
@@ -167,10 +177,15 @@ object Detectors {
           warned = true
         }
       }
-      state.update(BlState(rest, day, cnt, warned))
-      if (streaming && rest.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      // the per-day counter is dead once the watermark passes end-of-day:
+      // drop the row instead of keeping every (user, ad) pair ever seen
+      if (rest.isEmpty && day + 86400 <= wmSec) state.remove()
+      else {
+        state.update(BlState(rest, day, cnt, warned))
+        if (streaming && rest.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      }
       out.result().iterator
     }
 
@@ -233,12 +248,15 @@ object Detectors {
         }
       }
       expire(wmSec)
-      state.update(TxState(rest, pays, receipts))
-      if (streaming) {
-        val wake = (rest.map(_.tsSec) ++ pays.map(_._1 + payWaitSec) ++
-          receipts.map(_._1 + receiptWaitSec)).reduceOption(_ min _)
-        wake.foreach(w => state.setTimeoutTimestamp(
-          math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+      if (rest.isEmpty && pays.isEmpty && receipts.isEmpty) state.remove()
+      else {
+        state.update(TxState(rest, pays, receipts))
+        if (streaming) {
+          val wake = (rest.map(_.tsSec) ++ pays.map(_._1 + payWaitSec) ++
+            receipts.map(_._1 + receiptWaitSec)).reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
       }
       out.result().iterator
     }
