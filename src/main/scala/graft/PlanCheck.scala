@@ -20,6 +20,17 @@ object PlanCheck {
       println(fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // percentile modes: the default (approx sketch) must plan WITHOUT a
+    // Window — the exact rank form funnels the table through one sort
+    // partition per group, which is the documented scale-killer
+    println("\n========== value_percentiles default (approx) ==========")
+    val defPlan = SparkEntry.queries("value_percentiles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    require(!defPlan.contains("Window"),
+      "default value_percentiles plan must not contain a Window sort")
+    println(defPlan.linesIterator.take(6).mkString("\n"))
+    println("OK: no Window/per-group global sort in default percentile plan")
+
     // the config-gated distinct→HLL optimizer rule, observed end-to-end
     println("\n========== approxDistinct rewrite ==========")
     val s2 = {

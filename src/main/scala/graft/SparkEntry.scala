@@ -43,6 +43,7 @@ object SparkEntry {
     "login_fail_cep"        -> (DetectQueries.loginFailCep _),
     "login_fail_then_ok"    -> (DetectQueries.loginFailThenOk _),
     "order_timeout"         -> (DetectQueries.orderTimeout _),
+    "order_timeout_full"    -> (DetectQueries.orderTimeoutFull _),
     "tx_match"              -> (DetectQueries.txMatch _),
     "tx_unmatched"          -> (DetectQueries.txUnmatched _),
     "ad_blacklist_kept"     -> (DetectQueries.adBlacklistKept _),

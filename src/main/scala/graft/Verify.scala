@@ -10,6 +10,9 @@ object Verify {
     val spark = GraftSession.builder("graft-verify", cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")
+      // oracle parity mode: exact rank-based percentiles (the default is
+      // the approx_percentile sketch, which DuckDB cannot reproduce)
+      .config("spark.graft.exactPercentiles", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

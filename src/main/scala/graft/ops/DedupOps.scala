@@ -34,16 +34,38 @@ object DedupOps {
   }
 
   /** All-pairs exact n-gram Jaccard ≥ `threshold` within the same `scope`
-    * column (bounds the quadratic self-join; pass a constant column for
-    * global). Output: doc_a, doc_b, common, jaccard. */
-  def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double): DataFrame = {
+    * column — QUADRATIC within each scope group by contract; the scope
+    * must bound group size. Output: doc_a, doc_b, common, jaccard.
+    *
+    * Guard: the plan embeds a per-scope distinct-doc count and fails fast
+    * (analysis-quality error at runtime, before the self-join explodes)
+    * if any scope group holds more than `maxDocsPerScope` documents — a
+    * constant or high-skew scope at 100 TB would otherwise detonate the
+    * shingle self-join. For unbounded scopes use [[minhashPairs]], whose
+    * banded candidate join is the web-scale plan. */
+  def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double,
+                        maxDocsPerScope: Long = 100000L): DataFrame = {
     // join-multiplicity formulation: common = row count of the shingle
     // self-join per pair. An array-intersect candidate/verify variant (like
     // minhashPairs) was measured SLOWER here — the scoped self-join is
     // already small and the extra per-doc set aggregation dominates.
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val scopeGuard = sh.groupBy(col(scope))
+      .agg(countDistinct(col("doc_id")).as("__scope_docs"))
+      .withColumnRenamed(scope, "__scope_g")
     val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
-      col("sh").as("sh_a"))
+        col("sh").as("sh_a"))
+      .join(scopeGuard, col("scope_a") === col("__scope_g"), "left")
+      // assert_true returns NULL when the predicate holds, so the filter
+      // keeps every row; a too-large scope raises instead of exploding
+      .filter(expr(
+        s"""assert_true(__scope_docs <= ${maxDocsPerScope}L, concat(
+           |'ngramJaccardPairs: scope group ', cast(__scope_g AS STRING),
+           |' holds ', cast(__scope_docs AS STRING),
+           |' docs (> $maxDocsPerScope); the shingle self-join is quadratic
+           | within scope - use minhashPairs for unbounded scopes or raise
+           | maxDocsPerScope')) IS NULL""".stripMargin.replace("\n", "")))
+      .drop("__scope_g", "__scope_docs")
     val b = sh.select(col("doc_id").as("doc_b"), col(scope).as("scope_b"),
       col("sh").as("sh_b"))
     a.join(b, col("sh_a") === col("sh_b") && col("scope_a") === col("scope_b") &&

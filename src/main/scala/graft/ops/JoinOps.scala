@@ -89,4 +89,30 @@ object JoinOps {
     a.join(b, cond, "left_semi").withColumn("status", lit(matchedTag))
       .union(a.join(b, cond, "left_anti").withColumn("status", lit(timeoutTag)))
   }
+
+  /** C5 FULL taxonomy — the reference's four-way order-pay outcome
+    * (order-pay-detect/.../OrderTimeoutWithoutCEP.java:91-160) over inputs
+    * with AT MOST ONE `a` (create) and ONE `b` (pay) row per key:
+    *
+    *  - both sides, bTs < aTs + within → `matchedTag` ("payed successfully";
+    *    a pay at-or-before the create — the reference's out-of-order 1.1
+    *    branch — also matches, since bTs < aTs < aTs+within);
+    *  - both sides, bTs ≥ aTs + within → `lateTag` ("payed but already
+    *    timeout" — the 2.1.2 arrival-tolerant branch);
+    *  - b only → `orphanTag` ("already payed but not found created log");
+    *  - a only → `timeoutTag` ("order pay timeout").
+    *
+    * One full-outer hash join on the key — both sides shuffle once; at
+    * scale AQE broadcasts whichever side is small. Streaming twin:
+    * graft.streaming.Detectors.followedByFull. */
+  def followedByFullStatus(a: DataFrame, b: DataFrame, key: String,
+                           aTs: String, bTs: String, withinSec: Long,
+                           matchedTag: String, lateTag: String,
+                           orphanTag: String, timeoutTag: String): DataFrame =
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col(aTs).isNull, lit(orphanTag))
+          .when(col(bTs).isNull, lit(timeoutTag))
+          .when(col(bTs) < col(aTs) + withinSec, lit(matchedTag))
+          .otherwise(lit(lateTag)))
 }

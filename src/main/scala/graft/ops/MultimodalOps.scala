@@ -25,11 +25,15 @@ object MultimodalOps {
       .withColumn("byte_len", length(col("payload")).cast("long"))
       .withColumn("content_hash", md5(col("payload")))
 
-  /** One extracted feature row per media payload. */
+  /** One extracted feature row per media payload. The chunk sums/lengths
+    * are exact integers (auditable against an oracle); the means are the
+    * derived double view. */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
-      // 4-chunk byte-mean profile — stands in for decoded image stats
+      // 4-chunk byte-sum/length profile — stands in for decoded image stats
+      chunk_sums: Array[Long],
+      chunk_lens: Array[Long],
       chunk_means: Array[Double],
       // deterministic stand-in for a codec's frame/sample count
       n_frames: Long)
@@ -42,7 +46,9 @@ object MultimodalOps {
    */
   private def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
-    val chunks = new Array[Double](4)
+    val sums = new Array[Long](4)
+    val lens = new Array[Long](4)
+    val means = new Array[Double](4)
     if (n > 0) {
       val step = math.max(n / 4, 1)
       var c = 0
@@ -50,11 +56,14 @@ object MultimodalOps {
         val from = math.min(c * step, n); val until = if (c == 3) n else math.min((c + 1) * step, n)
         var s = 0L; var i = from
         while (i < until) { s += bytes(i) & 0xff; i += 1 }
-        chunks(c) = if (until > from) s.toDouble / (until - from) else 0.0
+        sums(c) = s
+        lens(c) = (until - from).toLong
+        // exact-int division: both sides < 2^53, correctly rounded once
+        means(c) = if (until > from) s.toDouble / (until - from) else 0.0
         c += 1
       }
     }
-    MediaFeatures(docId, n.toLong, chunks, n.toLong / 64 + 1)
+    MediaFeatures(docId, n.toLong, sums, lens, means, n.toLong / 64 + 1)
   }
 
   /** Feature extraction over (doc_id, payload): batched per partition,

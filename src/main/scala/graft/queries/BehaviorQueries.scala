@@ -198,19 +198,40 @@ object BehaviorQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"), col("c_nationkey").cast("long").as("nation"))
 
-  /** Discrete percentiles of `value` per event type (rank-based: the value
-    * at row ceil(p·n) in value order — deterministic, engine-agnostic). */
-  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
-    ev(spark, dir)
-      .selectExpr("event_type", "value", "event_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .groupBy("event_type")
-      .agg(
-        expr("max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)").as("p50"),
-        expr("max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)").as("p90"),
-        expr("max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END)").as("p99"))
+  /** Discrete percentiles of `value` per event type. Two modes, mirroring
+    * the A5 exact/HLL pattern (plans/ApproxDistinctRewrite):
+    *
+    *  - default: `approx_percentile` with accuracy 10⁴ (rank error ≤ n/10⁴
+    *    per group) — a partial-aggregable KLL-style sketch, ONE map-side-
+    *    combined shuffle, no sort. This is the only shape that survives
+    *    100 TB: the exact form funnels the whole table through one sort
+    *    partition per event type (5 here).
+    *  - `spark.graft.exactPercentiles=true` (set by graft.Verify): the
+    *    rank-based exact value at row ceil(p·n) in value order —
+    *    deterministic and engine-agnostic, used as the DuckDB-oracle
+    *    parity mode. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val exact =
+      spark.conf.getOption("spark.graft.exactPercentiles").exists(_.toBoolean)
+    if (exact)
+      ev(spark, dir)
+        .selectExpr("event_type", "value", "event_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy("event_type")
+        .agg(
+          expr("max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)").as("p50"),
+          expr("max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)").as("p90"),
+          expr("max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END)").as("p99"))
+    else
+      ev(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+          expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+  }
 
   /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
     * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted

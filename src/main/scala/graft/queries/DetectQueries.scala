@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cep.Cep
@@ -73,6 +74,35 @@ object DetectQueries {
         col("user_id") === col("p_user"), col("create_sec"), col("pay_sec"),
         3600, "payed", "timeout")
       .select("create_id", "user_id", "create_sec", "status")
+  }
+
+  /** C5 FULL taxonomy: per user, the FIRST view ("create") against the
+    * FIRST purchase ("pay") with a 15-min deadline — all four outcomes of
+    * the reference's non-CEP monitor (payed successfully / payed but
+    * already timeout / already payed but not found created log / order pay
+    * timeout). Reference: OrderTimeoutWithoutCEP.java:91-160. */
+  def orderTimeoutFull(spark: SparkSession, dir: String): DataFrame = {
+    // "order id" twin: (user, item) pairs — sparse enough that every
+    // outcome (incl. pay-without-create and create-without-pay) occurs
+    val e = ev(spark, dir)
+      .withColumn("key", col("user_id") * 100 + itemId % 100)
+    val w = Window.partitionBy(col("key")).orderBy(col("sec"), col("event_id"))
+    def first(eventType: String, idAs: String, tsAs: String): DataFrame =
+      e.filter(col("event_type") === eventType)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("key"), col("event_id").as(idAs), col("sec").as(tsAs))
+    JoinOps.followedByFullStatus(
+        first("view", "create_id", "create_sec"),
+        first("purchase", "pay_id", "pay_sec"),
+        "key", "create_sec", "pay_sec", 900,
+        "payed successfully", "payed but already timeout",
+        "already payed but not found created log", "order pay timeout")
+      .select(col("key"),
+        coalesce(col("create_id"), lit(-1L)).as("create_id"),
+        coalesce(col("create_sec"), lit(-1L)).as("create_sec"),
+        coalesce(col("pay_id"), lit(-1L)).as("pay_id"),
+        coalesce(col("pay_sec"), lit(-1L)).as("pay_sec"),
+        col("status"))
   }
 
   /** J2 TxPayMatchByJoin: interval join purchase("pay") ⋈ click("receipt")
@@ -167,6 +197,27 @@ object DetectOracles {
        |  THEN 'payed' ELSE 'timeout' END AS status
        |FROM c""".stripMargin
 
+  val orderTimeoutFull: String =
+    s"""WITH e AS (SELECT *, user_id * 100 + item_id % 100 AS key FROM ($evt)),
+       |c AS (SELECT key, event_id AS create_id, sec AS create_sec,
+       |             row_number() OVER (PARTITION BY key ORDER BY sec, event_id) AS rn
+       |      FROM e WHERE event_type = 'view'),
+       |p AS (SELECT key, event_id AS pay_id, sec AS pay_sec,
+       |             row_number() OVER (PARTITION BY key ORDER BY sec, event_id) AS rn
+       |      FROM e WHERE event_type = 'purchase'),
+       |c1 AS (SELECT key, create_id, create_sec FROM c WHERE rn = 1),
+       |p1 AS (SELECT key, pay_id, pay_sec FROM p WHERE rn = 1)
+       |SELECT key,
+       |  COALESCE(create_id, CAST(-1 AS BIGINT)) AS create_id,
+       |  COALESCE(create_sec, CAST(-1 AS BIGINT)) AS create_sec,
+       |  COALESCE(pay_id, CAST(-1 AS BIGINT)) AS pay_id,
+       |  COALESCE(pay_sec, CAST(-1 AS BIGINT)) AS pay_sec,
+       |  CASE WHEN create_sec IS NULL THEN 'already payed but not found created log'
+       |       WHEN pay_sec IS NULL THEN 'order pay timeout'
+       |       WHEN pay_sec < create_sec + 900 THEN 'payed successfully'
+       |       ELSE 'payed but already timeout' END AS status
+       |FROM c1 FULL OUTER JOIN p1 USING (key)""".stripMargin
+
   val txMatch: String =
     s"""WITH e AS ($evt),
        |p AS (SELECT event_id AS pay_id, user_id, sec AS pay_sec FROM e WHERE event_type = 'purchase'),
@@ -241,6 +292,7 @@ object DetectOracles {
     "login_fail"             -> loginFail,
     "login_fail_cep"         -> loginFailCep,
     "order_timeout"          -> orderTimeout,
+    "order_timeout_full"     -> orderTimeoutFull,
     "tx_match"               -> txMatch,
     "tx_unmatched"           -> txUnmatched,
     "ad_blacklist_kept"      -> adBlacklistKept,

@@ -144,9 +144,14 @@ object PipelineQueries {
     graft.ops.MultimodalOps.extractFeatures(
         graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text"))
       .toDF()
+      // exact-integer feature view: byte sums + chunk lengths are BIGINT,
+      // so the stub decode is fully oracle-checkable (the payload is the
+      // text's UTF-8 bytes, all ASCII in the testdata)
       .selectExpr("doc_id", "n_bytes", "n_frames",
-        "chunk_means[0] AS chunk0", "chunk_means[1] AS chunk1",
-        "chunk_means[2] AS chunk2", "chunk_means[3] AS chunk3")
+        "chunk_sums[0] AS c0_sum", "chunk_sums[1] AS c1_sum",
+        "chunk_sums[2] AS c2_sum", "chunk_sums[3] AS c3_sum",
+        "chunk_lens[0] AS c0_n", "chunk_lens[1] AS c1_n",
+        "chunk_lens[2] AS c2_n", "chunk_lens[3] AS c3_n")
 
   /** Rolling-hash document fingerprint: min of the 5-char polynomial
     * rolling hash over the text (winnowing-style content signature).
@@ -345,6 +350,35 @@ object PipelineOracles {
       |       md5(text) AS content_hash
       |FROM documents""".stripMargin
 
+  /** Oracle for the STUB decode: the payload is the text's UTF-8 bytes
+    * (ASCII in the testdata, so byte == ascii(char)); chunk boundaries
+    * replicate decodeStub's step = max(n/4, 1) layout exactly. */
+  val multimodalFeatures: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n,
+      |                  greatest(length(text) // 4, 1) AS step FROM documents),
+      |ch AS (
+      |  SELECT doc_id, text, n, c,
+      |         least(c * step, n) AS f,
+      |         CASE WHEN c = 3 THEN n ELSE least((c + 1) * step, n) END AS u
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) g),
+      |s AS (
+      |  SELECT doc_id, c,
+      |         CAST(COALESCE(list_sum([ascii(text[i]) for i in generate_series(f + 1, u)]), 0) AS BIGINT) AS cs,
+      |         CAST(u - f AS BIGINT) AS cl
+      |  FROM ch)
+      |SELECT d.doc_id,
+      |  CAST(n AS BIGINT) AS n_bytes,
+      |  CAST(n // 64 + 1 AS BIGINT) AS n_frames,
+      |  MAX(CASE WHEN c = 0 THEN cs END) AS c0_sum,
+      |  MAX(CASE WHEN c = 1 THEN cs END) AS c1_sum,
+      |  MAX(CASE WHEN c = 2 THEN cs END) AS c2_sum,
+      |  MAX(CASE WHEN c = 3 THEN cs END) AS c3_sum,
+      |  MAX(CASE WHEN c = 0 THEN cl END) AS c0_n,
+      |  MAX(CASE WHEN c = 1 THEN cl END) AS c1_n,
+      |  MAX(CASE WHEN c = 2 THEN cl END) AS c2_n,
+      |  MAX(CASE WHEN c = 3 THEN cl END) AS c3_n
+      |FROM s JOIN d USING (doc_id) GROUP BY 1, 2, 3""".stripMargin
+
   val dedupNormalized: String =
     """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
       |       min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -374,6 +408,7 @@ object PipelineOracles {
   val all: Map[String, String] = Map(
     "train_split"      -> trainSplit,
     "multimodal_meta"  -> multimodalMeta,
+    "multimodal_features" -> multimodalFeatures,
     "dedup_normalized" -> dedupNormalized,
     "top_terms_lang"   -> topTermsPerLang,
     "dedup_exact"     -> dedupExact,

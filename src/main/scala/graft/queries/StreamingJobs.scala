@@ -20,15 +20,19 @@ import graft.streaming.Detectors.KeyedEvent
  */
 object StreamingJobs {
 
-  /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
-  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+  /** events.parquet as a streaming source, ts: TimestampType, NOT yet
+    * watermarked — for ops that place their own withWatermark. */
+  def eventsStreamRaw(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(Tables.eventsRawSchema)
       // file-stream sources list a DIRECTORY; select the one table file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
+
+  /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
+  def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
+    eventsStreamRaw(spark, dir).withWatermark("ts", watermark)
 
   /** A3 PageView as a stream: tumbling 1 h count of views, append mode.
     * The source is already watermarked — compose with the plain window op
@@ -76,6 +80,25 @@ object StreamingJobs {
           (get_json_object(col("props"), "$.k").cast("long") % 10).cast("string"))
           .as("province"), col("ts")),
       col("ts"), "1 hour", "15 minutes", col("province"))
+
+  /** A4/A5 UV as a stream: tumbling-day distinct viewers via the HLL
+    * sketch (the streaming-safe distinct — same default the optimizer rule
+    * picks for batch at scale; exact per-window distinct needs unbounded
+    * state). */
+  def uvStream(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingApproxDistinct(
+      eventsStreamRaw(spark, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts")),
+      "ts", "1 hour", "1 day", col("user_id"))
+
+  /** User sessionization as a stream: gap-closed sessions per user —
+    * sessions emit when the watermark passes last-event + gap, state
+    * drops with them. Same session_window composition as the batch
+    * user_sessions query. */
+  def userSessionsStream(spark: SparkSession, dir: String, gap: String = "2 hours"): DataFrame =
+    StreamOps.sessionCount(
+      eventsStreamRaw(spark, dir).select(col("user_id"), col("ts")),
+      "ts", "1 hour", gap, col("user_id"))
 
   /** Stream-static enrichment: the live event stream joined to the static
     * customer dimension (broadcast per micro-batch — no state store). */

@@ -83,16 +83,31 @@ object EventSources {
         col("f").getItem(5).as("method"),
         col("f").getItem(6).as("url"))
 
+  /** The reader options `kafkaLines` passes to the kafka source — the
+    * Spark restatement of the reference's consumer config
+    * (HotItem.java:46-54: bootstrap.servers + topic subscribe; group id /
+    * deserializers are connector-managed in Spark, auto.offset.reset maps
+    * to `startingOffsets`). Factored out so the contract is unit-testable
+    * without a broker. */
+  def kafkaOptions(brokers: String, topic: String,
+                   options: Map[String, String] = Map.empty): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> brokers, "subscribe" -> topic) ++ options
+
+  /** The projection `kafkaLines` applies to the kafka wire schema (key /
+    * value binary, topic, partition, offset, timestamp, timestampType):
+    * UTF-8 value + broker timestamp as the event-time candidate. */
+  val kafkaProjection: Seq[String] =
+    Seq("CAST(value AS STRING) AS value", "timestamp AS ts")
+
   /** S2: Kafka topic as a string-value stream (HotItem.java:46-54 —
     * group/offset options are caller-supplied deploy config). */
   def kafkaLines(spark: SparkSession, brokers: String, topic: String,
                  options: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-    options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+    kafkaOptions(brokers, topic, options)
+      .foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
       .load()
-      .selectExpr("CAST(value AS STRING) AS value", "timestamp AS ts")
+      .selectExpr(kafkaProjection: _*)
   }
 
   /** S3: deterministic twin of the reference's random marketing source

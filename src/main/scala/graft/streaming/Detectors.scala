@@ -140,6 +140,84 @@ object Detectors {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
+  case class FullResult(key: Long, a_id: Long, a_ts: Long, b_id: Long,
+                        b_ts: Long, status: String)
+
+  /** Buffered events + the single parked create (a) / pay (b), -1 = none. */
+  case class FullFollowState(pending: Seq[KeyedEvent], aTs: Long, aId: Long,
+                             bTs: Long, bId: Long)
+
+  /** C5 FULL taxonomy, streaming: the reference's isCreated/isPayed/timer
+    * state machine (OrderTimeoutWithoutCEP.java:80-160) with at most one A
+    * (`hit=true`, create) and one B (pay) per key. Four outcomes — matched,
+    * late ("payed but already timeout"), orphan-B ("already payed but not
+    * found created log"), timeout. Batch mode (single drain) equals
+    * JoinOps.followedByFullStatus exactly; in streaming, a B that only
+    * arrives after the watermark passed A's deadline yields
+    * timeout-then-orphan (the reference's strict-watermark trace) instead
+    * of `late` — late fires when B arrives while A's state is still live,
+    * exactly like the reference's arrival-tolerant 2.1.2 branch. */
+  def followedByFull(events: Dataset[KeyedEvent], withinSec: Long,
+                     matchedTag: String, lateTag: String, orphanTag: String,
+                     timeoutTag: String, streaming: Boolean): Dataset[FullResult] = {
+    implicit val outEnc = Encoders.product[FullResult]
+    implicit val stEnc = Encoders.product[FullFollowState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[KeyedEvent],
+                state: GroupState[FullFollowState]): Iterator[FullResult] = {
+      val st = state.getOption.getOrElse(FullFollowState(Nil, -1L, -1L, -1L, -1L))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.tsSec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.tsSec, e.id))
+      val (ready, rest) = all.partition(_.tsSec < wmSec)
+      var (aTs, aId, bTs, bId) = (st.aTs, st.aId, st.bTs, st.bId)
+      val out = Seq.newBuilder[FullResult]
+      ready.foreach { e =>
+        if (e.hit) { // create
+          if (bTs >= 0) { // 1.1: pay already seen → success
+            out += FullResult(key, e.id, e.tsSec, bId, bTs, matchedTag)
+            bTs = -1L; bId = -1L
+          } else if (aTs < 0) { aTs = e.tsSec; aId = e.id }
+        } else { // pay
+          if (aTs >= 0) { // 2.1: create parked → success or late, by deadline
+            val tag = if (e.tsSec < aTs + withinSec) matchedTag else lateTag
+            out += FullResult(key, aId, aTs, e.id, e.tsSec, tag)
+            aTs = -1L; aId = -1L
+          } else if (bTs < 0) { bTs = e.tsSec; bId = e.id }
+        }
+      }
+      // timers vs the watermark: a parked pay's create never came (its
+      // timer sits at the pay's own ts, necessarily < wm once processed);
+      // a parked create times out when the watermark passes its deadline
+      if (bTs >= 0 && wmSec > bTs) {
+        out += FullResult(key, -1L, -1L, bId, bTs, orphanTag)
+        bTs = -1L; bId = -1L
+      }
+      if (aTs >= 0 && wmSec >= aTs + withinSec) {
+        out += FullResult(key, aId, aTs, -1L, -1L, timeoutTag)
+        aTs = -1L; aId = -1L
+      }
+      if (rest.isEmpty && aTs < 0 && bTs < 0) state.remove()
+      else {
+        state.update(FullFollowState(rest, aTs, aId, bTs, bId))
+        if (streaming) {
+          val wake = (rest.map(_.tsSec) ++
+            (if (aTs >= 0) Seq(aTs + withinSec) else Nil) ++
+            (if (bTs >= 0) Seq(bTs) else Nil)).reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
   case class BlEvent(user: Long, ad: Long, tsSec: Long, id: Long)
   case class BlOut(tag: String, event_id: Long, user_id: Long, ad_id: Long,
                    day_start: Long, seq: Long)

@@ -41,4 +41,26 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), size, size) +: keys: _*)
       .agg(approx_count_distinct(distinctCol).as("uv_approx"))
+
+  /** Gap-based session aggregation per key over a watermarked stream —
+    * sessions close (and their state drops) when the watermark passes
+    * last-event + gap. Output: session struct (start/end) + keys + cnt. */
+  def sessionCount(stream: DataFrame, tsCol: String, watermarkDelay: String,
+                   gap: String, keys: Column*): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("session") +: keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A2 late-data observability (SURVEY §7.4-2): total input rows dropped
+    * as later-than-watermark across the query's retained progress history —
+    * the measurable twin of the reference's dropped-late side output
+    * (HotPage.java:77,88). Structured Streaming counts drops per stateful
+    * operator (`numRowsDroppedByWatermark`); this sums them. Progress
+    * retention is bounded (spark.sql.streaming.numRecentProgressUpdates,
+    * default 100 batches) — poll per trigger for lifetime-exact totals. */
+  def droppedLateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
 }

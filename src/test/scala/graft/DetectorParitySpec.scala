@@ -60,6 +60,57 @@ class DetectorParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def fullEvs: Seq[KeyedEvent] = (0 until 60).flatMap { k =>
+    val a = if (rnd.nextDouble() < 0.75)
+      Seq(KeyedEvent(k.toLong, 1000L + rnd.nextInt(400), k * 2L, hit = true)) else Nil
+    val b = if (rnd.nextDouble() < 0.75)
+      Seq(KeyedEvent(k.toLong, 1000L + rnd.nextInt(400), k * 2L + 1, hit = false)) else Nil
+    a ++ b
+  }
+
+  test("followedByFull batch matches the full-outer taxonomy join") {
+    val evs = fullEvs
+    val df = evs.toDF()
+    val a = df.filter(col("hit"))
+      .select(col("key"), col("id").as("a_id"), col("tsSec").as("a_ts"))
+    val b = df.filter(!col("hit"))
+      .select(col("key"), col("id").as("b_id"), col("tsSec").as("b_ts"))
+    val expected = JoinOps.followedByFullStatus(a, b, "key", "a_ts", "b_ts",
+        150, "ok", "late", "orphan", "timeout")
+      .select(col("key"),
+        coalesce(col("a_id"), lit(-1L)).as("a_id"),
+        coalesce(col("a_ts"), lit(-1L)).as("a_ts"),
+        coalesce(col("b_id"), lit(-1L)).as("b_id"),
+        coalesce(col("b_ts"), lit(-1L)).as("b_ts"), col("status"))
+      .as[FullResult].collect().toSet
+    val got = Detectors.followedByFull(evs.toDS(), 150, "ok", "late",
+      "orphan", "timeout", streaming = false).collect().toSet
+    assert(got == expected)
+    assert(Set("ok", "late", "orphan", "timeout").subsetOf(got.map(_.status)))
+  }
+
+  test("followedByFull streaming matches batch when events buffer to the watermark") {
+    val evs = fullEvs
+    val expected = Detectors.followedByFull(evs.toDS(), 150, "ok", "late",
+      "orphan", "timeout", streaming = false).collect().toSet
+    val input = MemoryStream[KeyedEvent](7, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "500 seconds")
+      .as[KeyedEvent]
+    val q = Detectors.followedByFull(withWm, 150, "ok", "late", "orphan",
+        "timeout", streaming = true)
+      .writeStream.format("memory").queryName("fbf_out").outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 100L)(_.tsSec)
+        .foreach { batch => input.addData(batch); q.processAllAvailable() }
+      input.addData(KeyedEvent(999L, 100000L, 9999L, hit = false))
+      q.processAllAvailable()
+      val got = spark.table("fbf_out").as[FullResult].collect().toSet
+      assert(got.filterNot(_.key == 999L) == expected)
+    } finally q.stop()
+  }
+
   test("blacklist batch-mode matches the rank formulation") {
     val evs = (0 until 300).map { i =>
       BlEvent(rnd.nextInt(3).toLong, rnd.nextInt(2).toLong,

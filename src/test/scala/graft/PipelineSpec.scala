@@ -50,6 +50,19 @@ class PipelineSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("ngramJaccardPairs fails fast when a scope group exceeds the doc cap") {
+    val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+      .withColumn("g", lit(1))
+    val guarded = DedupOps.ngramJaccardPairs(sh, "g", 0.5, maxDocsPerScope = 3)
+    val e = intercept[Exception](guarded.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("minhashPairs")),
+      s"guard should point to minhashPairs, got: ${e.getMessage}")
+    // and the same call under the default cap still runs
+    assert(DedupOps.ngramJaccardPairs(sh, "g", 0.5).collect().nonEmpty)
+  }
+
   test("simhash separates near-duplicates from random pairs") {
     val fp = DedupOps.simhash(Tables.documents(spark, sf0001), "text")
       .as[(Long, Long)].collect().toMap

@@ -83,6 +83,28 @@ class SourcesSinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka source contract: consumer config and wire-schema projection") {
+    // reference consumer config (HotItem.java:46-54) → reader options
+    val opts = EventSources.kafkaOptions("localhost:9092", "hotitems",
+      Map("startingOffsets" -> "earliest"))
+    assert(opts("kafka.bootstrap.servers") == "localhost:9092")
+    assert(opts("subscribe") == "hotitems")
+    assert(opts("startingOffsets") == "earliest")
+    // caller options may not clobber the topic/brokers they passed explicitly
+    assert(EventSources.kafkaOptions("b", "t", Map("subscribe" -> "other"))("subscribe") == "other")
+
+    // the projection applied to the kafka wire schema (binary key/value +
+    // topic/partition/offset/timestamp) yields (value: string, ts: timestamp)
+    val wire = Seq((
+        "k1".getBytes("UTF-8"), "hello,1,pv".getBytes("UTF-8"), "hotitems",
+        0, 42L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val out = wire.selectExpr(EventSources.kafkaProjection: _*)
+    assert(out.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("value", "string"), ("ts", "timestamp")))
+    assert(out.select("value").as[String].head() == "hello,1,pv")
+  }
+
   test("GraftExtensions injects custom functions into a fresh session") {
     spark // materialize the suite session (and its SparkContext) first
     val prev = SparkSession.getActiveSession

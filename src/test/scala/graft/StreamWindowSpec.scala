@@ -66,6 +66,56 @@ class StreamWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rows later than the watermark are dropped AND counted (A2 observability)") {
+    val input = MemoryStream[Ev](13, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val counts = StreamOps.tumblingCount(stream, "ts", "1 minute", "5 minutes", col("k"))
+    val q = graft.ops.WindowOps.epochWindow(counts)
+      .select("window_start", "k", "cnt")
+      .writeStream.format("memory").queryName("late_cnt").outputMode("append").start()
+    try {
+      input.addData(Ev(1000, "a"))
+      q.processAllAvailable()
+      input.addData(Ev(100000, "a")) // watermark jumps far past the first window
+      q.processAllAvailable()
+      input.addData(Ev(1001, "a")) // hopelessly late → dropped, but observable
+      q.processAllAvailable()
+      assert(StreamOps.droppedLateRows(q) == 1L)
+      // and the dropped row did not mutate its (already emitted) window
+      val w0 = spark.table("late_cnt").as[(Long, String, Long)].collect()
+        .filter(_._1 == 900L)
+      assert(w0.map(_._3).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("streaming session windows equal batch once the watermark closes them") {
+    val rnd = new scala.util.Random(23)
+    val evs = (0 until 400).map { _ =>
+      Ev(10000L + rnd.nextInt(3000), s"k${rnd.nextInt(5)}")
+    }
+    val batch = evs.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+      .groupBy(session_window(col("ts"), "2 minutes").as("session"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session.start").cast("long"), col("session.end").cast("long"),
+        col("k"), col("cnt"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    val input = MemoryStream[Ev](14, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val q = StreamOps.sessionCount(stream, "ts", "1 minute", "2 minutes", col("k"))
+      .select(col("session.start").cast("long").as("s"),
+        col("session.end").cast("long").as("e"), col("k"), col("cnt"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 50L)(_.tsSec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Ev(1000000L, "sentinel"))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[(Long, Long, String, Long)].collect()
+        .toSet.filterNot(_._3 == "sentinel")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming approx distinct produces a row per closed window") {
     val evs = (0 until 300).map(i => Ev(10000L + i * 10, s"u${i % 37}"))
     val input = MemoryStream[Ev](11, spark, None)

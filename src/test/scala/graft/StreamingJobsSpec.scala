@@ -79,6 +79,42 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming uv (HLL) equals the batch sketch on closed windows") {
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
+      .select(col("window.start").cast("long"), col("uv_approx"))
+      .as[(Long, Long)].collect().toMap
+    val q = StreamingJobs.uvStream(spark, sf0001)
+      .select(col("window.start").cast("long").as("ws"), col("uv_approx"))
+      .writeStream.format("memory").queryName("uv_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("uv_stream").as[(Long, Long)].collect().toMap
+      assert(got.nonEmpty, "at least one daily window should close")
+      got.foreach { case (ws, uv) => assert(batch(ws) == uv, s"window $ws") }
+    } finally q.stop()
+  }
+
+  test("streaming sessions equal the batch session_window on closed sessions") {
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "2 hours").as("session"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session.start").cast("long"), col("user_id"), col("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    val q = StreamingJobs.userSessionsStream(spark, sf0001)
+      .select(col("session.start").cast("long").as("ss"), col("user_id"), col("cnt"))
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_stream").as[(Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty, "watermark should close most sessions")
+      assert(got.subsetOf(batch), "closed sessions must agree with batch")
+      assert(got.size * 10 > batch.size * 5, "too few sessions closed")
+    } finally q.stop()
+  }
+
   test("streaming login-fail alarms agree with the batch detector") {
     val batchEvents = graft.sources.Tables.events(spark, sf0001)
       .select(col("user_id").as("key"), col("ts").cast("long").as("tsSec"),
