@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /**
  * `qdot(a, b)` — exact integer dot product of two float-vector columns
@@ -23,16 +23,12 @@ import org.apache.spark.sql.types.{DataType, FloatType, LongType}
  * `qdot(v, v)` is the squared norm.
  */
 case class QuantizedDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "qdot"
-
-  // the same BigDecimal HALF_UP path Spark's SQL round() takes, so values
-  // are bit-identical to the previously-validated SQL formulation
-  private def q(v: Double): Long =
-    java.math.BigDecimal.valueOf(v * 1e7)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,17 +37,44 @@ case class QuantizedDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += q(x.getFloat(i).toDouble) * q(y.getFloat(i).toDouble)
+      acc += QuantizedDot.quantize(x.getFloat(i).toDouble) *
+        QuantizedDot.quantize(y.getFloat(i).toDouble)
       i += 1
     }
     java.lang.Long.valueOf(acc)
   }
+
+  // inline the loop in the generated stage; quantization stays the shared
+  // static helper so interpreted and codegen'd paths are bit-identical
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cls = QuantizedDot.getClass.getName.stripSuffix("$")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $cls.quantize((double) $a.getFloat($i))
+         |    * $cls.quantize((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
     copy(left = l, right = r)
 }
 
 object QuantizedDot {
+  /** The same BigDecimal HALF_UP path Spark's SQL round() takes, so values
+    * are bit-identical to the validated SQL formulation
+    * `CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)`. */
+  def quantize(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1e7)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qdot", exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")

@@ -51,7 +51,9 @@ object DedupOps {
     // already small and the extra per-doc set aggregation dominates.
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val scopeGuard = sh.groupBy(col(scope))
-      .agg(countDistinct(col("doc_id")).as("__scope_docs"))
+      // HLL estimate (±2%): a guard needs magnitude, not exactness — the
+      // exact distinct would add an expand + second shuffle just to guard
+      .agg(approx_count_distinct(col("doc_id")).as("__scope_docs"))
       .withColumnRenamed(scope, "__scope_g")
     val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
         col("sh").as("sh_a"))

@@ -59,17 +59,25 @@ object PipelineQueries {
   /** Per-document text statistics: token count (whitespace), regex-token
     * count (BPE-ish word/number/punct split), average token length, punct
     * count, stopword count. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    // all-builtin, fully codegen'd formulation — no array materialization
+    // and no interpreted lambdas (the filter/aggregate higher-order forms
+    // interpret their lambda per element):
+    //  - a token is a maximal run of non-spaces, so n_tokens = count of
+    //    non-space chars preceded by start-or-space,
+    //  - sum of token lengths = length with spaces removed,
+    //  - stopword hits assert the token boundaries with lookarounds (the
+    //    shared delimiter is not consumed, so adjacent hits all count).
+    val stops = TextLang.langs.toMap.apply("en").mkString("|")
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "text",
-        "filter(split(trim(text), ' '), t -> t <> '') AS toks")
       .selectExpr(
         "doc_id",
-        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(regexp_count(text, '(?<=^| )[^ ]') AS BIGINT) AS n_tokens",
         "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT) AS n_rtokens",
-        "CAST(aggregate(toks, 0, (a, t) -> a + length(t)) AS DOUBLE) / CAST(nullif(size(toks), 0) AS DOUBLE) AS avg_token_len",
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(nullif(regexp_count(text, '(?<=^| )[^ ]'), 0) AS DOUBLE) AS avg_token_len",
         "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT) AS punct_cnt",
-        "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','on','for','with'), t))) AS BIGINT) AS stop_cnt")
+        s"CAST(regexp_count(text, '(?<=^| )(?:$stops)(?= |$$)') AS BIGINT) AS stop_cnt")
+  }
 
   /** Quality score in [0,1]: length saturation + punctuation cleanliness +
     * stopword density, the usual cheap pre-filter before expensive dedup. */
@@ -117,18 +125,22 @@ object PipelineQueries {
   /** Stopword-profile language ID: argmax stopword hits over four small
     * language lists (deterministic tie-break by language code). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scores = TextLang.langs.map { case (lang, words) =>
-      val arr = words.map(w => s"'$w'").mkString(", ")
-      s"struct('$lang' AS lang, CAST(size(filter(toks, t -> array_contains(array($arr), t))) AS BIGINT) AS score)"
-    }.mkString(", ")
+    // one codegen'd regexp_count per language profile (token boundaries
+    // asserted by lookarounds), argmax as a per-row CASE chain — narrow
+    // plan: no token-array explode and NO per-doc window shuffle. Ties
+    // resolve to the alphabetically-first language, matching the oracle's
+    // (score DESC, lang ASC) rank.
+    val scoreCols = TextLang.langs.map { case (lang, words) =>
+      s"CAST(regexp_count(text, '(?<=^| )(?:${words.mkString("|")})(?= |$$)') AS BIGINT) AS s_$lang"
+    }
+    val langsSorted = TextLang.langs.map(_._1).sorted
+    val best = langsSorted.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langsSorted.map(l => s"WHEN s_$l = __best THEN '$l'")
+      .mkString("CASE ", " ", " END")
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS toks")
-      .selectExpr("doc_id", s"explode(array($scores)) AS ls")
-      .selectExpr("doc_id", "ls.lang AS lang", "ls.score AS score")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang").asc)))
-      .filter(col("rn") === 1)
-      .select("doc_id", "lang", "score")
+      .selectExpr(Seq("doc_id") ++ scoreCols: _*)
+      .withColumn("__best", expr(best))
+      .selectExpr("doc_id", s"$pick AS lang", "__best AS score")
   }
 
   /** Multimodal metadata pass: binary payload column + typed metadata
