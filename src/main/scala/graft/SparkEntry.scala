@@ -72,6 +72,9 @@ object SparkEntry {
     "dedup_embed"     -> (PipelineQueries.dedupEmbed _),
     "lang_id"         -> (PipelineQueries.langId _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
+    "contamination"     -> (PipelineQueries.contamination _),
+    "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     // multimodal plumbing (binary payload + partition-batched decode stub)
     "multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),

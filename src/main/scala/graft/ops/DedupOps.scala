@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
  */
 object DedupOps {
 
-  /** Distinct word `n`-shingles per doc: (doc_id, extra cols..., sh). */
-  def shingles(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame = {
+  /** Every word `n`-shingle occurrence per doc, position multiplicity kept
+    * (repetition analysis needs the counts): (doc_id, extra cols..., sh). */
+  def allShingles(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame = {
     val parts = (0 until n).map(i => s"element_at(w, i + $i)").mkString(", ' ', ")
     docs.selectExpr(Seq("doc_id") ++ carry ++
         Seq(s"filter(split(trim($textCol), ' '), t -> t <> '') AS w"): _*)
@@ -30,8 +31,11 @@ object DedupOps {
         Seq("w", "explode(sequence(1, size(w))) AS i"): _*)
       .filter(expr(s"i + ${n - 1} <= size(w)"))
       .selectExpr(Seq("doc_id") ++ carry ++ Seq(s"concat($parts) AS sh"): _*)
-      .distinct()
   }
+
+  /** Distinct word `n`-shingles per doc: (doc_id, extra cols..., sh). */
+  def shingles(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame =
+    allShingles(docs, textCol, n, carry: _*).distinct()
 
   /** All-pairs exact n-gram Jaccard ≥ `threshold` within the same `scope`
     * column — QUADRATIC within each scope group by contract; the scope

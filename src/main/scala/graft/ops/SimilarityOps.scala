@@ -126,6 +126,69 @@ object SimilarityOps {
       .select("id_a", "id_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN: `nCentroids` coarse centroids partition the
+    * corpus into inverted lists; each query probes its `nProbe` nearest
+    * lists and scores only those.
+    *
+    * Centroids come from an offline training job in a real deployment; the
+    * first `nCentroids` corpus vectors stand in deterministically here. The
+    * codebook is collected ONCE (O(nCentroids·dim) — model parameters, not
+    * data) and inlined as plan literals, so list assignment is one narrow
+    * codegen'd pass over the corpus: per row, `nCentroids` `ldot`s + a CASE
+    * argmax — NO shuffle and NO row expansion on the corpus side (the
+    * row_number alternative would shuffle corpus×nCentroids rows). Probe
+    * selection explodes only the tiny query set. Ties on equal cosine go to
+    * the lowest centroid id, matching the oracle's (cos DESC, cid ASC) rank.
+    *
+    * Output: q_id, c_id, cos, rn (≤ k rows per query — recall bounded by
+    * the probed lists, the standard IVF trade). */
+  def ivfTopK(emb: DataFrame, dim: Int, nCentroids: Int, nProbe: Int,
+              queryPred: String, k: Int): DataFrame = {
+    val vecs = quantVecs(emb)
+    // the "codebook": (cid, quantized vector literal, norm2)
+    val centroids = vecs.filter(col("vec_id") < nCentroids)
+      .selectExpr("vec_id", "qvec", "norm2")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    def cosExpr(qv: Seq[Long], n2: Long): String =
+      s"CAST(ldot(qvec, array(${qv.mkString("L,")}L)) AS DOUBLE)" +
+        s" / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(${n2}L AS DOUBLE)))"
+    // corpus → inverted-list id, per-row argmax over literal codebook dots.
+    // One scores ARRAY + array_position(.., array_max(..)): a greatest +
+    // CASE-chain argmax would inline the 16 dot expressions O(n²) times
+    // after projection collapse and detonate codegen. array_position takes
+    // the FIRST maximum → ties go to the lowest centroid id (cids sorted).
+    val ccs = centroids.map { case (_, qv, n2) => cosExpr(qv, n2) }
+      .mkString("array(", ", ", ")")
+    val cidArr = centroids.map(c => s"${c._1}L").mkString("array(", ", ", ")")
+    val assigned = vecs
+      .selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc",
+        s"element_at($cidArr, CAST(array_position($ccs, array_max($ccs)) AS INT)) AS bucket")
+    // queries → nProbe nearest centroids (explode is over queries only)
+    val centroidStructs = centroids.map { case (cid, qv, n2) =>
+      s"struct(${cid}L AS cid, ${cosExpr(qv, n2)} AS cos)"
+    }.mkString(", ")
+    val probes = vecs
+      .join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "qvec", "norm2",
+        s"explode(array($centroidStructs)) AS c")
+      .selectExpr("q_id", "qvec AS qq", "norm2 AS nq", "c.cid AS bucket", "c.cos AS ccos")
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("bucket").asc)))
+      .filter(col("pr") <= nProbe)
+      .select("q_id", "qq", "nq", "bucket")
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", "nq", "nc", "ldot(qq, qc) AS dot")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cos", "rn")
+  }
+
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.
     * Output: q_id, c_id, cos, rn (may return < k rows per query — the
     * recall trade documented above). */

@@ -88,6 +88,53 @@ object PipelineQueries {
         " + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE) / (CAST(punct_cnt AS DOUBLE) + CAST(100.0 AS DOUBLE)))" +
         " + CAST(0.3 AS DOUBLE) * (CAST(stop_cnt AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)) AS quality")
 
+  /** Gopher-style repetition filters: per doc, the most-frequent-2-gram
+    * mass fraction and the duplicated-3-gram fraction, plus the pass flag —
+    * the cheap repetition gate a pretraining pipeline runs before dedup.
+    * Two narrow explode→groupBy passes (shuffle keyed by doc), no joins
+    * against other documents. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bg = DedupOps.allShingles(docs, "text", 2)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"))
+    val tg = DedupOps.allShingles(docs, "text", 3)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("dist3"), count(lit(1)).as("tot3"))
+    bg.join(tg, "doc_id")
+      .selectExpr("doc_id",
+        "CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_frac",
+        "CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE) AS dup_trigram_frac")
+      .selectExpr("doc_id", "top_bigram_frac", "dup_trigram_frac",
+        "top_bigram_frac <= 0.08D AND dup_trigram_frac <= 0.6D AS pass")
+  }
+
+  /** Train/test contamination: for each test-split document, how many of
+    * its distinct 3-gram shingles appear anywhere in the train split.
+    * Scale shape: ONE semi-join shuffled on the shingle hash — the
+    * train-side distinct and the join co-partition; no doc×doc pairing. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = trainSplit(spark, dir).select("doc_id", "split")
+    val sh = DedupOps.shingles(Tables.documents(spark, dir), "text", 3)
+      .join(split, "doc_id")
+    val trainSh = sh.filter(col("split") === "train")
+      .select("sh").distinct().withColumn("__hit", lit(1))
+    sh.filter(col("split") === "test")
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .selectExpr("doc_id", "n_sh", "n_hit",
+        "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
+  }
+
+  /** IVF ANN top-3 for query vectors vec_id < 32: 16 coarse centroids
+    * (the first corpus vectors stand in for an offline-trained codebook),
+    * 4 probes per query. */
+  def embedTopKIvf(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ivfTopK(Tables.embeddings(spark, dir), 64,
+      nCentroids = 16, nProbe = 4, "vec_id < 32", 3)
+
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, scoped per source
     * (bounds the quadratic shingle self-join). */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
@@ -346,6 +393,59 @@ object PipelineOracles {
        |) WHERE rn = 1""".stripMargin
   }
 
+  val gopherRepetition: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS sh FROM t),
+      |bc AS (SELECT doc_id, sh, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM bc GROUP BY 1),
+      |tg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]) AS sh FROM t),
+      |ts AS (SELECT doc_id, count(DISTINCT sh) AS dist3, count(*) AS tot3 FROM tg GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_frac,
+      |  CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE) AS dup_trigram_frac,
+      |  (CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE)) <= 0.08
+      |    AND (CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE)) <= 0.6 AS pass
+      |FROM bs JOIN ts USING (doc_id)""".stripMargin
+
+  val contamination: String =
+    """WITH spl AS (
+      |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS b
+      |        FROM documents)),
+      |t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]) AS sh FROM t)),
+      |tr AS (SELECT DISTINCT sh FROM g JOIN spl USING (doc_id) WHERE split = 'train'),
+      |te AS (SELECT g.doc_id, g.sh FROM g JOIN spl USING (doc_id) WHERE split = 'test')
+      |SELECT te.doc_id, count(*) AS n_sh, count(tr.sh) AS n_hit,
+      |  CAST(count(tr.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
+      |FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY 1""".stripMargin
+
+  val embedTopKIvf: String =
+    s"""WITH $quantCte,
+       |cd AS (SELECT a.id AS vid, b.id AS cid, SUM(a.v * b.v) AS dot
+       |       FROM qz a JOIN qz b ON a.pos = b.pos WHERE b.id < 16 GROUP BY 1, 2),
+       |cs AS (SELECT vid, cid,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM cd JOIN nrm na ON na.id = vid JOIN nrm nb ON nb.id = cid),
+       |assign AS (SELECT vid AS c_id, cid AS bucket FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vid AS q_id, cid AS bucket FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn FROM cs WHERE vid < 32)
+       |  WHERE rn <= 4),
+       |cand AS (SELECT q_id, c_id FROM probes JOIN assign USING (bucket) WHERE c_id <> q_id),
+       |d AS (SELECT q_id, c_id, SUM(a.v * b.v) AS dot
+       |      FROM cand JOIN qz a ON a.id = q_id JOIN qz b ON b.id = c_id AND b.pos = a.pos
+       |      GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id)
+       |SELECT q_id, c_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
   val docFingerprint: String =
     """WITH h AS (
       |  SELECT doc_id, unnest([
@@ -434,5 +534,8 @@ object PipelineOracles {
     "dedup_embed"     -> dedupEmbed,
     "lang_id"         -> langId,
     "doc_fingerprint" -> docFingerprint,
+    "gopher_repetition" -> gopherRepetition,
+    "contamination"     -> contamination,
+    "embed_topk_ivf"    -> embedTopKIvf,
   )
 }
