@@ -115,9 +115,12 @@ object PipelineQueries {
     * Scale shape: ONE semi-join shuffled on the shingle hash — the
     * train-side distinct and the join co-partition; no doc×doc pairing. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val split = trainSplit(spark, dir).select("doc_id", "split")
-    val sh = DedupOps.shingles(Tables.documents(spark, dir), "text", 3)
-      .join(split, "doc_id")
+    // the split is a per-row hash — compute it as a carried column inside
+    // the one shingle scan instead of joining a second documents pass
+    val docs = Tables.documents(spark, dir).selectExpr("doc_id", "text",
+      s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
+        s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
+    val sh = DedupOps.shingles(docs, "text", 3, "split")
     val trainSh = sh.filter(col("split") === "train")
       .select("sh").distinct().withColumn("__hit", lit(1))
     sh.filter(col("split") === "test")

@@ -50,6 +50,20 @@ class PipelineSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("IVF ANN recall vs brute force at matched k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, 64, nCentroids = 16, nProbe = 4,
+        "vec_id < 32", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // every IVF hit must be a real corpus pair scored at true cosine —
+    // and probing 4/16 lists should keep recall well above chance
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low for nProbe=4/16")
+  }
+
   test("ngramJaccardPairs fails fast when a scope group exceeds the doc cap") {
     val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
       .withColumn("g", lit(1))
