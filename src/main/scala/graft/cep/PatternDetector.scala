@@ -140,9 +140,14 @@ object PatternDetector extends Serializable {
       else {
         state.update(PatternState(rest,
           partials.map(p => (p.stage, p.inStage, p.firstTs, p.firstId, p.nEvents, p.begun))))
-        if (streaming && rest.nonEmpty)
-          state.setTimeoutTimestamp(
-            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+        if (streaming) {
+          // wake for buffered events AND for partial-match expiry, so quiet
+          // keys are re-invoked to prune and eventually remove their state
+          val wake = (rest.map(_.tsSec) ++
+            partials.map(_.firstTs + effSpec.withinSec)).reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
       }
       matches.iterator
     }

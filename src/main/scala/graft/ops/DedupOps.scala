@@ -63,9 +63,12 @@ object DedupOps {
         col("sh").as("sh_a"))
       .join(scopeGuard, col("scope_a") === col("__scope_g"), "left")
       // assert_true returns NULL when the predicate holds, so the filter
-      // keeps every row; a too-large scope raises instead of exploding
+      // keeps every row; a too-large scope raises instead of exploding.
+      // NULL-scope rows get a NULL __scope_docs (null-unsafe join) —
+      // coalesce passes them through unguarded, preserving the pre-guard
+      // behavior where they simply never pair (NULL = NULL is not true).
       .filter(expr(
-        s"""assert_true(__scope_docs <= ${maxDocsPerScope}L, concat(
+        s"""assert_true(coalesce(__scope_docs, 0L) <= ${maxDocsPerScope}L, concat(
            |'ngramJaccardPairs: scope group ', cast(__scope_g AS STRING),
            |' holds ', cast(__scope_docs AS STRING),
            |' docs (> $maxDocsPerScope); the shingle self-join is quadratic

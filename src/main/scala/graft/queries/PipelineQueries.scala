@@ -76,7 +76,10 @@ object PipelineQueries {
         "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT) AS n_rtokens",
         "CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(nullif(regexp_count(text, '(?<=^| )[^ ]'), 0) AS DOUBLE) AS avg_token_len",
         "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT) AS punct_cnt",
-        s"CAST(regexp_count(text, '(?<=^| )(?:$stops)(?= |$$)') AS BIGINT) AS stop_cnt")
+        // \\z (absolute end), NOT $: Java's $ also matches before a final
+        // line terminator, which would count a trailing "the\n" the
+        // token-based oracle does not
+        s"CAST(regexp_count(text, '(?<=^| )(?:$stops)(?= |\\\\z)') AS BIGINT) AS stop_cnt")
   }
 
   /** Quality score in [0,1]: length saturation + punctuation cleanliness +
@@ -121,12 +124,19 @@ object PipelineQueries {
       s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
         s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
     val sh = DedupOps.shingles(docs, "text", 3, "split")
-    val trainSh = sh.filter(col("split") === "train")
-      .select("sh").distinct().withColumn("__hit", lit(1))
-    sh.filter(col("split") === "test")
-      .join(trainSh, Seq("sh"), "left")
+    // ONE pass over the shingle set (a filtered self-join would shingle the
+    // corpus twice — the split filters break subplan reuse): per shingle, a
+    // train-presence flag + the test docs carrying it; exploding the
+    // per-shingle test-doc sets yields each test doc's distinct shingles
+    // exactly once. Set sizes are bounded by test-docs-per-shingle (~10% of
+    // docs sharing a shingle).
+    sh.groupBy("sh")
+      .agg(max(col("split") === "train").as("in_train"),
+        collect_set(when(col("split") === "test", col("doc_id"))).as("tdocs"))
+      .select(explode(col("tdocs")).as("doc_id"), col("in_train"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("in_train"), lit(1))).as("n_hit"))
       .selectExpr("doc_id", "n_sh", "n_hit",
         "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
   }
@@ -181,7 +191,8 @@ object PipelineQueries {
     // resolve to the alphabetically-first language, matching the oracle's
     // (score DESC, lang ASC) rank.
     val scoreCols = TextLang.langs.map { case (lang, words) =>
-      s"CAST(regexp_count(text, '(?<=^| )(?:${words.mkString("|")})(?= |$$)') AS BIGINT) AS s_$lang"
+      // \z not $ — see textStats
+      s"CAST(regexp_count(text, '(?<=^| )(?:${words.mkString("|")})(?= |\\\\z)') AS BIGINT) AS s_$lang"
     }
     val langsSorted = TextLang.langs.map(_._1).sorted
     val best = langsSorted.map(l => s"s_$l").mkString("greatest(", ", ", ")")

@@ -70,9 +70,15 @@ object Detectors {
       if (rest.isEmpty && liveRun.isEmpty) state.remove()
       else {
         state.update(RunState(rest, liveRun))
-        if (streaming && rest.nonEmpty)
-          state.setTimeoutTimestamp(
-            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+        if (streaming) {
+          // wake for buffered events AND for run-tail expiry: without the
+          // second term a key that goes quiet is never re-invoked and its
+          // state row would be pinned forever
+          val wake = (rest.map(_.tsSec) ++ liveRun.map(_._1 + withinSec))
+            .reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
       }
       out.result().iterator
     }
@@ -190,7 +196,9 @@ object Detectors {
         }
       }
       // timers vs the watermark: a parked pay's create never came (its
-      // timer sits at the pay's own ts, necessarily < wm once processed);
+      // timer sits at the pay's own ts, necessarily < wm once processed —
+      // so a parked pay NEVER survives a drain and the 1.1 create-after-pay
+      // match can only happen within one drain; bTs/bId persist as -1);
       // a parked create times out when the watermark passes its deadline
       if (bTs >= 0 && wmSec > bTs) {
         out += FullResult(key, -1L, -1L, bId, bTs, orphanTag)
@@ -260,9 +268,15 @@ object Detectors {
       if (rest.isEmpty && day + 86400 <= wmSec) state.remove()
       else {
         state.update(BlState(rest, day, cnt, warned))
-        if (streaming && rest.nonEmpty)
-          state.setTimeoutTimestamp(
-            math.max(rest.head.tsSec * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+        if (streaming) {
+          // wake at the buffered events or at end-of-day, whichever first —
+          // the end-of-day timer is what re-invokes a quiet key so the
+          // removal branch above can actually fire
+          val wake = (rest.map(_.tsSec) ++
+            (if (day >= 0) Seq(day + 86400) else Nil)).reduceOption(_ min _)
+          wake.foreach(w => state.setTimeoutTimestamp(
+            math.max(w * 1000 + 1000, state.getCurrentWatermarkMs() + 1)))
+        }
       }
       out.result().iterator
     }

@@ -135,6 +135,28 @@ class DetectorParitySpec extends SparkSpec {
     assert(gotWarn.nonEmpty)
   }
 
+  test("consecutive detector removes state rows for keys that go quiet") {
+    val input = MemoryStream[KeyedEvent](21, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "60 seconds")
+      .as[KeyedEvent]
+    val q = Detectors.consecutive(withWm, 3, 100, streaming = true)
+      .writeStream.format("memory").queryName("quiet_out").outputMode("append").start()
+    try {
+      input.addData(KeyedEvent(1L, 1000L, 1L, hit = true))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(99L, 100000L, 2L, hit = false))
+      q.processAllAvailable()
+      // one more trigger after the watermark jump so key 1's expiry timer
+      // fires with no new data for it
+      input.addData(KeyedEvent(99L, 100001L, 3L, hit = false))
+      q.processAllAvailable()
+      // only the sentinel key's buffered events remain as state
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 1L)
+    } finally q.stop()
+  }
+
   test("reconcile emits matched and both unmatched sides with timer semantics") {
     val evs = Seq(
       TxEvent(1, 100, 1, hit = true),  // pay, receipt arrives at 103 → matched

@@ -50,6 +50,17 @@ class PipelineSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("stopword regex counts match token semantics on a trailing line terminator") {
+    // Java's $ matches BEFORE a final \n — the token-based oracle keeps the
+    // \n inside the last token; \z (absolute end) is the faithful anchor
+    val df = Seq("cat sat on the\n", "cat sat on the", "the fox", "xthe y")
+      .toDF("text")
+    val got = df.selectExpr(
+        "CAST(regexp_count(text, '(?<=^| )(?:the|a|of)(?= |\\\\z)') AS BIGINT) AS c")
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 0L))
+  }
+
   test("IVF ANN recall vs brute force at matched k") {
     val emb = Tables.embeddings(spark, sf0001)
     val exact = SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3)
