@@ -75,6 +75,10 @@ object SparkEntry {
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
+    "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
+    "seq_pack"          -> (PipelineQueries.seqPack _),
+    "domain_mix"        -> (PipelineQueries.domainMix _),
+    "curate_corpus"     -> (PipelineQueries.curateCorpus _),
     // multimodal plumbing (binary payload + partition-batched decode stub)
     "multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Graph clustering for dedup resolution: connected components over a
+ * near-duplicate pair list (the output of [[DedupOps.minhashPairs]] or
+ * [[SimilarityOps.cosineDupPairs]]), so each duplicate group can elect one
+ * canonical survivor — the step that turns pairwise near-dup evidence into
+ * an actual keep/drop decision.
+ *
+ * Algorithm: min-label propagation to fixpoint. Every node's label starts
+ * at its own id; each round a node takes the min of its own and its
+ * neighbors' labels; at the fixpoint every component is labeled by its
+ * minimum id. Scale shape:
+ *  - each round is ONE aggregation shuffle keyed by node id over the
+ *    EDGE-TOUCHED nodes only — singleton documents (the dominant mass of a
+ *    100 TB corpus) never enter the loop and are attached afterwards with
+ *    a left join;
+ *  - rounds needed = component diameter. Near-dup components are dense
+ *    short-diameter clumps (every pair shares >= threshold of its
+ *    shingles), so a handful of rounds converges; for adversarial
+ *    long-chain graphs swap the propagate step for the alternating
+ *    large-star/small-star scheme (Kiveris et al., "Connected Components
+ *    in MapReduce and Beyond", SoCC'14), which bounds rounds at O(log^2 n);
+ *  - `localCheckpoint` truncates lineage each round so the plan (and its
+ *    codegen) stays constant-size regardless of iteration count.
+ *
+ * The driver-side loop is control flow only — per-round data movement is
+ * entirely distributed; the only driver-visible values are the empty-check
+ * of the convergence join.
+ */
+object ClusterOps {
+
+  /** Connected components of the undirected graph given by (`aCol`,`bCol`)
+    * pairs. Returns one row per node appearing in any pair:
+    * (id, cluster_id) with cluster_id = min node id of its component.
+    * Fails fast (like the dedup guards) if `maxIter` rounds don't reach a
+    * fixpoint rather than silently returning partial components. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 folded into init: own id min direct neighbors
+    var labels = edges.groupBy(col("s"))
+      .agg(min(col("d")).as("mn"))
+      .select(col("s").as("id"), least(col("s"), col("mn")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val msgs = edges.join(labels, col("s") === col("id"))
+        .select(col("d").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label decreased" == fixpoint
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter rounds - component " +
+        "diameter exceeds the bound; raise maxIter or use a star-contraction scheme")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction over a text column — the scrubbing pass a
+ * training-data pipeline runs before anything leaves the raw zone.
+ *
+ * All patterns are codegen'd `regexp_count`/`regexp_replace` built-ins
+ * (narrow per-row plan, no shuffle, no UDF) and deliberately avoid
+ * lookaround so the same pattern text behaves identically under Java
+ * regex and RE2-family engines.
+ *
+ * The driver testdata contains no PII-shaped strings (synthetic word
+ * soup), so this operator is spec-covered with inline fixtures rather than
+ * oracle-checked — a degenerate all-zero oracle would prove nothing.
+ */
+object TextOps {
+
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  // >= 8 chars of digits/space/dash/parens between two digits; dots are NOT
+  // in the class, so IPv4 octet runs stay too short to match
+  val phoneRe: String = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Adds per-row PII counts (on the original text — the three patterns
+    * cannot overlap: emails contain '@', IPv4 needs dots, phones exclude
+    * dots) and a `text_redacted` column with emails, then IPs, then phone
+    * runs replaced by typed placeholders. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+}

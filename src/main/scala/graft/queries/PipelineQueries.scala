@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.{ClusterOps, DedupOps, SimilarityOps}
 import graft.sources.Tables
 
 /**
@@ -225,6 +225,78 @@ object PipelineQueries {
         "chunk_sums[2] AS c2_sum", "chunk_sums[3] AS c3_sum",
         "chunk_lens[0] AS c0_n", "chunk_lens[1] AS c1_n",
         "chunk_lens[2] AS c2_n", "chunk_lens[3] AS c3_n")
+
+  /** Near-dup cluster resolution: MinHash+LSH pairs → connected components
+    * → canonical survivor per cluster (min doc_id). One row per document,
+    * singletons included — the keep/drop decision a dedup pipeline actually
+    * ships. Scale shape: the component loop touches only edge-involved
+    * docs ([[ClusterOps.connectedComponents]]); the corpus-wide cost is one
+    * left join plus a count shuffled by cluster id. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.shingles(docs, "text", 3), 16, 4, 0.5)
+    val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
+        "csize")
+  }
+
+  /** Sequence packing for pretraining: concatenate each shard's documents
+    * in doc_id order into a token stream and cut fixed 512-token context
+    * windows; emit every doc's stream offset and spanned window range.
+    * The running sum is windowed PER SHARD (the unit a packing worker owns)
+    * — never a global single-partition prefix scan. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "doc_id % 8 AS shard",
+        "CAST(regexp_count(text, '(?<=^| )[^ ]') AS BIGINT) AS n_tok")
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_end", sum(col("n_tok")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+      .selectExpr("doc_id", "shard", "n_tok",
+        "tok_end - n_tok AS tok_start",
+        "(tok_end - n_tok) div 512 AS bin_first",
+        "(tok_end - 1) div 512 AS bin_last",
+        "(tok_end - 1) div 512 - (tok_end - n_tok) div 512 + 1 AS n_bins")
+
+  /** Domain balancing by deterministic upsampling: repeat each document
+    * `min(4, max_lang_count / lang_count)` times so minority languages
+    * approach the majority's mass (integer epochs only — no fractional
+    * sampling, no rand()). The per-lang counts are a 5-row broadcast; the
+    * corpus side is one narrow explode. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(col("n")).as("maxn"))
+    docs.select("doc_id", "lang")
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(mx))
+      .selectExpr("doc_id", "lang", "least(4L, maxn div n) AS repeats")
+      .selectExpr("doc_id", "lang", "repeats",
+        "explode(sequence(1L, repeats)) AS copy_ix")
+  }
+
+  /** End-to-end curation decision: per document, the quality score, the
+    * repetition gate, exact-dup canonicality, and the combined keep flag —
+    * the composed filter chain a corpus build actually runs. Flags, not a
+    * filtered subset, so every stage's verdict is auditable. */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir)
+    val rep = gopherRepetition(spark, dir)
+      .select(col("doc_id"), col("pass").as("rep_pass"))
+    val canon = dedupExact(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(true).as("canon"))
+    q.join(rep, "doc_id")
+      .join(canon, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "quality", "rep_pass",
+        "coalesce(canon, false) AS is_canonical",
+        "quality >= 0.5D AND rep_pass AND coalesce(canon, false) AS keep")
+  }
 
   /** Rolling-hash document fingerprint: min of the 5-char polynomial
     * rolling hash over the text (winnowing-style content signature).
@@ -531,6 +603,54 @@ object PipelineOracles {
       |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
       |FROM b""".stripMargin
 
+  /** Transitive closure of the minhash near-dup pairs via recursive CTE —
+    * cluster_id = min reachable doc (the component minimum), exactly the
+    * label-propagation fixpoint the Spark side computes iteratively. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhash) mp),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS lid, min(d) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(l.mn, d.doc_id)) AS cluster_id,
+       |  d.doc_id = least(d.doc_id, coalesce(l.mn, d.doc_id)) AS is_canonical,
+       |  count(*) OVER (PARTITION BY least(d.doc_id, coalesce(l.mn, d.doc_id))) AS csize
+       |FROM documents d LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
+
+  val seqPack: String =
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, shard, n_tok,
+      |             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS tok_end
+      |      FROM t WHERE n_tok > 0)
+      |SELECT doc_id, shard, n_tok, tok_end - n_tok AS tok_start,
+      |  (tok_end - n_tok) // 512 AS bin_first,
+      |  (tok_end - 1) // 512 AS bin_last,
+      |  (tok_end - 1) // 512 - (tok_end - n_tok) // 512 + 1 AS n_bins
+      |FROM c""".stripMargin
+
+  val domainMix: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT max(n) AS maxn FROM c)
+      |SELECT doc_id, d.lang, CAST(least(4, maxn // n) AS BIGINT) AS repeats,
+      |       unnest(generate_series(1, least(4, maxn // n))) AS copy_ix
+      |FROM documents d JOIN c USING (lang) CROSS JOIN m""".stripMargin
+
+  val curateCorpus: String =
+    s"""WITH q AS ($textQuality),
+       |g AS ($gopherRepetition),
+       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT q.doc_id, quality, g.pass AS rep_pass,
+       |  k.doc_id IS NOT NULL AS is_canonical,
+       |  quality >= 0.5 AND g.pass AND k.doc_id IS NOT NULL AS keep
+       |FROM q JOIN g ON g.doc_id = q.doc_id LEFT JOIN k ON k.doc_id = q.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "train_split"      -> trainSplit,
     "multimodal_meta"  -> multimodalMeta,
@@ -551,5 +671,9 @@ object PipelineOracles {
     "gopher_repetition" -> gopherRepetition,
     "contamination"     -> contamination,
     "embed_topk_ivf"    -> embedTopKIvf,
+    "dedup_clusters"    -> dedupClusters,
+    "seq_pack"          -> seqPack,
+    "domain_mix"        -> domainMix,
+    "curate_corpus"     -> curateCorpus,
   )
 }

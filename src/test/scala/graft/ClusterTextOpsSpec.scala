@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ClusterOps, DedupOps, TextOps}
+import graft.queries.PipelineQueries
+import graft.sources.Tables
+
+/** Connected-components dedup resolution + PII scrubbing. */
+class ClusterTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels a multi-hop chain by its component min") {
+    // 1-2-3-4-5 is a 4-hop chain (forces >1 propagation round), 10-11 a
+    // pair, 20-21-22 a triangle; 99 appears in no pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val got = ClusterOps.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents fails fast when maxIter is too small") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ClusterOps.connectedComponents(chain, "a", "b", maxIter = 1).collect()
+    }
+  }
+
+  test("dedup_clusters covers every doc; clusters agree with minhash pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = PipelineQueries.dedupClusters(spark, sf0001)
+    assert(out.count() == docs.count())
+    // every verified near-dup pair must land in the same cluster
+    val cluster = out.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    val pairs = DedupOps.minhashPairs(
+        DedupOps.shingles(docs, "text", 3), 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
+    // canonical = cluster minimum, exactly one per cluster
+    val canonical = out.filter(col("is_canonical"))
+      .select("cluster_id").as[Long].collect()
+    assert(canonical.length == canonical.distinct.length)
+    assert(cluster.values.toSet == canonical.toSet)
+  }
+
+  test("redactPii counts and replaces emails, IPs, and phone runs") {
+    val df = Seq(
+      "contact bob@example.com or +1 555 123 4567 now",
+      "server at 10.0.0.1 and 192.168.1.255 up",
+      "no pii here at all",
+      "alice.smith+tag@sub.domain.org again bob@example.com"
+    ).toDF("text")
+    val got = TextOps.redactPii(df, "text")
+      .select("n_emails", "n_ips", "n_phones", "text_redacted")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 0L, 1L, "contact <EMAIL> or <PHONE> now")))
+    assert(got(1) == ((0L, 2L, 0L, "server at <IP> and <IP> up")))
+    assert(got(2) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(3) == ((2L, 0L, 0L, "<EMAIL> again <EMAIL>")))
+  }
+
+  test("seq_pack bins are contiguous within each shard") {
+    val rows = PipelineQueries.seqPack(spark, sf0001)
+      .select("shard", "tok_start", "n_tok", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // stream offsets tile the shard exactly: next start = prev start + len
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1, _, _), (_, s2, _, _, _)) => assert(s1 + n1 == s2)
+        case _ =>
+      }
+      sorted.foreach { case (_, s, n, bf, bl) =>
+        assert(bf == s / 512 && bl == (s + n - 1) / 512 && bf <= bl)
+      }
+    }
+  }
+
+  test("domain_mix upsamples minority langs with bounded integer repeats") {
+    val out = PipelineQueries.domainMix(spark, sf0001)
+      .select("lang", "repeats", "copy_ix").as[(String, Long, Long)].collect()
+    assert(out.forall { case (_, r, c) => r >= 1 && r <= 4 && c >= 1 && c <= r })
+    val perLang = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(perLang.values.max > 1, "skewed corpus should trigger upsampling")
+    // majority language is never repeated
+    val counts = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect()
+    val majority = counts.maxBy(_._2)._1
+    assert(perLang(majority) == 1)
+  }
+}
