@@ -50,6 +50,14 @@ object ClusterOps {
       .agg(min(col("d")).as("mn"))
       .select(col("s").as("id"), least(col("s"), col("mn")).as("label"))
       .localCheckpoint()
+    // convergence witness: labels are non-negative and only ever decrease,
+    // so an unchanged label SUM proves the fixpoint — one cheap aggregate
+    // per round instead of a full labels-to-labels join. DECIMAL(38,0)
+    // accumulation cannot overflow at any corpus size that fits in BIGINT
+    // ids (10^19 ids × 10^19 max id < 10^38).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -58,11 +66,9 @@ object ClusterOps {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label decreased" == fixpoint
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       rounds += 1
     }

@@ -52,6 +52,20 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap).as("session") +: keys: _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming ingest dedup on a content hash: drops any row whose hash
+    * was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of the batch
+    * `dedup_exact` groupBy. State per hash lives only until the watermark
+    * passes its event time + delay, so memory is bounded by the horizon's
+    * arrival rate; unbounded-history dedup in a stream would need unbounded
+    * state and belongs in the batch layer. */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           watermarkDelay: String, contentCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("content_hash", md5(col(contentCol)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** A2 late-data observability (SURVEY §7.4-2): total input rows dropped
     * as later-than-watermark across the query's retained progress history —
     * the measurable twin of the reference's dropped-late side output

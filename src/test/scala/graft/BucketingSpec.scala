@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Bucketing as the co-located-join tool (SURVEY §7.4-7): a fact table
+  * bucketed on the join key joins a same-bucketed aggregate with ZERO
+  * shuffle exchanges — the 100 TB pattern for repeated joins on one key
+  * (pay the shuffle once at write time, never again at read time). */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed co-partitioned join plans without any shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val evs = Tables.events(spark, sf0001).select("user_id", "event_type")
+    val agg = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val expected = evs.join(agg, "user_id").count()
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      evs.write.bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$tmp/l").saveAsTable("b_events")
+      agg.write.bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$tmp/r").saveAsTable("b_agg")
+      // disable broadcast so only bucket co-location can avoid the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_events").join(spark.table("b_agg"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+      spark.sql("DROP TABLE IF EXISTS b_events")
+      spark.sql("DROP TABLE IF EXISTS b_agg")
+    }
+  }
+}

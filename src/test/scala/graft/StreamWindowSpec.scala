@@ -116,6 +116,30 @@ class StreamWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup drops in-horizon duplicates, re-admits after expiry") {
+    val input = MemoryStream[Ev](15, spark, None)
+    val stream = input.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
+    val q = StreamOps.dedupWithinWatermark(stream, "ts", "60 seconds", "k")
+      .select("tsSec", "k")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(Ev(1000, "doc-x"), Ev(1010, "doc-x"), Ev(1020, "doc-y"))
+      q.processAllAvailable()
+      // duplicate within the 60 s horizon → dropped
+      input.addData(Ev(1030, "doc-x"))
+      q.processAllAvailable()
+      // watermark jumps far past 1000+60 → doc-x state expires
+      input.addData(Ev(10000, "advance"))
+      q.processAllAvailable()
+      // same content re-arrives after expiry → admitted again
+      input.addData(Ev(10010, "doc-x"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[(Long, String)].collect().sorted.toSeq
+      assert(got == Seq((1000L, "doc-x"), (1020L, "doc-y"), (10000L, "advance"),
+        (10010L, "doc-x")))
+    } finally q.stop()
+  }
+
   test("streaming approx distinct produces a row per closed window") {
     val evs = (0 until 300).map(i => Ev(10000L + i * 10, s"u${i % 37}"))
     val input = MemoryStream[Ev](11, spark, None)
