@@ -45,4 +45,30 @@ object Sinks {
     stream.writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").start()
+
+  /** The writer options a Kafka sink needs (mirror of
+    * `EventSources.kafkaOptions` on the producer side — broker config is
+    * deploy-time, asserted by contract spec without a broker). */
+  def kafkaSinkOptions(brokers: String, topic: String,
+                       options: Map[String, String] = Map.empty): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> brokers, "topic" -> topic) ++ options
+
+  /** Kafka wire projection for the producer side: the sink requires a
+    * `value` column (STRING or BINARY) and optionally `key`. */
+  def kafkaWireProjection(keyExpr: String, valueExpr: String): Seq[String] =
+    Seq(s"CAST(($keyExpr) AS STRING) AS key", s"CAST(($valueExpr) AS STRING) AS value")
+
+  /** Kafka producer sink: project to the wire schema and write the topic.
+    * Requires a running broker — the option/projection contract is what
+    * the sandbox spec covers. */
+  def kafka(stream: DataFrame, brokers: String, topic: String,
+            keyExpr: String, valueExpr: String, checkpoint: String,
+            options: Map[String, String] = Map.empty): StreamingQuery = {
+    val base = stream.selectExpr(kafkaWireProjection(keyExpr, valueExpr): _*)
+      .writeStream.format("kafka")
+    kafkaSinkOptions(brokers, topic, options)
+      .foldLeft(base) { case (w, (k, v)) => w.option(k, v) }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+  }
 }

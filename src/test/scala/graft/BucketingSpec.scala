@@ -36,4 +36,39 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_agg")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    val before = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // tiny thresholds so the sf-test volumes count as "skewed"
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // key 0 carries ~50k wide rows; the rest of the keyspace is thin
+      val pad = "x" * 120
+      val left = spark.range(60000)
+        .selectExpr(s"CASE WHEN id < 50000 THEN 0L ELSE id % 37 END AS k",
+          s"concat('$pad', id) AS payload")
+      val right = spark.range(37).selectExpr("id AS k", "id * 10 AS v")
+        .union(spark.range(37).selectExpr("id AS k", "id * 11 AS v"))
+      val joined = left.join(right, "k")
+      // drive THIS queryExecution (count() would plan a separate collapsed
+      // query and leave joined's adaptive plan unexecuted)
+      assert(joined.collect().length == 120000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should mark the skewed join:\n${finalPlan.take(2000)}")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

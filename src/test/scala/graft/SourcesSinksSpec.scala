@@ -105,6 +105,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.select("value").as[String].head() == "hello,1,pv")
   }
 
+  test("kafka sink contract: producer config and wire-schema projection") {
+    val opts = graft.sinks.Sinks.kafkaSinkOptions("localhost:9092", "alerts",
+      Map("kafka.compression.type" -> "lz4"))
+    assert(opts("kafka.bootstrap.servers") == "localhost:9092")
+    assert(opts("topic") == "alerts")
+    assert(opts("kafka.compression.type") == "lz4")
+    // the producer projection must yield exactly the sink's wire schema:
+    // key/value as STRING (broker serializes to bytes)
+    val out = Seq((7L, "warn", 3L)).toDF("user_id", "level", "cnt")
+      .selectExpr(graft.sinks.Sinks.kafkaWireProjection(
+        "user_id", "concat(level, ':', cnt)"): _*)
+    assert(out.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "string"), ("value", "string")))
+    assert(out.as[(String, String)].head() == (("7", "warn:3")))
+  }
+
   test("GraftExtensions injects custom functions into a fresh session") {
     spark // materialize the suite session (and its SparkContext) first
     val prev = SparkSession.getActiveSession
