@@ -112,7 +112,13 @@ object PatternDetector extends Serializable {
 
   /** As [[detect]], also returning the accumulator counting partial matches
     * dropped by the streaming `maxPartials` cap. Batch mode is cap-free
-    * (the oracle compares its output exactly), so the counter stays 0. */
+    * (the oracle compares its output exactly), so the counter stays 0.
+    *
+    * Counter semantics: Spark accumulators updated inside a transformation
+    * are AT-LEAST-ONCE under task retries/speculation — treat the count as
+    * a capacity alarm (zero is exact; nonzero may overcount after
+    * failures). If exact drop accounting is ever needed, read the per-batch
+    * `stateOperators` metrics from the StreamingQuery progress instead. */
   def detectWithMetrics(events: Dataset[KeyedEvent], spec: PatternSpec,
                         streaming: Boolean): (Dataset[PatternMatch], LongAccumulator) = {
     implicit val outEnc = Encoders.product[PatternMatch]

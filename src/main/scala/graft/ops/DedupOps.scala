@@ -55,9 +55,14 @@ object DedupOps {
     // already small and the extra per-doc set aggregation dominates.
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val scopeGuard = sh.groupBy(col(scope))
-      // HLL estimate (±2%): a guard needs magnitude, not exactness — the
-      // exact distinct would add an expand + second shuffle just to guard
-      .agg(approx_count_distinct(col("doc_id")).as("__scope_docs"))
+      // HLL estimate at 1% rsd: a guard needs magnitude, not exactness —
+      // the exact distinct would add an expand + second shuffle just to
+      // guard. The compare bound below is scaled down 3% (3σ at rsd=0.01)
+      // so the cap is enforced CONSERVATIVELY: an over-cap group can never
+      // slip through on estimator noise; the trade is that a group within
+      // ~3% under the cap may fail spuriously — raise maxDocsPerScope (or
+      // switch to minhashPairs) if that bites.
+      .agg(approx_count_distinct(col("doc_id"), 0.01).as("__scope_docs"))
       .withColumnRenamed(scope, "__scope_g")
     val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
         col("sh").as("sh_a"))
@@ -68,10 +73,11 @@ object DedupOps {
       // coalesce passes them through unguarded, preserving the pre-guard
       // behavior where they simply never pair (NULL = NULL is not true).
       .filter(expr(
-        s"""assert_true(coalesce(__scope_docs, 0L) <= ${maxDocsPerScope}L, concat(
+        s"""assert_true(coalesce(__scope_docs, 0L) <= ${maxDocsPerScope * 97 / 100}L, concat(
            |'ngramJaccardPairs: scope group ', cast(__scope_g AS STRING),
-           |' holds ', cast(__scope_docs AS STRING),
-           |' docs (> $maxDocsPerScope); the shingle self-join is quadratic
+           |' holds ~', cast(__scope_docs AS STRING),
+           |' docs (conservative cap ${maxDocsPerScope * 97 / 100} = 97% of
+           | $maxDocsPerScope); the shingle self-join is quadratic
            | within scope - use minhashPairs for unbounded scopes or raise
            | maxDocsPerScope')) IS NULL""".stripMargin.replace("\n", "")))
       .drop("__scope_g", "__scope_docs")

@@ -24,18 +24,19 @@ object TextOps {
   // in the class, so IPv4 octet runs stay too short to match
   val phoneRe: String = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
-  /** Adds per-row PII counts (on the original text — the three patterns
-    * cannot overlap: emails contain '@', IPv4 needs dots, phones exclude
-    * dots) and a `text_redacted` column with emails, then IPs, then phone
-    * runs replaced by typed placeholders. */
-  def redactPii(df: DataFrame, textCol: String): DataFrame =
+  /** Adds per-row PII counts and a `text_redacted` column with emails, then
+    * IPs, then phone runs replaced by typed placeholders. Each pattern is
+    * counted on the text with the EARLIER patterns already redacted, so the
+    * counts agree exactly with what `text_redacted` replaced: a digit run
+    * inside an email local part ('123456789@x.com') or a dotted-quad email
+    * domain counts once as an email, never again as a phone/IP (the
+    * placeholders contain no digits, so they can't re-match). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
     df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(ipv4Re)).cast("long"))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
-      .withColumn("text_redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-            ipv4Re, "<IP>"),
-          phoneRe, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(afterIp, lit(phoneRe)).cast("long"))
+      .withColumn("text_redacted", regexp_replace(afterIp, phoneRe, "<PHONE>"))
+  }
 }

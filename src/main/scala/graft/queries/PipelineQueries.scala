@@ -58,13 +58,21 @@ object PipelineQueries {
 
   /** Per-document text statistics: token count (whitespace), regex-token
     * count (BPE-ish word/number/punct split), average token length, punct
-    * count, stopword count. */
+    * count, stopword count.
+    *
+    * Tokenizer contract (deliberate, shared with every oracle): a token is
+    * a maximal run of non-SPACE (0x20) characters. Tab/CR/LF are ordinary
+    * token CHARACTERS, not delimiters — `(?<=^| )[^ ]` counts exactly the
+    * non-empty fields of split-on-space, so "a\tb c" is 2 tokens in both
+    * engines (and "\ta" one token containing the tab). A corpus that
+    * delimits with tabs or newlines should be whitespace-normalized first
+    * (as dedup_normalized does) — counting them as delimiters here would
+    * desync from the split-on-space oracles. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     // all-builtin, fully codegen'd formulation — no array materialization
     // and no interpreted lambdas (the filter/aggregate higher-order forms
     // interpret their lambda per element):
-    //  - a token is a maximal run of non-spaces, so n_tokens = count of
-    //    non-space chars preceded by start-or-space,
+    //  - n_tokens = count of non-space chars preceded by start-or-space,
     //  - sum of token lengths = length with spaces removed,
     //  - stopword hits assert the token boundaries with lookarounds (the
     //    shared delimiter is not consumed, so adjacent hits all count).
