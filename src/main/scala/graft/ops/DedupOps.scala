@@ -110,41 +110,6 @@ object DedupOps {
   def md5Long(colExpr: String): String =
     s"CAST(conv(substr(md5($colExpr), 1, 15), 16, 10) AS BIGINT)"
 
-  /** MinHash signatures: one row per (doc_id, perm) with the min permuted
-    * hash. `nPerms` permutations over `(a*h32 + b) % 2147483647`, computed
-    * as nPerms parallel min-aggregates in ONE pass over the shingles (no
-    * nPerms× row expansion before the shuffle — shuffled volume is
-    * O(docs × perms), not O(shingles × perms)), then stacked to long form. */
-  def minhashSignatures(sh: DataFrame, nPerms: Int): DataFrame = {
-    val perms = permConstants(nPerms)
-    val aggs = perms.map { case (i, a, b) =>
-      expr(s"min(($a * h32 + $b) % 2147483647)").as(s"mh_$i")
-    }
-    val wide = sh.selectExpr("doc_id", s"${md5Long("sh")} % 2147483647 AS h32")
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val stackArgs = perms.map { case (i, _, _) => s"${i}L, mh_$i" }.mkString(", ")
-    wide.selectExpr("doc_id", s"stack($nPerms, $stackArgs) AS (i, mh)")
-  }
-
-  /** LSH banding: signature rows → (doc_id, band, sig-string); docs sharing
-    * any (band, sig) are candidate pairs. */
-  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh").cast("string")), ",").as("sig"))
-
-  /** Candidate pairs from shared LSH buckets. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-      col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
-
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * → verify with exact Jaccard ≥ threshold.
     *
@@ -155,26 +120,22 @@ object DedupOps {
     * `array_intersect` on the same arrays. */
   def minhashPairs(sh: DataFrame, nPerms: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
-    val perms = permConstants(nPerms)
+    graft.functions.MinHashBandSigs.register(sh.sparkSession)
     // per-doc distinct shingle-hash array — the single aggregation pass.
     // Full 60-bit hashes in the set (mod-2^31 values would hit birthday
-    // collisions within a doc at larger corpora); the permutation lambda
-    // applies the modulus.
+    // collisions within a doc at larger corpora); the permutation applies
+    // the modulus.
     val docSets = sh
       .selectExpr("doc_id", s"${md5Long("sh")} AS h")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
-    // band signature strings from the array, per row
-    val bandExprs = perms.grouped(rowsPerBand).zipWithIndex.map { case (band, bi) =>
-      val mins = band.map { case (_, a, b) =>
-        s"CAST(array_min(transform(hs, h -> ($a * (h % 2147483647) + $b) % 2147483647)) AS STRING)"
-      }.mkString(", ")
-      s"struct(${bi}L AS band, concat_ws(',', $mins) AS sig)"
-    }.mkString(", ")
+    // band signature strings from the array, per row: one native single-pass
+    // expression for all nPerms permutations (graft.functions.MinHashBandSigs)
+    // instead of nPerms interpreted transform+array_min lambda walks
     val bands = docSets
-      .selectExpr("doc_id", s"explode(array($bandExprs)) AS bs")
-      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+      .selectExpr("doc_id",
+        s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -194,17 +155,16 @@ object DedupOps {
   }
 
   /** SimHash: 60-bit fingerprint — bit j set iff the sum of ±1 votes from
-    * each distinct token's hash bit j is positive. */
+    * each distinct token's hash bit j is positive. One aggregation shuffle
+    * (per-doc hash list); the vote math is a native single-pass expression
+    * ([[graft.functions.Simhash60]]) instead of a 60× per-bit row explosion
+    * with a second shuffle. */
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = docs
+    graft.functions.Simhash60.register(docs.sparkSession)
+    docs
       .selectExpr("doc_id", s"explode(array_distinct(filter(split(trim($textCol), ' '), t -> t <> ''))) AS tok")
       .selectExpr("doc_id", s"${md5Long("tok")} AS h")
-    toks
-      .selectExpr("doc_id", "h", "explode(sequence(0, 59)) AS j")
-      .selectExpr("doc_id", "j",
-        "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS vote")
-      .groupBy("doc_id", "j").agg(sum("vote").as("s"))
-      .selectExpr("doc_id", "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END AS bit")
-      .groupBy("doc_id").agg(sum("bit").as("simhash"))
+      .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .selectExpr("doc_id", "simhash60(hs) AS simhash")
   }
 }
