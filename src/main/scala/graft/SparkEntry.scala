@@ -77,6 +77,9 @@ object SparkEntry {
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "seq_pack"          -> (PipelineQueries.seqPack _),
+    "sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
+    "embed_centroids"   -> (PipelineQueries.embedCentroids _),
     "domain_mix"        -> (PipelineQueries.domainMix _),
     "curate_corpus"     -> (PipelineQueries.curateCorpus _),
     // multimodal plumbing (binary payload + partition-batched decode stub)

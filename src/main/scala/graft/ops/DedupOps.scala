@@ -154,6 +154,30 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-document repeated-span statistics: for each document, how many
+    * of its distinct word n-gram spans also appear in at least one OTHER
+    * document — the signal behind boilerplate stripping and
+    * remove-repeated-paragraphs passes (our corpus has no paragraph
+    * delimiters, so fixed-width token spans are the unit).
+    *
+    * Input: the output of [[shingles]] (distinct (doc_id, sh) rows).
+    * Output: (doc_id, n_spans, n_shared, shared_frac).
+    *
+    * Scale shape: two hash-partial-aggregated shuffles — one on the 60-bit
+    * span hash for global doc frequency (no strings through the exchange),
+    * one back on doc_id. The span→doc-frequency table is also exactly what
+    * a removal pass broadcasts/joins to rewrite documents. */
+  def spanStats(sh: DataFrame): DataFrame = {
+    val d = sh.selectExpr("doc_id", s"${md5Long("sh")} AS h")
+    val freq = d.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    d.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** SimHash: 60-bit fingerprint — bit j set iff the sum of ±1 votes from
     * each distinct token's hash bit j is positive. One aggregation shuffle
     * (per-doc hash list); the vote math is a native single-pass expression

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Quantized `array<bigint>` form of the embedding, computed per row. */
-  private val qvecExpr =
+  val qvecExpr: String =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT))"
 
   private def registered(emb: DataFrame): DataFrame = {

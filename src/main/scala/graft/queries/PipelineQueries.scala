@@ -306,6 +306,37 @@ object PipelineQueries {
         "quality >= 0.5D AND rep_pass AND coalesce(canon, false) AS keep")
   }
 
+  /** Deterministic stratified quota sample: the 20 lowest-hash documents
+    * per language — reproducible corpus subsetting that never consults
+    * rand() ([[graft.ops.SamplingOps]]; `hashRateSample` is the
+    * shuffle-free rate-based mode for the 100 TB path). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SamplingOps.stratifiedQuota(
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+      "lang", "concat(CAST(doc_id AS STRING), '|', md5(text))", 20)
+      .select("doc_id", "lang", "rk")
+
+  /** Cross-document repeated-span statistics on 5-token windows: the
+    * boilerplate / repeated-paragraph signal ([[DedupOps.spanStats]] — the
+    * span-frequency table it builds is what a removal pass joins against). */
+  def dupSpanStats(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.spanStats(DedupOps.shingles(Tables.documents(spark, dir), "text", 5))
+
+  /** Deterministic per-label embedding centroids in long (label, dim) form:
+    * exact quantized-integer sums — BIGINT all the way through the shuffle,
+    * so the mean is ONE double division and bit-stable under any partition
+    * or reduction order (a float sum would drift per run). The map-side
+    * partial aggregate collapses each partition to ≤ labels×64 rows, so the
+    * 64× posexplode never reaches the exchange at full width. */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("CAST(label AS BIGINT) AS label",
+        s"posexplode(${SimilarityOps.qvecExpr}) AS (pos, v)")
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .selectExpr("label", "CAST(pos + 1 AS BIGINT) AS dim", "n", "s",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS c_mean")
+
   /** Rolling-hash document fingerprint: min of the 5-char polynomial
     * rolling hash over the text (winnowing-style content signature).
     * Computed per row with transform + array_min — narrow plan, no
@@ -659,7 +690,40 @@ object PipelineOracles {
        |  quality >= 0.5 AND g.pass AND k.doc_id IS NOT NULL AS keep
        |FROM q JOIN g ON g.doc_id = q.doc_id LEFT JOIN k ON k.doc_id = q.doc_id""".stripMargin
 
+  val sampleStratified: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) AS hh
+      |  FROM documents)
+      |SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hh ASC) AS BIGINT) AS rk
+      |  FROM h)
+      |WHERE rk <= 20""".stripMargin
+
+  val dupSpanStats: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |                         for i in generate_series(1, len(w) - 4)]) AS sh FROM t)),
+      |f AS (SELECT sh, count(*) AS ndocs FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac
+      |FROM g JOIN f USING (sh) GROUP BY 1""".stripMargin
+
+  val embedCentroids: String =
+    """WITH qz AS (SELECT CAST(label AS BIGINT) AS label, p.p AS pos,
+      |              CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
+      |       FROM embeddings CROSS JOIN generate_series(1, 64) p(p))
+      |SELECT label, CAST(pos AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(v) AS BIGINT) AS s,
+      |  CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c_mean
+      |FROM qz GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratified,
+    "dup_span_stats"    -> dupSpanStats,
+    "embed_centroids"   -> embedCentroids,
     "train_split"      -> trainSplit,
     "multimodal_meta"  -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SamplingOps}
+import graft.queries.PipelineQueries
+import graft.sources.Tables
+
+/** Deterministic sampling, cross-doc span stats, centroid aggregation, and
+  * native-expression parity with the SQL formulations they replaced. */
+class SamplingSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedQuota: deterministic, quota-bounded, hash-ranked") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val key = "concat(CAST(doc_id AS STRING), '|', md5(text))"
+    val a = SamplingOps.stratifiedQuota(docs, "lang", key, 5)
+      .select("doc_id", "lang", "rk").as[(Long, String, Long)].collect().toSet
+    val b = SamplingOps.stratifiedQuota(docs, "lang", key, 5)
+      .select("doc_id", "lang", "rk").as[(Long, String, Long)].collect().toSet
+    assert(a == b, "same corpus must sample identically on every run")
+    val perLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ <= 5) && perLang.nonEmpty)
+    assert(a.forall { case (_, _, rk) => rk >= 1 && rk <= 5 })
+  }
+
+  test("stratifiedQuota: growth displaces at most one sampled row per stratum") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val key = "concat(CAST(doc_id AS STRING), '|', md5(text))"
+    val full = SamplingOps.stratifiedQuota(docs, "lang", key, 5)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // drop one arbitrary non-sampled doc: the sample must be unchanged
+    val victim = docs.join(
+        SamplingOps.stratifiedQuota(docs, "lang", key, 5).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].head()
+    val smaller = SamplingOps.stratifiedQuota(
+        docs.filter(col("doc_id") =!= victim), "lang", key, 5)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(smaller == full, "removing an unsampled doc must not change the sample")
+  }
+
+  test("hashRateSample: deterministic, per-stratum rates, sane frequency") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val key = "concat(CAST(doc_id AS STRING), '|', md5(text))"
+    val rate = "CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END"
+    val a = SamplingOps.hashRateSample(docs, key, rate)
+      .select("doc_id").as[Long].collect().toSet
+    val b = SamplingOps.hashRateSample(docs, key, rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val en = docs.filter("lang = 'en'").count().toDouble
+    val enKept = SamplingOps.hashRateSample(docs.filter("lang = 'en'"), key, "0.5").count()
+    // md5 residues are uniform; 3-sigma Bernoulli bound at n≈50
+    assert(math.abs(enKept / en - 0.5) < 0.25, s"en keep rate ${enKept / en}")
+  }
+
+  test("spanStats counts cross-doc shared spans, not intra-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // shares span "a b c d e" with doc 2
+      (2L, "a b c d e x y z"),
+      (3L, "p q r s t u v w"),        // no overlap
+      (4L, "m m m m m m m m")         // intra-doc repetition only
+    ).toDF("doc_id", "text")
+    val by = DedupOps.spanStats(DedupOps.shingles(docs, "text", 5))
+      .select("doc_id", "n_spans", "n_shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(by(1L) == ((4L, 1L)))   // spans abcde bcdef cdefg defgh; only abcde shared
+    assert(by(2L) == ((4L, 1L)))
+    assert(by(3L) == ((4L, 0L)))
+    assert(by(4L) == ((1L, 0L)))   // distinct spans collapse to one, unshared
+  }
+
+  test("embed_centroids: exact integer sums and consistent means") {
+    val cent = PipelineQueries.embedCentroids(spark, sf0001)
+    val rows = cent.select("label", "dim", "n", "s", "c_mean")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 1) && rows.forall(_._2 <= 64))
+    // every (label, dim) row carries the same n as its label's vector count
+    val perLabel = Tables.embeddings(spark, sf0001)
+      .groupBy(col("label").cast("long").as("label")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (l, _, n, _, _) => perLabel(l) == n })
+    assert(rows.forall { case (_, _, n, s, m) => m == s.toDouble / n.toDouble })
+  }
+
+  test("native minhash_band_sigs matches the SQL transform/array_min form") {
+    graft.functions.MinHashBandSigs.register(spark)
+    val hs = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+      .selectExpr("doc_id", s"${DedupOps.md5Long("sh")} AS h")
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    val sqlSigs = DedupOps.permConstants(16).grouped(4).zipWithIndex.map {
+      case (band, bi) =>
+        val mins = band.map { case (_, a, b) =>
+          s"CAST(array_min(transform(hs, h -> ($a * (h % 2147483647) + $b) % 2147483647)) AS STRING)"
+        }.mkString(", ")
+        s"concat_ws(',', $mins)"
+    }.mkString("array(", ", ", ")")
+    val diff = hs.selectExpr("doc_id",
+        s"minhash_band_sigs(hs, 16, 4) AS a", s"$sqlSigs AS b")
+      .filter("a != b")
+    assert(diff.count() == 0)
+  }
+
+  test("native simhash60 matches the per-bit vote SQL form") {
+    graft.functions.Simhash60.register(spark)
+    val toks = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "explode(array_distinct(filter(split(trim(text), ' '), t -> t <> ''))) AS tok")
+      .selectExpr("doc_id", s"${DedupOps.md5Long("tok")} AS h")
+    val native = toks.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .selectExpr("doc_id", "simhash60(hs) AS fp")
+    val sql = toks
+      .selectExpr("doc_id", "h", "explode(sequence(0, 59)) AS j")
+      .selectExpr("doc_id", "j",
+        "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS vote")
+      .groupBy("doc_id", "j").agg(sum("vote").as("s"))
+      .selectExpr("doc_id",
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy("doc_id").agg(sum("bit").as("fp"))
+    val joined = native.alias("n").join(sql.alias("q"), "doc_id")
+      .filter("n.fp != q.fp")
+    assert(joined.count() == 0)
+  }
+}
