@@ -80,6 +80,9 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "embed_centroids"   -> (PipelineQueries.embedCentroids _),
+    "pq_codes"          -> (PipelineQueries.pqCodes _),
+    "pq_topk"           -> (PipelineQueries.pqTopK _),
+    "pq_topk_rr"        -> (PipelineQueries.pqTopKRerank _),
     "domain_mix"        -> (PipelineQueries.domainMix _),
     "curate_corpus"     -> (PipelineQueries.curateCorpus _),
     // multimodal plumbing (binary payload + partition-batched decode stub)

@@ -322,6 +322,27 @@ object PipelineQueries {
   def dupSpanStats(spark: SparkSession, dir: String): DataFrame =
     DedupOps.spanStats(DedupOps.shingles(Tables.documents(spark, dir), "text", 5))
 
+  /** Product-quantization codes for the whole corpus: 64 quantized dims →
+    * 8 nearest-centroid ids from a deterministically trained codebook
+    * ([[SimilarityOps.pqCodes]] — sign-LSH-initialized floored-integer-mean
+    * centroids, exact BIGINT distances). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pqCodes(Tables.embeddings(spark, dir), 64, 8, 8)
+
+  /** PQ asymmetric-distance top-3 neighbors for the first 8 vectors: per
+    * query one ≤16-entry LUT per subspace, then 8 array lookups per corpus
+    * row — no per-pair dot products ([[SimilarityOps.pqTopK]]). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pqTopK(Tables.embeddings(spark, dir), 64, 8, 8, "vec_id < 8", 3)
+
+  /** PQ with exact re-rank: ADC shortlists 48 candidates per query, the
+    * true top-3 by exact quantized L2 come from re-scoring only those
+    * ([[SimilarityOps.pqTopKRerank]] — the recall/cost shape a production
+    * PQ index runs). */
+  def pqTopKRerank(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pqTopKRerank(Tables.embeddings(spark, dir), 64, 8, 8,
+      "vec_id < 8", 3, 48)
+
   /** Deterministic per-label embedding centroids in long (label, dim) form:
     * exact quantized-integer sums — BIGINT all the way through the shuffle,
     * so the mean is ONE double division and bit-stable under any partition
@@ -720,7 +741,89 @@ object PipelineOracles {
       |  CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c_mean
       |FROM qz GROUP BY 1, 2""".stripMargin
 
+  /** Shared PQ CTE chain: quantize → subspaces → md5 hyperplanes →
+    * sign-LSH init codes → floored-integer-mean centroids → per-(vec,
+    * subspace, centroid) exact distances → nearest-centroid codes. The
+    * floored mean is written rounding-agnostically ((s − floormod(s, n))
+    * is exactly divisible, so `//` vs truncation cannot differ), matching
+    * Spark's `(s - pmod(s, n)) div n`. */
+  private val pqBase: String =
+    """v AS (SELECT vec_id AS id, p.p AS pos,
+      |             CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
+      |      FROM embeddings CROSS JOIN generate_series(1, 64) p(p)),
+      |sub AS (SELECT id, (pos - 1) // 8 AS m, (pos - 1) % 8 + 1 AS d, v FROM v),
+      |w AS (SELECT j.j AS j, p.p AS d,
+      |             CAST(('0x' || substr(md5(j.j || '_' || p.p), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+      |      FROM generate_series(0, 31) j(j) CROSS JOIN generate_series(1, 8) p(p)),
+      |dots AS (SELECT s.id, s.m, w.j, SUM(s.v * w.wt) AS dot
+      |         FROM sub s JOIN w ON w.j // 4 = s.m AND w.d = s.d GROUP BY 1, 2, 3),
+      |ic AS (SELECT id, m,
+      |         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(j % 4 AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+      |       FROM dots GROUP BY 1, 2),
+      |cent0 AS (SELECT s.m, ic.code, s.d,
+      |           CAST((SUM(s.v) - ((SUM(s.v) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS c
+      |         FROM sub s JOIN ic ON ic.id = s.id AND ic.m = s.m GROUP BY 1, 2, 3),
+      |kd0 AS (SELECT s.id, s.m, c.code, SUM((s.v - c.c) * (s.v - c.c)) AS dist
+      |       FROM sub s JOIN cent0 c ON c.m = s.m AND c.d = s.d GROUP BY 1, 2, 3),
+      |asg0 AS (SELECT id, m, code FROM (
+      |    SELECT id, m, code,
+      |           row_number() OVER (PARTITION BY id, m ORDER BY dist ASC, code ASC) AS rn
+      |    FROM kd0) WHERE rn = 1),
+      |cent AS (SELECT s.m, a.code, s.d,
+      |           CAST((SUM(s.v) - ((SUM(s.v) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS c
+      |         FROM sub s JOIN asg0 a ON a.id = s.id AND a.m = s.m GROUP BY 1, 2, 3),
+      |kd AS (SELECT s.id, s.m, c.code, SUM((s.v - c.c) * (s.v - c.c)) AS dist
+      |       FROM sub s JOIN cent c ON c.m = s.m AND c.d = s.d GROUP BY 1, 2, 3),
+      |codes AS (SELECT id, m, code FROM (
+      |    SELECT id, m, code,
+      |           row_number() OVER (PARTITION BY id, m ORDER BY dist ASC, code ASC) AS rn
+      |    FROM kd) WHERE rn = 1)""".stripMargin
+
+  val pqCodes: String = {
+    val pivot = (0 until 8)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code_$m").mkString(",\n  ")
+    s"""WITH $pqBase
+       |SELECT id AS vec_id,
+       |  $pivot
+       |FROM codes GROUP BY id""".stripMargin
+  }
+
+  val pqTopK: String =
+    s"""WITH $pqBase,
+       |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE id < 8),
+       |adc AS (SELECT qd.q_id, k.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+       |        FROM codes k JOIN qd ON qd.m = k.m AND qd.code = k.code AND k.id <> qd.q_id
+       |        GROUP BY 1, 2)
+       |SELECT q_id, c_id, adc, rn FROM (
+       |  SELECT q_id, c_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS BIGINT) AS rn
+       |  FROM adc)
+       |WHERE rn <= 3""".stripMargin
+
+  val pqTopKRerank: String =
+    s"""WITH $pqBase,
+       |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE id < 8),
+       |adc AS (SELECT qd.q_id, k.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+       |        FROM codes k JOIN qd ON qd.m = k.m AND qd.code = k.code AND k.id <> qd.q_id
+       |        GROUP BY 1, 2),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
+       |    FROM adc) WHERE rn <= 48),
+       |ex AS (SELECT s.q_id, s.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
+       |       FROM short s JOIN v a ON a.id = s.q_id
+       |       JOIN v b ON b.id = s.c_id AND b.pos = a.pos
+       |       GROUP BY 1, 2)
+       |SELECT q_id, c_id, l2, rn FROM (
+       |  SELECT q_id, c_id, l2,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS BIGINT) AS rn
+       |  FROM ex)
+       |WHERE rn <= 3""".stripMargin
+
   val all: Map[String, String] = Map(
+    "pq_codes"          -> pqCodes,
+    "pq_topk"           -> pqTopK,
+    "pq_topk_rr"        -> pqTopKRerank,
     "sample_stratified" -> sampleStratified,
     "dup_span_stats"    -> dupSpanStats,
     "embed_centroids"   -> embedCentroids,

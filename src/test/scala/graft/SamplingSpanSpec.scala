@@ -84,6 +84,38 @@ class SamplingSpanSpec extends SparkSpec {
     assert(rows.forall { case (_, _, n, s, m) => m == s.toDouble / n.toDouble })
   }
 
+  test("PQ: codes deterministic across runs; ADC recall beats chance vs exact L2") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = SimilarityOps.pqCodes(emb, 64, 8, 8).collect().map(_.toSeq).toSet
+    val c2 = SimilarityOps.pqCodes(emb, 64, 8, 8).collect().map(_.toSeq).toSet
+    assert(c1 == c2 && c1.nonEmpty, "PQ training must be run-deterministic")
+
+    graft.functions.QuantizedDot.register(spark)
+    val vecs = emb.selectExpr("vec_id", s"${SimilarityOps.qvecExpr} AS qvec")
+      .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS n2")
+    val qs = vecs.filter("vec_id < 8")
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "n2 AS nq")
+    val exact = vecs.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("vec_id"))
+      .selectExpr("q_id", "vec_id AS c_id", "nq + n2 - 2 * ldot(qq, qvec) AS l2")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("l2").asc, col("c_id").asc)))
+      .filter(col("rn") <= 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pq = SimilarityOps.pqTopK(emb, 64, 8, 8, "vec_id < 8", 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val adcRecall = pq.intersect(exact).size.toDouble / exact.size
+    // near-isotropic corpus: pure ADC top-3 only has to beat chance
+    // (~3/N); the production-quality bar is on the re-ranked form below
+    assert(adcRecall > 3.0 / 49, s"ADC recall $adcRecall at chance level")
+    val rr = SimilarityOps.pqTopKRerank(emb, 64, 8, 8, "vec_id < 8", 3, 48)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val rrRecall = rr.intersect(exact).size.toDouble / exact.size
+    assert(rrRecall >= 0.6, s"re-ranked PQ recall $rrRecall too low")
+  }
+
   test("native minhash_band_sigs matches the SQL transform/array_min form") {
     graft.functions.MinHashBandSigs.register(spark)
     val hs = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
