@@ -31,6 +31,25 @@ object PlanCheck {
     println(defPlan.linesIterator.take(6).mkString("\n"))
     println("OK: no Window/per-group global sort in default percentile plan")
 
+    // PQ encode must be a narrow pass: the codebook is plan literals, so
+    // assigning codes to the whole corpus cannot justify any exchange
+    println("\n========== pq_codes (encode must not shuffle) ==========")
+    val pqPlan = SparkEntry.queries("pq_codes")(spark, dir)
+      .queryExecution.executedPlan.toString
+    require(!pqPlan.contains("Exchange"),
+      "PQ encode must be a narrow no-shuffle pass over the corpus")
+    println("OK: no Exchange in PQ encode plan")
+
+    // rate-mode sampling is a stateless filter — no exchange anywhere
+    println("\n========== hashRateSample (stateless filter) ==========")
+    val rsPlan = graft.ops.SamplingOps.hashRateSample(
+        graft.sources.Tables.documents(spark, dir),
+        "concat(CAST(doc_id AS STRING), '|', md5(text))", "0.1")
+      .queryExecution.executedPlan.toString
+    require(!rsPlan.contains("Exchange"),
+      "rate sampling must be a narrow no-shuffle filter")
+    println("OK: no Exchange in rate-sample plan")
+
     // the config-gated distinct→HLL optimizer rule, observed end-to-end
     println("\n========== approxDistinct rewrite ==========")
     val s2 = {
