@@ -79,6 +79,8 @@ object SparkEntry {
     "seq_pack"          -> (PipelineQueries.seqPack _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
+    "span_scrub"        -> (PipelineQueries.spanScrub _),
+    "salient_terms"     -> (PipelineQueries.salientTerms _),
     "embed_centroids"   -> (PipelineQueries.embedCentroids _),
     "pq_codes"          -> (PipelineQueries.pqCodes _),
     "pq_topk"           -> (PipelineQueries.pqTopK _),

@@ -178,6 +178,44 @@ object DedupOps {
         col("n_shared").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Cross-document repeated-span REMOVAL (the transform [[spanStats]]
+    * measures): rewrite each document dropping every token covered by an
+    * `n`-token span that also occurs in another document — the CCNet-style
+    * boilerplate scrub. Output: (doc_id, n_tok, n_removed, text_clean).
+    *
+    * Plan shape: span hashes → global doc-frequency (one shuffle, 60-bit
+    * hashes only) → shared span starts explode to covered token positions →
+    * anti-flag join back to the token stream (doc-keyed shuffle) → ordered
+    * per-doc reassembly via sort_array(struct(pos, tok)) — deterministic
+    * reconstruction with no window and no driver-side logic. Docs shorter
+    * than `n` tokens pass through untouched. */
+  def spanScrub(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val parts = (0 until n).map(i => s"element_at(w, i + $i)").mkString(", ' ', ")
+    val toks = docs
+      .selectExpr("doc_id", s"filter(split(trim($textCol), ' '), t -> t <> '') AS w")
+      .selectExpr("doc_id", "posexplode(w) AS (j0, tok)")
+      .selectExpr("doc_id", "j0 + 1 AS j", "tok")
+    val spans = docs
+      .selectExpr("doc_id", s"filter(split(trim($textCol), ' '), t -> t <> '') AS w")
+      // guard BEFORE sequence: Spark's sequence(1, 0) counts DOWN ([1, 0])
+      .filter(expr(s"size(w) >= $n"))
+      .selectExpr("doc_id", "w", s"explode(sequence(1, size(w) - ${n - 1})) AS i")
+      .selectExpr("doc_id", "i", s"${md5Long(s"concat($parts)")} AS h")
+    val shared = spans
+      .join(spans.select(col("h"), col("doc_id").as("od")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("ndocs")).filter(col("ndocs") > 1),
+        "h")
+      .selectExpr("doc_id", s"explode(sequence(i, i + ${n - 1})) AS j")
+      .distinct()
+    toks.join(shared.withColumn("cov", lit(1)), Seq("doc_id", "j"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN struct(j, tok) END)), x -> x.tok)"))
+          .as("text_clean"))
+  }
+
   /** SimHash: 60-bit fingerprint — bit j set iff the sum of ±1 votes from
     * each distinct token's hash bit j is positive. One aggregation shuffle
     * (per-doc hash list); the vote math is a native single-pass expression

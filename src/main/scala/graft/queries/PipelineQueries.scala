@@ -335,6 +335,30 @@ object PipelineQueries {
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.pqTopK(Tables.embeddings(spark, dir), 64, 8, 8, "vec_id < 8", 3)
 
+  /** Cross-document repeated-span REMOVAL on 5-token windows: each doc
+    * rewritten without the tokens covered by spans shared with other docs
+    * ([[DedupOps.spanScrub]] — the transform dup_span_stats measures).
+    * text_clean is whitespace-normalized (rebuilt from the token stream). */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.spanScrub(Tables.documents(spark, dir), "text", 5)
+
+  /** Per-document salient terms: top-3 by an integer tf·idf-style score
+    * (tf × 1e6 div df) — keyword extraction whose ranking is pure integer
+    * arithmetic, so order is engine-exact (no floating log/division). */
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .selectExpr("doc_id", "term", "tf", "df", "tf * 1000000L div df AS score")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rn")
+  }
+
   /** PQ with exact re-rank: ADC shortlists 48 candidates per query, the
     * true top-3 by exact quantized L2 come from re-scoring only those
     * ([[SimilarityOps.pqTopKRerank]] — the recall/cost shape a production
@@ -820,7 +844,39 @@ object PipelineOracles {
        |  FROM ex)
        |WHERE rn <= 3""".stripMargin
 
+  val spanScrub: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |sp AS (SELECT doc_id, s.i AS i, s.h AS h FROM (
+      |  SELECT doc_id, unnest([{'i': i,
+      |    'h': CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15)) AS BIGINT)}
+      |    for i in generate_series(1, len(w) - 4)]) AS s FROM t)),
+      |fr AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY 1) WHERE ndocs > 1),
+      |cov AS (SELECT DISTINCT sp.doc_id, sp.i + d.d AS j
+      |        FROM sp JOIN fr USING (h) CROSS JOIN generate_series(0, 4) d(d)),
+      |tok AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM (
+      |  SELECT doc_id, unnest([{'j': i, 'tok': w[i]} for i in generate_series(1, len(w))]) AS u FROM t))
+      |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN cov.j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN cov.j IS NULL THEN tok.tok END, ' ' ORDER BY tok.j), '') AS text_clean
+      |FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+      |GROUP BY 1""".stripMargin
+
+  val salientTerms: String =
+    """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT doc_id, term, tf.tf AS tf, df.df AS df,
+      |             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+      |      FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, score, rn FROM (
+      |  SELECT doc_id, term, tf, df, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rn
+      |  FROM s)
+      |WHERE rn <= 3""".stripMargin
+
   val all: Map[String, String] = Map(
+    "span_scrub"        -> spanScrub,
+    "salient_terms"     -> salientTerms,
     "pq_codes"          -> pqCodes,
     "pq_topk"           -> pqTopK,
     "pq_topk_rr"        -> pqTopKRerank,

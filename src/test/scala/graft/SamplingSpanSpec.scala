@@ -71,6 +71,34 @@ class SamplingSpanSpec extends SparkSpec {
     assert(by(4L) == ((1L, 0L)))   // distinct spans collapse to one, unshared
   }
 
+  test("spanScrub removes exactly the cross-doc shared spans, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // "a b c d e" shared with doc 2 → a..e removed
+      (2L, "x y z a b c d e"),
+      (3L, "p q r s t u v w"),   // untouched
+      (4L, "short doc")          // < 5 tokens: passes through whole
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanScrub(docs, "text", 5)
+      .select("doc_id", "n_tok", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 5L, "f g h")))
+    assert(got(2L) == ((8L, 5L, "x y z")))
+    assert(got(3L) == ((8L, 0L, "p q r s t u v w")))
+    assert(got(4L) == ((2L, 0L, "short doc")))
+  }
+
+  test("salient_terms ranks by integer tf*1e6 div df with exact ties") {
+    val terms = PipelineQueries.salientTerms(spark, sf0001)
+    val rows = terms.select("doc_id", "tf", "df", "score", "rn")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._5 <= 3))
+    assert(rows.forall { case (_, tf, df, score, _) => score == tf * 1000000L / df })
+    // a term appearing in every doc scores lower than a same-tf rarer term
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.values.forall(g => g.map(_._5).sorted.sameElements(1L to g.size)))
+  }
+
   test("embed_centroids: exact integer sums and consistent means") {
     val cent = PipelineQueries.embedCentroids(spark, sf0001)
     val rows = cent.select("label", "dim", "n", "s", "c_mean")
