@@ -81,6 +81,7 @@ object SparkEntry {
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),
+    "lm_fluency"        -> (PipelineQueries.lmFluency _),
     "embed_centroids"   -> (PipelineQueries.embedCentroids _),
     "pq_codes"          -> (PipelineQueries.pqCodes _),
     "pq_topk"           -> (PipelineQueries.pqTopK _),

@@ -359,6 +359,31 @@ object PipelineQueries {
       .select("doc_id", "term", "tf", "df", "score", "rn")
   }
 
+  /** Corpus-typicality fluency score from a self-trained bigram LM: per
+    * document, the mean MLE transition probability P(w2|w1) over its bigram
+    * occurrences, in exact integer micro-units (c2 × 1e6 div c1) — the
+    * KenLM-style quality-filter shape with engine-exact arithmetic (no
+    * floating log, no smoothing; unique prefixes score P=1, the standard
+    * MLE overfit — a production filter would smooth, the plan shape is
+    * identical). Counts shuffle as 60-bit hashes, never strings. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS w")
+      .filter(expr("size(w) >= 2"))
+      .selectExpr("doc_id", "w", "explode(sequence(1, size(w) - 1)) AS i")
+      .selectExpr("doc_id",
+        s"${DedupOps.md5Long("element_at(w, i)")} AS h1",
+        s"${DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")} AS h2")
+    val c2 = occ.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
+    occ.join(c2, "h2").join(c1, "h1")
+      .selectExpr("doc_id", "c2 * 1000000L div c1 AS p")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
+      .selectExpr("doc_id", "n_bigrams", "sum_p",
+        "CAST(sum_p AS DOUBLE) / n_bigrams AS fluency")
+  }
+
   /** PQ with exact re-rank: ADC shortlists 48 candidates per query, the
     * true top-3 by exact quantized L2 come from re-scoring only those
     * ([[SimilarityOps.pqTopKRerank]] — the recall/cost shape a production
@@ -874,7 +899,24 @@ object PipelineOracles {
       |  FROM s)
       |WHERE rn <= 3""".stripMargin
 
+  val lmFluency: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |occ AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2 FROM (
+      |  SELECT doc_id, unnest([{
+      |    'h1': CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT),
+      |    'h2': CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT)}
+      |    for i in generate_series(1, len(w) - 1)]) AS u FROM t)),
+      |c2 AS (SELECT h2, count(*) AS c2 FROM occ GROUP BY 1),
+      |c1 AS (SELECT h1, count(*) AS c1 FROM occ GROUP BY 1),
+      |p AS (SELECT doc_id, CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p
+      |      FROM occ JOIN c2 USING (h2) JOIN c1 USING (h1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p) AS BIGINT) AS sum_p,
+      |  CAST(SUM(p) AS DOUBLE) / count(*) AS fluency
+      |FROM p GROUP BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "lm_fluency"        -> lmFluency,
     "span_scrub"        -> spanScrub,
     "salient_terms"     -> salientTerms,
     "pq_codes"          -> pqCodes,

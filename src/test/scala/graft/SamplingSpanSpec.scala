@@ -99,6 +99,31 @@ class SamplingSpanSpec extends SparkSpec {
     assert(perDoc.values.forall(g => g.map(_._5).sorted.sameElements(1L to g.size)))
   }
 
+  test("lm_fluency: exact MLE bigram micro-probabilities") {
+    // corpus = one doc "a b a c": bigrams (a b), (b a), (a c);
+    // prefix counts a=2, b=1 → p = 500000, 1000000, 500000
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__lm_docs")
+    val occ = docs
+      .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS w")
+      .selectExpr("doc_id", "w", "explode(sequence(1, size(w) - 1)) AS i")
+      .selectExpr("doc_id",
+        s"${DedupOps.md5Long("element_at(w, i)")} AS h1",
+        s"${DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")} AS h2")
+    val c2 = occ.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val got = occ.join(c2, "h2").join(c1, "h1")
+      .selectExpr("c2 * 1000000L div c1 AS p")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(500000L, 500000L, 1000000L))
+    val fl = graft.queries.PipelineQueries.lmFluency(spark, sf0001)
+      .select("n_bigrams", "sum_p", "fluency")
+      .as[(Long, Long, Double)].collect()
+    assert(fl.nonEmpty)
+    assert(fl.forall { case (n, s, f) =>
+      s >= n && s <= n * 1000000L && f == s.toDouble / n })
+  }
+
   test("embed_centroids: exact integer sums and consistent means") {
     val cent = PipelineQueries.embedCentroids(spark, sf0001)
     val rows = cent.select("label", "dim", "n", "s", "c_mean")
