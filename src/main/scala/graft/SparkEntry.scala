@@ -82,6 +82,7 @@ object SparkEntry {
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),
     "lm_fluency"        -> (PipelineQueries.lmFluency _),
+    "snapshot_diff"     -> (PipelineQueries.snapshotDiff _),
     "embed_centroids"   -> (PipelineQueries.embedCentroids _),
     "pq_codes"          -> (PipelineQueries.pqCodes _),
     "pq_topk"           -> (PipelineQueries.pqTopK _),

@@ -178,6 +178,22 @@ object DedupOps {
         col("n_shared").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Snapshot diff for incremental corpus updates: classify every doc id
+    * across two corpus snapshots as added / removed / changed / unchanged
+    * by id + content hash. Both sides project to (id, 128-bit hash) BEFORE
+    * the one full-outer hash join — no text crosses the exchange, so the
+    * diff of two 100 TB snapshots shuffles only ids and hashes. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    a.selectExpr(s"$idCol AS id", s"md5($textCol) AS ha")
+      .join(b.selectExpr(s"$idCol AS id", s"md5($textCol) AS hb"),
+        Seq("id"), "full_outer")
+      .selectExpr("id",
+        """CASE WHEN ha IS NULL THEN 'added'
+          |     WHEN hb IS NULL THEN 'removed'
+          |     WHEN ha = hb THEN 'unchanged'
+          |     ELSE 'changed' END AS status""".stripMargin.replace("\n", ""))
+
   /** Cross-document repeated-span REMOVAL (the transform [[spanStats]]
     * measures): rewrite each document dropping every token covered by an
     * `n`-token span that also occurs in another document — the CCNet-style

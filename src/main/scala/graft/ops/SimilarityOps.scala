@@ -339,6 +339,16 @@ object SimilarityOps {
       .select("q_id", "c_id", "adc", "rn")
   }
 
+  /** PQ encode for an unbounded vector STREAM: the codebook is fitted on
+    * the (batch) training corpus, then applied to the stream as plan
+    * literals — a stateless narrow map, so it runs in append mode with no
+    * state store and no watermark. This is the payoff of literal-codebook
+    * design: the same encode expression serves batch backfill and the live
+    * ingest path. */
+  def pqCodesStreaming(stream: DataFrame, trainedOn: DataFrame, dim: Int,
+                       nSub: Int, subDim: Int): DataFrame =
+    pqCodesWith(stream, pqCodebook(trainedOn, dim, nSub, subDim), subDim)
+
   /** PQ search with exact re-rank — the production shape: the ADC pass
     * shortlists `shortlist` candidates per query from codes alone, then
     * ONLY those rows fetch their true vectors for an exact quantized-L2

@@ -359,6 +359,20 @@ object PipelineQueries {
       .select("doc_id", "term", "tf", "df", "score", "rn")
   }
 
+  /** Incremental corpus update: diff the documents snapshot against a
+    * deterministically derived successor (every 7th doc dropped, every 11th
+    * edited, every 13th re-added under a new id) —
+    * [[DedupOps.snapshotDiff]], one id+hash full-outer join. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+    val b = a.filter(expr("doc_id % 7 != 0"))
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' edited') ELSE text END AS text")
+      .unionByName(a.filter(expr("doc_id % 13 = 0"))
+        .selectExpr("doc_id + 1000000 AS doc_id", "text"))
+    DedupOps.snapshotDiff(a, b, "doc_id", "text")
+  }
+
   /** Corpus-typicality fluency score from a self-trained bigram LM: per
     * document, the mean MLE transition probability P(w2|w1) over its bigram
     * occurrences, in exact integer micro-units (c2 × 1e6 div c1) — the
@@ -915,7 +929,23 @@ object PipelineOracles {
       |  CAST(SUM(p) AS DOUBLE) / count(*) AS fluency
       |FROM p GROUP BY 1""".stripMargin
 
+  val snapshotDiff: String =
+    """WITH b AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+      |ah AS (SELECT doc_id AS id, md5(text) AS ha FROM documents),
+      |bh AS (SELECT doc_id AS id, md5(text) AS hb FROM b)
+      |SELECT coalesce(ah.id, bh.id) AS id,
+      |  CASE WHEN ha IS NULL THEN 'added'
+      |       WHEN hb IS NULL THEN 'removed'
+      |       WHEN ha = hb THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM ah FULL OUTER JOIN bh ON ah.id = bh.id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,
     "span_scrub"        -> spanScrub,
     "salient_terms"     -> salientTerms,

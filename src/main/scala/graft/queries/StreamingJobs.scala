@@ -30,6 +30,20 @@ object StreamingJobs {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** embeddings.parquet as a streaming source — vectors arriving live
+    * (ingest path of a vector index). */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
     eventsStreamRaw(spark, dir).withWatermark("ts", watermark)

@@ -99,6 +99,15 @@ class SamplingSpanSpec extends SparkSpec {
     assert(perDoc.values.forall(g => g.map(_._5).sorted.sameElements(1L to g.size)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1L, "same"), (2L, "gone"), (3L, "before")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (3L, "after"), (4L, "new")).toDF("doc_id", "text")
+    val got = DedupOps.snapshotDiff(a, b, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("lm_fluency: exact MLE bigram micro-probabilities") {
     // corpus = one doc "a b a c": bigrams (a b), (b a), (a c);
     // prefix counts a=2, b=1 → p = 500000, 1000000, 500000
@@ -167,6 +176,21 @@ class SamplingSpanSpec extends SparkSpec {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val rrRecall = rr.intersect(exact).size.toDouble / exact.size
     assert(rrRecall >= 0.6, s"re-ranked PQ recall $rrRecall too low")
+  }
+
+  test("PQ streaming encode matches batch codes (literal codebook is stream-safe)") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, sf0001)
+    val batch = SimilarityOps.pqCodes(emb, 64, 8, 8).collect().map(_.toSeq).toSet
+    val q = SimilarityOps.pqCodesStreaming(
+        graft.queries.StreamingJobs.embeddingsStream(spark, sf0001), emb, 64, 8, 8)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pq_stream").collect().map(_.toSeq).toSet
+      assert(got == batch, "stream-encoded codes must equal the batch encode")
+    } finally q.stop()
   }
 
   test("native minhash_band_sigs matches the SQL transform/array_min form") {
