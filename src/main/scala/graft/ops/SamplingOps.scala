@@ -43,9 +43,33 @@ object SamplingOps {
     * oracle's identical sort carries. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, keyExpr: String,
                       quota: Int): DataFrame =
-    df.withColumn("__h", expr(sampleHash(keyExpr)))
+    stratifiedQuota(df, stratumCol, keyExpr, quota, None)
+
+  /** As [[stratifiedQuota]], with the scale path: `prefilter = Some(rate)`
+    * keeps only the globally lowest `rate` fraction of the hash space
+    * (`h < rate × 2^60` — a stateless narrow filter) BEFORE the
+    * per-stratum rank, so the rank sort sees `rate × N` rows instead of
+    * the corpus. Because the quota sample IS the per-stratum lowest-hash
+    * rows, the prefiltered result EQUALS the exact result whenever every
+    * stratum still has ≥ quota rows inside the slab — size
+    * `rate ≳ safety × quota / min-stratum-size` (hash counts concentrate
+    * tightly; safety 3–5 makes a miss astronomically unlikely, and a
+    * stratum returning < quota rows is the observable tell). This is the
+    * same exact-vs-scale duality as the percentile sketch: identical
+    * answer, survivable plan. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyExpr: String,
+                      quota: Int, prefilter: Option[Double]): DataFrame = {
+    val hashed = df.withColumn("__h", expr(sampleHash(keyExpr)))
+    val thinned = prefilter match {
+      case Some(rate) =>
+        val cut = (rate * (1L << 60).toDouble).toLong
+        hashed.filter(col("__h") < cut)
+      case None => hashed
+    }
+    thinned
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(stratumCol)).orderBy(col("__h").asc)).cast("long"))
       .filter(col("rk") <= quota)
       .drop("__h")
+  }
 }

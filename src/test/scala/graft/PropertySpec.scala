@@ -27,6 +27,35 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
 
+  test("property: spanScrub invariants on random corpora") {
+    import graft.ops.DedupOps
+    val genDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 20)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(genDocs, 5).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = DedupOps.spanScrub(df, "text", 3)
+        .select("doc_id", "n_tok", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect()
+      val byId = docs.toMap
+      assert(out.length == docs.size)
+      out.foreach { case (id, nTok, nRemoved, clean) =>
+        val orig = byId(id).split(" ").filter(_.nonEmpty)
+        val kept = clean.split(" ").filter(_.nonEmpty)
+        // token accounting is exact and clean is a subsequence of the original
+        assert(nTok == orig.length && kept.length == nTok - nRemoved)
+        var j = 0
+        kept.foreach { t => j = orig.indexOf(t, j); assert(j >= 0); j += 1 }
+        // docs shorter than the span width are never modified
+        if (orig.length < 3) assert(nRemoved == 0L && kept.sameElements(orig))
+      }
+    }
+  }
+
   test("property: cep-lite(n=2) ≡ lag formulation for random streams") {
     samples(genEvents, 5).foreach { evs =>
       val df = evs.toDF()

@@ -40,6 +40,18 @@ class SamplingSpanSpec extends SparkSpec {
     assert(smaller == full, "removing an unsampled doc must not change the sample")
   }
 
+  test("stratifiedQuota: hash-slab prefilter returns the identical sample") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val key = "concat(CAST(doc_id AS STRING), '|', md5(text))"
+    val exact = SamplingOps.stratifiedQuota(docs, "lang", key, 5)
+      .select("doc_id", "lang", "rk").as[(Long, String, Long)].collect().toSet
+    // generous slab: quota 5 of min-stratum ≈ 8 docs at sf0.001 → rate 0.9
+    // still thins the sort input while provably containing every winner
+    val thinned = SamplingOps.stratifiedQuota(docs, "lang", key, 5, Some(0.9))
+      .select("doc_id", "lang", "rk").as[(Long, String, Long)].collect().toSet
+    assert(thinned == exact, "prefiltered quota sample must equal the exact one")
+  }
+
   test("hashRateSample: deterministic, per-stratum rates, sane frequency") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
     val key = "concat(CAST(doc_id AS STRING), '|', md5(text))"
