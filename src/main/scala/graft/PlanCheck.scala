@@ -5,6 +5,30 @@ import org.apache.spark.sql.SparkSession
 /** Dumps formatted physical plans for the scale-critical queries so the
   * shuffle/broadcast/pushdown shape can be reviewed (SURVEY.md §7.4-7). */
 object PlanCheck {
+  /** `runMain graft.PlanCheck <dir> --inventory` prints one markdown row
+    * per SparkEntry query: shuffle and broadcast exchanges in the
+    * pre-execution adaptive plan — the audit table behind PLANS.md.
+    * (Codegen spans only materialize at execution under AQE, so they are
+    * not countable here; iterative queries — dedup_clusters, pq_* — show
+    * their FINAL composed plan, their training/loop actions having already
+    * run during query construction.) */
+  private def inventory(spark: SparkSession, dir: String): Unit = {
+    println("| query | shuffle exch | broadcast exch |")
+    println("|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toSeq
+        val bcast = lines.count(_.contains("BroadcastExchange"))
+        val shuffle = lines.count(l =>
+          l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+        println(s"| $name | $shuffle | $bcast |")
+      } catch {
+        case e: Throwable => println(s"| $name | plan error: ${e.getMessage} | |")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSet else Set(
@@ -15,6 +39,11 @@ object PlanCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 1 && args(1) == "--inventory") {
+      inventory(spark, dir)
+      spark.stop()
+      return
+    }
     SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
