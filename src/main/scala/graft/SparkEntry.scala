@@ -33,6 +33,7 @@ object SparkEntry {
     "activity_by_hour"   -> (BehaviorQueries.activityByHour _),
     "user_running_stats" -> (BehaviorQueries.userRunningStats _),
     "funnel_conversion"  -> (BehaviorQueries.funnelConversion _),
+    "funnel_steps"       -> (BehaviorQueries.funnelSteps _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

@@ -163,7 +163,24 @@ object BehaviorOracles {
       |       CAST(coalesce(p.purchasers, 0) AS DOUBLE) / CAST(v.viewers AS DOUBLE) AS conversion
       |FROM v LEFT JOIN p ON v.channel = p.channel""".stripMargin
 
+  val funnelSteps: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+      |v AS (SELECT user_id, min(sec) AS view_sec FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.sec) AS click_sec
+      |      FROM e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.sec > v.view_sec GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.sec) AS purchase_sec
+      |      FROM e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.sec > c.click_sec GROUP BY 1)
+      |SELECT user_id, view_sec,
+      |  coalesce(click_sec, -1) AS click_sec,
+      |  coalesce(purchase_sec, -1) AS purchase_sec,
+      |  CAST(CASE WHEN purchase_sec IS NOT NULL THEN 3
+      |            WHEN click_sec IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
   val all: Map[String, String] = Map(
+    "funnel_steps"       -> funnelSteps,
     "funnel_conversion"  -> funnelConversion,
     "user_running_stats" -> userRunningStats,
     "activity_by_hour"   -> activityByHour,

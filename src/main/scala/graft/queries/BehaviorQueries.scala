@@ -161,6 +161,31 @@ object BehaviorQueries {
         col("purchasers").cast("double") / col("viewers").cast("double"))
   }
 
+  /** Multi-step funnel per user: first view, then the first click AFTER
+    * that view, then the first purchase AFTER that click — step timestamps
+    * and reached depth. Declarative sequence analytics (three conditional
+    * min-aggregations, user-keyed — no NFA state, no per-user sort), the
+    * N-step generalization of [[funnelConversion]]'s distinct-count ratio.
+    * Absent steps are sentinel −1 (mixed null/typed columns hash poorly
+    * across engines — same convention as the rollup subtotals). */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).withColumn("sec", col("ts").cast("long"))
+      .select("user_id", "event_type", "sec")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("sec")).as("view_sec"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("sec") > col("view_sec"))
+      .groupBy("user_id").agg(min(col("sec")).as("click_sec"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("sec") > col("click_sec"))
+      .groupBy("user_id").agg(min(col("sec")).as("purchase_sec"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .selectExpr("user_id", "view_sec",
+        "coalesce(click_sec, -1L) AS click_sec",
+        "coalesce(purchase_sec, -1L) AS purchase_sec",
+        "CASE WHEN purchase_sec IS NOT NULL THEN 3L WHEN click_sec IS NOT NULL THEN 2L ELSE 1L END AS depth")
+  }
+
   /** Per-user running analytics: cumulative event count and seconds since
     * the previous event (running-frame window aggregation + lag). */
   def userRunningStats(spark: SparkSession, dir: String): DataFrame = {
