@@ -34,6 +34,7 @@ object SparkEntry {
     "user_running_stats" -> (BehaviorQueries.userRunningStats _),
     "funnel_conversion"  -> (BehaviorQueries.funnelConversion _),
     "funnel_steps"       -> (BehaviorQueries.funnelSteps _),
+    "item_pagerank"      -> (BehaviorQueries.itemPagerank _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

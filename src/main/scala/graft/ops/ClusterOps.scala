@@ -78,4 +78,34 @@ object ClusterOps {
         "diameter exceeds the bound; raise maxIter or use a star-contraction scheme")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** PageRank with a FIXED iteration count in exact integer arithmetic:
+    * ranks live in 1e-6 units, each round is
+    * `rank' = 0.15 + 0.85 × Σ_in (rank_src div outdeg_src)` with floored
+    * integer division — bit-deterministic on any cluster size and
+    * restatable in SQL (an unrolled CTE per round), unlike float PageRank
+    * whose sum order drifts. Dangling-node mass is dropped (the standard
+    * simplified formulation). Fixed iterations instead of convergence
+    * detection: each round is one join + one aggregation shuffle, so the
+    * plan is a static `iters`-deep DAG with no driver actions at all.
+    *
+    * Input: directed (`src`, `dst`) edge list (deduplicated here).
+    * Output: (id, rank) for every node appearing in any edge. */
+  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).distinct()
+    val out = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct()
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = ed
+        .join(ranks, col("src") === col("id"))
+        .join(out, "src")
+        .selectExpr("dst", "rank div outdeg AS c")
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, col("id") === col("dst"), "left")
+        .selectExpr("id", "150000L + 85L * coalesce(s, 0L) div 100 AS rank")
+    }
+    ranks
+  }
 }

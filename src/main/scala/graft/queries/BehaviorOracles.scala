@@ -179,7 +179,33 @@ object BehaviorOracles {
       |            WHEN click_sec IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
 
+  /** Unrolled 3-round integer PageRank, one contribution+rank CTE pair per
+    * round — the oracle twin of ClusterOps.pagerankFixed. */
+  val itemPagerank: String = {
+    val base =
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |           FROM events
+        |           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |raw AS (SELECT item AS src,
+        |               lead(item) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS dst
+        |        FROM e),
+        |ed AS (SELECT DISTINCT src, dst FROM raw WHERE dst IS NOT NULL AND src <> dst),
+        |o AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+        |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT ed.dst AS dst, SUM(r${i - 1}.rank // o.outdeg) AS s
+         |       FROM ed JOIN r${i - 1} ON r${i - 1}.id = ed.src
+         |       JOIN o ON o.src = ed.src GROUP BY 1),
+         |r$i AS (SELECT id, CAST(150000 + 85 * coalesce(s, 0) // 100 AS BIGINT) AS rank
+         |       FROM n LEFT JOIN c$i ON c$i.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds\nSELECT id AS item_id, rank FROM r3"
+  }
+
   val all: Map[String, String] = Map(
+    "item_pagerank"      -> itemPagerank,
     "funnel_steps"       -> funnelSteps,
     "funnel_conversion"  -> funnelConversion,
     "user_running_stats" -> userRunningStats,

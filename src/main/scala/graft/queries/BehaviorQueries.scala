@@ -186,6 +186,25 @@ object BehaviorQueries {
         "CASE WHEN purchase_sec IS NOT NULL THEN 3L WHEN click_sec IS NOT NULL THEN 2L ELSE 1L END AS depth")
   }
 
+  /** Item importance from user navigation paths: consecutive-item edges
+    * per user (time order) feed 3 rounds of exact integer PageRank
+    * ([[graft.ops.ClusterOps.pagerankFixed]] — 1e-6 rank units, floored
+    * division, bit-deterministic across engines and cluster sizes). */
+  def itemPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").asc, col("event_id").asc)
+    val e = ev(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("item", itemId)
+      .filter(col("item").isNotNull)
+    val edges = e
+      .withColumn("dst", lead(col("item"), 1).over(w))
+      .filter(col("dst").isNotNull && col("item") =!= col("dst"))
+      .select(col("item").as("src"), col("dst"))
+    graft.ops.ClusterOps.pagerankFixed(edges, 3)
+      .select(col("id").as("item_id"), col("rank"))
+  }
+
   /** Per-user running analytics: cumulative event count and seconds since
     * the previous event (running-frame window aggregation + lag). */
   def userRunningStats(spark: SparkSession, dir: String): DataFrame = {

@@ -111,6 +111,21 @@ class SamplingSpanSpec extends SparkSpec {
     assert(perDoc.values.forall(g => g.map(_._5).sorted.sameElements(1L to g.size)))
   }
 
+  test("pagerankFixed: exact integer ranks on a hand-computed graph") {
+    // 3-cycle 1→2→3→1 plus feeder 4→1; ranks in 1e-6 units, 3 rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.ops.ClusterOps.pagerankFixed(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1127500L,  // 150000 + 85% of (r2(3) + r2(4)) with floor div
+      2L -> 1108375L,
+      3L -> 1614125L,
+      4L -> 150000L)) // no in-edges: exactly the base mass
+    val again = graft.ops.ClusterOps.pagerankFixed(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val a = Seq((1L, "same"), (2L, "gone"), (3L, "before")).toDF("doc_id", "text")
     val b = Seq((1L, "same"), (3L, "after"), (4L, "new")).toDF("doc_id", "text")
