@@ -35,6 +35,8 @@ object SparkEntry {
     "funnel_conversion"  -> (BehaviorQueries.funnelConversion _),
     "funnel_steps"       -> (BehaviorQueries.funnelSteps _),
     "item_pagerank"      -> (BehaviorQueries.itemPagerank _),
+    "retention_cohorts"  -> (BehaviorQueries.retentionCohorts _),
+    "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

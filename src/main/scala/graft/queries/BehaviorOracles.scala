@@ -204,7 +204,31 @@ object BehaviorOracles {
     s"$base,\n$rounds\nSELECT id AS item_id, rank FROM r3"
   }
 
+  val retentionCohorts: String =
+    """WITH wk AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 // 7 AS week FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, week FROM wk)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |       count(*) AS active_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  val volumeAnomalies: String =
+    """WITH h AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hour,
+      |                  count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, hour, cnt,
+      |        CAST(coalesce(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum,
+      |        CAST(count(*) OVER w AS BIGINT) AS trail_n
+      |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour, cnt, trail_sum, trail_n,
+      |  trail_n >= 12 AND cnt * trail_n > 2 * trail_sum AS anomalous
+      |FROM t""".stripMargin
+
   val all: Map[String, String] = Map(
+    "volume_anomalies"   -> volumeAnomalies,
+    "retention_cohorts"  -> retentionCohorts,
     "item_pagerank"      -> itemPagerank,
     "funnel_steps"       -> funnelSteps,
     "funnel_conversion"  -> funnelConversion,

@@ -186,6 +186,43 @@ object BehaviorQueries {
         "CASE WHEN purchase_sec IS NOT NULL THEN 3L WHEN click_sec IS NOT NULL THEN 2L ELSE 1L END AS depth")
   }
 
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * first event; for each (cohort, weeks-since-cohort) cell, how many of
+    * the cohort's users were active — the standard retention triangle.
+    * Two keyed aggregations (first-week per user, distinct active weeks)
+    * and one count: no windows, no self-join explosion. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = ev(spark, dir)
+      .selectExpr("user_id", "ts", "CAST(ts AS LONG) div 86400 div 7 AS week")
+    val cohort = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val active = weeks.select("user_id", "week").distinct()
+    active.join(cohort, "user_id")
+      .selectExpr("cohort_week", "week - cohort_week AS week_offset", "user_id")
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Hourly volume anomalies per event type: an hour is anomalous when its
+    * count exceeds 2× the average of the trailing 24 OBSERVED hours (rows,
+    * not wall hours — empty hours produce no row) with at least 12 of them
+    * present. The comparison is cross-multiplied into pure integers
+    * (cnt × n > 2 × sum) — no floating threshold, engine-exact. One
+    * aggregation plus one bounded window frame per type (types are few;
+    * at scale the frame is per (type, day-partition) anyway since the
+    * trailing horizon never crosses 24 rows). */
+  def volumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(spark, dir)
+      .selectExpr("event_type", "CAST(ts AS LONG) div 3600 AS hour")
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .selectExpr("event_type", "hour", "cnt", "trail_sum", "trail_n",
+        "trail_n >= 12 AND cnt * trail_n > 2 * trail_sum AS anomalous")
+  }
+
   /** Item importance from user navigation paths: consecutive-item edges
     * per user (time order) feed 3 rounds of exact integer PageRank
     * ([[graft.ops.ClusterOps.pagerankFixed]] — 1e-6 rank units, floored
