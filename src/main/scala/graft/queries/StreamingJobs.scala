@@ -125,6 +125,20 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"))
 
+  /** Hourly volume anomalies as a live monitor: type-keyed hourly counts
+    * close when the watermark passes the hour, each emitted with its
+    * trailing-window comparison — the streaming twin of the batch
+    * volume_anomalies query (Detectors.volumeAnomaly). */
+  def volumeAnomalyStream(spark: SparkSession, dir: String): Dataset[Detectors.HourStat] = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, dir, watermark = "1 hour")
+      .select(col("event_type").as("key"), col("ts").cast("long").as("sec"),
+        col("ts"))
+      .as[Detectors.TypeEvent]
+    Detectors.volumeAnomaly(keyed, trailRows = 24, minTrail = 12,
+      factor = 2L, streaming = true)
+  }
+
   /** C2/C3 login-fail alarms as a stream: error events through the
     * consecutive-run detector. */
   def loginFailAlarms(spark: SparkSession, dir: String, n: Int,

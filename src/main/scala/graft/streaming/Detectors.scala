@@ -356,4 +356,70 @@ object Detectors {
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
+
+  /** Typed event for type-keyed hourly monitoring; bind with `.as` by name
+    * so the watermarked ts column rides along (see loginFailAlarms). */
+  case class TypeEvent(key: String, sec: Long)
+
+  case class HourStat(event_type: String, hour: Long, cnt: Long,
+                      trail_sum: Long, trail_n: Long, anomalous: Boolean)
+
+  /** (hour, cnt) pairs: `pending` = hours not yet closed by the watermark;
+    * `trail` = the last ≤ trailRows FINALIZED hours (the comparison window). */
+  case class VolumeState(pending: Seq[(Long, Long)], trail: Seq[(Long, Long)])
+
+  /** Streaming twin of BehaviorQueries.volumeAnomalies: per event type,
+    * count each event-hour and — once the watermark closes the hour — emit
+    * its count with the trailing-window comparison (cnt × n > factor × sum
+    * over the last ≤ trailRows observed hours, integer-exact). State per
+    * key = open-hour counters inside the watermark horizon plus a
+    * `trailRows`-deep ring of closed hours — O(1) for any traffic volume.
+    * Late events for an already-closed hour are dropped (allowed-lateness-0
+    * parity, like every detector here). Batch mode folds everything at
+    * watermark ∞, which is exactly the batch query's trailing row frame —
+    * asserted by the parity spec. */
+  def volumeAnomaly(events: Dataset[TypeEvent], trailRows: Int,
+                    minTrail: Int, factor: Long,
+                    streaming: Boolean): Dataset[HourStat] = {
+    implicit val outEnc = Encoders.product[HourStat]
+    implicit val stEnc = Encoders.product[VolumeState]
+    implicit val keyEnc = Encoders.STRING
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: String, it: Iterator[TypeEvent],
+                state: GroupState[VolumeState]): Iterator[HourStat] = {
+      val st = state.getOption.getOrElse(VolumeState(Nil, Nil))
+      val wmHour =
+        if (streaming) state.getCurrentWatermarkMs() / 1000 / 3600 else Long.MaxValue
+      val finalizedMax = st.trail.lastOption.map(_._1).getOrElse(Long.MinValue)
+      val counts = scala.collection.mutable.Map(st.pending: _*)
+      it.foreach { e =>
+        val h = Math.floorDiv(e.sec, 3600L)
+        if (h > finalizedMax) counts(h) = counts.getOrElse(h, 0L) + 1L
+      }
+      val (toFinal, stay) = counts.toSeq.partition(_._1 < wmHour)
+      var trail = st.trail
+      val out = Seq.newBuilder[HourStat]
+      toFinal.sortBy(_._1).foreach { case (h, c) =>
+        val ts = trail.map(_._2).sum
+        val tn = trail.size.toLong
+        out += HourStat(key, h, c, ts, tn,
+          tn >= minTrail && c * tn > factor * ts)
+        trail = (trail :+ (h, c)).takeRight(trailRows)
+      }
+      if (stay.isEmpty && trail.isEmpty) state.remove()
+      else {
+        state.update(VolumeState(stay.sortBy(_._1), trail))
+        if (streaming && stay.nonEmpty)
+          state.setTimeoutTimestamp(math.max(
+            (stay.map(_._1).min + 1) * 3600 * 1000 + 1000,
+            state.getCurrentWatermarkMs() + 1))
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
 }

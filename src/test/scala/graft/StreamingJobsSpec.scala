@@ -9,6 +9,37 @@ import graft.queries.{BehaviorQueries, StreamingJobs}
 class StreamingJobsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming volume anomaly equals the batch query per closed hour") {
+    val batch = BehaviorQueries.volumeAnomalies(spark, sf0001)
+      .select("event_type", "hour", "cnt", "trail_sum", "trail_n", "anomalous")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // batch-mode detector ≡ the SQL window formulation, fully
+    val keyed = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type").as("key"), col("ts").cast("long").as("sec"))
+      .as[graft.streaming.Detectors.TypeEvent]
+    val viaDetector = graft.streaming.Detectors
+      .volumeAnomaly(keyed, 24, 12, 2L, streaming = false)
+      .collect()
+      .map(h => (h.event_type, h.hour) -> ((h.cnt, h.trail_sum, h.trail_n, h.anomalous))).toMap
+    assert(viaDetector == batch)
+    // streaming mode: every watermark-closed hour matches the batch row
+    val q = StreamingJobs.volumeAnomalyStream(spark, sf0001)
+      .writeStream.format("memory").queryName("vol_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vol_stream")
+        .select("event_type", "hour", "cnt", "trail_sum", "trail_n", "anomalous")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      assert(got.nonEmpty, "watermark should close most replayed hours")
+      got.foreach { r =>
+        assert(batch((r._1, r._2)) == ((r._3, r._4, r._5, r._6)),
+          s"hour ${r._2} type ${r._1}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming page views equals batch for watermark-closed windows") {
     val batch = BehaviorQueries.pageViews(spark, sf0001)
       .select("window_start", "pv").as[(Long, Long)].collect().toMap
