@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "seq_pack"          -> (PipelineQueries.seqPack _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "sample_weighted"   -> (PipelineQueries.sampleWeighted _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),

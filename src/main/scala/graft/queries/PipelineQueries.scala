@@ -373,6 +373,19 @@ object PipelineQueries {
     DedupOps.snapshotDiff(a, b, "doc_id", "text")
   }
 
+  /** Quality-weighted sampling: each document's keep-probability IS its
+    * quality score — `hashRateSample`'s rate expression referencing a
+    * computed column, so better documents survive proportionally more
+    * often, deterministically (the curriculum/downsampling shape, no
+    * rand()). */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SamplingOps.hashRateSample(
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .join(textQuality(spark, dir).select("doc_id", "quality"), "doc_id"),
+      "concat(CAST(doc_id AS STRING), '|', md5(text))",
+      "least(CAST(1.0 AS DOUBLE), quality)")
+      .select("doc_id", "quality", "sample_bucket")
+
   /** Corpus-typicality fluency score from a self-trained bigram LM: per
     * document, the mean MLE transition probability P(w2|w1) over its bigram
     * occurrences, in exact integer micro-units (c2 × 1e6 div c1) — the
@@ -944,7 +957,16 @@ object PipelineOracles {
       |       ELSE 'changed' END AS status
       |FROM ah FULL OUTER JOIN bh ON ah.id = bh.id""".stripMargin
 
+  val sampleWeighted: String =
+    s"""WITH q AS ($textQuality),
+       |h AS (SELECT q.doc_id, q.quality,
+       |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || md5(d.text)), 1, 15)) AS BIGINT) % 1000000 AS sample_bucket
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, quality, sample_bucket FROM h
+       |WHERE sample_bucket < CAST(round(least(CAST(1.0 AS DOUBLE), quality) * 1000000.0) AS BIGINT)""".stripMargin
+
   val all: Map[String, String] = Map(
+    "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,
     "span_scrub"        -> spanScrub,
