@@ -83,6 +83,7 @@ object SparkEntry {
     "seq_pack"          -> (PipelineQueries.seqPack _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "sample_weighted"   -> (PipelineQueries.sampleWeighted _),
+    "corpus_health"     -> (PipelineQueries.corpusHealth _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),

@@ -373,6 +373,23 @@ object PipelineQueries {
     DedupOps.snapshotDiff(a, b, "doc_id", "text")
   }
 
+  /** One-row corpus health profile — the data-quality gate a pipeline runs
+    * before anything else: row/distinct-id/duplicate-content counts, null
+    * and empty text counts, and exact integer length stats. All counts are
+    * single-pass aggregates; the two distincts are the only shuffles. */
+  def corpusHealth(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("doc_id")).as("n_ids"),
+      count_distinct(md5(col("text"))).as("n_distinct_texts"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty_text"),
+      min(length(col("text"))).cast("long").as("min_len"),
+      max(length(col("text"))).cast("long").as("max_len"),
+      sum(length(col("text"))).cast("long").as("sum_len"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"))
+
   /** Quality-weighted sampling: each document's keep-probability IS its
     * quality score — `hashRateSample`'s rate expression referencing a
     * computed column, so better documents survive proportionally more
@@ -965,7 +982,21 @@ object PipelineOracles {
        |SELECT doc_id, quality, sample_bucket FROM h
        |WHERE sample_bucket < CAST(round(least(CAST(1.0 AS DOUBLE), quality) * 1000000.0) AS BIGINT)""".stripMargin
 
+  val corpusHealth: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+      |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+      |  CAST(min(length(text)) AS BIGINT) AS min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS max_len,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents""".stripMargin
+
   val all: Map[String, String] = Map(
+    "corpus_health"     -> corpusHealth,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,
