@@ -70,6 +70,7 @@ object SparkEntry {
     "text_quality"    -> (PipelineQueries.textQuality _),
     "dedup_ngram"     -> (PipelineQueries.dedupNgram _),
     "dedup_minhash"   -> (PipelineQueries.dedupMinhash _),
+    "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "dedup_simhash"   -> (PipelineQueries.dedupSimhash _),
     "embed_topk"      -> (PipelineQueries.embedTopK _),
     "embed_topk_lsh"  -> (PipelineQueries.embedTopKLsh _),

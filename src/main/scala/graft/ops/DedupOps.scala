@@ -178,6 +178,50 @@ object DedupOps {
         col("n_shared").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Directed near-CONTAINMENT pairs: (contained, container) where the
+    * contained doc's shingles are mostly a subset of the container's —
+    * asymmetric Jaccard |A∩B|/|A|, the excerpt/quote-dedup relation that
+    * symmetric near-dup misses (a paragraph quoted inside a long article
+    * has high containment but low Jaccard).
+    *
+    * Candidates come from SHARED-SPAN evidence, not minhash bands (bands
+    * are tuned for symmetric similarity and under-sample low-Jaccard
+    * containment): docs sharing any `spanN`-token span pair up. Spans in
+    * more than `maxDocsPerSpan` docs are skipped as boilerplate — the
+    * blast-radius cap that keeps the span self-join linear-ish; a span
+    * shared by k docs yields k² candidate rows, so ubiquitous spans would
+    * otherwise detonate it (they also carry no containment signal).
+    * Verification is exact `shingleN`-gram asymmetric overlap on per-doc
+    * hash sets. Output: contained, container, common, containment. */
+  def containmentPairs(docs: DataFrame, textCol: String, spanN: Int,
+                       shingleN: Int, threshold: Double,
+                       maxDocsPerSpan: Long = 20L): DataFrame = {
+    val sp = shingles(docs, textCol, spanN)
+      .selectExpr("doc_id", s"${md5Long("sh")} AS h")
+    val usable = sp.groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= maxDocsPerSpan)
+      .select("h")
+    val cand = sp.join(usable, "h").alias("a")
+      .join(sp.join(usable, "h").alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = shingles(docs, textCol, shingleN)
+      .selectExpr("doc_id", s"${md5Long("sh")} AS g")
+      .groupBy("doc_id")
+      .agg(collect_set(col("g")).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long"))
+    val scored = cand
+      .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")), "db")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+    scored.selectExpr("da AS contained", "db AS container", "common",
+        "CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment")
+      .unionByName(scored.selectExpr("db AS contained", "da AS container",
+        "common", "CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Snapshot diff for incremental corpus updates: classify every doc id
     * across two corpus snapshots as added / removed / changed / unchanged
     * by id + content hash. Both sides project to (id, 128-bit hash) BEFORE

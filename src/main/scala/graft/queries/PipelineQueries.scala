@@ -169,6 +169,12 @@ object PipelineQueries {
     DedupOps.minhashPairs(
       DedupOps.shingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
 
+  /** Directed near-containment pairs (excerpt/quote dedup): shared-5-span
+    * candidates, exact 3-gram asymmetric overlap ≥ 0.6
+    * ([[DedupOps.containmentPairs]]). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(Tables.documents(spark, dir), "text", 5, 3, 0.6)
+
   /** 60-bit SimHash fingerprint per document. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(Tables.documents(spark, dir), "text")
@@ -995,7 +1001,39 @@ object PipelineOracles {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents""".stripMargin
 
+  val dedupContainment: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |sp AS (SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |                         for i in generate_series(1, len(w) - 4)]) AS sh FROM t)),
+      |usable AS (SELECT h FROM (SELECT h, count(*) AS ndocs FROM sp GROUP BY 1)
+      |           WHERE ndocs BETWEEN 2 AND 20),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM sp a JOIN usable u ON u.h = a.h
+      |         JOIN sp b ON b.h = a.h AND a.doc_id < b.doc_id),
+      |g AS (SELECT DISTINCT doc_id,
+      |        CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS g FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                         for i in generate_series(1, len(w) - 2)]) AS sh FROM t)),
+      |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |cm AS (SELECT c.da, c.db, count(*) AS common
+      |       FROM cand c JOIN g x ON x.doc_id = c.da
+      |       JOIN g y ON y.doc_id = c.db AND y.g = x.g
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT cm.da, cm.db, CAST(cm.common AS BIGINT) AS common,
+      |              na.n AS na, nb.n AS nb
+      |       FROM cm JOIN n na ON na.doc_id = cm.da JOIN n nb ON nb.doc_id = cm.db),
+      |dir AS (SELECT da AS contained, db AS container, common,
+      |               CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM sc
+      |        UNION ALL
+      |        SELECT db, da, common,
+      |               CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment FROM sc)
+      |SELECT contained, container, common, containment FROM dir
+      |WHERE containment >= 0.6""".stripMargin
+
   val all: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainment,
     "corpus_health"     -> corpusHealth,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
