@@ -37,6 +37,7 @@ object SparkEntry {
     "item_pagerank"      -> (BehaviorQueries.itemPagerank _),
     "retention_cohorts"  -> (BehaviorQueries.retentionCohorts _),
     "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
+    "item_pairs"         -> (BehaviorQueries.itemPairs _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

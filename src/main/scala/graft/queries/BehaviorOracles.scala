@@ -226,7 +226,21 @@ object BehaviorOracles {
       |  trail_n >= 12 AND cnt * trail_n > 2 * trail_sum AS anomalous
       |FROM t""".stripMargin
 
+  val itemPairs: String =
+    """WITH b AS (SELECT DISTINCT user_id,
+      |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |p AS (SELECT a.item AS item_a, b2.item AS item_b, count(*) AS n_users
+      |      FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+      |      GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_users, rn FROM (
+      |  SELECT item_a, item_b, n_users,
+      |         CAST(row_number() OVER (ORDER BY n_users DESC, item_a ASC, item_b ASC) AS BIGINT) AS rn
+      |  FROM p)
+      |WHERE rn <= 20""".stripMargin
+
   val all: Map[String, String] = Map(
+    "item_pairs"         -> itemPairs,
     "volume_anomalies"   -> volumeAnomalies,
     "retention_cohorts"  -> retentionCohorts,
     "item_pagerank"      -> itemPagerank,

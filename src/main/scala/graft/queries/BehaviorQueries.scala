@@ -186,6 +186,32 @@ object BehaviorQueries {
         "CASE WHEN purchase_sec IS NOT NULL THEN 3L WHEN click_sec IS NOT NULL THEN 2L ELSE 1L END AS depth")
   }
 
+  /** Market-basket item co-occurrence: the top-20 item pairs by the number
+    * of users who interacted with both. The per-user distinct item set is
+    * the basket; pairing is the standard basket self-join — quadratic PER
+    * BASKET, linear across baskets, safe because a user's distinct-item
+    * count is domain-bounded (and the distinct step caps it structurally);
+    * the global pair count is one hash aggregation. Ties rank (cnt DESC,
+    * item_a, item_b) for a deterministic top-20. */
+  def itemPairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = ev(spark, dir)
+      .withColumn("item", itemId)
+      .filter(col("item").isNotNull)
+      .select("user_id", "item").distinct()
+    baskets.alias("a")
+      .join(baskets.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
+      // distributed top-k (TakeOrderedAndProject), then rank only the 20
+      // survivors — a global row_number window here would funnel every
+      // pair count through one sort partition
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("n_users").desc, col("item_a").asc, col("item_b").asc)).cast("long"))
+  }
+
   /** Weekly retention cohorts: users grouped by the epoch-week of their
     * first event; for each (cohort, weeks-since-cohort) cell, how many of
     * the cohort's users were active — the standard retention triangle.
