@@ -38,6 +38,7 @@ object SparkEntry {
     "retention_cohorts"  -> (BehaviorQueries.retentionCohorts _),
     "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
     "item_pairs"         -> (BehaviorQueries.itemPairs _),
+    "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),

@@ -239,7 +239,19 @@ object BehaviorOracles {
       |  FROM p)
       |WHERE rn <= 20""".stripMargin
 
+  val skewProfile: String =
+    """WITH f AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |             CAST(count(*) AS BIGINT) AS n_keys FROM f),
+      |r AS (SELECT user_id, cnt,
+      |        CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rn
+      |      FROM f)
+      |SELECT user_id, cnt, rn, total_rows, n_keys,
+      |       CAST(cnt * 1000000 // total_rows AS BIGINT) AS share_ppm
+      |FROM r CROSS JOIN t WHERE rn <= 10""".stripMargin
+
   val all: Map[String, String] = Map(
+    "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,
     "volume_anomalies"   -> volumeAnomalies,
     "retention_cohorts"  -> retentionCohorts,

@@ -212,6 +212,24 @@ object BehaviorQueries {
         col("n_users").desc, col("item_a").asc, col("item_b").asc)).cast("long"))
   }
 
+  /** Key-distribution skew profile for a join/aggregation key (user_id
+    * here): the top-10 heaviest keys with their parts-per-million share,
+    * plus global row/key totals — the pre-flight diagnostic that decides
+    * whether a key needs `SkewOps` salting or AQE skew handling before a
+    * 100 TB shuffle. One aggregation + distributed top-k + a broadcast
+    * single-row totals join; share is integer ppm (cnt × 1e6 div total). */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val freq = ev(spark, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = freq.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    freq.orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("cnt").desc, col("user_id").asc)).cast("long"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("user_id", "cnt", "rn", "total_rows", "n_keys",
+        "cnt * 1000000L div total_rows AS share_ppm")
+  }
+
   /** Weekly retention cohorts: users grouped by the epoch-week of their
     * first event; for each (cohort, weeks-since-cohort) cell, how many of
     * the cohort's users were active — the standard retention triangle.

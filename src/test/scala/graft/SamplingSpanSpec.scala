@@ -126,6 +126,19 @@ class SamplingSpanSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("containmentPairs finds an excerpt at containment 1.0, directed") {
+    val article = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 14).map(i => s"w$i").mkString(" ")      // inside article
+    val unrelated = (100 to 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, excerpt), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "text", 5, 3, 0.9)
+      .select("contained", "container", "containment")
+      .as[(Long, Long, Double)].collect()
+    // excerpt ⊂ article at 1.0; the article is NOT contained in the excerpt
+    assert(got.toSeq == Seq((2L, 1L, 1.0)))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val a = Seq((1L, "same"), (2L, "gone"), (3L, "before")).toDF("doc_id", "text")
     val b = Seq((1L, "same"), (3L, "after"), (4L, "new")).toDF("doc_id", "text")
