@@ -30,11 +30,28 @@ object Bench {
       name -> (if (ok) sec else -sec)
     }.toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the artifact line short: the round-3
+    // capture lost 11 of 78 per-query times because the full-precision
+    // line outgrew the driver's stdout tail buffer
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // durable copy first: even if the stdout tail is clipped again, the
+    // full metrics object survives as a whole file in the repo
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
+    // the JSON line is the FINAL stdout of the process — nothing (not even
+    // Spark shutdown chatter) may land after it in the captured tail
+    println(json)
   }
 }

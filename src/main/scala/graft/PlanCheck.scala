@@ -20,8 +20,12 @@ object PlanCheck {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val lines = plan.linesIterator.toSeq
         val bcast = lines.count(_.contains("BroadcastExchange"))
+        // ReusedExchange nodes reference an exchange planned elsewhere
+        // (possibly a broadcast one) — counting them as fresh shuffles
+        // would overstate the plan's exchange cost
         val shuffle = lines.count(l =>
-          l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+          l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+            !l.contains("ReusedExchange"))
         println(s"| $name | $shuffle | $bcast |")
       } catch {
         case e: Throwable => println(s"| $name | plan error: ${e.getMessage} | |")
@@ -68,6 +72,20 @@ object PlanCheck {
     require(!pqPlan.contains("Exchange"),
       "PQ encode must be a narrow no-shuffle pass over the corpus")
     println("OK: no Exchange in PQ encode plan")
+
+    // pagerank checkpoints each round: the final plan must not grow with
+    // the iteration count (pre-r4 it replayed all previous rounds' lineage)
+    println("\n========== pagerankFixed (constant-size round plan) ==========")
+    val prEdges = spark.range(0, 200)
+      .selectExpr("id AS src", "(id * 7 + 1) % 200 AS dst")
+    def prPlanLines(iters: Int): Int =
+      graft.ops.ClusterOps.pagerankFixed(prEdges, iters)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val pr3 = prPlanLines(3)
+    val pr9 = prPlanLines(9)
+    require(pr3 == pr9,
+      s"pagerank round plan must be constant-size (iters=3: $pr3 lines, iters=9: $pr9)")
+    println(s"OK: plan is $pr3 lines at iters=3 and iters=9")
 
     // rate-mode sampling is a stateless filter — no exchange anywhere
     println("\n========== hashRateSample (stateless filter) ==========")

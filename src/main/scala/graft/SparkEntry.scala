@@ -37,7 +37,7 @@ object SparkEntry {
     "item_pagerank"      -> (BehaviorQueries.itemPagerank _),
     "retention_cohorts"  -> (BehaviorQueries.retentionCohorts _),
     "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
-    "item_pairs"         -> (BehaviorQueries.itemPairs _),
+    "item_pairs"         -> ((s, d) => BehaviorQueries.itemPairs(s, d)),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),

@@ -37,6 +37,23 @@ object DedupOps {
   def shingles(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame =
     allShingles(docs, textCol, n, carry: _*).distinct()
 
+  /** Distinct word `n`-shingle HASHES per doc: (doc_id, extra cols..., h)
+    * with h the 62-bit rolling token hash of [[graft.functions.SpanHashes]].
+    * The hash replaces the span STRING before the first exchange, so the
+    * distinct — and everything downstream (self-joins, frequency counts) —
+    * shuffles and compares 8-byte longs instead of ~n-word strings, and
+    * each token is digested once instead of once per covering span. This
+    * is the scale form of [[shingles]] for consumers that never need the
+    * span text back. */
+  def shingleHashes(docs: DataFrame, textCol: String, n: Int, carry: String*): DataFrame = {
+    graft.functions.SpanHashes.register(docs.sparkSession)
+    docs.selectExpr(Seq("doc_id") ++ carry ++
+        Seq(s"filter(split(trim($textCol), ' '), t -> t <> '') AS w"): _*)
+      .selectExpr(Seq("doc_id") ++ carry ++
+        Seq(s"explode(span_hashes(w, $n)) AS h"): _*)
+      .distinct()
+  }
+
   /** All-pairs exact n-gram Jaccard ≥ `threshold` within the same `scope`
     * column — QUADRATIC within each scope group by contract; the scope
     * must bound group size. Output: doc_a, doc_b, common, jaccard.
@@ -160,15 +177,15 @@ object DedupOps {
     * remove-repeated-paragraphs passes (our corpus has no paragraph
     * delimiters, so fixed-width token spans are the unit).
     *
-    * Input: the output of [[shingles]] (distinct (doc_id, sh) rows).
+    * Input: the output of [[shingleHashes]] (distinct (doc_id, h) rows).
     * Output: (doc_id, n_spans, n_shared, shared_frac).
     *
-    * Scale shape: two hash-partial-aggregated shuffles — one on the 60-bit
+    * Scale shape: two hash-partial-aggregated shuffles — one on the 62-bit
     * span hash for global doc frequency (no strings through the exchange),
     * one back on doc_id. The span→doc-frequency table is also exactly what
     * a removal pass broadcasts/joins to rewrite documents. */
   def spanStats(sh: DataFrame): DataFrame = {
-    val d = sh.selectExpr("doc_id", s"${md5Long("sh")} AS h")
+    val d = sh.select("doc_id", "h")
     val freq = d.groupBy("h").agg(count(lit(1)).as("ndocs"))
     d.join(freq, "h")
       .groupBy("doc_id")
@@ -243,24 +260,26 @@ object DedupOps {
     * `n`-token span that also occurs in another document — the CCNet-style
     * boilerplate scrub. Output: (doc_id, n_tok, n_removed, text_clean).
     *
-    * Plan shape: span hashes → global doc-frequency (one shuffle, 60-bit
+    * Plan shape: span hashes → global doc-frequency (one shuffle, 62-bit
     * hashes only) → shared span starts explode to covered token positions →
     * anti-flag join back to the token stream (doc-keyed shuffle) → ordered
     * per-doc reassembly via sort_array(struct(pos, tok)) — deterministic
     * reconstruction with no window and no driver-side logic. Docs shorter
-    * than `n` tokens pass through untouched. */
+    * than `n` tokens pass through untouched. Span hashes are the rolling
+    * token hash of [[graft.functions.SpanHashes]] (one digest per token,
+    * no concatenated span strings). */
   def spanScrub(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val parts = (0 until n).map(i => s"element_at(w, i + $i)").mkString(", ' ', ")
+    graft.functions.SpanHashes.register(docs.sparkSession)
     val toks = docs
       .selectExpr("doc_id", s"filter(split(trim($textCol), ' '), t -> t <> '') AS w")
       .selectExpr("doc_id", "posexplode(w) AS (j0, tok)")
       .selectExpr("doc_id", "j0 + 1 AS j", "tok")
     val spans = docs
       .selectExpr("doc_id", s"filter(split(trim($textCol), ' '), t -> t <> '') AS w")
-      // guard BEFORE sequence: Spark's sequence(1, 0) counts DOWN ([1, 0])
-      .filter(expr(s"size(w) >= $n"))
-      .selectExpr("doc_id", "w", s"explode(sequence(1, size(w) - ${n - 1})) AS i")
-      .selectExpr("doc_id", "i", s"${md5Long(s"concat($parts)")} AS h")
+      // span_hashes is empty for docs shorter than n tokens — they
+      // contribute no spans and pass through the scrub untouched
+      .selectExpr("doc_id", s"posexplode(span_hashes(w, $n)) AS (i0, h)")
+      .selectExpr("doc_id", "i0 + 1 AS i", "h")
     val shared = spans
       .join(spans.select(col("h"), col("doc_id").as("od")).distinct()
           .groupBy("h").agg(count(lit(1)).as("ndocs")).filter(col("ndocs") > 1),

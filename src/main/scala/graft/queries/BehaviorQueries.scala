@@ -189,15 +189,35 @@ object BehaviorQueries {
   /** Market-basket item co-occurrence: the top-20 item pairs by the number
     * of users who interacted with both. The per-user distinct item set is
     * the basket; pairing is the standard basket self-join — quadratic PER
-    * BASKET, linear across baskets, safe because a user's distinct-item
-    * count is domain-bounded (and the distinct step caps it structurally);
-    * the global pair count is one hash aggregation. Ties rank (cnt DESC,
-    * item_a, item_b) for a deterministic top-20. */
-  def itemPairs(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = ev(spark, dir)
+    * BASKET, linear across baskets; the global pair count is one hash
+    * aggregation. Ties rank (cnt DESC, item_a, item_b) for a deterministic
+    * top-20.
+    *
+    * Skew guard: a single crawler/bot user with 10⁴ distinct items would
+    * contribute 5×10⁷ pairs from ONE key — the classic basket-skew
+    * detonation. Baskets larger than `maxItemsPerUser` fail fast with a
+    * remediation message (same contract as `DedupOps.ngramJaccardPairs`):
+    * the caller decides whether to raise the cap or pre-cap baskets to
+    * their top-M items, rather than the job silently melting a partition.
+    * The guard's user_id window shares the exchange the self-join needs
+    * anyway, so it costs no extra shuffle. */
+  def itemPairs(spark: SparkSession, dir: String,
+                maxItemsPerUser: Long = 2000L): DataFrame = {
+    val distinctItems = ev(spark, dir)
       .withColumn("item", itemId)
       .filter(col("item").isNotNull)
       .select("user_id", "item").distinct()
+    val baskets = distinctItems
+      .withColumn("__basket",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(expr(
+        s"""assert_true(__basket <= ${maxItemsPerUser}L, concat(
+           |'itemPairs: user ', CAST(user_id AS STRING), ' has ',
+           |CAST(__basket AS STRING),
+           |' distinct items (cap $maxItemsPerUser); the basket self-join is
+           | quadratic per user — pre-cap baskets to top-M items or raise
+           | maxItemsPerUser')) IS NULL""".stripMargin.replace("\n", "")))
+      .select("user_id", "item")
     baskets.alias("a")
       .join(baskets.alias("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))

@@ -24,4 +24,26 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("itemPairs basket-skew guard fails fast on an oversized basket") {
+    // at sf0.001 every user's distinct-item basket exceeds 1, so a cap of
+    // 1 must detonate the guard, and the error must carry the remediation
+    val e = intercept[Exception] {
+      graft.queries.BehaviorQueries
+        .itemPairs(spark, sf0001, maxItemsPerUser = 1L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxItemsPerUser")), messages(e).mkString(" | "))
+  }
+
+  test("itemPairs result is identical under a passing guard cap") {
+    val loose = graft.queries.BehaviorQueries.itemPairs(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val tight = graft.queries.BehaviorQueries
+      .itemPairs(spark, sf0001, maxItemsPerUser = 100000L)
+      .collect().map(_.toSeq).toSet
+    assert(loose == tight && loose.nonEmpty)
+  }
 }
