@@ -56,14 +56,22 @@ object DedupOps {
 
   /** All-pairs exact n-gram Jaccard ≥ `threshold` within the same `scope`
     * column — QUADRATIC within each scope group by contract; the scope
-    * must bound group size. Output: doc_a, doc_b, common, jaccard.
+    * must bound group size. Input is [[shingleHashes]] output (distinct
+    * (doc_id, scope, h) rows): the self-join shuffles and compares 8-byte
+    * span hashes, never span strings. Output: doc_a, doc_b, common,
+    * jaccard.
     *
     * Guard: the plan embeds a per-scope distinct-doc count and fails fast
     * (analysis-quality error at runtime, before the self-join explodes)
     * if any scope group holds more than `maxDocsPerScope` documents — a
     * constant or high-skew scope at 100 TB would otherwise detonate the
-    * shingle self-join. For unbounded scopes use [[minhashPairs]], whose
-    * banded candidate join is the web-scale plan. */
+    * shingle self-join. The count is an HLL ESTIMATE (1% rsd), so the
+    * EFFECTIVE cap is `maxDocsPerScope * 97 / 100` — 3σ below the nominal
+    * value, enforced conservatively: an over-cap group can never slip
+    * through on estimator noise, but a group within ~3% under the nominal
+    * cap may fail spuriously. Size `maxDocsPerScope` ~5% above the largest
+    * group you intend to allow. For unbounded scopes use [[minhashPairs]],
+    * whose banded candidate join is the web-scale plan. */
   def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double,
                         maxDocsPerScope: Long = 100000L): DataFrame = {
     // join-multiplicity formulation: common = row count of the shingle
@@ -82,7 +90,7 @@ object DedupOps {
       .agg(approx_count_distinct(col("doc_id"), 0.01).as("__scope_docs"))
       .withColumnRenamed(scope, "__scope_g")
     val a = sh.select(col("doc_id").as("doc_a"), col(scope).as("scope_a"),
-        col("sh").as("sh_a"))
+        col("h").as("h_a"))
       .join(scopeGuard, col("scope_a") === col("__scope_g"), "left")
       // assert_true returns NULL when the predicate holds, so the filter
       // keeps every row; a too-large scope raises instead of exploding.
@@ -99,8 +107,8 @@ object DedupOps {
            | maxDocsPerScope')) IS NULL""".stripMargin.replace("\n", "")))
       .drop("__scope_g", "__scope_docs")
     val b = sh.select(col("doc_id").as("doc_b"), col(scope).as("scope_b"),
-      col("sh").as("sh_b"))
-    a.join(b, col("sh_a") === col("sh_b") && col("scope_a") === col("scope_b") &&
+      col("h").as("h_b"))
+    a.join(b, col("h_a") === col("h_b") && col("scope_a") === col("scope_b") &&
         col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       .join(cnt.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
@@ -213,8 +221,9 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, textCol: String, spanN: Int,
                        shingleN: Int, threshold: Double,
                        maxDocsPerSpan: Long = 20L): DataFrame = {
-    val sp = shingles(docs, textCol, spanN)
-      .selectExpr("doc_id", s"${md5Long("sh")} AS h")
+    // rolling hashes straight from the token stream: no span STRING is ever
+    // materialized, and candidate evidence shuffles 8-byte longs
+    val sp = shingleHashes(docs, textCol, spanN)
     val usable = sp.groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2 && col("ndocs") <= maxDocsPerSpan)
       .select("h")
@@ -223,8 +232,8 @@ object DedupOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val sets = shingles(docs, textCol, shingleN)
-      .selectExpr("doc_id", s"${md5Long("sh")} AS g")
+    val sets = shingleHashes(docs, textCol, shingleN)
+      .selectExpr("doc_id", "h AS g")
       .groupBy("doc_id")
       .agg(collect_set(col("g")).as("gs"))
       .withColumn("n", size(col("gs")).cast("long"))

@@ -208,15 +208,40 @@ object SimilarityOps {
   /** Fitted-codebook memo: training is an offline model fit, so identical
     * (input plan, hyperparams) re-fits are served from cache — a search
     * query against an already-encoded corpus shouldn't re-train. Keyed by
-    * the canonicalized input plan, so a different path/SF trains fresh.
-    * Determinism makes this safe: a cache hit IS the re-fit result. */
+    * the canonicalized input plan PLUS a data fingerprint (leaf-file path,
+    * length, mtime), so a different path/SF — or the SAME path rewritten
+    * in-place within one JVM — trains fresh. Determinism makes a hit safe:
+    * a cache hit IS the re-fit result. Bounded: model params are small,
+    * but a long-lived session cycling many corpora shouldn't grow it
+    * unboundedly. */
+  private val codebookCacheMax = 64
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[(Long, Seq[Long])])]]()
+
+  /** Test/ops hook: drop all memoized codebooks (e.g. after overwriting a
+    * corpus in-place when mtime granularity could mask the rewrite). */
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
+  /** Leaf-file identity of every file-based relation under `df`'s plan:
+    * (path, length, modificationTime) per file. Non-file sources (in-memory
+    * test frames) contribute nothing and fall back to plan identity only. */
+  private def dataFingerprint(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+              .sorted.mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
 
   private def pqCodebook(emb: DataFrame, dim: Int, nSub: Int,
                          subDim: Int): Seq[(Int, Seq[(Long, Seq[Long])])] = {
     require(nSub * subDim == dim)
-    val key = s"$dim|$nSub|$subDim|${emb.queryExecution.analyzed.canonicalized}"
+    val key = s"$dim|$nSub|$subDim|${emb.queryExecution.analyzed.canonicalized}" +
+      s"|${dataFingerprint(emb)}"
     val cached = codebookCache.get(key)
     if (cached != null) return cached
     val ws = planeWeights(nSub * 4, subDim)
@@ -263,6 +288,7 @@ object SimilarityOps {
     }.mkString("CASE ", " ", " END")
     val fitted =
       centroidsFrom(subRows.selectExpr("vec_id", "m", s"$reassign AS code", "sub"))
+    if (codebookCache.size >= codebookCacheMax) codebookCache.clear()
     codebookCache.put(key, fitted)
     fitted
   }

@@ -69,25 +69,23 @@ object PipelineQueries {
     * (as dedup_normalized does) — counting them as delimiters here would
     * desync from the split-on-space oracles. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    // all-builtin, fully codegen'd formulation — no array materialization
-    // and no interpreted lambdas (the filter/aggregate higher-order forms
-    // interpret their lambda per element):
-    //  - n_tokens = count of non-space chars preceded by start-or-space,
-    //  - sum of token lengths = length with spaces removed,
-    //  - stopword hits assert the token boundaries with lookarounds (the
-    //    shared delimiter is not consumed, so adjacent hits all count).
-    val stops = TextLang.langs.toMap.apply("en").mkString("|")
+    // one native single-pass scan per document ([[graft.functions
+    // .TextScanStats]]) — replaces four regex passes, the worst a
+    // backtracking alternation lookaround for stopword hits. Catalyst keeps
+    // the struct-producing project separate from the field extraction
+    // (CollapseProject treats non-cheap expressions referenced more than
+    // once as non-collapsible), so the scan runs once per row.
+    graft.functions.TextScanStats.register(spark)
+    val stops = TextLang.langs.toMap.apply("en").mkString(",")
     Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"text_scan(text, '$stops') AS ts")
       .selectExpr(
         "doc_id",
-        "CAST(regexp_count(text, '(?<=^| )[^ ]') AS BIGINT) AS n_tokens",
-        "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT) AS n_rtokens",
-        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(nullif(regexp_count(text, '(?<=^| )[^ ]'), 0) AS DOUBLE) AS avg_token_len",
-        "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT) AS punct_cnt",
-        // \\z (absolute end), NOT $: Java's $ also matches before a final
-        // line terminator, which would count a trailing "the\n" the
-        // token-based oracle does not
-        s"CAST(regexp_count(text, '(?<=^| )(?:$stops)(?= |\\\\z)') AS BIGINT) AS stop_cnt")
+        "ts.n_tokens AS n_tokens",
+        "ts.n_rtokens AS n_rtokens",
+        "CAST(ts.nonspace_len AS DOUBLE) / CAST(nullif(ts.n_tokens, 0) AS DOUBLE) AS avg_token_len",
+        "ts.punct_cnt AS punct_cnt",
+        "ts.stop_cnt AS stop_cnt")
   }
 
   /** Quality score in [0,1]: length saturation + punctuation cleanliness +
@@ -131,14 +129,14 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir).selectExpr("doc_id", "text",
       s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
         s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
-    val sh = DedupOps.shingles(docs, "text", 3, "split")
+    val sh = DedupOps.shingleHashes(docs, "text", 3, "split")
     // ONE pass over the shingle set (a filtered self-join would shingle the
     // corpus twice — the split filters break subplan reuse): per shingle, a
     // train-presence flag + the test docs carrying it; exploding the
     // per-shingle test-doc sets yields each test doc's distinct shingles
     // exactly once. Set sizes are bounded by test-docs-per-shingle (~10% of
     // docs sharing a shingle).
-    sh.groupBy("sh")
+    sh.groupBy("h")
       .agg(max(col("split") === "train").as("in_train"),
         collect_set(when(col("split") === "test", col("doc_id"))).as("tdocs"))
       .select(explode(col("tdocs")).as("doc_id"), col("in_train"))
@@ -160,7 +158,7 @@ object PipelineQueries {
     * (bounds the quadratic shingle self-join). */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     DedupOps.ngramJaccardPairs(
-      DedupOps.shingles(Tables.documents(spark, dir), "text", 3, "source"),
+      DedupOps.shingleHashes(Tables.documents(spark, dir), "text", 3, "source"),
       "source", 0.5)
 
   /** MinHash(16 perms) + LSH(4 bands × 4 rows) candidates, verified with
@@ -326,7 +324,7 @@ object PipelineQueries {
     * boilerplate / repeated-paragraph signal ([[DedupOps.spanStats]] — the
     * span-frequency table it builds is what a removal pass joins against). */
   def dupSpanStats(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.spanStats(DedupOps.shingles(Tables.documents(spark, dir), "text", 5))
+    DedupOps.spanStats(DedupOps.shingleHashes(Tables.documents(spark, dir), "text", 5))
 
   /** Product-quantization codes for the whole corpus: 64 quantized dims →
     * 8 nearest-centroid ids from a deterministically trained codebook

@@ -85,8 +85,8 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
       .agg(expr(
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))")
-        .as("revenue"))
+        "SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2)) * 10000 AS BIGINT))")
+        .as("revenue_e4"))
 
   /** Revenue by (nation, order year) with ROLLUP subtotals — grouping-set
     * aggregation the reference lacks entirely. */
@@ -163,7 +163,7 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(expr(s"CAST(SUM($revenueTerm) AS DECIMAL(18,4))").as("revenue"))
+      .agg(expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("revenue_e4"))
   }
 }
 
@@ -200,7 +200,7 @@ object RelationalOracles {
 
   val q5NationRevenue: String =
     s"""SELECT n_name,
-       |  CAST(SUM($revenueTerm) AS DECIMAL(18,4)) AS revenue
+       |  CAST(SUM(CAST(($revenueTerm) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -213,7 +213,7 @@ object RelationalOracles {
        |GROUP BY n_name""".stripMargin
 
   val q6Forecast: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS revenue
+    """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin

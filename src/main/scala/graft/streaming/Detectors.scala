@@ -396,7 +396,15 @@ object Detectors {
       val counts = scala.collection.mutable.Map(st.pending: _*)
       it.foreach { e =>
         val h = Math.floorDiv(e.sec, 3600L)
-        if (h > finalizedMax) counts(h) = counts.getOrElse(h, 0L) + 1L
+        // lateness-0 means late data never OPENS an hour either: a
+        // brand-new hour already behind the watermark (finalizedMax < h <
+        // wmHour) would be finalized this same batch holding only this
+        // batch's partial count — diverging from the batch twin's full
+        // count. An hour already pending in state stays accepting until
+        // the watermark closes it.
+        val acceptable = h > finalizedMax &&
+          (!streaming || h >= wmHour || counts.contains(h))
+        if (acceptable) counts(h) = counts.getOrElse(h, 0L) + 1L
       }
       val (toFinal, stay) = counts.toSeq.partition(_._1 < wmHour)
       var trail = st.trail

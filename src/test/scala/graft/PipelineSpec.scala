@@ -38,9 +38,11 @@ class PipelineSpec extends SparkSpec {
 
   test("minhash+LSH finds every high-Jaccard pair (recall at threshold 0.5)") {
     val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3, "source")
-    // ground truth: exact all-pairs Jaccard within a constant scope
+    // ground truth: exact all-pairs Jaccard within a constant scope (hash
+    // shingles — ngramJaccardPairs' contract input)
     val truth = DedupOps.ngramJaccardPairs(
-        sh.withColumn("g", lit(1)), "g", 0.5)
+        DedupOps.shingleHashes(Tables.documents(spark, sf0001), "text", 3)
+          .withColumn("g", lit(1)), "g", 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val got = DedupOps.minhashPairs(sh.select("doc_id", "sh"), 16, 4, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -61,6 +63,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 1L, 0L))
   }
 
+  test("native text_scan matches the all-regex formulation") {
+    graft.functions.TextScanStats.register(spark)
+    val stops = graft.queries.TextLang.langs.toMap.apply("en")
+    val edge = Seq("cat sat on the\n", "the  a  of", "\tthe x", "", "  ",
+      "a1b2 c.d!e", "the", "thethe the xthe", "für straße the")
+      .toDF("text")
+    val corpus = Tables.documents(spark, sf0001).select("text")
+    Seq(edge, corpus).foreach { df =>
+      val diff = df.selectExpr(
+          s"text_scan(text, '${stops.mkString(",")}') AS ts",
+          "CAST(regexp_count(text, '(?<=^| )[^ ]') AS BIGINT) AS n_tokens",
+          "CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT) AS n_rtokens",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace_len",
+          "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT) AS punct_cnt",
+          s"CAST(regexp_count(text, '(?<=^| )(?:${stops.mkString("|")})(?= |\\\\z)') AS BIGINT) AS stop_cnt")
+        .filter("ts.n_tokens != n_tokens OR ts.n_rtokens != n_rtokens" +
+          " OR ts.nonspace_len != nonspace_len OR ts.punct_cnt != punct_cnt" +
+          " OR ts.stop_cnt != stop_cnt")
+      assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    }
+  }
+
   test("IVF ANN recall vs brute force at matched k") {
     val emb = Tables.embeddings(spark, sf0001)
     val exact = SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3)
@@ -76,7 +100,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("ngramJaccardPairs fails fast when a scope group exceeds the doc cap") {
-    val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+    val sh = DedupOps.shingleHashes(Tables.documents(spark, sf0001), "text", 3)
       .withColumn("g", lit(1))
     val guarded = DedupOps.ngramJaccardPairs(sh, "g", 0.5, maxDocsPerScope = 3)
     val e = intercept[Exception](guarded.collect())
@@ -91,7 +115,7 @@ class PipelineSpec extends SparkSpec {
   test("simhash separates near-duplicates from random pairs") {
     val fp = DedupOps.simhash(Tables.documents(spark, sf0001), "text")
       .as[(Long, Long)].collect().toMap
-    val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+    val sh = DedupOps.shingleHashes(Tables.documents(spark, sf0001), "text", 3)
     val nearDups = DedupOps.ngramJaccardPairs(
         sh.withColumn("g", lit(1)), "g", 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

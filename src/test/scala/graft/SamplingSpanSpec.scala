@@ -74,7 +74,7 @@ class SamplingSpanSpec extends SparkSpec {
       (3L, "p q r s t u v w"),        // no overlap
       (4L, "m m m m m m m m")         // intra-doc repetition only
     ).toDF("doc_id", "text")
-    val by = DedupOps.spanStats(DedupOps.shingles(docs, "text", 5))
+    val by = DedupOps.spanStats(DedupOps.shingleHashes(docs, "text", 5))
       .select("doc_id", "n_spans", "n_shared")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(by(1L) == ((4L, 1L)))   // spans abcde bcdef cdefg defgh; only abcde shared
