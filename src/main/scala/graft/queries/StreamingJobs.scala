@@ -139,6 +139,78 @@ object StreamingJobs {
       factor = 2L, streaming = true)
   }
 
+  /** Funnel progression as a live monitor: per-user view→click→purchase
+    * step rows re-emitted as the watermark finalizes each advance — the
+    * streaming twin of the batch funnel_steps query (Detectors.funnel; the
+    * last row per user equals the batch row). */
+  def funnelStream(spark: SparkSession, dir: String): Dataset[Detectors.FunnelRow] = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, dir, watermark = "1 hour")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("key"),
+        expr("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END")
+          .as("step"),
+        col("ts").cast("long").as("sec"), col("event_id").as("id"), col("ts"))
+      .as[Detectors.StepEvent]
+    Detectors.funnel(keyed, streaming = true)
+  }
+
+  /** Retention cohort cells as a stream: each (user, cohort_week,
+    * week_offset) emitted once when finalized; the cohort triangle is
+    * `groupBy(cohort_week, week_offset).count()` over this append stream
+    * (Detectors.retentionCells — the streaming twin of retention_cohorts). */
+  def retentionStream(spark: SparkSession, dir: String): Dataset[Detectors.RetentionCell] = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, dir, watermark = "1 hour")
+      .select(col("user_id").as("key"), col("ts").cast("long").as("sec"),
+        col("ts"))
+      .as[Detectors.WeekEvent]
+    Detectors.retentionCells(keyed, streaming = true)
+  }
+
+  /** Market-basket pair increments as a stream: one row per new
+    * (user × unordered item pair); pair counts are a plain aggregation over
+    * the stream (Detectors.itemPairIncrements — the streaming twin of
+    * item_pairs' pre-ranking counts; ranking stays per micro-batch or
+    * downstream, as with hot items). */
+  def itemPairsStream(spark: SparkSession, dir: String,
+                      maxItemsPerUser: Long = 2000L): Dataset[Detectors.PairInc] = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, dir)
+      .select(col("user_id").as("key"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .as[Detectors.ItemEvent]
+    Detectors.itemPairIncrements(keyed, maxItemsPerUser, streaming = true)
+  }
+
+  /** Key-skew profile as a live monitor: running per-key counts (update
+    * stateful agg), profiled per micro-batch in foreachBatch — same
+    * top-k + ppm math as the batch skew_profile query. `sink` receives
+    * the 10-row profile each trigger; the final one equals the batch
+    * query on the same data. */
+  def runSkewProfile(spark: SparkSession, dir: String)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val counts = eventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val freq = batch.cache()
+        val totals = freq.agg(sum(col("cnt")).as("total_rows"),
+          count(lit(1)).as("n_keys"))
+        sink(freq.orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(
+              col("cnt").desc, col("user_id").asc)).cast("long"))
+          .crossJoin(broadcast(totals))
+          .selectExpr("user_id", "cnt", "rn", "total_rows", "n_keys",
+            "cnt * 1000000L div total_rows AS share_ppm"))
+        freq.unpersist()
+        ()
+      }
+  }.start()
+
   /** C2/C3 login-fail alarms as a stream: error events through the
     * consecutive-run detector. */
   def loginFailAlarms(spark: SparkSession, dir: String, n: Int,

@@ -430,4 +430,178 @@ object Detectors {
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
+
+  /** Funnel step event: step ∈ {1=view, 2=click, 3=purchase}. */
+  case class StepEvent(key: Long, step: Int, sec: Long, id: Long)
+
+  case class FunnelRow(user_id: Long, view_sec: Long, click_sec: Long,
+                       purchase_sec: Long, depth: Long)
+
+  /** Buffered in-horizon events + the funnel progress (−1 = step unset). */
+  case class FunnelState(pending: Seq[StepEvent], view: Long, click: Long,
+                         purchase: Long)
+
+  /** Streaming twin of BehaviorQueries.funnelSteps: per user, the first
+    * view, the first click strictly after it, the first purchase strictly
+    * after that. Events drain through the state machine in event-time order
+    * once the watermark closes them (same buffer discipline as
+    * [[consecutive]]), so each step is set exactly once — the in-order
+    * first click after the global-min view IS the min click after it. A
+    * row is (re-)emitted whenever a step advances; the LAST row per user
+    * equals the batch query's row.
+    *
+    * State: the in-horizon buffer plus three longs per user — permanent,
+    * because this is an all-time funnel (a new event for a completed user
+    * must not restart the machine). A 100 TB deployment bounds it by
+    * windowing the funnel (cohort month, campaign window) so keys expire
+    * with their horizon. */
+  def funnel(events: Dataset[StepEvent], streaming: Boolean): Dataset[FunnelRow] = {
+    implicit val outEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[StepEvent],
+                state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      val st = state.getOption.getOrElse(FunnelState(Nil, -1L, -1L, -1L))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.id))
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var (view, click, purchase) = (st.view, st.click, st.purchase)
+      var changed = false
+      ready.foreach { e =>
+        e.step match {
+          case 1 if view < 0 =>
+            view = e.sec; changed = true
+          case 2 if view >= 0 && click < 0 && e.sec > view =>
+            click = e.sec; changed = true
+          case 3 if click >= 0 && purchase < 0 && e.sec > click =>
+            purchase = e.sec; changed = true
+          case _ =>
+        }
+      }
+      state.update(FunnelState(rest, view, click, purchase))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      if (changed) {
+        val depth = if (purchase >= 0) 3L else if (click >= 0) 2L else 1L
+        Iterator.single(FunnelRow(key, view, click, purchase, depth))
+      } else Iterator.empty
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  /** Bare (user, event-seconds) for retention cohort tracking. */
+  case class WeekEvent(key: Long, sec: Long)
+
+  case class RetentionCell(user_id: Long, cohort_week: Long, week_offset: Long)
+
+  /** Buffered events + cohort week (−1 unset) + weeks already emitted. */
+  case class RetentionState(pending: Seq[WeekEvent], cohort: Long,
+                            seen: Seq[Long])
+
+  /** Streaming twin of BehaviorQueries.retentionCohorts, one level down:
+    * emits each (user, cohort_week, week_offset) cell exactly once, as the
+    * watermark finalizes the user's first event in that week. The cohort
+    * cell counts are then a plain `groupBy(cohort_week, week_offset)
+    * .count()` over this append stream (kept outside so callers can also
+    * feed a live dashboard with the raw cells). Event-time-ordered drain
+    * makes the first processed event the true min — the cohort week.
+    *
+    * State per user: cohort week + the seen-week set PRUNED to weeks the
+    * watermark could still deliver (a week fully behind the watermark can
+    * never arrive again — late events are dropped at entry), so state is
+    * O(watermark horizon / week), not O(lifetime). */
+  def retentionCells(events: Dataset[WeekEvent],
+                     streaming: Boolean): Dataset[RetentionCell] = {
+    implicit val outEnc = Encoders.product[RetentionCell]
+    implicit val stEnc = Encoders.product[RetentionState]
+    implicit val keyEnc = Encoders.scalaLong
+    val weekSec = 7L * 86400L
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[WeekEvent],
+                state: GroupState[RetentionState]): Iterator[RetentionCell] = {
+      val st = state.getOption.getOrElse(RetentionState(Nil, -1L, Nil))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(_.sec)
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var cohort = st.cohort
+      var seen = st.seen.toSet
+      val out = Seq.newBuilder[RetentionCell]
+      ready.foreach { e =>
+        val w = Math.floorDiv(e.sec, weekSec)
+        if (cohort < 0) cohort = w
+        if (!seen(w)) {
+          seen += w
+          out += RetentionCell(key, cohort, w - cohort)
+        }
+      }
+      // weeks whose end the watermark has passed cannot recur
+      val liveSeen = seen.filter(w => (w + 1) * weekSec > wmSec).toSeq.sorted
+      state.update(RetentionState(rest, cohort, liveSeen))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
+  /** (user, item) interaction for basket co-occurrence. */
+  case class ItemEvent(key: Long, item: Long)
+
+  case class PairInc(item_a: Long, item_b: Long)
+
+  case class BasketState(items: Seq[Long])
+
+  /** Streaming twin of BehaviorQueries.itemPairs, one level down: per user,
+    * each NEW distinct item emits one (min,max) pair increment against
+    * every item already in the user's basket — so every unordered pair is
+    * emitted exactly once per user, and `groupBy(item_a, item_b).count()`
+    * over this append stream is the batch query's n_users. Basket sets are
+    * order-insensitive, so no watermark buffering is needed — arrival order
+    * changes WHEN a pair is emitted, never WHETHER.
+    *
+    * Same skew contract as the batch query: a basket exceeding
+    * `maxItemsPerUser` fails the query with the remediation message rather
+    * than silently melting a partition with its quadratic pair fan-out. */
+  def itemPairIncrements(events: Dataset[ItemEvent], maxItemsPerUser: Long,
+                         streaming: Boolean): Dataset[PairInc] = {
+    implicit val outEnc = Encoders.product[PairInc]
+    implicit val stEnc = Encoders.product[BasketState]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def process(key: Long, it: Iterator[ItemEvent],
+                state: GroupState[BasketState]): Iterator[PairInc] = {
+      var items = state.getOption.map(_.items.toSet).getOrElse(Set.empty[Long])
+      val out = Seq.newBuilder[PairInc]
+      it.foreach { e =>
+        if (!items(e.item)) {
+          if (items.size + 1 > maxItemsPerUser)
+            throw new IllegalStateException(
+              s"itemPairIncrements: user $key has ${items.size + 1} distinct items " +
+                s"(cap $maxItemsPerUser); the basket pair fan-out is quadratic per " +
+                "user - pre-cap baskets to top-M items or raise maxItemsPerUser")
+          items.foreach(b =>
+            out += PairInc(math.min(e.item, b), math.max(e.item, b)))
+          items += e.item
+        }
+      }
+      state.update(BasketState(items.toSeq.sorted))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
 }

@@ -1,0 +1,205 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{BehaviorQueries, StreamingJobs}
+import graft.streaming.Detectors
+import graft.streaming.Detectors._
+
+/** Parity of the funnel / retention / basket-pair / skew streaming twins
+  * against their declarative batch queries: the batch-mode fold must equal
+  * the SQL formulation exactly, and the streaming mode under bounded
+  * disorder must converge to the same final table. */
+class StreamAnalyticsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(11)
+
+  private def stepEvents = graft.sources.Tables.events(spark, sf0001)
+    .filter(col("event_type").isin("view", "click", "purchase"))
+    .select(col("user_id").as("key"),
+      expr("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END")
+        .as("step"),
+      col("ts").cast("long").as("sec"), col("event_id").as("id"))
+    .as[StepEvent]
+
+  test("funnel batch-mode matches the declarative funnel_steps query") {
+    val expected = BehaviorQueries.funnelSteps(spark, sf0001)
+      .select("user_id", "view_sec", "click_sec", "purchase_sec", "depth")
+      .as[FunnelRow].collect().toSet
+    val got = Detectors.funnel(stepEvents, streaming = false).collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("funnel streaming under bounded disorder converges to batch") {
+    val evs = (0 until 400).map { i =>
+      StepEvent(rnd.nextInt(30).toLong, 1 + rnd.nextInt(3),
+        1000L + rnd.nextInt(800), i.toLong)
+    }
+    val expected = Detectors.funnel(evs.toDS(), streaming = false).collect().toSet
+    val input = MemoryStream[StepEvent](31, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "60 seconds")
+      .as[StepEvent]
+    val q = Detectors.funnel(withWm, streaming = true)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 50L)(_.sec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(StepEvent(9999L, 1, 100000L, 99999L))
+      q.processAllAvailable()
+      // per user, emissions carry strictly increasing depth; the deepest is
+      // the final state and must equal the batch row
+      val last = spark.table("funnel_out").as[FunnelRow].collect()
+        .filterNot(_.user_id == 9999L)
+        .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.depth) }.toSet
+      assert(last == expected)
+    } finally q.stop()
+  }
+
+  private def weekEvents = graft.sources.Tables.events(spark, sf0001)
+    .select(col("user_id").as("key"), col("ts").cast("long").as("sec"))
+    .as[WeekEvent]
+
+  test("retentionCells batch fold aggregates to the retention_cohorts query") {
+    val expected = BehaviorQueries.retentionCohorts(spark, sf0001)
+      .select("cohort_week", "week_offset", "active_users")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Detectors.retentionCells(weekEvents, streaming = false)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("retentionCells streaming under bounded disorder matches batch") {
+    val evs = (0 until 400).map { _ =>
+      WeekEvent(rnd.nextInt(25).toLong, 1000000L + rnd.nextInt(3000000))
+    }
+    val expected = Detectors.retentionCells(evs.toDS(), streaming = false)
+      .collect().toSet
+    val input = MemoryStream[WeekEvent](32, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1000 seconds")
+      .as[WeekEvent]
+    val q = Detectors.retentionCells(withWm, streaming = true)
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 900L)(_.sec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(WeekEvent(99999L, 100000000L))
+      q.processAllAvailable()
+      val got = spark.table("ret_out").as[RetentionCell].collect()
+        .filterNot(_.user_id == 99999L).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  private def itemEvents = graft.sources.Tables.events(spark, sf0001)
+    .select(col("user_id").as("key"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    .filter(col("item").isNotNull)
+    .as[ItemEvent]
+
+  test("itemPairIncrements aggregate to the item_pairs query") {
+    val expected = BehaviorQueries.itemPairs(spark, sf0001)
+      .select("item_a", "item_b", "n_users", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = Detectors.itemPairIncrements(itemEvents, 2000L, streaming = false)
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("n_users").desc, col("item_a").asc, col("item_b").asc)).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("itemPairIncrements streaming counts equal batch regardless of order") {
+    val evs = (0 until 500).map { _ =>
+      ItemEvent(rnd.nextInt(20).toLong, rnd.nextInt(15).toLong)
+    }
+    val expected = Detectors.itemPairIncrements(evs.toDS(), 2000L, streaming = false)
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val input = MemoryStream[ItemEvent](33, spark, None)
+    val q = Detectors.itemPairIncrements(input.toDS(), 2000L, streaming = true)
+      .writeStream.format("memory").queryName("pairs_out")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(evs).grouped(60)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table("pairs_out")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("itemPairIncrements enforces the basket cap with remediation") {
+    val evs = (0 until 10).map(i => ItemEvent(1L, i.toLong))
+    val e = intercept[Exception](
+      Detectors.itemPairIncrements(evs.toDS(), 5L, streaming = false).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pre-cap baskets")))
+  }
+
+  test("streaming skew profile converges to the batch skew_profile query") {
+    val expected = BehaviorQueries.skewProfile(spark, sf0001)
+      .select("user_id", "cnt", "rn", "total_rows", "n_keys", "share_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    @volatile var last: Set[(Long, Long, Long, Long, Long, Long)] = Set.empty
+    val q = StreamingJobs.runSkewProfile(spark, sf0001) { profile =>
+      last = profile
+        .select("user_id", "cnt", "rn", "total_rows", "n_keys", "share_ppm")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    }
+    try {
+      q.processAllAvailable()
+      assert(last == expected)
+    } finally q.stop()
+  }
+
+  test("file-replay funnel and retention streams stay prefix-consistent with batch") {
+    val batchFunnel = Detectors.funnel(stepEvents, streaming = false)
+      .collect().map(r => r.user_id -> r).toMap
+    val fq = StreamingJobs.funnelStream(spark, sf0001)
+      .writeStream.format("memory").queryName("funnel_file")
+      .outputMode("append").start()
+    try {
+      fq.processAllAvailable()
+      val rows = spark.table("funnel_file").as[FunnelRow].collect()
+      assert(rows.nonEmpty, "watermark should finalize most funnel steps")
+      // every emitted row is a prefix of the batch row: identical view, and
+      // each later step either already final or still sentinel (the tail
+      // hour never finalizes in a bounded replay)
+      rows.foreach { r =>
+        val b = batchFunnel(r.user_id)
+        assert(r.view_sec == b.view_sec, s"user ${r.user_id} view")
+        assert(r.click_sec == b.click_sec || r.click_sec == -1L,
+          s"user ${r.user_id} click")
+        assert(r.purchase_sec == b.purchase_sec || r.purchase_sec == -1L,
+          s"user ${r.user_id} purchase")
+      }
+    } finally fq.stop()
+    val batchCells = Detectors.retentionCells(weekEvents, streaming = false)
+      .collect().toSet
+    val rq = StreamingJobs.retentionStream(spark, sf0001)
+      .writeStream.format("memory").queryName("ret_file")
+      .outputMode("append").start()
+    try {
+      rq.processAllAvailable()
+      val got = spark.table("ret_file").as[RetentionCell].collect().toSet
+      assert(got.nonEmpty && got.subsetOf(batchCells))
+    } finally rq.stop()
+  }
+}
