@@ -101,6 +101,10 @@ object SparkEntry {
     // multimodal plumbing (binary payload + partition-batched decode stub)
     "multimodal_meta"     -> (PipelineQueries.multimodalMeta _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    // real image decode: ImageIO-written PNG/JPEG blobs through the
+    // pure-JVM header parser and the JDK codec
+    "multimodal_headers"  -> (PipelineQueries.multimodalHeaders _),
+    "multimodal_pixels"   -> (PipelineQueries.multimodalPixels _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -107,6 +107,95 @@ object MultimodalOps {
       })(enc)
   }
 
+  // ---- real image decode (pure JVM: custom header parse + javax.imageio)
+
+  /** Deterministic real-format image per doc id: a solid-color
+    * `(1 + id%64) × (1 + id*7%48)` RGB raster written as an actual PNG
+    * (even ids) or baseline JPEG (odd ids) via the JDK's ImageIO — REAL
+    * format bytes, no native deps. The fill color is (id%256, id*3%256,
+    * id*5%256), so pixel sums are arithmetically stated by the oracle.
+    * Stands in for a corpus whose blobs arrived from storage. */
+  def synthImages(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (1 + id % 64).toInt
+          val h = (1 + (id * 7) % 48).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (((id % 256).toInt << 16) | (((id * 3) % 256).toInt << 8) |
+            ((id * 5) % 256).toInt)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          (id, bos.toByteArray)
+        }
+      }(enc).toDF("doc_id", "payload")
+  }
+
+  case class ImageMeta(doc_id: Long, format: String, width: Long,
+                       height: Long, bit_depth: Long, channels: Long)
+
+  /** Header-only image metadata over (doc_id, payload): format,
+    * dimensions, bit depth, channels via [[graft.functions.ImageHeader]] —
+    * a narrow mapPartitions that reads ≤ a few hundred bytes per blob
+    * (never a full pixel decode), the shape a 100 TB metadata sweep needs.
+    * Non-image payloads classify as 'unknown' with −1 fields. */
+  def imageMeta(payloads: DataFrame): Dataset[ImageMeta] = {
+    val enc = Encoders.product[ImageMeta]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = graft.functions.ImageHeader.parse(bytes)
+        ImageMeta(id, info.format, info.width, info.height, info.bitDepth,
+          info.channels)
+      })(enc)
+  }
+
+  case class PixelSums(doc_id: Long, n_px: Long, sum_r: Long, sum_g: Long,
+                       sum_b: Long)
+
+  /** REAL pixel decode over PNG payloads: ImageIO (the JDK's codec)
+    * decompresses the raster and per-channel integer sums come off the
+    * decoded pixels — lossless format, so the sums are bit-deterministic
+    * and oracle-stateable. Narrow mapPartitions, no shuffle; JPEG/unknown
+    * payloads are skipped (lossy decode is decoder-dependent, so a
+    * deterministic engine only sums lossless rasters). */
+  def pixelSums(payloads: DataFrame): Dataset[PixelSums] = {
+    val enc = Encoders.product[PixelSums]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        if (!graft.functions.ImageHeader.parse(bytes).format.equals("png")) None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(PixelSums(id, img.getWidth.toLong * img.getHeight, sr, sg, sb))
+          }
+        }
+      })(enc)
+  }
+
   /** One row per sampled "frame" (fixed-stride chunks of the payload) —
     * the frame-sampling shape of a video pipeline, codec STUBBED. */
   case class Frame(doc_id: Long, frame_idx: Long, offset: Long, checksum: Long)

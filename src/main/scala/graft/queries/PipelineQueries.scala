@@ -225,6 +225,30 @@ object PipelineQueries {
   /** Multimodal feature extraction (partition-batched decode with the codec
     * STUBBED — deterministic byte statistics stand in for decoded frames).
     * Rows-only check: the stub's array output is not oracle-SQL-stated. */
+  /** REAL image-header decode: deterministic real PNG/JPEG blobs (written
+    * by the JDK's ImageIO — actual format bytes) parsed by the pure-JVM
+    * header reader ([[graft.ops.MultimodalOps.imageMeta]] /
+    * [[graft.functions.ImageHeader]]). The oracle states the expected
+    * dimensions arithmetically, so this passes only if real format bytes
+    * round-trip through the real parser. */
+  def multimodalHeaders(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.imageMeta(
+      graft.ops.MultimodalOps.synthImages(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "format", "width", "height", "bit_depth", "channels")
+
+  /** REAL pixel decode: the PNG half of the synthetic corpus decompressed
+    * by ImageIO, per-channel integer pixel sums off the decoded raster
+    * ([[graft.ops.MultimodalOps.pixelSums]]) — lossless, so the oracle
+    * states the sums exactly from the known fill color. */
+  def multimodalPixels(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.pixelSums(
+      graft.ops.MultimodalOps.synthImages(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ops.MultimodalOps.extractFeatures(
         graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text"))
@@ -705,6 +729,29 @@ object PipelineOracles {
       |       md5(text) AS content_hash
       |FROM documents""".stripMargin
 
+  /** Oracles for the REAL decode: the synthetic corpus derives every
+    * dimension and fill color arithmetically from doc_id, so the expected
+    * header fields and pixel sums are stated directly — the Spark side
+    * must write real PNG/JPEG bytes and parse/decode them back to match. */
+  val multimodalHeaders: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
+      |  CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents""".stripMargin
+
+  val multimodalPixels: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_px
+      |  FROM documents WHERE doc_id % 2 = 0)
+      |SELECT doc_id, n_px,
+      |  CAST(n_px * (doc_id % 256) AS BIGINT) AS sum_r,
+      |  CAST(n_px * ((doc_id * 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(n_px * ((doc_id * 5) % 256) AS BIGINT) AS sum_b
+      |FROM d""".stripMargin
+
   /** Oracle for the STUB decode: the payload is the text's UTF-8 bytes
     * (ASCII in the testdata, so byte == ascii(char)); chunk boundaries
     * replicate decodeStub's step = max(n/4, 1) layout exactly. */
@@ -1047,6 +1094,8 @@ object PipelineOracles {
     "train_split"      -> trainSplit,
     "multimodal_meta"  -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_headers" -> multimodalHeaders,
+    "multimodal_pixels"  -> multimodalPixels,
     "dedup_normalized" -> dedupNormalized,
     "top_terms_lang"   -> topTermsPerLang,
     "dedup_exact"     -> dedupExact,
