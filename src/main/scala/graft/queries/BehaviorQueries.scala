@@ -188,40 +188,43 @@ object BehaviorQueries {
 
   /** Market-basket item co-occurrence: the top-20 item pairs by the number
     * of users who interacted with both. The per-user distinct item set is
-    * the basket; pairing is the standard basket self-join — quadratic PER
-    * BASKET, linear across baskets; the global pair count is one hash
-    * aggregation. Ties rank (cnt DESC, item_a, item_b) for a deterministic
-    * top-20.
+    * collected as ONE sorted array (`collect_set` dedupes map-side inside
+    * the single user-keyed aggregation) and ordered pairs are generated
+    * inline from the array — no self-join, no window, no sort: TWO
+    * exchanges total (user-keyed basket agg, pair-keyed count), which is
+    * the 100 TB plan (the r4 self-join formulation duplicated a
+    * distinct+sort+window subtree on both join sides — 5 exchanges).
+    * Ties rank (cnt DESC, item_a, item_b) for a deterministic top-20.
     *
     * Skew guard: a single crawler/bot user with 10⁴ distinct items would
-    * contribute 5×10⁷ pairs from ONE key — the classic basket-skew
+    * contribute 5×10⁷ pairs from ONE row — the classic basket-skew
     * detonation. Baskets larger than `maxItemsPerUser` fail fast with a
-    * remediation message (same contract as `DedupOps.ngramJaccardPairs`):
-    * the caller decides whether to raise the cap or pre-cap baskets to
-    * their top-M items, rather than the job silently melting a partition.
-    * The guard's user_id window shares the exchange the self-join needs
-    * anyway, so it costs no extra shuffle. */
+    * remediation message (same contract as `DedupOps.ngramJaccardPairs`),
+    * BEFORE the pair explode, with zero extra plan cost (the size check
+    * rides the already-aggregated array). */
   def itemPairs(spark: SparkSession, dir: String,
                 maxItemsPerUser: Long = 2000L): DataFrame = {
-    val distinctItems = ev(spark, dir)
+    val baskets = ev(spark, dir)
       .withColumn("item", itemId)
       .filter(col("item").isNotNull)
-      .select("user_id", "item").distinct()
-    val baskets = distinctItems
-      .withColumn("__basket",
-        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
       .filter(expr(
-        s"""assert_true(__basket <= ${maxItemsPerUser}L, concat(
+        s"""assert_true(size(items) <= ${maxItemsPerUser}L, concat(
            |'itemPairs: user ', CAST(user_id AS STRING), ' has ',
-           |CAST(__basket AS STRING),
-           |' distinct items (cap $maxItemsPerUser); the basket self-join is
-           | quadratic per user — pre-cap baskets to top-M items or raise
+           |CAST(size(items) AS STRING),
+           |' distinct items (cap $maxItemsPerUser); the basket pair fan-out
+           | is quadratic per user — pre-cap baskets to top-M items or raise
            | maxItemsPerUser')) IS NULL""".stripMargin.replace("\n", "")))
-      .select("user_id", "item")
-    baskets.alias("a")
-      .join(baskets.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    baskets
+      // ascending array → x pairs with every later y, so item_a < item_b
+      // by construction; slice clamps past the end
+      .selectExpr(
+        """explode(flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS item_a, y AS item_b))))) AS p"""
+          .stripMargin.replace("\n", " "))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
       // distributed top-k (TakeOrderedAndProject), then rank only the 20
       // survivors — a global row_number window here would funnel every

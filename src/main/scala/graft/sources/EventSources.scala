@@ -100,7 +100,15 @@ object EventSources {
     Seq("CAST(value AS STRING) AS value", "timestamp AS ts")
 
   /** S2: Kafka topic as a string-value stream (HotItem.java:46-54 —
-    * group/offset options are caller-supplied deploy config). */
+    * group/offset options are caller-supplied deploy config).
+    *
+    * Coverage limit, stated plainly: this build environment ships neither
+    * the `spark-sql-kafka` connector jar nor any Kafka broker/client
+    * classes, so this builder has CONTRACT-level tests only (option map +
+    * wire-schema projection, SourcesSinksSpec) and has never executed a
+    * live produce→consume round-trip here. On a real deployment add the
+    * spark-sql-kafka-0-10 package; the code path is the standard
+    * `readStream.format("kafka")` — nothing engine-specific to port. */
   def kafkaLines(spark: SparkSession, brokers: String, topic: String,
                  options: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.readStream.format("kafka")
