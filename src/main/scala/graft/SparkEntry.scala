@@ -105,6 +105,10 @@ object SparkEntry {
     // pure-JVM header parser and the JDK codec
     "multimodal_headers"  -> (PipelineQueries.multimodalHeaders _),
     "multimodal_pixels"   -> (PipelineQueries.multimodalPixels _),
+    // real audio decode (JDK javax.sound WAV encode → own RIFF parse +
+    // sample-exact PCM sums) and video-container decode (ISO-BMFF box walk)
+    "multimodal_audio"    -> (PipelineQueries.multimodalAudio _),
+    "multimodal_video"    -> (PipelineQueries.multimodalVideo _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -196,6 +196,159 @@ object MultimodalOps {
       })(enc)
   }
 
+  // ---- real audio decode (JDK javax.sound encoder + own RIFF parser)
+
+  /** Deterministic real-format WAV per doc id, ENCODED BY THE JDK
+    * (`javax.sound.sampled.AudioSystem` writes the RIFF container — an
+    * independent encoder, mirroring how [[synthImages]] uses ImageIO):
+    * 16-bit signed LE PCM, `1 + id%2` channels, sample rate from
+    * {8000, 16000, 44100} by `id%3`, `64 + id%256` sample frames, sample
+    * value for frame i / channel c = `(id*31 + i*7 + c*13) % 2048 - 1024`
+    * — every field and both PCM sums are arithmetically stateable. */
+  def synthAudio(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val channels = (1 + id % 2).toInt
+          val rate = (id % 3) match {
+            case 0 => 8000f; case 1 => 16000f; case _ => 44100f
+          }
+          val nFrames = (64 + id % 256).toInt
+          val pcm = new Array[Byte](nFrames * channels * 2)
+          var i = 0
+          while (i < nFrames) {
+            var c = 0
+            while (c < channels) {
+              val v = ((id * 31 + i * 7 + c * 13) % 2048 - 1024).toInt
+              val off = (i * channels + c) * 2
+              pcm(off) = (v & 0xff).toByte
+              pcm(off + 1) = ((v >> 8) & 0xff).toByte
+              c += 1
+            }
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate, 16, channels, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }(enc).toDF("doc_id", "payload")
+  }
+
+  case class AudioFacts(doc_id: Long, format: String, channels: Long,
+                        sample_rate: Long, bits: Long, n_samples: Long,
+                        sum_pcm: Long, sum_abs: Long)
+
+  /** WAV header parse + exact 16-bit PCM decode over (doc_id, payload)
+    * via [[graft.functions.MediaContainers]] — narrow mapPartitions, no
+    * shuffle; non-WAV payloads classify as 'unknown' with −1 fields. */
+  def audioFacts(payloads: DataFrame): Dataset[AudioFacts] = {
+    val enc = Encoders.product[AudioFacts]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = graft.functions.MediaContainers.parseWav(bytes)
+        val (sum, sumAbs) =
+          if (info.format == "wav") graft.functions.MediaContainers.pcmSums16(bytes)
+          else (0L, -1L)
+        AudioFacts(id, info.format, info.channels, info.sampleRate,
+          info.bitsPerSample, info.nSamples, sum, sumAbs)
+      })(enc)
+  }
+
+  // ---- real video-container decode (own ISO-BMFF writer + parser; the
+  //      JDK ships no MP4 codec, so the corpus is composed box-by-box to
+  //      the ISO/IEC 14496-12 layout — real container bytes, and the spec
+  //      cross-checks the parser against hand-stated fixture offsets)
+
+  /** Deterministic structurally-valid MP4 per doc id: ftyp("isom") +
+    * moov(mvhd + trak(tkhd)) + mdat. mvhd/tkhd alternate version 0/1 by
+    * id parity so both spec layouts are exercised. Facts by id:
+    * timescale {600, 1000, 90000} by id%3, duration `500 + (id*11)%9000`
+    * (timescale units), width `16*(1 + id%120)`, height
+    * `16*(1 + (id*3)%68)`, mdat payload `32 + id%64` bytes of
+    * `(id*131 + i*17) % 256`. */
+  def synthVideo(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id => (id, buildMp4(id)) }
+      }(enc).toDF("doc_id", "payload")
+  }
+
+  private[graft] def buildMp4(id: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ fourcc(typ) ++ payload
+
+    val version = (id % 2).toInt
+    val timescale = (id % 3) match { case 0 => 600L; case 1 => 1000L; case _ => 90000L }
+    val duration = 500L + (id * 11) % 9000
+    val width = 16L * (1 + id % 120)
+    val height = 16L * (1 + (id * 3) % 68)
+
+    val ftyp = box("ftyp", fourcc("isom") ++ u32(0x200L) ++ fourcc("isom") ++ fourcc("mp42"))
+    val mvhd = {
+      val times =
+        if (version == 1) u64(0L) ++ u64(0L) ++ u32(timescale) ++ u64(duration)
+        else u32(0L) ++ u32(0L) ++ u32(timescale) ++ u32(duration)
+      box("mvhd", Array[Byte](version.toByte, 0, 0, 0) ++ times ++
+        u32(0x00010000L) ++ u16(0x0100) ++ u16(0) ++ u32(0L) ++ u32(0L) ++
+        // identity matrix (9 × 32-bit fixed) + 6 predefined zeros + next track id
+        u32(0x00010000L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0x00010000L) ++
+        u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0x40000000L) ++
+        Array.fill(24)(0.toByte) ++ u32(2L))
+    }
+    val tkhd = {
+      val times =
+        if (version == 1) u64(0L) ++ u64(0L) ++ u32(1L) ++ u32(0L) ++ u64(duration)
+        else u32(0L) ++ u32(0L) ++ u32(1L) ++ u32(0L) ++ u32(duration)
+      box("tkhd", Array[Byte](version.toByte, 0, 0, 7) ++ times ++
+        u32(0L) ++ u32(0L) ++ // reserved(8)
+        u16(0) ++ u16(0) ++ u16(0) ++ u16(0) ++ // layer, alt group, volume, reserved
+        u32(0x00010000L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0x00010000L) ++
+        u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0x40000000L) ++ // matrix
+        u32(width << 16) ++ u32(height << 16)) // 16.16 fixed
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdatLen = (32 + id % 64).toInt
+    val mdatPayload = Array.tabulate(mdatLen)(i => (((id * 131 + i * 17) % 256) & 0xff).toByte)
+    val mdat = box("mdat", mdatPayload)
+    bb.write(ftyp); bb.write(moov); bb.write(mdat)
+    bb.toByteArray
+  }
+
+  case class VideoFacts(doc_id: Long, format: String, brand: String,
+                        timescale: Long, duration: Long, width: Long,
+                        height: Long, mdat_bytes: Long, mdat_sum: Long)
+
+  /** ISO-BMFF box-walk over (doc_id, payload) via
+    * [[graft.functions.MediaContainers.parseMp4]] — header-only except
+    * the mdat byte sum (computed while the bytes are already hot); narrow
+    * mapPartitions, no shuffle. */
+  def videoFacts(payloads: DataFrame): Dataset[VideoFacts] = {
+    val enc = Encoders.product[VideoFacts]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) =>
+        val info = graft.functions.MediaContainers.parseMp4(bytes)
+        VideoFacts(id, info.format, info.brand, info.timescale,
+          info.duration, info.width, info.height, info.mdatBytes,
+          info.mdatSum)
+      })(enc)
+  }
+
   /** One row per sampled "frame" (fixed-stride chunks of the payload) —
     * the frame-sampling shape of a video pipeline, codec STUBBED. */
   case class Frame(doc_id: Long, frame_idx: Long, offset: Long, checksum: Long)

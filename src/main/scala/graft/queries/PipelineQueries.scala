@@ -249,6 +249,37 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
 
+  /** REAL audio decode: deterministic WAV blobs written by the JDK's
+    * `javax.sound.sampled` encoder (actual RIFF bytes), parsed back by the
+    * pure-JVM container reader and 16-bit PCM decoder
+    * ([[graft.ops.MultimodalOps.audioFacts]] /
+    * [[graft.functions.MediaContainers]]). The oracle states channel
+    * count, sample rate, frame count and BOTH PCM sums arithmetically —
+    * this passes only if real WAV bytes round-trip through a real parse
+    * and sample-exact decode. */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.audioFacts(
+      graft.ops.MultimodalOps.synthAudio(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .selectExpr("doc_id", "format", "channels", "sample_rate", "bits",
+        "n_samples", "CAST((n_samples * 1000) DIV sample_rate AS BIGINT) AS dur_ms",
+        "sum_pcm", "sum_abs")
+
+  /** REAL video-container decode: deterministic ISO-BMFF (MP4) blobs —
+    * composed box-by-box to the ISO/IEC 14496-12 layout, alternating
+    * mvhd/tkhd version 0/1 — parsed by the pure-JVM box walker
+    * ([[graft.ops.MultimodalOps.videoFacts]]). The oracle states brand,
+    * timescale, duration, presentation dimensions and the mdat byte sum
+    * arithmetically. */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.videoFacts(
+      graft.ops.MultimodalOps.synthVideo(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "format", "brand", "timescale", "duration",
+        "width", "height", "mdat_bytes", "mdat_sum")
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ops.MultimodalOps.extractFeatures(
         graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text"))
@@ -752,6 +783,43 @@ object PipelineOracles {
       |  CAST(n_px * ((doc_id * 5) % 256) AS BIGINT) AS sum_b
       |FROM d""".stripMargin
 
+  /** Audio oracle: every WAV field and both PCM sums are derived from
+    * doc_id by the same arithmetic the generator uses — sample k (linear
+    * over frames×channels) is `(id*31 + (k/ch)*7 + (k%ch)*13) % 2048 - 1024`. */
+  val multimodalAudio: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         ELSE 44100 END AS BIGINT) AS sample_rate,
+      |    CAST(64 + doc_id % 256 AS BIGINT) AS n_samples
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(COALESCE(list_sum([
+      |      (doc_id*31 + (k // channels)*7 + (k % channels)*13) % 2048 - 1024
+      |      for k in generate_series(0, n_samples*channels - 1)]), 0) AS BIGINT) AS sum_pcm,
+      |    CAST(COALESCE(list_sum([
+      |      abs((doc_id*31 + (k // channels)*7 + (k % channels)*13) % 2048 - 1024)
+      |      for k in generate_series(0, n_samples*channels - 1)]), 0) AS BIGINT) AS sum_abs
+      |  FROM d)
+      |SELECT d.doc_id, 'wav' AS format, channels, sample_rate,
+      |  CAST(16 AS BIGINT) AS bits, n_samples,
+      |  (n_samples * 1000) // sample_rate AS dur_ms, sum_pcm, sum_abs
+      |FROM d JOIN s USING (doc_id)""".stripMargin
+
+  /** Video oracle: container facts stated arithmetically from doc_id —
+    * the Spark side must compose real ISO-BMFF boxes and walk them back. */
+  val multimodalVideo: String =
+    """SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |       ELSE 90000 END AS BIGINT) AS timescale,
+      |  CAST(500 + (doc_id * 11) % 9000 AS BIGINT) AS duration,
+      |  CAST(16 * (1 + doc_id % 120) AS BIGINT) AS width,
+      |  CAST(16 * (1 + (doc_id * 3) % 68) AS BIGINT) AS height,
+      |  CAST(32 + doc_id % 64 AS BIGINT) AS mdat_bytes,
+      |  CAST(COALESCE(list_sum([(doc_id*131 + i*17) % 256
+      |    for i in generate_series(0, 32 + doc_id % 64 - 1)]), 0) AS BIGINT) AS mdat_sum
+      |FROM documents""".stripMargin
+
   /** Oracle for the STUB decode: the payload is the text's UTF-8 bytes
     * (ASCII in the testdata, so byte == ascii(char)); chunk boundaries
     * replicate decodeStub's step = max(n/4, 1) layout exactly. */
@@ -1096,6 +1164,8 @@ object PipelineOracles {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_headers" -> multimodalHeaders,
     "multimodal_pixels"  -> multimodalPixels,
+    "multimodal_audio"   -> multimodalAudio,
+    "multimodal_video"   -> multimodalVideo,
     "dedup_normalized" -> dedupNormalized,
     "top_terms_lang"   -> topTermsPerLang,
     "dedup_exact"     -> dedupExact,

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MediaContainers
+
+/** WAV/MP4 container parsing: the WAV path is cross-checked against
+  * `javax.sound.sampled.AudioSystem` (an independent JDK decoder of the
+  * same bytes); the MP4 path against a hand-stated ISO/IEC 14496-12
+  * fixture composed byte-by-byte IN THIS SPEC (independent of the
+  * engine's writer). Malformed payloads must classify, not throw. */
+class MediaContainerSpec extends AnyFunSuite {
+
+  // -- helpers: build a WAV through the JDK encoder (same as synthAudio)
+  private def jdkWav(channels: Int, rate: Float, frames: Int,
+                     sample: (Int, Int) => Int): Array[Byte] = {
+    val pcm = new Array[Byte](frames * channels * 2)
+    for (i <- 0 until frames; c <- 0 until channels) {
+      val v = sample(i, c)
+      val off = (i * channels + c) * 2
+      pcm(off) = (v & 0xff).toByte
+      pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("parseWav agrees with AudioSystem on JDK-encoded files") {
+    for (id <- 0L until 40L) {
+      val channels = (1 + id % 2).toInt
+      val rate = (id % 3) match { case 0 => 8000f; case 1 => 16000f; case _ => 44100f }
+      val frames = (64 + id % 256).toInt
+      val bytes = jdkWav(channels, rate, frames,
+        (i, c) => ((id * 31 + i * 7 + c * 13) % 2048 - 1024).toInt)
+
+      val mine = MediaContainers.parseWav(bytes)
+      val jdk = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(mine.format == "wav")
+      assert(mine.audioFormat == 1L) // PCM
+      assert(mine.channels == jdk.getFormat.getChannels.toLong)
+      assert(mine.sampleRate == jdk.getFormat.getSampleRate.toLong)
+      assert(mine.bitsPerSample == jdk.getFormat.getSampleSizeInBits.toLong)
+      assert(mine.nSamples == jdk.getFrameLength.toLong)
+    }
+  }
+
+  test("pcmSums16 matches an independent per-sample fold") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 255L)) {
+      val channels = (1 + id % 2).toInt
+      val frames = (64 + id % 256).toInt
+      var expSum = 0L; var expAbs = 0L
+      val bytes = jdkWav(channels, 8000f, frames, { (i, c) =>
+        val v = ((id * 31 + i * 7 + c * 13) % 2048 - 1024).toInt
+        expSum += v; expAbs += math.abs(v)
+        v
+      })
+      assert(MediaContainers.pcmSums16(bytes) == ((expSum, expAbs)))
+    }
+  }
+
+  test("parseWav skips unknown chunks and tolerates truncation") {
+    val base = jdkWav(1, 8000f, 16, (i, _) => i)
+    // splice a LIST chunk between "WAVE" and the first chunk
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    val mine = MediaContainers.parseWav(spliced)
+    assert(mine.format == "wav" && mine.nSamples == 16L)
+    // truncation inside the data chunk: classify, don't throw
+    val cut = MediaContainers.parseWav(base.take(30))
+    assert(cut.format == "unknown")
+    assert(MediaContainers.parseWav(Array[Byte](1, 2, 3)).format == "unknown")
+    assert(MediaContainers.parseWav("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40))
+      .format == "unknown")
+  }
+
+  // -- MP4: hand-stated fixture, composed here from the ISO layout tables
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("parseMp4 reads a hand-stated v0 fixture") {
+    // ftyp: size 24, brand "isom", minor 0, compat "isom" "mp42"
+    val ftyp = be32(24) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++
+      "isom".getBytes ++ "mp42".getBytes
+    // mvhd v0: verflags + creation + modification + timescale=1000 +
+    // duration=7500 + rate + volume+reserved + reserved(8) + matrix(36) +
+    // predefined(24) + nextTrack  → payload 100, box 108
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(7500) ++ be32(0x00010000L) ++ be32(0x01000000L) ++
+      be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+      new Array[Byte](24) ++ be32(2)
+    // tkhd v0: verflags + creation + mod + trackId + reserved + duration +
+    // reserved(8) + layer/alt/vol/res (8) + matrix(36) + width/height 16.16
+    // → payload 84, box 92; width 640, height 360
+    val tkhd = be32(92) ++ "tkhd".getBytes ++ be32(7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(7500) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+      be32(640L << 16) ++ be32(360L << 16)
+    val trak = be32(8L + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moov = be32(8L + mvhd.length + trak.length) ++ "moov".getBytes ++ mvhd ++ trak
+    val payload = Array.tabulate(10)(i => (i * 3).toByte)
+    val mdat = be32(18) ++ "mdat".getBytes ++ payload
+
+    val info = MediaContainers.parseMp4(ftyp ++ moov ++ mdat)
+    assert(info.format == "mp4")
+    assert(info.brand == "isom")
+    assert(info.timescale == 1000L)
+    assert(info.duration == 7500L)
+    assert(info.width == 640L && info.height == 360L)
+    assert(info.mdatBytes == 10L)
+    assert(info.mdatSum == (0 until 10).map(_ * 3).sum.toLong)
+  }
+
+  test("parseMp4 handles engine-written v0/v1 blobs and malformed input") {
+    // both version layouts via the engine writer (ids of both parities)
+    for (id <- 0L until 24L) {
+      val info = MediaContainers.parseMp4(graft.ops.MultimodalOps.buildMp4(id))
+      assert(info.format == "mp4" && info.brand == "isom")
+      assert(info.timescale ==
+        ((id % 3) match { case 0 => 600L; case 1 => 1000L; case _ => 90000L }))
+      assert(info.duration == 500L + (id * 11) % 9000)
+      assert(info.width == 16L * (1 + id % 120))
+      assert(info.height == 16L * (1 + (id * 3) % 68))
+      assert(info.mdatBytes == 32L + id % 64)
+    }
+    assert(MediaContainers.parseMp4("garbage".getBytes ++ new Array[Byte](20))
+      .format == "unknown")
+    assert(MediaContainers.parseMp4(new Array[Byte](4)).format == "unknown")
+    // box size overruns the buffer: stop, classify from what parsed
+    val bad = be32(4096) ++ "ftyp".getBytes ++ "isom".getBytes
+    assert(MediaContainers.parseMp4(bad).format == "unknown")
+  }
+}
