@@ -604,4 +604,66 @@ object Detectors {
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
   }
+
+  /** Content-hash event for online dedup: `h` is the document's content
+    * hash (md5 / rolling — whatever the batch dedup family uses). */
+  case class DocEvent(h: String, doc_id: Long, sec: Long)
+
+  /** Immutable keep/drop decision: the event-time-first document per hash
+    * keeps (`dup_of` −1); every later duplicate drops, pointing at its
+    * keeper. */
+  case class DedupDecision(doc_id: Long, h: String, keep: Boolean, dup_of: Long)
+
+  /** Buffered in-horizon events + the keeper (−1 = none decided yet). */
+  case class DedupState(pending: Seq[DocEvent], keeper: Long)
+
+  /** ONLINE exact dedup — the streaming twin of the batch dedup family's
+    * keep/drop decision (`PipelineQueries.dedupExact` keeps one doc per
+    * content hash): keyed by hash, the first document in event-time
+    * (sec, doc_id) order keeps, all later ones drop with `dup_of` = the
+    * keeper. Events drain through the watermark-ordered buffer (same
+    * discipline as [[funnel]]), so the decision is exact under bounded
+    * disorder — a late-but-in-horizon earlier document still wins — and
+    * each decision is emitted exactly once (Append mode), which is what an
+    * ingest pipeline acts on (write the keeper, skip the dup).
+    *
+    * State per hash: the in-horizon buffer plus one long — permanent,
+    * because exact dedup is all-time by definition. A 100 TB deployment
+    * bounds it the way production dedup does: key state by corpus
+    * snapshot/epoch so hashes expire with their snapshot, or front the
+    * detector with a batch-compacted seen-hash table. */
+  def onlineDedup(events: Dataset[DocEvent], streaming: Boolean): Dataset[DedupDecision] = {
+    implicit val outEnc = Encoders.product[DedupDecision]
+    implicit val stEnc = Encoders.product[DedupState]
+    implicit val keyEnc = Encoders.STRING
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: String, it: Iterator[DocEvent],
+                state: GroupState[DedupState]): Iterator[DedupDecision] = {
+      val st = state.getOption.getOrElse(DedupState(Nil, -1L))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.doc_id))
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var keeper = st.keeper
+      val out = Seq.newBuilder[DedupDecision]
+      ready.foreach { e =>
+        if (keeper < 0) {
+          keeper = e.doc_id
+          out += DedupDecision(e.doc_id, key, keep = true, -1L)
+        } else {
+          out += DedupDecision(e.doc_id, key, keep = false, keeper)
+        }
+      }
+      state.update(DedupState(rest, keeper))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
 }

@@ -165,4 +165,27 @@ class PipelineSpec extends SparkSpec {
     val again = PipelineQueries.multimodalFeatures(spark, sf0001).collect()
     assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("audio/video decode is stateless — streaming run equals batch") {
+    // the decode passes are narrow mapPartitions, so the same code runs
+    // unchanged over a stream of blobs (the ingest shape of a media corpus)
+    val ids = Tables.documents(spark, sf0001).select("doc_id").limit(40)
+    val audio = graft.ops.MultimodalOps.synthAudio(ids)
+      .as[(Long, Array[Byte])].collect()
+    val batchA = graft.ops.MultimodalOps.audioFacts(
+      graft.ops.MultimodalOps.synthAudio(ids)).collect().toSet
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])](53, spark, None)
+    val q = graft.ops.MultimodalOps.audioFacts(
+        in.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("audio_stream_out")
+      .outputMode("append").start()
+    try {
+      audio.grouped(13).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("audio_stream_out")
+        .as[graft.ops.MultimodalOps.AudioFacts].collect().toSet
+      assert(got == batchA && got.nonEmpty)
+    } finally q.stop()
+  }
 }

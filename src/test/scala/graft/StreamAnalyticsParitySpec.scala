@@ -202,4 +202,49 @@ class StreamAnalyticsParitySpec extends SparkSpec {
       assert(got.nonEmpty && got.subsetOf(batchCells))
     } finally rq.stop()
   }
+
+  test("onlineDedup batch-mode agrees with the dedup_exact keep decision") {
+    val docEvents = graft.sources.Tables.documents(spark, sf0001)
+      .select(md5(col("text")).as("h"), col("doc_id"), lit(0L).as("sec"))
+      .as[DocEvent]
+    val decisions = Detectors.onlineDedup(docEvents, streaming = false).collect()
+    val batch = graft.queries.PipelineQueries.dedupExact(spark, sf0001)
+      .select("text_hash", "keep_id", "dup_cnt")
+      .as[(String, Long, Long)].collect()
+      .map { case (h, keep, cnt) => h -> (keep, cnt) }.toMap
+    assert(decisions.nonEmpty && decisions.length ==
+      batch.values.map(_._2).sum)
+    // constant sec → keeper is the min doc_id, i.e. dedup_exact's keep_id
+    decisions.foreach { d =>
+      val (keepId, _) = batch(d.h)
+      if (d.keep) assert(d.doc_id == keepId && d.dup_of == -1L)
+      else assert(d.doc_id != keepId && d.dup_of == keepId)
+    }
+  }
+
+  test("onlineDedup streaming under bounded disorder converges to batch") {
+    val evs = (0 until 600).map { i =>
+      DocEvent(s"h${rnd.nextInt(40)}", i.toLong, 1000L + rnd.nextInt(900))
+    }
+    val expected = Detectors.onlineDedup(evs.toDS(), streaming = false)
+      .collect().toSet
+    val input = MemoryStream[DocEvent](47, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "60 seconds")
+      .as[DocEvent]
+    val q = Detectors.onlineDedup(withWm, streaming = true)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 50L)(_.sec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      // advance the watermark past every buffered event so all decide
+      input.addData(DocEvent("hz", 999999L, 100000L))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[DedupDecision].collect()
+        .filterNot(_.h == "hz").toSet
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
 }
