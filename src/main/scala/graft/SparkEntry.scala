@@ -68,6 +68,9 @@ object SparkEntry {
     "dedup_normalized" -> (PipelineQueries.dedupNormalized _),
     "top_terms_lang"   -> (PipelineQueries.topTermsPerLang _),
     "train_split"      -> (PipelineQueries.trainSplit _),
+    // leakage-safe variant: buckets by near-dup cluster so duplicates
+    // never straddle train/test
+    "train_split_safe" -> (PipelineQueries.trainSplitSafe _),
     "text_stats"      -> (PipelineQueries.textStats _),
     "text_quality"    -> (PipelineQueries.textQuality _),
     "dedup_ngram"     -> (PipelineQueries.dedupNgram _),

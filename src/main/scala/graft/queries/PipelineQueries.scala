@@ -313,6 +313,19 @@ object PipelineQueries {
         "csize")
   }
 
+  /** Leakage-safe train/val/test split: bucket by the near-dup CLUSTER
+    * (from [[dedupClusters]]), not the document — so near-duplicates can
+    * never straddle train and test, the classic split-contamination bug a
+    * per-doc hash split ([[trainSplit]]) carries. Scale shape: the split
+    * itself adds zero exchanges on top of the cluster resolution — one
+    * codegen'd hash projection on its output. */
+  def trainSplitSafe(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .selectExpr("doc_id", "cluster_id",
+        s"${DedupOps.md5Long("CAST(cluster_id AS STRING)")} % 10 AS bucket")
+      .selectExpr("doc_id", "cluster_id", "bucket",
+        "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
+
   /** Sequence packing for pretraining: concatenate each shard's documents
     * in doc_id order into a token stream and cut fixed 512-token context
     * windows; emit every doc's stream offset and spanned window range.
@@ -894,6 +907,17 @@ object PipelineOracles {
        |  count(*) OVER (PARTITION BY least(d.doc_id, coalesce(l.mn, d.doc_id))) AS csize
        |FROM documents d LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
 
+  /** Leakage-safe split oracle: the cluster CTE is the dedup_clusters
+    * oracle verbatim; the split hashes the CLUSTER id. */
+  val trainSplitSafe: String =
+    s"""WITH c AS ($dedupClusters)
+       |SELECT doc_id, cluster_id,
+       |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM c""".stripMargin
+
   val seqPack: String =
     """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
       |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
@@ -1160,6 +1184,7 @@ object PipelineOracles {
     "dup_span_stats"    -> dupSpanStats,
     "embed_centroids"   -> embedCentroids,
     "train_split"      -> trainSplit,
+    "train_split_safe" -> trainSplitSafe,
     "multimodal_meta"  -> multimodalMeta,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_headers" -> multimodalHeaders,

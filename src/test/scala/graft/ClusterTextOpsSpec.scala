@@ -50,6 +50,27 @@ class ClusterTextOpsSpec extends SparkSpec {
     assert(cluster.values.toSet == canonical.toSet)
   }
 
+  test("train_split_safe never splits a near-dup cluster across splits") {
+    val out = PipelineQueries.trainSplitSafe(spark, sf0001)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == Tables.documents(spark, sf0001).count())
+    // the leakage guarantee: one split per cluster
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // and the per-doc split does NOT have this property on the same data
+    // (the clusters are real, so doc-hash bucketing must straddle at least
+    // one of them — the bug this query exists to fix)
+    val docSplit = PipelineQueries.trainSplit(spark, sf0001)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val straddled = out.groupBy(_._2).exists { case (_, rows) =>
+      rows.length > 1 && rows.map(r => docSplit(r._1)).distinct.length > 1
+    }
+    assert(straddled, "expected at least one multi-doc cluster straddling " +
+      "the per-doc split (sanity of the leakage scenario)")
+  }
+
   test("redactPii counts and replaces emails, IPs, and phone runs") {
     val df = Seq(
       "contact bob@example.com or +1 555 123 4567 now",
