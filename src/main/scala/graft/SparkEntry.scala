@@ -90,6 +90,8 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "sample_weighted"   -> (PipelineQueries.sampleWeighted _),
     "corpus_health"     -> (PipelineQueries.corpusHealth _),
+    // per-source inclusion scorecard: volume / language spread / dup rate
+    "source_scorecard"  -> (PipelineQueries.sourceScorecard _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),

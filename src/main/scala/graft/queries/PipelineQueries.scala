@@ -462,6 +462,29 @@ object PipelineQueries {
       count_distinct(col("lang")).as("n_langs"),
       count_distinct(col("source")).as("n_sources"))
 
+  /** Per-source scorecard — the source-inclusion decision table a corpus
+    * pipeline reviews before mixing: volume, language spread, exact-dup
+    * rate and corpus share per delivery source. One aggregation keyed by
+    * source (the distinct-text count map-side-combines through the same
+    * exchange) plus one broadcast of the 1-row total — no second
+    * full-data shuffle. */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(count(lit(1)).as("corpus_docs"))
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(md5(col("text"))).as("uniq_texts"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .crossJoin(broadcast(total))
+      .selectExpr("source", "n_docs", "total_chars", "n_langs", "uniq_texts",
+        "n_docs - uniq_texts AS dup_docs",
+        "min_chars", "max_chars",
+        "n_docs * 1000000L div corpus_docs AS share_ppm")
+  }
+
   /** Quality-weighted sampling: each document's keep-probability IS its
     * quality score — `hashRateSample`'s rate expression referencing a
     * computed column, so better documents survive proportionally more
@@ -1138,6 +1161,19 @@ object PipelineOracles {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents""".stripMargin
 
+  val sourceScorecard: String =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(count(*) AS BIGINT) * 1000000 // (SELECT corpus_docs FROM t) AS share_ppm
+      |FROM documents GROUP BY source""".stripMargin
+
   val dedupContainment: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |sp AS (SELECT DISTINCT doc_id,
@@ -1172,6 +1208,7 @@ object PipelineOracles {
   val all: Map[String, String] = Map(
     "dedup_containment" -> dedupContainment,
     "corpus_health"     -> corpusHealth,
+    "source_scorecard"  -> sourceScorecard,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,

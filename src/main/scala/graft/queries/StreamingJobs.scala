@@ -44,6 +44,38 @@ object StreamingJobs {
       .parquet(dir)
   }
 
+  /** documents.parquet as a streaming source — the corpus-ingest replay
+    * (documents arriving from a crawl/delivery feed). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** ONLINE dedup over the replayed corpus: md5 content hash per document,
+    * doc_id as the arrival clock (the corpus has no event time; a live
+    * feed would use its ingest timestamp). Append stream of immutable
+    * keep/drop decisions from [[Detectors.onlineDedup]] — the rows an
+    * ingest pipeline acts on. */
+  def onlineDedupStream(spark: SparkSession, dir: String): Dataset[Detectors.DedupDecision] = {
+    import spark.implicits._
+    documentsStream(spark, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"),
+        col("doc_id").as("sec"))
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "60 seconds")
+      .as[Detectors.DocEvent]
+      .transform(Detectors.onlineDedup(_, streaming = true))
+  }
+
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
     eventsStreamRaw(spark, dir).withWatermark("ts", watermark)

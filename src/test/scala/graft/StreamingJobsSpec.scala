@@ -165,4 +165,25 @@ class StreamingJobsSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("online dedup over the corpus replay agrees with the batch keep decision") {
+    val docEvents = graft.sources.Tables.documents(spark, sf0001)
+      .select(md5(col("text")).as("h"), col("doc_id"),
+        col("doc_id").as("sec"))
+      .as[graft.streaming.Detectors.DocEvent]
+    val expected = graft.streaming.Detectors
+      .onlineDedup(docEvents, streaming = false).collect().toSet
+    val q = StreamingJobs.onlineDedupStream(spark, sf0001)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .as[graft.streaming.Detectors.DedupDecision].collect().toSet
+      // the final watermark stops short of the tail doc_ids: decisions
+      // must be a prefix-consistent subset of batch, and nonempty
+      assert(got.subsetOf(expected))
+      assert(got.nonEmpty, "watermark should decide most replayed documents")
+    } finally q.stop()
+  }
 }
