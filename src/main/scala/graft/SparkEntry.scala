@@ -92,6 +92,9 @@ object SparkEntry {
     "corpus_health"     -> (PipelineQueries.corpusHealth _),
     // per-source inclusion scorecard: volume / language spread / dup rate
     "source_scorecard"  -> (PipelineQueries.sourceScorecard _),
+    // incremental delivery dedup against the existing corpus (asymmetric
+    // band join: candidates scale with the delivery, not the corpus)
+    "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),

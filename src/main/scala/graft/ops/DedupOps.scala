@@ -179,6 +179,68 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental ingest dedup: classify each DELIVERY document against an
+    * existing BASE corpus — 'exact' (content hash already in base), 'near'
+    * (MinHash+LSH verified Jaccard ≥ `threshold` against a base doc), else
+    * 'new'; `dup_of` is the smallest matching base doc (−1 for new), exact
+    * match taking precedence. The production decision for a new corpus
+    * delivery.
+    *
+    * Scale shape: exact is a hash join of two md5 projections (the base
+    * side min-combined BEFORE the join, so it joins one row per distinct
+    * content). Near reuses the banded-signature machinery of
+    * [[minhashPairs]] ASYMMETRICALLY — delivery band keys join base band
+    * keys only, never base×base or delivery×delivery — so the candidate
+    * count scales with the delivery size, not the corpus; the base
+    * signature table is exactly the persistent index a production
+    * pipeline keeps between deliveries. */
+  def incrementalDedup(base: DataFrame, delivery: DataFrame, textCol: String,
+                       k: Int, nPerms: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame = {
+    graft.functions.MinHashBandSigs.register(base.sparkSession)
+    def docSets(df: DataFrame): DataFrame =
+      shingles(df, textCol, k)
+        .selectExpr("doc_id", s"${md5Long("sh")} AS h")
+        .groupBy("doc_id")
+        .agg(collect_set(col("h")).as("hs"))
+        .withColumn("n_sh", size(col("hs")).cast("long"))
+    def bandKeys(sets: DataFrame): DataFrame =
+      sets.selectExpr("doc_id",
+        s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
+
+    val bSets = docSets(base)
+    val dSets = docSets(delivery)
+    val cand = bandKeys(dSets).alias("d")
+      .join(bandKeys(bSets).alias("b"),
+        col("d.band") === col("b.band") && col("d.sig") === col("b.sig"))
+      .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    val near = cand
+      .join(dSets.select(col("doc_id"), col("hs").as("hs_d"),
+        col("n_sh").as("nd")), "doc_id")
+      .join(bSets.select(col("doc_id").as("base_id"), col("hs").as("hs_b"),
+        col("n_sh").as("nb")), "base_id")
+      .withColumn("common",
+        size(array_intersect(col("hs_d"), col("hs_b"))).cast("long"))
+      .filter(col("common").cast("double") /
+        (col("nd") + col("nb") - col("common")).cast("double") >= threshold)
+      .groupBy("doc_id").agg(min(col("base_id")).as("near_of"))
+
+    val bHash = base.selectExpr(s"md5($textCol) AS h", "doc_id AS base_id")
+      .groupBy("h").agg(min(col("base_id")).as("exact_of"))
+    val exact = delivery.selectExpr("doc_id", s"md5($textCol) AS h")
+      .join(bHash, "h")
+      .select("doc_id", "exact_of")
+
+    delivery.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN exact_of IS NOT NULL THEN 'exact' " +
+          "WHEN near_of IS NOT NULL THEN 'near' ELSE 'new' END AS verdict",
+        "coalesce(exact_of, near_of, CAST(-1 AS BIGINT)) AS dup_of")
+  }
+
   /** Cross-document repeated-span statistics: for each document, how many
     * of its distinct word n-gram spans also appear in at least one OTHER
     * document — the signal behind boilerplate stripping and

@@ -462,6 +462,20 @@ object PipelineQueries {
       count_distinct(col("lang")).as("n_langs"),
       count_distinct(col("source")).as("n_sources"))
 
+  /** Incremental delivery dedup: the corpus splits into BASE
+    * (doc_id % 5 != 0 — the existing corpus) and DELIVERY (doc_id % 5 = 0
+    * — the new batch); each delivery doc classifies as exact / near / new
+    * against base via [[DedupOps.incrementalDedup]] (same MinHash
+    * parameters as `dedup_minhash`, so the oracle reuses that pair SQL
+    * restricted to crossing pairs). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    DedupOps.incrementalDedup(
+      docs.filter(expr("doc_id % 5 != 0")),
+      docs.filter(expr("doc_id % 5 = 0")),
+      "text", 3, 16, 4, 0.5)
+  }
+
   /** Per-source scorecard — the source-inclusion decision table a corpus
     * pipeline reviews before mixing: volume, language spread, exact-dup
     * rate and corpus share per delivery source. One aggregation keyed by
@@ -1174,6 +1188,30 @@ object PipelineOracles {
       |  CAST(count(*) AS BIGINT) * 1000000 // (SELECT corpus_docs FROM t) AS share_ppm
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Incremental-dedup oracle: the near tier reuses the dedup_minhash pair
+    * SQL verbatim, restricted to pairs crossing the base/delivery split;
+    * the exact tier is a min-combined hash join. Exact precedence matches
+    * the engine. */
+  val dedupIncremental: String =
+    s"""WITH mp AS ($dedupMinhash),
+       |del AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+       |bas AS (SELECT md5(text) AS h, min(doc_id) AS exact_of
+       |        FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+       |ex AS (SELECT doc_id, exact_of FROM del JOIN bas USING (h)),
+       |nr AS (SELECT d.doc_id,
+       |         min(CASE WHEN mp.doc_a = d.doc_id THEN mp.doc_b ELSE mp.doc_a END) AS near_of
+       |       FROM del d JOIN mp
+       |         ON (mp.doc_a = d.doc_id AND mp.doc_b % 5 != 0)
+       |         OR (mp.doc_b = d.doc_id AND mp.doc_a % 5 != 0)
+       |       GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       |  CAST(coalesce(ex.exact_of, nr.near_of, -1) AS BIGINT) AS dup_of
+       |FROM del d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN nr ON nr.doc_id = d.doc_id""".stripMargin
+
   val dedupContainment: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |sp AS (SELECT DISTINCT doc_id,
@@ -1209,6 +1247,7 @@ object PipelineOracles {
     "dedup_containment" -> dedupContainment,
     "corpus_health"     -> corpusHealth,
     "source_scorecard"  -> sourceScorecard,
+    "dedup_incremental" -> dedupIncremental,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,

@@ -71,6 +71,24 @@ class ClusterTextOpsSpec extends SparkSpec {
       "the per-doc split (sanity of the leakage scenario)")
   }
 
+  test("incrementalDedup classifies exact, near, and new deliveries") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearWords = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val base = Seq((10L, words), (11L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val delivery = Seq(
+      (100L, words),      // exact copy of base 10
+      (101L, nearWords),  // 39/40 words shared with base 10
+      (102L, "nothing like anything in the base corpus at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps
+      .incrementalDedup(base, delivery, "text", 3, 16, 4, 0.5)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == (("exact", 10L)))
+    assert(out(101L) == (("near", 10L)))
+    assert(out(102L) == (("new", -1L)))
+  }
+
   test("redactPii counts and replaces emails, IPs, and phone runs") {
     val df = Seq(
       "contact bob@example.com or +1 555 123 4567 now",
