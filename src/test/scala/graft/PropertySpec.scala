@@ -27,6 +27,71 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
 
+  test("property: WAV round-trips through the JDK encoder for random PCM") {
+    val genWav = for {
+      channels <- Gen.choose(1, 2)
+      rateIx <- Gen.choose(0, 2)
+      frames <- Gen.choose(1, 300)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (channels, Seq(8000f, 16000f, 44100f)(rateIx), frames, seed)
+    samples(genWav, 60).foreach { case (channels, rate, frames, seed) =>
+      val pcm = new Array[Byte](frames * channels * 2)
+      var expSum = 0L; var expAbs = 0L
+      for (i <- 0 until frames * channels) {
+        val v = (((seed + i * 2654435761L) % 2048) - 1024).toInt
+        expSum += v; expAbs += math.abs(v)
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val info = graft.functions.MediaContainers.parseWav(bos.toByteArray)
+      assert(info.format == "wav" && info.channels == channels.toLong &&
+        info.sampleRate == rate.toLong && info.bitsPerSample == 16L &&
+        info.nSamples == frames.toLong)
+      assert(graft.functions.MediaContainers.pcmSums16(bos.toByteArray) ==
+        ((expSum, expAbs)))
+    }
+  }
+
+  test("property: container parsers classify, never throw, on arbitrary bytes") {
+    val genBytes = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+      // bias toward magic-number prefixes so the parsers' deep paths run
+      prefix <- Gen.oneOf(Array.emptyByteArray, "RIFF".getBytes,
+        Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes,
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    } yield prefix ++ bs.toArray
+    samples(genBytes, 300).foreach { bytes =>
+      val w = graft.functions.MediaContainers.parseWav(bytes)
+      val m = graft.functions.MediaContainers.parseMp4(bytes)
+      val i = graft.functions.ImageHeader.parse(bytes)
+      assert(w.format == "wav" || w.format == "unknown")
+      assert(m.format == "mp4" || m.format == "unknown")
+      assert(i.format != null)
+      graft.functions.MediaContainers.pcmSums16(bytes) // must not throw
+    }
+  }
+
+  test("property: engine MP4 blobs parse back to their id-derived facts") {
+    samples(Gen.choose(0L, 100000L), 80).foreach { id =>
+      val info = graft.functions.MediaContainers.parseMp4(
+        graft.ops.MultimodalOps.buildMp4(id))
+      assert(info.brand == "isom")
+      assert(info.timescale ==
+        ((id % 3) match { case 0 => 600L; case 1 => 1000L; case _ => 90000L }))
+      assert(info.duration == 500L + (id * 11) % 9000)
+      assert(info.width == 16L * (1 + id % 120))
+      assert(info.height == 16L * (1 + (id * 3) % 68))
+    }
+  }
+
   test("property: spanScrub invariants on random corpora") {
     import graft.ops.DedupOps
     val genDocs: Gen[List[(Long, String)]] = for {
