@@ -21,6 +21,8 @@ object SparkEntry {
     // §2.5/2.6 windowed aggregations + Top-N (A1-A8, T1-T2)
     "hot_items_topn"  -> (BehaviorQueries.hotItemsTopN _),
     "hot_pages_topn"  -> (BehaviorQueries.hotPagesTopN _),
+    // P2 end-to-end: rendered apache log lines through the real parser
+    "log_hot_pages"   -> (BehaviorQueries.logHotPages _),
     "page_views"      -> (BehaviorQueries.pageViews _),
     "unique_visitors" -> (BehaviorQueries.uniqueVisitors _),
     "uv_bitmap"       -> (BehaviorQueries.uvBitmap _),

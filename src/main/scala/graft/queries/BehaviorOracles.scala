@@ -50,6 +50,19 @@ object BehaviorOracles {
       |FROM events WHERE event_type = 'view'
       |GROUP BY 1, 2""".stripMargin
 
+  /** The log round-trip oracle skips the render→parse leg (an identity at
+    * second precision under the UTC session) and derives the counts from
+    * events directly — the engine side must reproduce them THROUGH its
+    * real line renderer and parser. */
+  val logHotPages: String =
+    """SELECT concat('/', event_type, '/p', CAST(user_id % 50 AS VARCHAR),
+      |         CASE WHEN user_id % 7 = 0 THEN '.css' ELSE '' END) AS url,
+      |       (epoch_us(ts) // 1000000) // 3600 AS hour,
+      |       count(*) AS cnt
+      |FROM events
+      |WHERE event_type IN ('view', 'click') AND user_id % 7 != 0
+      |GROUP BY 1, 2""".stripMargin
+
   val uniqueVisitors: String =
     """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
       |       (epoch_us(ts) // 1000000) // 86400 * 86400 + 86400 AS window_end,
@@ -269,6 +282,7 @@ object BehaviorOracles {
     "uv_bitmap"       -> uvBitmap,
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,
+    "log_hot_pages"   -> logHotPages,
     "page_views"      -> pageViews,
     "unique_visitors" -> uniqueVisitors,
     "market_channel"  -> marketChannel,

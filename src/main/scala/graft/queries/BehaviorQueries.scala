@@ -60,6 +60,33 @@ object BehaviorQueries {
       .select("window_start", "window_end", "page", "cnt", "rn")
   }
 
+  /** P2 apache-log parse, oracle-backed end-to-end: deterministic apache
+    * log LINES are rendered from the events table (ip/method/url derived
+    * arithmetically from the row, ts formatted `dd/MM/yyyy:HH:mm:ss` — the
+    * reference's HotPage line shape), then parsed back by the REAL parser
+    * ([[graft.sources.EventSources.parseApacheLog]],
+    * network-flow-analysis/.../HotPage.java:50-54) and aggregated GET-only
+    * with static resources excluded (HotPage.java:70-73) per (url, hour).
+    * The oracle derives the same counts from events directly, so this is
+    * green only if render→parse is a true round-trip through the parser. */
+  def logHotPages(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(spark, dir).selectExpr(
+      """concat(
+        |'10.0.', CAST(user_id % 256 AS STRING), '.', CAST(user_id div 256 % 256 AS STRING),
+        |' - - ',
+        |date_format(ts, 'dd/MM/yyyy:HH:mm:ss'),
+        |' +0000 ',
+        |CASE WHEN event_type IN ('view', 'click') THEN 'GET' ELSE 'POST' END,
+        |' /', event_type, '/p', CAST(user_id % 50 AS STRING),
+        |CASE WHEN user_id % 7 = 0 THEN '.css' ELSE '' END,
+        |' HTTP/1.1') AS value""".stripMargin.replace("\n", ""))
+    graft.sources.EventSources.parseApacheLog(lines)
+      .filter(col("method") === "GET")
+      .filter(!col("url").rlike("\\.(css|js|png|ico)$"))
+      .groupBy(col("url"), expr("unix_timestamp(ts) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** A3 PageView: global tumbling 1h count of views. The reference's 10-way
     * salted two-phase count (PageView.java:66-166) is parallelism plumbing;
     * Spark's partial/final hash agg over the window key is the same thing,
