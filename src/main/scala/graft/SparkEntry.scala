@@ -97,6 +97,8 @@ object SparkEntry {
     // incremental delivery dedup against the existing corpus (asymmetric
     // band join: candidates scale with the delivery, not the corpus)
     "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
+    // PII injection → real regex redaction, regex-free arithmetic oracle
+    "pii_scrub"         -> (PipelineQueries.piiScrub _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
  * regex and RE2-family engines.
  *
  * The driver testdata contains no PII-shaped strings (synthetic word
- * soup), so this operator is spec-covered with inline fixtures rather than
- * oracle-checked — a degenerate all-zero oracle would prove nothing.
+ * soup), so in addition to the inline-fixture specs the `pii_scrub` query
+ * INJECTS deterministic PII per document and redacts it with this
+ * pipeline; its oracle is regex-free (states counts and the exact
+ * redacted text arithmetically), proving the Java patterns match the
+ * injected spans precisely and nothing else.
  */
 object TextOps {
 

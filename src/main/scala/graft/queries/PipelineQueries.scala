@@ -462,6 +462,25 @@ object PipelineQueries {
       count_distinct(col("lang")).as("n_langs"),
       count_distinct(col("source")).as("n_sources"))
 
+  /** PII scrub, oracle-backed end-to-end: deterministic PII (one email,
+    * one IPv4, one phone run, all derived arithmetically from doc_id) is
+    * injected into each document, then detected and redacted by the REAL
+    * regex pipeline ([[graft.ops.TextOps.redactPii]]). The oracle never
+    * runs a regex — it states the counts (1/1/1; the base corpus contains
+    * no digits or '@', verified across SFs) and the md5 of the exactly-
+    * redacted text, so this is green only if the Java patterns match the
+    * injected spans precisely and nothing else. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).selectExpr("doc_id",
+      ("concat(text," +
+        " ' contact user', CAST(doc_id AS STRING), '@ex', CAST(doc_id % 10 AS STRING), '.com'," +
+        " ' from 10.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 100 AS STRING), '.', CAST((doc_id * 3) % 256 AS STRING)," +
+        " ' call +1 ', CAST(200 + doc_id % 700 AS STRING), ' 555 ', CAST(1000 + doc_id % 9000 AS STRING)) AS text"))
+    graft.ops.TextOps.redactPii(withPii, "text")
+      .selectExpr("doc_id", "n_emails", "n_ips", "n_phones",
+        "md5(text_redacted) AS redacted_hash")
+  }
+
   /** Incremental delivery dedup: the corpus splits into BASE
     * (doc_id % 5 != 0 — the existing corpus) and DELIVERY (doc_id % 5 = 0
     * — the new batch); each delivery doc classifies as exact / near / new
@@ -1188,6 +1207,17 @@ object PipelineOracles {
       |  CAST(count(*) AS BIGINT) * 1000000 // (SELECT corpus_docs FROM t) AS share_ppm
       |FROM documents GROUP BY source""".stripMargin
 
+  /** PII-scrub oracle — regex-free by design: the injected spans are the
+    * only matchable content (base corpus has no digits/'@'), so counts and
+    * the redacted text are stated directly. */
+  val piiScrub: String =
+    """SELECT doc_id,
+      |  CAST(1 AS BIGINT) AS n_emails,
+      |  CAST(1 AS BIGINT) AS n_ips,
+      |  CAST(1 AS BIGINT) AS n_phones,
+      |  md5(text || ' contact <EMAIL> from <IP> call <PHONE>') AS redacted_hash
+      |FROM documents""".stripMargin
+
   /** Incremental-dedup oracle: the near tier reuses the dedup_minhash pair
     * SQL verbatim, restricted to pairs crossing the base/delivery split;
     * the exact tier is a min-combined hash join. Exact precedence matches
@@ -1248,6 +1278,7 @@ object PipelineOracles {
     "corpus_health"     -> corpusHealth,
     "source_scorecard"  -> sourceScorecard,
     "dedup_incremental" -> dedupIncremental,
+    "pii_scrub"         -> piiScrub,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,
