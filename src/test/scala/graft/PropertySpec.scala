@@ -92,6 +92,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: incrementalDedup verdicts are sound on random corpora") {
+    // small random vocab corpora: exact verdicts must match base text
+    // verbatim, new verdicts must have no identical base text, and every
+    // delivery doc gets exactly one decision
+    val genCorpus = for {
+      nBase <- Gen.choose(3, 12)
+      nDel <- Gen.choose(3, 10)
+      texts <- Gen.listOfN(nBase + nDel, for {
+        n <- Gen.choose(5, 12)
+        ws <- Gen.listOfN(n, Gen.choose(0, 7).map(i => s"tok$i"))
+      } yield ws.mkString(" "))
+    } yield (nBase, texts)
+    samples(genCorpus, 12).foreach { case (nBase, texts) =>
+      val base = texts.take(nBase).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val delivery = texts.drop(nBase).zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val out = graft.ops.DedupOps
+        .incrementalDedup(base, delivery, "text", 3, 16, 4, 0.5)
+        .as[(Long, String, Long)].collect()
+      assert(out.length == texts.length - nBase)
+      val baseTexts = texts.take(nBase).zipWithIndex
+        .map { case (t, i) => i.toLong -> t }.toMap
+      val delTexts = texts.drop(nBase).zipWithIndex
+        .map { case (t, i) => (1000L + i) -> t }.toMap
+      out.foreach { case (id, verdict, dupOf) =>
+        verdict match {
+          case "exact" =>
+            assert(baseTexts(dupOf) == delTexts(id), s"doc $id exact mismatch")
+          case "near" =>
+            assert(baseTexts.contains(dupOf) && baseTexts(dupOf) != delTexts(id))
+          case "new" =>
+            assert(dupOf == -1L)
+            assert(!baseTexts.values.exists(_ == delTexts(id)),
+              s"doc $id marked new but has an identical base text")
+        }
+      }
+    }
+  }
+
   test("property: spanScrub invariants on random corpora") {
     import graft.ops.DedupOps
     val genDocs: Gen[List[(Long, String)]] = for {
