@@ -303,10 +303,17 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")), "db")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-    scored.selectExpr("da AS contained", "db AS container", "common",
-        "CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment")
-      .unionByName(scored.selectExpr("db AS contained", "da AS container",
-        "common", "CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment"))
+    // both directions from ONE scored row via explode — a union of two
+    // selects over `scored` would recompute the whole candidate+verify
+    // subtree twice (it halved the executed plan when replaced)
+    scored
+      .selectExpr(
+        ("explode(array(" +
+          "struct(da AS contained, db AS container, common AS common," +
+          " CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment)," +
+          "struct(db AS contained, da AS container, common AS common," +
+          " CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment))) AS r"))
+      .select("r.contained", "r.container", "r.common", "r.containment")
       .filter(col("containment") >= threshold)
   }
 
