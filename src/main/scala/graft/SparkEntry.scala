@@ -109,6 +109,8 @@ object SparkEntry {
     "pq_topk"           -> (PipelineQueries.pqTopK _),
     "pq_topk_rr"        -> (PipelineQueries.pqTopKRerank _),
     "domain_mix"        -> (PipelineQueries.domainMix _),
+    // α=0.5 temperature mixing: sqrt-damped minority upsampling
+    "domain_mix_temp"   -> (PipelineQueries.domainMixTemp _),
     "curate_corpus"     -> (PipelineQueries.curateCorpus _),
     // multimodal plumbing (binary payload + partition-batched decode stub)
     "multimodal_meta"     -> (PipelineQueries.multimodalMeta _),

@@ -361,6 +361,40 @@ object PipelineQueries {
         "explode(sequence(1L, repeats)) AS copy_ix")
   }
 
+  /** Temperature-damped domain mixing (the multilingual α=0.5 upsampling):
+    * each language's post-mix size is EXACTLY `K = ⌊√(maxn·n)⌋` — i.e.
+    * `n·√(maxn/n)`, the square-root compromise between natural frequency
+    * and uniform that [[domainMix]]'s linear `maxn/n` overshoots. Every
+    * doc gets `K div n` copies and the `K mod n` remainder docs (chosen by
+    * deterministic hash rank within the language — no rand()) one more,
+    * so `Σ copies = K` per language, sharply.
+    *
+    * Integer-exact on purpose: `maxn·n` is an exact double for corpora to
+    * 2^52 and IEEE sqrt is correctly rounded, so `⌊√x⌋` is bit-identical
+    * across engines — no pow()/libm divergence risk in the oracle.
+    *
+    * Scale: the remainder selection needs a per-language total order —
+    * the same per-stratum rank the quota sampler uses; at 100 TB either
+    * reuse that machinery or take the remainder by hash threshold
+    * (approximate to ±hash-collision error) and skip the rank shuffle. */
+  def domainMixTemp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(col("n")).as("maxn"))
+    docs.selectExpr("doc_id", "lang",
+        "md5(concat(CAST(doc_id AS STRING), '|', md5(text))) AS hh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hh"))).cast("long"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(mx))
+      .selectExpr("doc_id", "lang", "r", "n",
+        "CAST(floor(sqrt(CAST(maxn * n AS DOUBLE))) AS BIGINT) AS k")
+      .selectExpr("doc_id", "lang",
+        "k div n + (CASE WHEN r <= k % n THEN 1L ELSE 0L END) AS copies")
+      .selectExpr("doc_id", "lang", "copies",
+        "explode(sequence(1L, copies)) AS copy_ix")
+  }
+
   /** End-to-end curation decision: per document, the quality score, the
     * repetition gate, exact-dup canonicality, and the combined keep flag —
     * the composed filter chain a corpus build actually runs. Flags, not a
@@ -994,6 +1028,25 @@ object PipelineOracles {
       |       unnest(generate_series(1, least(4, maxn // n))) AS copy_ix
       |FROM documents d JOIN c USING (lang) CROSS JOIN m""".stripMargin
 
+  /** Temperature-mix oracle: ⌊√(maxn·n)⌋ is bit-identical across engines
+    * (exact-double product, correctly-rounded sqrt); the remainder rank
+    * orders by the same md5 hash string, so copies match row for row. */
+  val domainMixTemp: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT max(n) AS maxn FROM c),
+      |rk AS (SELECT doc_id, lang,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || md5(text))) AS BIGINT) AS r
+      |       FROM documents),
+      |t AS (SELECT rk.doc_id, rk.lang,
+      |        CAST(floor(sqrt(CAST(maxn * n AS DOUBLE))) AS BIGINT) // n
+      |          + CASE WHEN rk.r <= CAST(floor(sqrt(CAST(maxn * n AS DOUBLE))) AS BIGINT) % n
+      |                 THEN 1 ELSE 0 END AS copies
+      |      FROM rk JOIN c USING (lang) CROSS JOIN m)
+      |SELECT doc_id, lang, CAST(copies AS BIGINT) AS copies,
+      |       unnest(generate_series(1, copies)) AS copy_ix
+      |FROM t""".stripMargin
+
   val curateCorpus: String =
     s"""WITH q AS ($textQuality),
        |g AS ($gopherRepetition),
@@ -1317,6 +1370,7 @@ object PipelineOracles {
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,
     "domain_mix"        -> domainMix,
+    "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,
   )
 }
