@@ -253,11 +253,14 @@ object SimilarityOps {
       }.mkString(" + ")
       s"struct(${m}L AS m, $bits AS code, sub_$m AS sub)"
     }.mkString(", ")
-    // long form (vec, subspace, init bucket, subvector)
+    // long form (vec, subspace, init bucket, subvector) — cached: both the
+    // init-centroid pass and the Lloyd reassignment pass aggregate over it,
+    // and without the cache each pass re-runs scan+quantize+explode
     val subRows = quantVecs(emb)
       .selectExpr(Seq("vec_id") ++ subCols: _*)
       .selectExpr("vec_id", s"explode(array($codeExprs)) AS mc")
       .selectExpr("vec_id", "mc.m AS m", "mc.code AS code", "mc.sub AS sub")
+      .cache()
     // floored integer mean per (subspace, assigned code, dim) —
     // (s - pmod(s, n)) div n floors for negative sums too, matching the
     // oracle's rounding-agnostic (s - floormod(s, n)) // n
@@ -287,7 +290,8 @@ object SimilarityOps {
       s"WHEN m = $m THEN element_at($ids, CAST(array_position($dists, array_min($dists)) AS INT))"
     }.mkString("CASE ", " ", " END")
     val fitted =
-      centroidsFrom(subRows.selectExpr("vec_id", "m", s"$reassign AS code", "sub"))
+      try centroidsFrom(subRows.selectExpr("vec_id", "m", s"$reassign AS code", "sub"))
+      finally subRows.unpersist()
     if (codebookCache.size >= codebookCacheMax) codebookCache.clear()
     codebookCache.put(key, fitted)
     fitted
