@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /**
  * Multimodal column plumbing: media (image/audio/video) rides through the
  * engine as an opaque `binary` payload column plus typed metadata, and
- * feature extraction runs as a partition-batched transform over the binary
- * column — the Spark-side schema/partitioning/batching is real; only the
- * codec call is stubbed (no image/audio libraries in this container).
+ * decode runs as a partition-batched transform over the binary column.
  *
- * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
+ * Decode is REAL for all three modalities — PNG/JPEG/GIF header parse
+ * ([[graft.functions.ImageHeader]]) + ImageIO pixel decode, WAV RIFF
+ * parse + sample-exact 16-bit PCM ([[graft.functions.MediaContainers]]),
+ * MP4 ISO-BMFF box walk — all pure JVM. Only the format-agnostic feature
+ * extractor ([[extractFeatures]]) and thumbnailer ([[resizeStub]]) keep a
+ * deterministic byte-math stand-in where a native codec library would
+ * plug in.
+ *
+ * Scale notes: payloads stay columnar (parquet binary) end-to-end; every
  * decode pass is a narrow mapPartitions (no shuffle), so it parallelizes
  * per input split and the downstream feature table is a normal DataFrame.
  */
