@@ -142,7 +142,12 @@ object DedupOps {
     * signatures and band keys are then per-row array expressions (no
     * per-perm row expansion, no second/third aggregation), candidates come
     * from the band self-join, and the exact-Jaccard verify is
-    * `array_intersect` on the same arrays. */
+    * `array_intersect` on the same arrays.
+    *
+    * Input contract: (doc_id, sh) shingle rows, DUPLICATES ALLOWED — the
+    * `collect_set` aggregation dedupes map-side inside its partial pass,
+    * so pass [[allShingles]]; a pre-`distinct()` ([[shingles]]) adds a
+    * redundant full exchange of span strings for nothing. */
   def minhashPairs(sh: DataFrame, nPerms: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
     graft.functions.MinHashBandSigs.register(sh.sparkSession)
@@ -198,8 +203,11 @@ object DedupOps {
                        k: Int, nPerms: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
     graft.functions.MinHashBandSigs.register(base.sparkSession)
+    // allShingles, not shingles: collect_set dedupes map-side, so a
+    // pre-distinct would add a redundant full exchange (same contract as
+    // minhashPairs)
     def docSets(df: DataFrame): DataFrame =
-      shingles(df, textCol, k)
+      allShingles(df, textCol, k)
         .selectExpr("doc_id", s"${md5Long("sh")} AS h")
         .groupBy("doc_id")
         .agg(collect_set(col("h")).as("hs"))

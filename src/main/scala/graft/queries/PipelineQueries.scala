@@ -165,7 +165,7 @@ object PipelineQueries {
     * exact Jaccard ≥ 0.5 — the scale path for near-dup dedup. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashPairs(
-      DedupOps.shingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
+      DedupOps.allShingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
 
   /** Directed near-containment pairs (excerpt/quote dedup): shared-5-span
     * candidates, exact 3-gram asymmetric overlap ≥ 0.6
@@ -302,7 +302,7 @@ object PipelineQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = DedupOps.minhashPairs(
-      DedupOps.shingles(docs, "text", 3), 16, 4, 0.5)
+      DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
     val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
     docs.select("doc_id")

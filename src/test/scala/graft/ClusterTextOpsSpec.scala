@@ -39,7 +39,7 @@ class ClusterTextOpsSpec extends SparkSpec {
     val cluster = out.select("doc_id", "cluster_id")
       .as[(Long, Long)].collect().toMap
     val pairs = DedupOps.minhashPairs(
-        DedupOps.shingles(docs, "text", 3), 16, 4, 0.5)
+        DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
