@@ -23,6 +23,8 @@ object SparkEntry {
     "hot_pages_topn"  -> (BehaviorQueries.hotPagesTopN _),
     // P2 end-to-end: rendered apache log lines through the real parser
     "log_hot_pages"   -> (BehaviorQueries.logHotPages _),
+    // S3 generator mapping, oracle-backed (rate-source leg is structural)
+    "marketing_sim"   -> (BehaviorQueries.marketingSim _),
     "page_views"      -> (BehaviorQueries.pageViews _),
     "unique_visitors" -> (BehaviorQueries.uniqueVisitors _),
     "uv_bitmap"       -> (BehaviorQueries.uvBitmap _),

@@ -63,6 +63,17 @@ object BehaviorOracles {
       |WHERE event_type IN ('view', 'click') AND user_id % 7 != 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** S3 mapping oracle: the same cyclic modular arithmetic over event_id. */
+  val marketingSim: String =
+    """WITH g AS (SELECT
+      |  event_id % 1000 AS userId,
+      |  ['CLICK', 'DOWNLOAD', 'INSTALL', 'UNINSTALL'][CAST(event_id % 4 + 1 AS INT)] AS behavior,
+      |  ['app store', 'wechat', 'weibo', 'browser'][CAST((event_id // 4) % 4 + 1 AS INT)] AS channel
+      |FROM events)
+      |SELECT channel, behavior, count(*) AS cnt,
+      |       count(DISTINCT userId) AS users
+      |FROM g GROUP BY 1, 2""".stripMargin
+
   val uniqueVisitors: String =
     """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
       |       (epoch_us(ts) // 1000000) // 86400 * 86400 + 86400 AS window_end,
@@ -283,6 +294,7 @@ object BehaviorOracles {
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,
     "log_hot_pages"   -> logHotPages,
+    "marketing_sim"   -> marketingSim,
     "page_views"      -> pageViews,
     "unique_visitors" -> uniqueVisitors,
     "market_channel"  -> marketChannel,

@@ -87,6 +87,18 @@ object BehaviorQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** S3 oracle-backed: the simulated marketing source's cyclic
+    * (userId, behavior, channel) mapping driven by event_id as the
+    * monotone counter, aggregated per (channel, behavior) — the oracle
+    * restates the modular arithmetic, so the generator mapping itself is
+    * hash-checked (the rate-source timestamp leg stays structural:
+    * processing time has no oracle). */
+  def marketingSim(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr(graft.sources.EventSources.marketingMapping("event_id"): _*)
+      .groupBy(col("channel"), col("behavior"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("userId")).as("users"))
+
   /** A3 PageView: global tumbling 1h count of views. The reference's 10-way
     * salted two-phase count (PageView.java:66-166) is parallelism plumbing;
     * Spark's partial/final hash agg over the window key is the same thing,

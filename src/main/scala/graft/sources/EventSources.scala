@@ -118,18 +118,24 @@ object EventSources {
       .selectExpr(kafkaProjection: _*)
   }
 
+  /** The cyclic (userId, behavior, channel) mapping of the reference's
+    * random marketing source, as SQL expressions over a monotone counter
+    * column — shared by the streaming rate twin and the oracle-backed
+    * batch query (`marketing_sim`). */
+  def marketingMapping(valueCol: String): Seq[String] = {
+    val behaviors = Seq("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")
+    val channels = Seq("app store", "wechat", "weibo", "browser")
+    Seq(
+      s"$valueCol % 1000 AS userId",
+      s"element_at(array(${behaviors.map(b => s"'$b'").mkString(",")}), CAST($valueCol % 4 + 1 AS INT)) AS behavior",
+      s"element_at(array(${channels.map(c => s"'$c'").mkString(",")}), CAST(($valueCol DIV 4) % 4 + 1 AS INT)) AS channel")
+  }
+
   /** S3: deterministic twin of the reference's random marketing source
     * (AppMarketingByChannel.java:65-97): `rate` stream at `rowsPerSecond`,
     * behavior/channel drawn cyclically from the reference's fixed lists. */
-  def marketingRate(spark: SparkSession, rowsPerSecond: Int): DataFrame = {
-    val behaviors = Seq("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")
-    val channels = Seq("app store", "wechat", "weibo", "browser")
+  def marketingRate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
-      .selectExpr(
-        "value % 1000 AS userId",
-        s"element_at(array(${behaviors.map(b => s"'$b'").mkString(",")}), CAST(value % 4 + 1 AS INT)) AS behavior",
-        s"element_at(array(${channels.map(c => s"'$c'").mkString(",")}), CAST((value DIV 4) % 4 + 1 AS INT)) AS channel",
-        "timestamp AS ts")
-  }
+      .selectExpr(marketingMapping("value") :+ "timestamp AS ts": _*)
 }
