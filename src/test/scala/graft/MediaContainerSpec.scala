@@ -140,4 +140,54 @@ class MediaContainerSpec extends AnyFunSuite {
     val bad = be32(4096) ++ "ftyp".getBytes ++ "isom".getBytes
     assert(MediaContainers.parseMp4(bad).format == "unknown")
   }
+
+  test("parseMp4 reads a 64-bit largesize mdat box") {
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val payload = Array.tabulate(6)(i => (i + 1).toByte)
+    // size==1 → u64 largesize follows the type; header is 16 bytes
+    val mdat = be32(1) ++ "mdat".getBytes ++ be64(16L + payload.length) ++ payload
+    val info = MediaContainers.parseMp4(ftyp ++ mdat)
+    assert(info.format == "mp4" && info.brand == "isom")
+    assert(info.mdatBytes == 6L)
+    assert(info.mdatSum == 21L)
+  }
+
+  test("parseWav classifies non-PCM float WAV without sample sums") {
+    // IEEE-float WAV (audioFormat 3) through the JDK encoder
+    val frames = 32
+    val pcm = new Array[Byte](frames * 4)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until frames).foreach(i => bb.putFloat(i * 0.25f))
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val info = MediaContainers.parseWav(bos.toByteArray)
+    assert(info.format == "wav")
+    assert(info.audioFormat == 3L || info.audioFormat == 0xfffeL) // float or extensible
+    assert(info.bitsPerSample == 32L && info.nSamples == frames.toLong)
+    // 16-bit PCM decode must refuse, not mis-sum
+    assert(MediaContainers.pcmSums16(bos.toByteArray) == ((0L, -1L)))
+  }
+
+  test("image header parse survives an EXIF APP1 segment before SOF") {
+    // real JPEG from ImageIO, then splice an APP1 (EXIF) segment right
+    // after SOI — the marker walk must skip it and still find the SOF dims
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val exifPayload = "Exif  fakedata".getBytes("US-ASCII")
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      (((exifPayload.length + 2) >> 8) & 0xff).toByte,
+      ((exifPayload.length + 2) & 0xff).toByte) ++ exifPayload
+    val spliced = jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    val info = graft.functions.ImageHeader.parse(spliced)
+    assert(info.format == "jpeg" && info.width == 17L && info.height == 9L)
+  }
 }
