@@ -166,6 +166,33 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the simulated marketing rate source runs live and honors its mapping") {
+    val q = graft.sources.EventSources.marketingRate(spark, rowsPerSecond = 200)
+      .writeStream.format("memory").queryName("mkt_rate")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 100 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("mkt_rate").count()
+        if (n < 100) Thread.sleep(200)
+      }
+      assert(n >= 100, s"rate source produced only $n rows in 30s")
+      val rows = spark.table("mkt_rate")
+        .select("userId", "behavior", "channel")
+        .as[(Long, String, String)].collect()
+      val behaviors = Set("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")
+      val channels = Set("app store", "wechat", "weibo", "browser")
+      rows.foreach { case (u, b, c) =>
+        assert(u >= 0 && u < 1000 && behaviors(b) && channels(c))
+      }
+      // the cyclic mapping should hit every (behavior, channel) cell over
+      // any 16 consecutive counter values
+      assert(rows.map(r => (r._2, r._3)).distinct.length == 16)
+    } finally q.stop()
+  }
+
   test("online dedup over the corpus replay agrees with the batch keep decision") {
     val docEvents = graft.sources.Tables.documents(spark, sf0001)
       .select(md5(col("text")).as("h"), col("doc_id"),
