@@ -154,7 +154,7 @@ object MediaContainers {
             brand = fourcc(b, p)
           case "mvhd" if p + 4 <= pEnd =>
             val version = u8(b, p)
-            if (version == 1 && p + 28 <= pEnd) {
+            if (version == 1 && p + 32 <= pEnd) {
               timescale = be32(b, p + 20); duration = be64(b, p + 24)
             } else if (version == 0 && p + 20 <= pEnd) {
               timescale = be32(b, p + 12); duration = be32(b, p + 16)

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
  * Decode is REAL for all three modalities — PNG/JPEG/GIF header parse
  * ([[graft.functions.ImageHeader]]) + ImageIO pixel decode, WAV RIFF
  * parse + sample-exact 16-bit PCM ([[graft.functions.MediaContainers]]),
- * MP4 ISO-BMFF box walk — all pure JVM. Only the format-agnostic feature
- * extractor ([[extractFeatures]]) and thumbnailer ([[resizeStub]]) keep a
- * deterministic byte-math stand-in where a native codec library would
- * plug in.
+ * MP4 ISO-BMFF box walk — all pure JVM. The unified feature extractor
+ * ([[extractFeatures]]) and thumbnailer ([[resize]]) dispatch on magic
+ * bytes into those decoders; deterministic byte-math survives ONLY as the
+ * unknown-format fallback (where a native codec library would plug in).
  *
  * Scale notes: payloads stay columnar (parquet binary) end-to-end; every
  * decode pass is a narrow mapPartitions (no shuffle), so it parallelizes
@@ -31,83 +31,134 @@ object MultimodalOps {
       .withColumn("byte_len", length(col("payload")).cast("long"))
       .withColumn("content_hash", md5(col("payload")))
 
-  /** One extracted feature row per media payload. The chunk sums/lengths
-    * are exact integers (auditable against an oracle); the means are the
-    * derived double view. */
-  case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      // 4-chunk byte-sum/length profile — stands in for decoded image stats
-      chunk_sums: Array[Long],
-      chunk_lens: Array[Long],
-      chunk_means: Array[Double],
-      // deterministic stand-in for a codec's frame/sample count
-      n_frames: Long)
+  /** One extracted feature row per media payload, REAL-decoder-backed:
+    * the decode path dispatches on magic bytes, and the five generic
+    * fields carry per-kind facts — exact integers an oracle states
+    * arithmetically for the synthetic corpus:
+    *
+    * {{{
+    * kind    dim1      dim2         n_units         sum1        sum2
+    * image   width     height       pixels          Σ(r+g+b)    Σr
+    * audio   channels  sample_rate  sample frames   Σpcm        Σ|pcm|
+    * video   width     height       duration ticks  Σmdat       mdat len
+    * other   0         0            n_bytes         Σbytes      0
+    * }}}
+    *
+    * Image sums come from a REAL ImageIO pixel decode (lossless PNG/GIF
+    * only; JPEG reports header dims with sums −1 — lossy decode is
+    * decoder-dependent, so a deterministic engine never sums it). Audio is
+    * the exact 16-bit PCM fold; video the ISO-BMFF walk. Payloads no
+    * parser claims fall through to the byte-math `other` row — the stub
+    * survives ONLY as that unknown-format fallback. */
+  case class MediaFeatures(doc_id: Long, kind: String, dim1: Long,
+                           dim2: Long, n_units: Long, sum1: Long, sum2: Long)
 
-  /**
-   * STUB DECODE — a real deployment decodes the payload with an image/audio
-   * codec here (this container ships none). The stub derives deterministic
-   * features from the raw bytes so the partition-batched plumbing, schema
-   * and tests are real and the codec is the only swap-in point.
-   */
-  private def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = bytes.length
-    val sums = new Array[Long](4)
-    val lens = new Array[Long](4)
-    val means = new Array[Double](4)
-    if (n > 0) {
-      val step = math.max(n / 4, 1)
-      var c = 0
-      while (c < 4) {
-        val from = math.min(c * step, n); val until = if (c == 3) n else math.min((c + 1) * step, n)
-        var s = 0L; var i = from
-        while (i < until) { s += bytes(i) & 0xff; i += 1 }
-        sums(c) = s
-        lens(c) = (until - from).toLong
-        // exact-int division: both sides < 2^53, correctly rounded once
-        means(c) = if (until > from) s.toDouble / (until - from) else 0.0
-        c += 1
+  /** Unknown-format fallback: total byte sum, no decode claim. */
+  private def byteMathFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var s = 0L; var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    MediaFeatures(id, "other", 0L, 0L, bytes.length.toLong, s, 0L)
+  }
+
+  private def decodeFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img = graft.functions.ImageHeader.parse(bytes)
+    if (img.format == "png" || img.format == "gif") {
+      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (decoded == null) byteMathFeatures(id, bytes)
+      else {
+        var sum = 0L; var sumR = 0L
+        var y = 0
+        while (y < decoded.getHeight) {
+          var x = 0
+          while (x < decoded.getWidth) {
+            val p = decoded.getRGB(x, y)
+            val r = (p >> 16) & 0xff
+            sum += r + ((p >> 8) & 0xff) + (p & 0xff); sumR += r
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(id, "image", decoded.getWidth.toLong, decoded.getHeight.toLong,
+          decoded.getWidth.toLong * decoded.getHeight, sum, sumR)
+      }
+    } else if (img.format == "jpeg") {
+      MediaFeatures(id, "image", img.width, img.height, img.width * img.height, -1L, -1L)
+    } else {
+      val wav = graft.functions.MediaContainers.parseWav(bytes)
+      if (wav.format == "wav") {
+        val (s, a) = graft.functions.MediaContainers.pcmSums16(bytes)
+        MediaFeatures(id, "audio", wav.channels, wav.sampleRate, wav.nSamples, s, a)
+      } else {
+        val mp4 = graft.functions.MediaContainers.parseMp4(bytes)
+        if (mp4.format == "mp4")
+          MediaFeatures(id, "video", mp4.width, mp4.height, mp4.duration,
+            mp4.mdatSum, mp4.mdatBytes)
+        else byteMathFeatures(id, bytes)
       }
     }
-    MediaFeatures(docId, n.toLong, sums, lens, means, n.toLong / 64 + 1)
   }
 
   /** Feature extraction over (doc_id, payload): batched per partition,
-    * mirroring a mapInPandas/Arrow-batch decode pipeline. */
+    * mirroring a mapInPandas/Arrow-batch decode pipeline; the decoders are
+    * the real in-repo parsers ([[graft.functions.ImageHeader]] + ImageIO,
+    * [[graft.functions.MediaContainers]]), selected by magic bytes. */
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val enc = Encoders.product[MediaFeatures]
     payloads.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions(rows => rows.map { case (id, bytes) => decodeStub(id, bytes) })(enc)
+      .mapPartitions(rows => rows.map { case (id, bytes) => decodeFeatures(id, bytes) })(enc)
   }
 
-  /** One resized-thumbnail row per payload. */
+  /** One resized-thumbnail row per payload (`thumb` = w×h luminance bytes). */
   case class Resized(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
 
   /**
-   * STUB RESIZE — a real deployment decodes + scales with an image codec.
-   * The stub treats the payload as a (len/width)×width byte raster and
-   * box-averages it down to `w`×`h`, so output shape, batching and
-   * determinism match a real thumbnailer.
+   * Thumbnail pass: lossless images (PNG/GIF) get a REAL decode and a
+   * deterministic nearest-neighbor resample of the decoded raster to a
+   * `w`×`h` luminance grid (floored integer sample positions and (r+g+b)/3
+   * luminance — bit-stable, unlike library smooth-scaling whose kernels
+   * vary). Payloads no codec claims fall back to the byte-raster stand-in
+   * (the payload read as a √n-wide byte grid), preserving the old stub
+   * behavior for opaque bytes only.
    */
-  def resizeStub(payloads: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+  def resize(payloads: DataFrame, w: Int, h: Int): Dataset[Resized] = {
     val enc = Encoders.product[Resized]
     payloads.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(rows => rows.map { case (id, bytes) =>
-        val srcW = math.max(math.sqrt(bytes.length.toDouble).toInt, 1)
-        val srcH = math.max(bytes.length / srcW, 1)
+        val fmt = graft.functions.ImageHeader.parse(bytes).format
+        val decoded =
+          if (fmt == "png" || fmt == "gif")
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else null
         val out = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val sx = x * srcW / w; val sy = y * srcH / h
-            val idx = math.min(sy * srcW + sx, bytes.length - 1)
-            out(y * w + x) = bytes(math.max(idx, 0))
-            x += 1
+        if (decoded != null) {
+          val srcW = decoded.getWidth; val srcH = decoded.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = decoded.getRGB(x * srcW / w, y * srcH / h)
+              out(y * w + x) =
+                ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3).toByte
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+        } else {
+          val srcW = math.max(math.sqrt(bytes.length.toDouble).toInt, 1)
+          val srcH = math.max(bytes.length / srcW, 1)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val sx = x * srcW / w; val sy = y * srcH / h
+              val idx = math.min(sy * srcW + sx, bytes.length - 1)
+              out(y * w + x) = if (idx >= 0) bytes(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
         }
         Resized(id, w, h, out)
       })(enc)
@@ -214,36 +265,79 @@ object MultimodalOps {
   def synthAudio(ids: DataFrame): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     ids.select(col("doc_id")).as(Encoders.scalaLong)
-      .mapPartitions { it =>
-        it.map { id =>
-          val channels = (1 + id % 2).toInt
-          val rate = (id % 3) match {
-            case 0 => 8000f; case 1 => 16000f; case _ => 44100f
-          }
-          val nFrames = (64 + id % 256).toInt
-          val pcm = new Array[Byte](nFrames * channels * 2)
-          var i = 0
-          while (i < nFrames) {
-            var c = 0
-            while (c < channels) {
-              val v = ((id * 31 + i * 7 + c * 13) % 2048 - 1024).toInt
-              val off = (i * channels + c) * 2
-              pcm(off) = (v & 0xff).toByte
-              pcm(off + 1) = ((v >> 8) & 0xff).toByte
-              c += 1
-            }
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            rate, 16, channels, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
+      .mapPartitions(_.map(id => (id, buildWav(id))))(enc)
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def buildWav(id: Long): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val rate = (id % 3) match {
+      case 0 => 8000f; case 1 => 16000f; case _ => 44100f
+    }
+    val nFrames = (64 + id % 256).toInt
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = ((id * 31 + i * 7 + c * 13) % 2048 - 1024).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG bytes for the [[synthImages]] raster math (solid
+    * `(1 + id%64) × (1 + id*7%48)` fill of (id%256, id*3%256, id*5%256))
+    * — always PNG, for corpora whose image slot must decode losslessly. */
+  private[graft] def buildPng(id: Long): Array[Byte] = {
+    val w = (1 + id % 64).toInt
+    val h = (1 + (id * 7) % 48).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256).toInt << 16) | (((id * 3) % 256).toInt << 8) |
+      ((id * 5) % 256).toInt)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mixed-modality corpus for the unified feature sweep — payload by
+    * `doc_id % 4`: 0 → real PNG ([[buildPng]]), 1 → real WAV
+    * ([[buildWav]]), 2 → real MP4 ([[buildMp4]]), 3 → opaque bytes
+    * (`32 + id%64` bytes of `(id*131 + i*17) % 256` — same formula as the
+    * mdat payload) that no parser claims, exercising the fallback path. */
+  def synthMedia(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions(_.map { id =>
+        val payload = (id % 4) match {
+          case 0 => buildPng(id)
+          case 1 => buildWav(id)
+          case 2 => buildMp4(id)
+          case _ =>
+            Array.tabulate((32 + id % 64).toInt)(i =>
+              (((id * 131 + i * 17) % 256) & 0xff).toByte)
         }
-      }(enc).toDF("doc_id", "payload")
+        (id, payload)
+      })(enc).toDF("doc_id", "payload")
   }
 
   case class AudioFacts(doc_id: Long, format: String, channels: Long,

@@ -26,13 +26,18 @@ object PipelineQueries {
 
   /** Exact dedup after canonicalization: lower-case, trim, collapse runs of
     * whitespace — the normalization pass real pipelines run before hashing
-    * (catches case/spacing-only duplicates the raw hash misses). */
-  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    * (catches case/spacing-only duplicates the raw hash misses). The
+    * canonicalizer is one native byte pass ([[graft.functions.NormalizeWs]],
+    * regex-parity-specced) instead of a per-byte regexp_replace — this pass
+    * touches 100% of corpus bytes, so the regex engine was the suite's most
+    * persistent cost/variance magnet. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NormalizeWs.register(spark)
     Tables.documents(spark, dir)
-      .selectExpr("doc_id",
-        "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS text_hash")
+      .selectExpr("doc_id", "md5(normalize_ws(text)) AS text_hash")
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+  }
 
   /** Top-5 terms per language by document frequency (tf over distinct
     * per-doc tokens) — the corpus-profiling aggregation. */
@@ -280,18 +285,19 @@ object PipelineQueries {
       .select("doc_id", "format", "brand", "timescale", "duration",
         "width", "height", "mdat_bytes", "mdat_sum")
 
+  /** Unified REAL-decoder feature sweep over a mixed-modality corpus
+    * (payload modality by doc_id % 4: PNG / WAV / MP4 / opaque bytes):
+    * every row's kind comes from magic-byte dispatch and its facts from
+    * the matching real decode — ImageIO pixel sums, sample-exact PCM
+    * fold, ISO-BMFF walk — with byte-math only on the no-parser-claims
+    * slot ([[graft.ops.MultimodalOps.extractFeatures]]). The oracle
+    * states all five facts arithmetically per modality. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ops.MultimodalOps.extractFeatures(
-        graft.ops.MultimodalOps.withPayload(Tables.documents(spark, dir), "text"))
+        graft.ops.MultimodalOps.synthMedia(
+          Tables.documents(spark, dir).select("doc_id")))
       .toDF()
-      // exact-integer feature view: byte sums + chunk lengths are BIGINT,
-      // so the stub decode is fully oracle-checkable (the payload is the
-      // text's UTF-8 bytes, all ASCII in the testdata)
-      .selectExpr("doc_id", "n_bytes", "n_frames",
-        "chunk_sums[0] AS c0_sum", "chunk_sums[1] AS c1_sum",
-        "chunk_sums[2] AS c2_sum", "chunk_sums[3] AS c3_sum",
-        "chunk_lens[0] AS c0_n", "chunk_lens[1] AS c1_n",
-        "chunk_lens[2] AS c2_n", "chunk_lens[3] AS c3_n")
+      .select("doc_id", "kind", "dim1", "dim2", "n_units", "sum1", "sum2")
 
   /** Near-dup cluster resolution: MinHash+LSH pairs → connected components
     * → canonical survivor per cluster (min doc_id). One row per document,
@@ -573,6 +579,12 @@ object PipelineQueries {
     * MLE overfit — a production filter would smooth, the plan shape is
     * identical). Counts shuffle as 60-bit hashes, never strings. */
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan: occurrences pre-aggregate to (doc_id, h1, h2, cnt)
+    // before anything else consumes them. The three consumers below (c2,
+    // c1, the scoring join) all hang off this identical aggregated subtree,
+    // so ReusedExchange materializes its shuffle once — the executed plan
+    // has a single explode, where the previous formulation re-scanned and
+    // re-exploded the corpus once per consumer (a genuine 3× at 100 TB).
     val occ = Tables.documents(spark, dir)
       .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS w")
       .filter(expr("size(w) >= 2"))
@@ -580,12 +592,22 @@ object PipelineQueries {
       .selectExpr("doc_id",
         s"${DedupOps.md5Long("element_at(w, i)")} AS h1",
         s"${DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")} AS h2")
-    val c2 = occ.groupBy("h2").agg(count(lit(1)).as("c2"))
-    val c1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
+      // explicit both-keys not-null (always true for md5-derived hashes):
+      // without it, InferFiltersFromConstraints pushes a DIFFERENT inferred
+      // isnotnull into each consumer branch (h2-only under c2, h1-only
+      // under c1, both under the scoring join), the subtrees stop being
+      // canonically equal, and exchange reuse never fires — three full
+      // corpus scans instead of one
+      .filter(col("h1").isNotNull && col("h2").isNotNull)
+      .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("cnt"))
+    val c2 = occ.groupBy("h2").agg(sum(col("cnt")).as("c2"))
+    val c1 = occ.groupBy("h1").agg(sum(col("cnt")).as("c1"))
+    // p is per distinct (h1, h2), so weighting by cnt restates the
+    // per-occurrence sum exactly (integer div happens before the weight)
     occ.join(c2, "h2").join(c1, "h1")
-      .selectExpr("doc_id", "c2 * 1000000L div c1 AS p")
+      .selectExpr("doc_id", "cnt", "c2 * 1000000L div c1 AS p")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(expr("cnt * p")).as("sum_p"))
       .selectExpr("doc_id", "n_bigrams", "sum_p",
         "CAST(sum_p AS DOUBLE) / n_bigrams AS fluency")
   }
@@ -923,34 +945,52 @@ object PipelineOracles {
       |    for i in generate_series(0, 32 + doc_id % 64 - 1)]), 0) AS BIGINT) AS mdat_sum
       |FROM documents""".stripMargin
 
-  /** Oracle for the STUB decode: the payload is the text's UTF-8 bytes
-    * (ASCII in the testdata, so byte == ascii(char)); chunk boundaries
-    * replicate decodeStub's step = max(n/4, 1) layout exactly. */
+  /** Oracle for the REAL-decoder feature sweep: per modality slot
+    * (doc_id % 4) every fact is stated arithmetically from the synthetic
+    * generators' formulas — PNG pixel sums from the fill color, WAV PCM
+    * sums from the sample expression, MP4 facts from the box fields, and
+    * the opaque slot's byte sum from its generator polynomial. The Spark
+    * side must write real container bytes, dispatch on magic bytes, and
+    * decode them back to match. */
   val multimodalFeatures: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n,
-      |                  greatest(length(text) // 4, 1) AS step FROM documents),
-      |ch AS (
-      |  SELECT doc_id, text, n, c,
-      |         least(c * step, n) AS f,
-      |         CASE WHEN c = 3 THEN n ELSE least((c + 1) * step, n) END AS u
-      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) g),
-      |s AS (
-      |  SELECT doc_id, c,
-      |         CAST(COALESCE(list_sum([ascii(text[i]) for i in generate_series(f + 1, u)]), 0) AS BIGINT) AS cs,
-      |         CAST(u - f AS BIGINT) AS cl
-      |  FROM ch)
-      |SELECT d.doc_id,
-      |  CAST(n AS BIGINT) AS n_bytes,
-      |  CAST(n // 64 + 1 AS BIGINT) AS n_frames,
-      |  MAX(CASE WHEN c = 0 THEN cs END) AS c0_sum,
-      |  MAX(CASE WHEN c = 1 THEN cs END) AS c1_sum,
-      |  MAX(CASE WHEN c = 2 THEN cs END) AS c2_sum,
-      |  MAX(CASE WHEN c = 3 THEN cs END) AS c3_sum,
-      |  MAX(CASE WHEN c = 0 THEN cl END) AS c0_n,
-      |  MAX(CASE WHEN c = 1 THEN cl END) AS c1_n,
-      |  MAX(CASE WHEN c = 2 THEN cl END) AS c2_n,
-      |  MAX(CASE WHEN c = 3 THEN cl END) AS c3_n
-      |FROM s JOIN d USING (doc_id) GROUP BY 1, 2, 3""".stripMargin
+    """SELECT doc_id, 'image' AS kind,
+      |  CAST(1 + doc_id % 64 AS BIGINT) AS dim1,
+      |  CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS dim2,
+      |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_units,
+      |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48)
+      |    * ((doc_id % 256) + ((doc_id * 3) % 256) + ((doc_id * 5) % 256)) AS BIGINT) AS sum1,
+      |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) * (doc_id % 256) AS BIGINT) AS sum2
+      |FROM documents WHERE doc_id % 4 = 0
+      |UNION ALL
+      |SELECT doc_id, 'audio' AS kind,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS dim1,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       ELSE 44100 END AS BIGINT) AS dim2,
+      |  CAST(64 + doc_id % 256 AS BIGINT) AS n_units,
+      |  CAST(COALESCE(list_sum([
+      |    (doc_id*31 + (k // (1 + doc_id % 2))*7 + (k % (1 + doc_id % 2))*13) % 2048 - 1024
+      |    for k in generate_series(0, (64 + doc_id % 256)*(1 + doc_id % 2) - 1)]), 0) AS BIGINT) AS sum1,
+      |  CAST(COALESCE(list_sum([
+      |    abs((doc_id*31 + (k // (1 + doc_id % 2))*7 + (k % (1 + doc_id % 2))*13) % 2048 - 1024)
+      |    for k in generate_series(0, (64 + doc_id % 256)*(1 + doc_id % 2) - 1)]), 0) AS BIGINT) AS sum2
+      |FROM documents WHERE doc_id % 4 = 1
+      |UNION ALL
+      |SELECT doc_id, 'video' AS kind,
+      |  CAST(16 * (1 + doc_id % 120) AS BIGINT) AS dim1,
+      |  CAST(16 * (1 + (doc_id * 3) % 68) AS BIGINT) AS dim2,
+      |  CAST(500 + (doc_id * 11) % 9000 AS BIGINT) AS n_units,
+      |  CAST(COALESCE(list_sum([(doc_id*131 + i*17) % 256
+      |    for i in generate_series(0, 32 + doc_id % 64 - 1)]), 0) AS BIGINT) AS sum1,
+      |  CAST(32 + doc_id % 64 AS BIGINT) AS sum2
+      |FROM documents WHERE doc_id % 4 = 2
+      |UNION ALL
+      |SELECT doc_id, 'other' AS kind,
+      |  CAST(0 AS BIGINT) AS dim1, CAST(0 AS BIGINT) AS dim2,
+      |  CAST(32 + doc_id % 64 AS BIGINT) AS n_units,
+      |  CAST(COALESCE(list_sum([(doc_id*131 + i*17) % 256
+      |    for i in generate_series(0, 32 + doc_id % 64 - 1)]), 0) AS BIGINT) AS sum1,
+      |  CAST(0 AS BIGINT) AS sum2
+      |FROM documents WHERE doc_id % 4 = 3""".stripMargin
 
   val dedupNormalized: String =
     """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,

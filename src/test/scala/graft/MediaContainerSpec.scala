@@ -153,6 +153,21 @@ class MediaContainerSpec extends AnyFunSuite {
     assert(info.mdatSum == 21L)
   }
 
+  test("parseMp4 classifies a truncated mvhd v1 box without reading past it") {
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    // mvhd v1 whose payload stops 4 bytes INTO the 8-byte duration field:
+    // verflags(4, version=1) + creation(8) + modification(8) +
+    // timescale(4) + 4 of 8 duration bytes → payload 28, box 36. Placed
+    // last in the buffer so an unguarded be64 read would throw.
+    val mvhd = be32(36) ++ "mvhd".getBytes ++
+      be32(0x01000000L) ++ new Array[Byte](16) ++ be32(1000) ++ be32(0)
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val info = MediaContainers.parseMp4(ftyp ++ moov)
+    assert(info.format == "mp4" && info.brand == "isom")
+    // the partial duration must not be decoded from out-of-box bytes
+    assert(info.timescale == -1L && info.duration == -1L)
+  }
+
   test("parseWav classifies non-PCM float WAV without sample sums") {
     // IEEE-float WAV (audioFormat 3) through the JDK encoder
     val frames = 32

@@ -36,6 +36,37 @@ class PipelineSpec extends SparkSpec {
     assert(got == exp && got > 0)
   }
 
+  test("normalize_ws is byte-equal to the regex canonicalization chain") {
+    graft.functions.NormalizeWs.register(spark)
+    // adversarial fixed cases: every Java-\s char, runs, leading/trailing
+    // mixes (a leading tab survives trim and must become a leading space),
+    // non-ASCII case folding, NON-\s unicode whitespace (NBSP must NOT
+    // collapse), multi-byte content, and the empty/space-only extremes
+    val fixed = Seq(
+      "", " ", "   ", "\t", "a", "  Hello   World  ",
+      "\tfoo", "foo\t", " \t mixed \r\n runs  here ",
+      "Tabs\tand\nnewlines\randvtabsffs",
+      "ÜPPER Straße ÇA İI", "nbsp stays", "emoji 🎉  spaced",
+      "a  b   c    d", "ALL CAPS", "\r\n", "x y")
+    val rnd = new scala.util.Random(7)
+    val wsPool = " \t\n\r".toCharArray
+    val random = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(40)).map { _ =>
+        if (rnd.nextInt(3) == 0) wsPool(rnd.nextInt(wsPool.length))
+        else ('!' + rnd.nextInt(90)).toChar
+      }.mkString
+    }
+    val rows = (fixed ++ random).toDF("s")
+      .selectExpr("s", "normalize_ws(s) AS got",
+        "regexp_replace(trim(lower(s)), '\\\\s+', ' ') AS want")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"normalize_ws mismatch on ${r.getString(0).map(_.toInt).mkString("[", ",", "]")}: " +
+          s"got '${r.getString(1)}' want '${r.getString(2)}'")
+    }
+  }
+
   test("minhash+LSH finds every high-Jaccard pair (recall at threshold 0.5)") {
     val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3, "source")
     // ground truth: exact all-pairs Jaccard within a constant scope (hash
@@ -108,6 +139,10 @@ class PipelineSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("minhashPairs")),
       s"guard should point to minhashPairs, got: ${e.getMessage}")
+    // the message must state the EFFECTIVE (97%-scaled) cap a caller is
+    // actually held to, not just the nominal parameter: 3 * 97 / 100 = 2
+    assert(msgs(e).exists(m => m.contains("conservative cap 2") && m.contains("97%")),
+      s"guard should state the effective cap (2 = 97% of 3), got: ${e.getMessage}")
     // and the same call under the default cap still runs
     assert(DedupOps.ngramJaccardPairs(sh, "g", 0.5).collect().nonEmpty)
   }
@@ -146,16 +181,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal resize/frame-sample stubs produce well-shaped output") {
+  test("multimodal resize decodes real images, byte-raster only as fallback") {
+    val ids = Tables.documents(spark, sf0001).select("doc_id").limit(40)
+    val thumbs = graft.ops.MultimodalOps.resize(
+      graft.ops.MultimodalOps.synthMedia(ids), 8, 8).collect()
+    assert(thumbs.length == 40)
+    assert(thumbs.forall(t => t.thumb.length == 64 && t.width == 8 && t.height == 8))
+    // PNG slots (doc_id%4==0) go through the REAL ImageIO decode: a solid
+    // fill must resample to a constant luminance grid of the fill mean
+    val pngThumbs = thumbs.filter(_.doc_id % 4 == 0)
+    assert(pngThumbs.nonEmpty)
+    pngThumbs.foreach { t =>
+      val id = t.doc_id
+      val lum = (((id % 256) + ((id * 3) % 256) + ((id * 5) % 256)) / 3).toInt.toByte
+      assert(t.thumb.forall(_ == lum),
+        s"doc ${t.doc_id}: real-decode thumb should be constant $lum")
+    }
     val payloads = graft.ops.MultimodalOps.withPayload(
       Tables.documents(spark, sf0001).limit(20), "text")
-    val thumbs = graft.ops.MultimodalOps.resizeStub(payloads, 8, 8).collect()
-    assert(thumbs.length == 20)
-    assert(thumbs.forall(t => t.thumb.length == 64 && t.width == 8 && t.height == 8))
     val frames = graft.ops.MultimodalOps.frameSampleStub(payloads, 64, 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(f => f.frame_idx % 2 == 0))
     assert(frames.groupBy(_.doc_id).size == 20)
+  }
+
+  test("extractFeatures dispatches JPEG to header-only decode (sums -1)") {
+    val ids = Tables.documents(spark, sf0001).select("doc_id")
+      .filter("doc_id % 2 = 1").limit(10)
+    // synthImages writes real baseline JPEG for odd ids
+    val feats = graft.ops.MultimodalOps.extractFeatures(
+      graft.ops.MultimodalOps.synthImages(ids)).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.kind == "image")
+      assert(f.dim1 == 1 + f.doc_id % 64 && f.dim2 == 1 + (f.doc_id * 7) % 48)
+      assert(f.sum1 == -1L && f.sum2 == -1L,
+        s"lossy decode must not claim pixel sums: $f")
+    }
   }
 
   test("multimodal feature extraction is deterministic and complete") {
