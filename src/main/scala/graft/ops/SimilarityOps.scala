@@ -203,7 +203,9 @@ object SimilarityOps {
     * in the DuckDB oracle (k-means would converge differently per run; this
     * is one deterministic Lloyd-style assignment from a fixed init).
     * The codebook (≤ nSub × 16 × subDim ints — model parameters, not data)
-    * is collected once and inlined as plan literals, IVF-style.
+    * is collected once and referenced from generated code as one object
+    * ([[graft.functions.PqDists]]) — literal-expression inlining at this
+    * size broke whole-stage codegen compilation (see pqCodesWith).
     */
   /** Fitted-codebook memo: training is an offline model fit, so identical
     * (input plan, hyperparams) re-fits are served from cache — a search
@@ -281,13 +283,15 @@ object SimilarityOps {
     // one exact Lloyd refinement: reassign every subvector to its nearest
     // init centroid (argmin, ties to lowest code), then recompute the
     // means — deterministic (pure integer math from a fixed init), and a
-    // materially tighter codebook than the sign-LSH buckets alone
+    // materially tighter codebook than the sign-LSH buckets alone. The
+    // distance fold is the native pq_sub_dists bound to the init codebook
+    // (see pqCodesWith for why literal distance expressions are out).
     val c0 = centroidsFrom(subRows)
+    graft.functions.PqDists.register(emb.sparkSession, centArray(c0), subDim)
     val reassign = c0.map { case (m, cents) =>
-      val dists = cents.map { case (_, comps) => pqDistExpr("sub", comps) }
-        .mkString("array(", ", ", ")")
       val ids = cents.map(_._1).map(c => s"${c}L").mkString("array(", ",", ")")
-      s"WHEN m = $m THEN element_at($ids, CAST(array_position($dists, array_min($dists)) AS INT))"
+      s"WHEN m = $m THEN element_at($ids, CAST(array_position(" +
+        s"pq_sub_dists(sub, ${m}L), array_min(pq_sub_dists(sub, ${m}L))) AS INT))"
     }.mkString("CASE ", " ", " END")
     val fitted =
       try centroidsFrom(subRows.selectExpr("vec_id", "m", s"$reassign AS code", "sub"))
@@ -297,11 +301,14 @@ object SimilarityOps {
     fitted
   }
 
-  /** Squared-L2 distance expression between subvector column `sub` and a
-    * literal centroid (exact BIGINT: ldot(sub,sub) − 2·ldot(sub,c) + |c|²). */
-  private def pqDistExpr(sub: String, comps: Seq[Long]): String = {
-    val c2 = comps.map(x => x * x).sum
-    s"(ldot($sub, $sub) - 2 * ldot($sub, array(${comps.mkString("L,")}L)) + ${c2}L)"
+  /** Codebook as the primitive array [[graft.functions.PqDists]] references
+    * from generated code: outer = subspace position (the codebook Seq is
+    * m-sorted and every subspace is populated), inner = centroids in
+    * codebook order — the order `array_position` tie-breaks against. */
+  private def centArray(codebook: Seq[(Int, Seq[(Long, Seq[Long])])]): Array[Array[Array[Long]]] = {
+    require(codebook.zipWithIndex.forall { case ((m, _), ix) => m == ix },
+      s"PQ codebook subspaces must be contiguous from 0: ${codebook.map(_._1)}")
+    codebook.map(_._2.map(_._2.toArray).toArray).toArray
   }
 
   /** PQ encode: (vec_id, code_0..code_{nSub-1}) — per subspace, the id of
@@ -313,17 +320,24 @@ object SimilarityOps {
   private def pqCodesWith(emb: DataFrame,
                           codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                           subDim: Int): DataFrame = {
-    val subCols = codebook.map { case (m, _) =>
-      s"slice(qvec, ${m * subDim + 1}, $subDim) AS sub_$m" }
+    // one native pq_dists call per row (the codebook rides into codegen as
+    // a referenced object), then 8 tiny argmin projections over its result.
+    // The previous literal-SQL expansion (nSub × nCents distance exprs,
+    // each inlining two ldot loops + a literal array) blew past janino's
+    // generated-method limits, so the corpus encode — the hot pass of a PQ
+    // index build — silently fell back to INTERPRETED projection.
+    // Catalyst keeps the pd-producing project separate (CollapseProject
+    // refuses to inline a non-cheap expression referenced 3× per column),
+    // so the distance fold runs once per row.
+    graft.functions.PqDists.register(emb.sparkSession, centArray(codebook), subDim)
     val codeCols = codebook.map { case (m, cents) =>
-      val dists = cents.map { case (_, comps) => pqDistExpr(s"sub_$m", comps) }
-        .mkString("array(", ", ", ")")
       val ids = cents.map(_._1).map(c => s"${c}L").mkString("array(", ",", ")")
       // array_position takes the FIRST minimum → ties to lowest code id
-      s"element_at($ids, CAST(array_position($dists, array_min($dists)) AS INT)) AS code_$m"
+      s"element_at($ids, CAST(array_position(element_at(pd, ${m + 1}), " +
+        s"array_min(element_at(pd, ${m + 1}))) AS INT)) AS code_$m"
     }
     quantVecs(emb)
-      .selectExpr(Seq("vec_id") ++ subCols: _*)
+      .selectExpr("vec_id", "pq_dists(qvec) AS pd")
       .selectExpr(Seq("vec_id") ++ codeCols: _*)
   }
 
@@ -343,10 +357,9 @@ object SimilarityOps {
                          codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                          nSub: Int, subDim: Int,
                          queryPred: String, k: Int): DataFrame = {
-    val subCols = (0 until nSub).map(m => s"slice(qvec, ${m * subDim + 1}, $subDim) AS sub_$m")
-    val lutCols = codebook.map { case (m, cents) =>
-      cents.map { case (_, comps) => pqDistExpr(s"sub_$m", comps) }
-        .mkString(s"array(", ", ", s") AS lut_$m")
+    graft.functions.PqDists.register(emb.sparkSession, centArray(codebook), subDim)
+    val lutCols = codebook.map { case (m, _) =>
+      s"element_at(pd, ${m + 1}) AS lut_$m"
     }
     // code id → LUT slot (codes are the surviving init buckets, not 0..15)
     val slotOf = codebook.map { case (m, cents) =>
@@ -356,7 +369,7 @@ object SimilarityOps {
     }
     val queries = quantVecs(emb)
       .join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
-      .selectExpr(Seq("vec_id AS q_id") ++ subCols: _*)
+      .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
       .selectExpr(Seq("q_id") ++ lutCols: _*)
     val adc = (0 until nSub)
       .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
