@@ -125,6 +125,9 @@ object SparkEntry {
     // sample-exact PCM sums) and video-container decode (ISO-BMFF box walk)
     "multimodal_audio"    -> (PipelineQueries.multimodalAudio _),
     "multimodal_video"    -> (PipelineQueries.multimodalVideo _),
+    // real frame sampling: stsz/stco sample-table walk, frames read at
+    // the table's offsets (index-directed, never a payload scan)
+    "multimodal_frames"   -> (PipelineQueries.multimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

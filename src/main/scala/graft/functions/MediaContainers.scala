@@ -187,4 +187,82 @@ object MediaContainers {
     else Mp4Info("mp4", brand, timescale, duration, width, height,
       mdatBytes, mdatSum)
   }
+
+  // ------------------------------------------------- MP4 sample table
+
+  /** Per-sample layout from the stbl sample table: `sizes(i)` from stsz,
+    * `offsets(i)` the ABSOLUTE file offset from stco (this corpus writes
+    * one sample per chunk, the simplest legal layout), `mdatStart` the
+    * mdat payload's file offset — so callers can state offsets relative
+    * to the payload. */
+  case class Mp4Samples(format: String, sizes: Array[Long],
+                        offsets: Array[Long], mdatStart: Long)
+
+  val UnknownMp4Samples: Mp4Samples =
+    Mp4Samples("unknown", Array.empty, Array.empty, -1L)
+
+  /** Sample-table walk per ISO/IEC 14496-12 §8.7.3 (stsz) / §8.7.5
+    * (stco): recurse moov → trak → mdia → minf → stbl, read the
+    * per-sample size list and the chunk-offset list. This is how a real
+    * video pipeline LOCATES frames — the sample table is the index; the
+    * payload bytes are then read at the table's offsets, never scanned.
+    * Malformed tables (count overrunning the box) classify as unknown. */
+  def parseMp4Samples(b: Array[Byte]): Mp4Samples = {
+    // same leading-box gate as parseMp4 — deliberately NOT the full parse,
+    // which sums mdat bytes; the sample-table walk touches headers only
+    if (b == null || b.length < 16) return UnknownMp4Samples
+    val firstType = fourcc(b, 4)
+    if (firstType != "ftyp" && firstType != "moov" && firstType != "mdat" &&
+        firstType != "free" && firstType != "wide" && firstType != "skip")
+      return UnknownMp4Samples
+    var sizes: Array[Long] = null
+    var offsets: Array[Long] = null
+    var mdatStart = -1L
+
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size32 = be32(b, i)
+        val typ = fourcc(b, i + 4)
+        var header = 8
+        var size = size32
+        if (size32 == 1L) {
+          if (i + 16 > to) return
+          size = be64(b, i + 8); header = 16
+        } else if (size32 == 0L) {
+          size = (to - i).toLong
+        }
+        if (size < header || i + size > to) return
+        val p = i + header
+        val pEnd = (i + size).toInt
+        typ match {
+          case "stsz" if sizes == null && p + 12 <= pEnd =>
+            // verflags(4) + sample_size(4) + sample_count(4) [+ count×u32]
+            val fixed = be32(b, p + 4)
+            val n = be32(b, p + 8)
+            if (fixed != 0L) {
+              if (n <= (1 << 20)) sizes = Array.fill(n.toInt)(fixed)
+            } else if (n <= (1 << 20) && p + 12 + 4 * n <= pEnd) {
+              sizes = Array.tabulate(n.toInt)(k => be32(b, p + 12 + 4 * k))
+            }
+          case "stco" if offsets == null && p + 8 <= pEnd =>
+            // verflags(4) + entry_count(4) + count×u32 absolute offsets
+            val n = be32(b, p + 4)
+            if (n <= (1 << 20) && p + 8 + 4 * n <= pEnd) {
+              offsets = Array.tabulate(n.toInt)(k => be32(b, p + 8 + 4 * k))
+            }
+          case "mdat" if mdatStart < 0 =>
+            mdatStart = p.toLong
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 10 =>
+            walk(p, pEnd, depth + 1)
+          case _ => ()
+        }
+        i = pEnd
+      }
+    }
+
+    walk(0, b.length, 0)
+    if (sizes == null || offsets == null || mdatStart < 0) UnknownMp4Samples
+    else Mp4Samples("mp4", sizes, offsets, mdatStart)
+  }
 }

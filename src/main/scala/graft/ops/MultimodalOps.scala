@@ -449,8 +449,99 @@ object MultimodalOps {
       })(enc)
   }
 
+  /** Structurally-valid MP4 WITH a real sample table (moov > trak > mdia >
+    * minf > stbl > stsz+stco, one sample per chunk): `3 + id%6` frames,
+    * frame i sized `8 + (id*7 + i*3) % 24` bytes, mdat = the concatenated
+    * frames with payload byte j = `(id*131 + j*17) % 256`; stco carries
+    * ABSOLUTE file offsets, as the spec requires. Every fact is
+    * arithmetically stateable, but the only way to recover the frame
+    * boundaries is to walk the real sample table. */
+  private[graft] def buildMp4Frames(id: Long): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ fourcc(typ) ++ payload
+
+    val nFrames = (3 + id % 6).toInt
+    val sizes = Array.tabulate(nFrames)(i => (8 + (id * 7 + i * 3) % 24).toInt)
+    val mdatLen = sizes.sum
+    val mdatPayload = Array.tabulate(mdatLen)(j =>
+      (((id * 131 + j * 17) % 256) & 0xff).toByte)
+
+    val ftyp = box("ftyp", fourcc("isom") ++ u32(0x200L) ++ fourcc("isom") ++ fourcc("mp42"))
+    // spec-exact v0 payload (100 B): verflags + creation + modification +
+    // timescale + duration + rate + volume/reserved(12) + matrix(36) +
+    // predefined(24) + next-track — the tail zeroed except rate/next
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0L) ++ u32(0L) ++
+      u32(1000L) ++ u32(nFrames * 100L) ++ u32(0x00010000L) ++
+      Array.fill(72)(0.toByte) ++ u32(2L))
+    val stsz = box("stsz", u32(0L) ++ u32(0L) ++ u32(nFrames.toLong) ++
+      sizes.flatMap(s => u32(s.toLong)))
+    // stco needs the mdat payload's absolute offset, which depends on the
+    // sizes of everything before it — compose the fixed-size prefix first
+    val stcoLen = 8 + 8 + 4 * nFrames
+    val stblLen = 8 + stsz.length + stcoLen
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + minfLen
+    val trakLen = 8 + mdiaLen
+    val moovLen = 8 + mvhd.length + trakLen
+    val mdatPayloadStart = ftyp.length + moovLen + 8L
+    val offsets = sizes.scanLeft(mdatPayloadStart)(_ + _).init
+    val stco = box("stco", u32(0L) ++ u32(nFrames.toLong) ++
+      offsets.flatMap(u32))
+    val moov = box("moov", mvhd ++ box("trak", box("mdia", box("minf",
+      box("stbl", stsz ++ stco)))))
+    require(moov.length == moovLen, s"moov size math: ${moov.length} != $moovLen")
+    ftyp ++ moov ++ box("mdat", mdatPayload)
+  }
+
+  def synthFrameVideos(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions(_.map(id => (id, buildMp4Frames(id))))(enc)
+      .toDF("doc_id", "payload")
+  }
+
+  // f_-prefixed names: bare `offset`/`size` are reserved words in the
+  // oracle engine's sorted-column re-select
+  case class FrameFacts(doc_id: Long, frame_idx: Long, f_offset: Long,
+                        f_size: Long, f_sum: Long)
+
+  /** REAL frame sampling: walk the MP4 sample table
+    * ([[graft.functions.MediaContainers.parseMp4Samples]]) and read each
+    * frame's bytes AT THE TABLE'S OFFSETS — never scanning the payload —
+    * emitting the per-frame byte sum; `offset` is relative to the mdat
+    * payload so it states the frame's position in the media stream. This
+    * is the index-directed access shape of a production video pipeline
+    * (the table is the index; a cluster-scale job reads only the sampled
+    * byte ranges). Non-MP4 / table-less payloads yield no rows. */
+  def frameFacts(payloads: DataFrame): Dataset[FrameFacts] = {
+    val enc = Encoders.product[FrameFacts]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val t = graft.functions.MediaContainers.parseMp4Samples(bytes)
+        if (t.format != "mp4") Iterator.empty
+        else t.sizes.indices.iterator.map { i =>
+          val abs = t.offsets(i)
+          val sz = t.sizes(i)
+          var s = 0L
+          var j = 0L
+          while (j < sz && abs + j < bytes.length) {
+            s += bytes((abs + j).toInt) & 0xff
+            j += 1
+          }
+          FrameFacts(id, i.toLong, abs - t.mdatStart, sz, s)
+          // (f_offset relative to the mdat payload = position in-stream)
+        }
+      })(enc)
+  }
+
   /** One row per sampled "frame" (fixed-stride chunks of the payload) —
-    * the frame-sampling shape of a video pipeline, codec STUBBED. */
+    * the frame-sampling shape for OPAQUE payloads (no container to index;
+    * for real MP4s use [[frameFacts]], which walks the sample table). */
   case class Frame(doc_id: Long, frame_idx: Long, offset: Long, checksum: Long)
 
   def frameSampleStub(payloads: DataFrame, frameBytes: Int, every: Int): Dataset[Frame] = {

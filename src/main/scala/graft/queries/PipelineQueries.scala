@@ -285,6 +285,21 @@ object PipelineQueries {
       .select("doc_id", "format", "brand", "timescale", "duration",
         "width", "height", "mdat_bytes", "mdat_sum")
 
+  /** REAL frame sampling: MP4s carrying a real sample table (stsz/stco)
+    * are indexed by [[graft.functions.MediaContainers.parseMp4Samples]]
+    * and each frame's bytes are read AT the table's offsets — the
+    * index-directed access of a production video pipeline, never a
+    * payload scan ([[graft.ops.MultimodalOps.frameFacts]]). The oracle
+    * states every frame's offset/size/byte-sum arithmetically, so it is
+    * green only if the composed sample table round-trips through the
+    * real walk. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.frameFacts(
+        graft.ops.MultimodalOps.synthFrameVideos(
+          Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "frame_idx", "f_offset", "f_size", "f_sum")
+
   /** Unified REAL-decoder feature sweep over a mixed-modality corpus
     * (payload modality by doc_id % 4: PNG / WAV / MP4 / opaque bytes):
     * every row's kind comes from magic-byte dispatch and its facts from
@@ -992,6 +1007,24 @@ object PipelineOracles {
       |  CAST(0 AS BIGINT) AS sum2
       |FROM documents WHERE doc_id % 4 = 3""".stripMargin
 
+  /** Frame-table oracle: per doc, `3 + id%6` frames with size
+    * `8 + (id*7 + i*3) % 24`, offsets the prefix sums, byte sums from the
+    * generator polynomial — recoverable engine-side only via the real
+    * stsz/stco walk. */
+  val multimodalFrames: String =
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CAST(8 + (doc_id*7 + i*3) % 24 AS BIGINT) AS sz,
+      |    CAST(COALESCE(list_sum([8 + (doc_id*7 + j*3) % 24
+      |      for j in generate_series(0, i - 1)]), 0) AS BIGINT) AS off
+      |  FROM (SELECT doc_id,
+      |          unnest(generate_series(0, CAST(3 + doc_id % 6 AS BIGINT) - 1)) AS i
+      |        FROM documents))
+      |SELECT doc_id, frame_idx, off AS f_offset, sz AS f_size,
+      |  CAST(COALESCE(list_sum([(doc_id*131 + (off + j)*17) % 256
+      |    for j in generate_series(0, sz - 1)]), 0) AS BIGINT) AS f_sum
+      |FROM f""".stripMargin
+
   val dedupNormalized: String =
     """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
       |       min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -1391,6 +1424,7 @@ object PipelineOracles {
     "multimodal_pixels"  -> multimodalPixels,
     "multimodal_audio"   -> multimodalAudio,
     "multimodal_video"   -> multimodalVideo,
+    "multimodal_frames"  -> multimodalFrames,
     "dedup_normalized" -> dedupNormalized,
     "top_terms_lang"   -> topTermsPerLang,
     "dedup_exact"     -> dedupExact,

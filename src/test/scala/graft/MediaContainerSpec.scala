@@ -168,6 +168,49 @@ class MediaContainerSpec extends AnyFunSuite {
     assert(info.timescale == -1L && info.duration == -1L)
   }
 
+  test("parseMp4Samples walks the real sample table; classifies when absent") {
+    for (id <- 0L until 12L) {
+      val t = MediaContainers.parseMp4Samples(
+        graft.ops.MultimodalOps.buildMp4Frames(id))
+      assert(t.format == "mp4")
+      val n = (3 + id % 6).toInt
+      assert(t.sizes.length == n && t.offsets.length == n)
+      assert(t.sizes.toSeq == (0 until n).map(i => 8 + (id * 7 + i * 3) % 24))
+      // offsets are ABSOLUTE file positions, contiguous (1 sample/chunk)
+      assert(t.offsets.head == t.mdatStart)
+      (1 until n).foreach(i =>
+        assert(t.offsets(i) == t.offsets(i - 1) + t.sizes(i - 1)))
+    }
+    // a table-less MP4 (the metadata corpus) classifies rather than lies
+    assert(MediaContainers.parseMp4Samples(
+      graft.ops.MultimodalOps.buildMp4(3L)).format == "unknown")
+    assert(MediaContainers.parseMp4Samples(
+      "junk".getBytes ++ new Array[Byte](20)).format == "unknown")
+  }
+
+  test("parseMp4Samples reads the fixed-sample-size stsz form") {
+    // stsz with sample_size != 0: no per-sample list, count applies the
+    // fixed size — the other legal stsz layout (§8.7.3.2)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val stsz = be32(20) ++ "stsz".getBytes ++ be32(0) ++ be32(10) ++ be32(3)
+    // ftyp(16) + moov/trak/mdia/minf/stbl headers (8 each) + stsz(20) +
+    // stco(28) + mdat header (8) → payload at 112
+    val mdatStart = 16L + 8 + 8 + 8 + 8 + 8 + 20 + 28 + 8
+    val stco = be32(28) ++ "stco".getBytes ++ be32(0) ++ be32(3) ++
+      be32(mdatStart) ++ be32(mdatStart + 10) ++ be32(mdatStart + 20)
+    val stbl = be32(8L + stsz.length + stco.length) ++ "stbl".getBytes ++ stsz ++ stco
+    val minf = be32(8L + stbl.length) ++ "minf".getBytes ++ stbl
+    val mdia = be32(8L + minf.length) ++ "mdia".getBytes ++ minf
+    val trak = be32(8L + mdia.length) ++ "trak".getBytes ++ mdia
+    val moov = be32(8L + trak.length) ++ "moov".getBytes ++ trak
+    val mdat = be32(38) ++ "mdat".getBytes ++ Array.tabulate(30)(_.toByte)
+    val t = MediaContainers.parseMp4Samples(ftyp ++ moov ++ mdat)
+    assert(t.format == "mp4")
+    assert(t.sizes.toSeq == Seq(10L, 10L, 10L))
+    assert(t.offsets.toSeq == Seq(mdatStart, mdatStart + 10, mdatStart + 20))
+    assert(t.mdatStart == mdatStart)
+  }
+
   test("parseWav classifies non-PCM float WAV without sample sums") {
     // IEEE-float WAV (audioFormat 3) through the JDK encoder
     val frames = 32
