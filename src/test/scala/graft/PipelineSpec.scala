@@ -249,5 +249,24 @@ class PipelineSpec extends SparkSpec {
         .as[graft.ops.MultimodalOps.AudioFacts].collect().toSet
       assert(got == batchA && got.nonEmpty)
     } finally q.stop()
+
+    // the frame-table walk is equally stateless: streaming frameFacts over
+    // the same blobs equals the batch walk, frame for frame
+    val vids = graft.ops.MultimodalOps.synthFrameVideos(ids)
+      .as[(Long, Array[Byte])].collect()
+    val batchF = graft.ops.MultimodalOps.frameFacts(
+      graft.ops.MultimodalOps.synthFrameVideos(ids)).collect().toSet
+    val inF = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])](54, spark, None)
+    val qF = graft.ops.MultimodalOps.frameFacts(
+        inF.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("frames_stream_out")
+      .outputMode("append").start()
+    try {
+      vids.grouped(11).foreach { b => inF.addData(b); qF.processAllAvailable() }
+      val gotF = spark.table("frames_stream_out")
+        .as[graft.ops.MultimodalOps.FrameFacts].collect().toSet
+      assert(gotF == batchF && gotF.nonEmpty)
+    } finally qF.stop()
   }
 }
