@@ -91,6 +91,7 @@ object SparkEntry {
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "seq_pack"          -> (PipelineQueries.seqPack _),
+    "doc_chunks"        -> ((s, d) => PipelineQueries.docChunks(s, d)),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "sample_weighted"   -> (PipelineQueries.sampleWeighted _),
     "corpus_health"     -> (PipelineQueries.corpusHealth _),

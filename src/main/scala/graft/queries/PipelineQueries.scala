@@ -347,6 +347,27 @@ object PipelineQueries {
       .selectExpr("doc_id", "cluster_id", "bucket",
         "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
 
+  /** Overlapping-window document chunking (the RAG/embedding-prep shape):
+    * fixed `win`-token windows starting every `stride` tokens — start
+    * positions are `sequence(1, n_tokens, stride)`, so trailing windows
+    * shorten rather than shift (deterministic, engine-restatable; a
+    * production chunker that suppresses sub-window tails filters on
+    * `n_tok`). Narrow plan: scan → split → explode → slice, zero
+    * shuffles — each chunk row carries its token offset so downstream
+    * embedding/dedup stages can map hits back into the document. */
+  def docChunks(spark: SparkSession, dir: String, win: Int = 64,
+                stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS w")
+      .selectExpr("doc_id", "w", "size(w) AS n")
+      .filter(col("n") > 0)
+      .selectExpr("doc_id", "w", "n", s"explode(sequence(1, n, $stride)) AS st")
+      .selectExpr("doc_id",
+        s"CAST((st - 1) div $stride AS BIGINT) AS chunk_idx",
+        "CAST(st AS BIGINT) AS tok_start",
+        s"CAST(least($win, n - st + 1) AS BIGINT) AS n_tok",
+        s"array_join(slice(w, st, $win), ' ') AS chunk_text")
+
   /** Sequence packing for pretraining: concatenate each shard's documents
     * in doc_id order into a token stream and cut fixed 512-token context
     * windows; emit every doc's stream offset and spanned window range.
@@ -1081,6 +1102,19 @@ object PipelineOracles {
        |       ELSE 'test' END AS split
        |FROM c""".stripMargin
 
+  /** Chunking oracle: identical start/width contract via generate_series
+    * and 1-based inclusive list slicing. */
+  val docChunks: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+      |c AS (SELECT doc_id, w, n, unnest(generate_series(1, n, 48)) AS st FROM s)
+      |SELECT doc_id,
+      |  CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(st AS BIGINT) AS tok_start,
+      |  CAST(least(64, n - st + 1) AS BIGINT) AS n_tok,
+      |  array_to_string(w[st:st+63], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
   val seqPack: String =
     """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
       |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
@@ -1443,6 +1477,7 @@ object PipelineOracles {
     "embed_topk_ivf"    -> embedTopKIvf,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,
+    "doc_chunks"        -> docChunks,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,
