@@ -193,6 +193,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pq_dists equals the ldot distance algebra element-wise") {
+    // the native fold computes Σ(v−c)²; the retired literal-SQL plan
+    // computed ldot(sub,sub) − 2·ldot(sub,c) + Σc² — identical integers
+    // for every (codebook, vector), any shape
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val nSub = 1 + rnd.nextInt(4)
+      val subDim = 1 + rnd.nextInt(8)
+      def q(): Long = rnd.nextLong() % 10000000L
+      val cents = Array.fill(nSub)(
+        Array.fill(1 + rnd.nextInt(5))(Array.fill(subDim)(q())))
+      val qvec = Array.fill(nSub * subDim)(q())
+      val got = graft.functions.PqDists.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec),
+        cents, subDim)
+      for (m <- 0 until nSub; k <- cents(m).indices) {
+        val sub = qvec.slice(m * subDim, (m + 1) * subDim)
+        val c = cents(m)(k)
+        val ss = sub.map(x => x * x).sum
+        val sc = sub.zip(c).map { case (a, b) => a * b }.sum
+        val cc = c.map(x => x * x).sum
+        assert(got.getArray(m).getLong(k) == ss - 2 * sc + cc,
+          s"dist mismatch at m=$m k=$k")
+        // and the single-subspace form agrees with the full fold
+        assert(graft.functions.PqDists.computeSub(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(sub), m, cents)
+          .getLong(k) == got.getArray(m).getLong(k))
+      }
+    }
+  }
+
   test("property: top-N count never exceeds its window total") {
     samples(genEvents, 3).foreach { evs =>
       val df = evs.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
