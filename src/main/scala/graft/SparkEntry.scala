@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "seq_pack"          -> (PipelineQueries.seqPack _),
     "doc_chunks"        -> ((s, d) => PipelineQueries.docChunks(s, d)),
+    "doc_sentences"     -> (PipelineQueries.docSentences _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "sample_weighted"   -> (PipelineQueries.sampleWeighted _),
     "corpus_health"     -> (PipelineQueries.corpusHealth _),

@@ -22,9 +22,9 @@ import org.apache.spark.storage.StorageLevel
  *  - rounds needed = component diameter. Near-dup components are dense
  *    short-diameter clumps (every pair shares >= threshold of its
  *    shingles), so a handful of rounds converges; for adversarial
- *    long-chain graphs swap the propagate step for the alternating
- *    large-star/small-star scheme (Kiveris et al., "Connected Components
- *    in MapReduce and Beyond", SoCC'14), which bounds rounds at O(log^2 n);
+ *    long-chain graphs use [[connectedComponentsStar]] (alternating
+ *    large-star/small-star contraction, O(log^2 n) rounds regardless of
+ *    diameter — same output contract, parity-specced);
  *  - `localCheckpoint` truncates lineage each round so the plan (and its
  *    codegen) stays constant-size regardless of iteration count.
  *
@@ -77,6 +77,82 @@ object ClusterOps {
       s"connectedComponents: no fixpoint after $maxIter rounds - component " +
         "diameter exceeds the bound; raise maxIter or use a star-contraction scheme")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): the
+    * adversarial-graph path [[connectedComponents]]'s scaladoc points at.
+    * Min-label propagation needs rounds = component DIAMETER, so a
+    * 10^6-node chain (crawl-chain duplicates, quote chains) blows any
+    * round budget; large-star/small-star contracts in O(log² n) rounds
+    * regardless of diameter.
+    *
+    * Round shape (each = two grouped aggregations + joins, all keyed
+    * shuffles over the CURRENT edge set, which only shrinks toward the
+    * star forest):
+    *  - large-star: per node u with m = min(N(u) ∪ {u}), rewire every
+    *    LARGER neighbor v > u to (v, m);
+    *  - small-star: per node u over smaller neighbors N⁻(u) = {v < u}
+    *    with m = min(N⁻(u)), rewire (u, m) and (v, m) for v ∈ N⁻(u)\{m}.
+    * At the fixpoint every component is a star centered at its minimum
+    * id — the SAME output contract as [[connectedComponents]] (a parity
+    * spec asserts equality on random graphs), so callers can swap freely.
+    * Convergence witness: the (count, Σu, Σv) triple of the canonical
+    * edge set is stable across a round — endpoints only ever decrease,
+    * so an unchanged triple proves the fixpoint. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    // one orientation per undirected edge; self-loops dropped
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // set-identity witness: row count + Σ xxhash64(u,v) — equal across a
+    // round only if the edge SET is unchanged (a sum collision would need
+    // exact cancellation of 64-bit hashes; with the count pinned too this
+    // is a sound fixpoint check in practice)
+    def witness(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = witness(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: m = min over N(u) ∪ {u}; rewire larger neighbors
+      val mLarge = nbrs.groupBy("u").agg(min(col("v")).as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      val large = nbrs.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the large-star output
+      val nbrs2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val sm = nbrs2.filter(col("v") < col("u"))
+      val mSmall = sm.groupBy("u").agg(min(col("v")).as("m"))
+      val next = sm.join(mSmall, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val w = witness(next)
+      converged = w == prev
+      prev = w
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: no fixpoint after $maxIter rounds - " +
+        "pathological input; raise maxIter")
+    // converged star forest: every edge is (node, component-min center)
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   /** PageRank with a FIXED iteration count in exact integer arithmetic:

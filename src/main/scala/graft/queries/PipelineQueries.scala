@@ -347,6 +347,21 @@ object PipelineQueries {
       .selectExpr("doc_id", "cluster_id", "bucket",
         "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
 
+  /** Sentence segmentation with stable indices: sentences are maximal runs
+    * of non-terminator characters plus an optional trailing `[.!?]` —
+    * an RE2-safe contract (no lookbehind) both engines state identically,
+    * so the oracle hash-verifies the full segmentation. `sent_idx` is the
+    * match position BEFORE empty-after-trim matches are dropped, so
+    * downstream joins see stable indices under edits to neighbors.
+    * Narrow plan: scan → regexp_extract_all → posexplode, zero shuffles. */
+  def docSentences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "posexplode(regexp_extract_all(text, '[^.!?]+[.!?]?', 0)) AS (i0, s)")
+      .selectExpr("doc_id", "CAST(i0 + 1 AS BIGINT) AS sent_idx",
+        "trim(s) AS sent_text", "CAST(length(trim(s)) AS BIGINT) AS n_chars")
+      .filter(col("sent_text") =!= "")
+
   /** Overlapping-window document chunking (the RAG/embedding-prep shape):
     * fixed `win`-token windows starting every `stride` tokens — start
     * positions are `sequence(1, n_tokens, stride)`, so trailing windows
@@ -1102,6 +1117,15 @@ object PipelineOracles {
        |       ELSE 'test' END AS split
        |FROM c""".stripMargin
 
+  /** Sentence oracle: the identical RE2-safe extraction, indexed via
+    * generate_series over the match array. */
+  val docSentences: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS arr FROM documents),
+      |x AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM t)
+      |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, trim(arr[i]) AS sent_text,
+      |  CAST(length(trim(arr[i])) AS BIGINT) AS n_chars
+      |FROM x WHERE trim(arr[i]) <> ''""".stripMargin
+
   /** Chunking oracle: identical start/width contract via generate_series
     * and 1-based inclusive list slicing. */
   val docChunks: String =
@@ -1478,6 +1502,7 @@ object PipelineOracles {
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
+    "doc_sentences"     -> docSentences,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,

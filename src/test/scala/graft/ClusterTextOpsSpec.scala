@@ -24,6 +24,35 @@ class ClusterTextOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("star-contraction CC equals propagation CC on random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val pairs = (0 until 45).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.toDF("a", "b")
+      val prop = ClusterOps.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val star = ClusterOps.connectedComponentsStar(pairs, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop, s"trial $trial: star and propagation CC differ")
+    }
+  }
+
+  test("star-contraction CC converges on a chain propagation cannot") {
+    // a 64-hop path: diameter 64, so min-label propagation needs ~64
+    // rounds and fails fast at maxIter=10; star contraction is
+    // diameter-independent (O(log^2 n) rounds) and labels the whole
+    // chain by its minimum inside the same budget
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ClusterOps.connectedComponents(chain, "a", "b", maxIter = 10).collect()
+    }
+    val got = ClusterOps.connectedComponentsStar(chain, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 64L).map(_ -> 0L).toMap)
+  }
+
   test("connectedComponents fails fast when maxIter is too small") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {

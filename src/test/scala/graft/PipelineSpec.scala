@@ -67,6 +67,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sentence segmentation contract on punctuated fixtures") {
+    // the corpus has no terminators (1 sentence/doc, oracle-verified); the
+    // segmentation logic itself is pinned here on punctuated text
+    val rows = Seq(
+      (1L, "Hello there. How are you? Fine! Trailing"),
+      (2L, "No terminators at all"),
+      (3L, "..."),          // terminator-only: zero sentences
+      (4L, "A.  B!"),       // double space between: idx survives trim-drop
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = rows
+      .selectExpr("doc_id",
+        "posexplode(regexp_extract_all(text, '[^.!?]+[.!?]?', 0)) AS (i0, s)")
+      .selectExpr("doc_id", "CAST(i0 + 1 AS BIGINT) AS sent_idx",
+        "trim(s) AS sent_text")
+      .filter(col("sent_text") =!= "")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "Hello there."), (1L, 2L, "How are you?"),
+      (1L, 3L, "Fine!"), (1L, 4L, "Trailing"),
+      (2L, 1L, "No terminators at all"),
+      (4L, 1L, "A."), (4L, 2L, "B!")))
+  }
+
   test("minhash+LSH finds every high-Jaccard pair (recall at threshold 0.5)") {
     val sh = DedupOps.shingles(Tables.documents(spark, sf0001), "text", 3, "source")
     // ground truth: exact all-pairs Jaccard within a constant scope (hash
