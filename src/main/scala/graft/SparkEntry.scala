@@ -90,6 +90,7 @@ object SparkEntry {
     "contamination"     -> (PipelineQueries.contamination _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
+    "dedup_clusters_star" -> (PipelineQueries.dedupClustersStar _),
     "seq_pack"          -> (PipelineQueries.seqPack _),
     "doc_chunks"        -> ((s, d) => PipelineQueries.docChunks(s, d)),
     "doc_sentences"     -> (PipelineQueries.docSentences _),

@@ -334,6 +334,25 @@ object PipelineQueries {
         "csize")
   }
 
+  /** [[dedupClusters]] with the component resolution swapped to
+    * ALTERNATING STAR CONTRACTION ([[ClusterOps.connectedComponentsStar]]
+    * — O(log²n) rounds regardless of component diameter, the
+    * adversarial-graph path). Output contract is identical, so the SAME
+    * recursive-CTE oracle verifies both resolutions end-to-end. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
+    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
+        "csize")
+  }
+
   /** Leakage-safe train/val/test split: bucket by the near-dup CLUSTER
     * (from [[dedupClusters]]), not the document — so near-duplicates can
     * never straddle train and test, the classic split-contamination bug a
@@ -1503,6 +1522,8 @@ object PipelineOracles {
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
+    // star-contraction resolution must reproduce the SAME clusters
+    "dedup_clusters_star" -> dedupClusters,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,
