@@ -97,6 +97,10 @@ object ClusterOps {
     * At the fixpoint every component is a star centered at its minimum
     * id — the SAME output contract as [[connectedComponents]] (a parity
     * spec asserts equality on random graphs), so callers can swap freely.
+    * One edge nuance: self-loop pairs are dropped here, so a node
+    * appearing ONLY in self-loops yields no row (the propagation CC would
+    * label it a singleton); the dedup pair producers emit doc_a < doc_b,
+    * so the contracts coincide on every in-repo input.
     * Convergence witness: the (count, Σu, Σv) triple of the canonical
     * edge set is stable across a round — endpoints only ever decrease,
     * so an unchanged triple proves the fixpoint. */
