@@ -206,7 +206,10 @@ object MediaContainers {
     * per-sample size list and the chunk-offset list. This is how a real
     * video pipeline LOCATES frames — the sample table is the index; the
     * payload bytes are then read at the table's offsets, never scanned.
-    * Malformed tables (count overrunning the box) classify as unknown. */
+    * Malformed tables (count overrunning the box) classify as unknown.
+    * Multi-trak files: stsz and stco are only accepted as a pair found
+    * under the SAME stbl (the first stbl carrying both wins), so trak A's
+    * sizes can never be paired with trak B's offsets. */
   def parseMp4Samples(b: Array[Byte]): Mp4Samples = {
     // same leading-box gate as parseMp4 — deliberately NOT the full parse,
     // which sums mdat bytes; the sample-table walk touches headers only
@@ -218,8 +221,12 @@ object MediaContainers {
     var sizes: Array[Long] = null
     var offsets: Array[Long] = null
     var mdatStart = -1L
+    // per-stbl capture buffers: committed to sizes/offsets only when BOTH
+    // boxes were found under one stbl (see scaladoc)
+    var curSizes: Array[Long] = null
+    var curOffsets: Array[Long] = null
 
-    def walk(from: Int, to: Int, depth: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int, inStbl: Boolean): Unit = {
       var i = from
       while (i + 8 <= to) {
         val size32 = be32(b, i)
@@ -236,32 +243,38 @@ object MediaContainers {
         val p = i + header
         val pEnd = (i + size).toInt
         typ match {
-          case "stsz" if sizes == null && p + 12 <= pEnd =>
+          case "stsz" if inStbl && curSizes == null && p + 12 <= pEnd =>
             // verflags(4) + sample_size(4) + sample_count(4) [+ count×u32]
             val fixed = be32(b, p + 4)
             val n = be32(b, p + 8)
             if (fixed != 0L) {
-              if (n <= (1 << 20)) sizes = Array.fill(n.toInt)(fixed)
+              if (n <= (1 << 20)) curSizes = Array.fill(n.toInt)(fixed)
             } else if (n <= (1 << 20) && p + 12 + 4 * n <= pEnd) {
-              sizes = Array.tabulate(n.toInt)(k => be32(b, p + 12 + 4 * k))
+              curSizes = Array.tabulate(n.toInt)(k => be32(b, p + 12 + 4 * k))
             }
-          case "stco" if offsets == null && p + 8 <= pEnd =>
+          case "stco" if inStbl && curOffsets == null && p + 8 <= pEnd =>
             // verflags(4) + entry_count(4) + count×u32 absolute offsets
             val n = be32(b, p + 4)
             if (n <= (1 << 20) && p + 8 + 4 * n <= pEnd) {
-              offsets = Array.tabulate(n.toInt)(k => be32(b, p + 8 + 4 * k))
+              curOffsets = Array.tabulate(n.toInt)(k => be32(b, p + 8 + 4 * k))
             }
           case "mdat" if mdatStart < 0 =>
             mdatStart = p.toLong
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 10 =>
-            walk(p, pEnd, depth + 1)
+          case "stbl" if depth < 10 =>
+            curSizes = null; curOffsets = null
+            walk(p, pEnd, depth + 1, inStbl = true)
+            if (sizes == null && curSizes != null && curOffsets != null) {
+              sizes = curSizes; offsets = curOffsets
+            }
+          case "moov" | "trak" | "mdia" | "minf" if depth < 10 =>
+            walk(p, pEnd, depth + 1, inStbl = false)
           case _ => ()
         }
         i = pEnd
       }
     }
 
-    walk(0, b.length, 0)
+    walk(0, b.length, 0, inStbl = false)
     if (sizes == null || offsets == null || mdatStart < 0) UnknownMp4Samples
     else Mp4Samples("mp4", sizes, offsets, mdatStart)
   }

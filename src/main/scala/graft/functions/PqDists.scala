@@ -37,6 +37,18 @@ case class PqDists(child: Expression, cents: Array[Array[Array[Long]]],
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_dists"
 
+  // The codebook rides in the expression, NOT in the child list, so two
+  // pq_dists bound to different codebooks would otherwise render
+  // identically in plan strings (and the temp-function registry binding is
+  // session-global, last-registration-wins). Embedding the shape and a
+  // content fingerprint makes a stale-registration mixup visible in any
+  // explain/plan comparison instead of silently computing wrong distances.
+  private lazy val fingerprint: String =
+    f"${cents.length}x${if (cents.isEmpty) 0 else cents(0).length}x$subDim%d" +
+      f"-${java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])}%08x"
+  override def toString: String = s"pq_dists[$fingerprint](${child.toString})"
+  override def sql: String = s"pq_dists[$fingerprint](${child.sql})"
+
   override def nullSafeEval(input: Any): Any =
     PqDists.compute(input.asInstanceOf[ArrayData], cents, subDim)
 
@@ -57,6 +69,11 @@ object PqDists {
   def compute(qvec: ArrayData, cents: Array[Array[Array[Long]]],
               subDim: Int): ArrayData = {
     val nSub = cents.length
+    // fail diagnosably on a malformed corpus row (computeSub clamps because
+    // its caller slices; here a short vector means the row itself is bad)
+    require(qvec.numElements() >= nSub * subDim,
+      s"pq_dists: input vector has ${qvec.numElements()} elements, codebook " +
+        s"expects >= ${nSub * subDim} ($nSub subspaces x $subDim dims)")
     val out = new Array[Any](nSub)
     var m = 0
     while (m < nSub) {

@@ -101,9 +101,9 @@ object ClusterOps {
     * appearing ONLY in self-loops yields no row (the propagation CC would
     * label it a singleton); the dedup pair producers emit doc_a < doc_b,
     * so the contracts coincide on every in-repo input.
-    * Convergence witness: the (count, Σu, Σv) triple of the canonical
-    * edge set is stable across a round — endpoints only ever decrease,
-    * so an unchanged triple proves the fixpoint. */
+    * Convergence: a cheap (count, Σhash) witness pre-filters; a matching
+    * witness is then CONFIRMED exactly with one edge-set anti-join, so
+    * the declared fixpoint is never hash-probabilistic. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
     // one orientation per undirected edge; self-loops dropped
@@ -112,10 +112,12 @@ object ClusterOps {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    // set-identity witness: row count + Σ xxhash64(u,v) — equal across a
-    // round only if the edge SET is unchanged (a sum collision would need
-    // exact cancellation of 64-bit hashes; with the count pinned too this
-    // is a sound fixpoint check in practice)
+    // set-identity witness: row count + Σ xxhash64(u,v). This is a FAST
+    // PRE-FILTER only — when it matches, the fixpoint is CONFIRMED exactly
+    // below with an except().isEmpty anti-join (count equality from the
+    // witness + empty next∖edges ⇒ set equality on distinct sets), so a
+    // hash-sum collision can never declare a false fixpoint; it only costs
+    // one extra cheap job in the terminal round.
     def witness(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
@@ -145,7 +147,10 @@ object ClusterOps {
         .distinct()
         .localCheckpoint()
       val w = witness(next)
-      converged = w == prev
+      // exact confirm runs only when the cheap witness already matches:
+      // both sides are distinct and localCheckpointed, so the anti-join is
+      // one small terminal job, not a per-round tax
+      converged = w == prev && next.except(edges).isEmpty
       prev = w
       edges = next
       rounds += 1

@@ -524,17 +524,24 @@ object MultimodalOps {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val t = graft.functions.MediaContainers.parseMp4Samples(bytes)
         if (t.format != "mp4") Iterator.empty
-        else t.sizes.indices.iterator.map { i =>
+        else t.sizes.indices.iterator.flatMap { i =>
           val abs = t.offsets(i)
           val sz = t.sizes(i)
-          var s = 0L
-          var j = 0L
-          while (j < sz && abs + j < bytes.length) {
-            s += bytes((abs + j).toInt) & 0xff
-            j += 1
+          // a frame whose byte range overruns the payload marks the sample
+          // table as lying about this sample: emit NO row rather than a
+          // truncated, plausible-but-wrong byte sum (same refusal contract
+          // as parseMp4Samples for tables overrunning their box)
+          if (abs < 0L || sz < 0L || abs + sz > bytes.length) Iterator.empty
+          else {
+            var s = 0L
+            var j = 0L
+            while (j < sz) {
+              s += bytes((abs + j).toInt) & 0xff
+              j += 1
+            }
+            Iterator.single(FrameFacts(id, i.toLong, abs - t.mdatStart, sz, s))
+            // (f_offset relative to the mdat payload = position in-stream)
           }
-          FrameFacts(id, i.toLong, abs - t.mdatStart, sz, s)
-          // (f_offset relative to the mdat payload = position in-stream)
         }
       })(enc)
   }

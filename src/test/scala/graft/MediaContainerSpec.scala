@@ -248,4 +248,45 @@ class MediaContainerSpec extends AnyFunSuite {
     val info = graft.functions.ImageHeader.parse(spliced)
     assert(info.format == "jpeg" && info.width == 17L && info.height == 9L)
   }
+  test("parseMp4Samples pairs stsz/stco per stbl, never across traks") {
+    // trak A's stbl carries ONLY stsz; trak B's stbl carries both. The
+    // walk must take trak B's PAIR — pairing A's sizes with B's offsets
+    // (the pre-fix behavior under independent global null-guards) would
+    // read frames at the wrong positions.
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    def stblOf(boxes: Array[Byte]*): Array[Byte] = {
+      val inner = boxes.reduce(_ ++ _)
+      val stbl = be32(8L + inner.length) ++ "stbl".getBytes ++ inner
+      val minf = be32(8L + stbl.length) ++ "minf".getBytes ++ stbl
+      val mdia = be32(8L + minf.length) ++ "mdia".getBytes ++ minf
+      be32(8L + mdia.length) ++ "trak".getBytes ++ mdia
+    }
+    val stszA = be32(20) ++ "stsz".getBytes ++ be32(0) ++ be32(99) ++ be32(2)
+    val stszB = be32(28) ++ "stsz".getBytes ++ be32(0) ++ be32(0) ++ be32(2) ++
+      be32(5) ++ be32(7)
+    val trakA = stblOf(stszA)
+    // mdat payload position: ftyp(16) + moov header(8) + trakA + trakB + mdat header(8)
+    def withTraks(traks: Array[Byte]): (Array[Byte], Long) = {
+      val moov = be32(8L + traks.length) ++ "moov".getBytes ++ traks
+      val mdatStart = 16L + moov.length + 8L
+      (ftyp ++ moov, mdatStart)
+    }
+    // compose once to LEARN mdatStart, then rebuild with the right offsets
+    val probeB = stblOf(stszB,
+      be32(24) ++ "stco".getBytes ++ be32(0) ++ be32(2) ++ be32(0) ++ be32(0))
+    val (_, mdatStart) = withTraks(trakA ++ probeB)
+    val stcoB = be32(24) ++ "stco".getBytes ++ be32(0) ++ be32(2) ++
+      be32(mdatStart) ++ be32(mdatStart + 5)
+    val (head, _) = withTraks(trakA ++ stblOf(stszB, stcoB))
+    val mdat = be32(20) ++ "mdat".getBytes ++ Array.tabulate(12)(_.toByte)
+    val t = MediaContainers.parseMp4Samples(head ++ mdat)
+    assert(t.format == "mp4")
+    assert(t.sizes.toSeq == Seq(5L, 7L)) // trak B's sizes, NOT trak A's 99s
+    assert(t.offsets.toSeq == Seq(mdatStart, mdatStart + 5))
+
+    // complementary halves split across traks: no stbl holds a pair →
+    // classify as unknown rather than stitching a cross-trak table
+    val (head2, _) = withTraks(trakA ++ stblOf(stcoB))
+    assert(MediaContainers.parseMp4Samples(head2 ++ mdat).format == "unknown")
+  }
 }

@@ -293,4 +293,34 @@ class PipelineSpec extends SparkSpec {
       assert(gotF == batchF && gotF.nonEmpty)
     } finally qF.stop()
   }
+
+  test("frameFacts emits no row for a frame overrunning the payload") {
+    import spark.implicits._
+    // hand-composed mp4: 3-sample table whose THIRD sample claims 50 bytes
+    // at an offset near the payload end — a lying table must yield no row
+    // for that sample, never a truncated byte sum
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val stsz = be32(32) ++ "stsz".getBytes ++ be32(0) ++ be32(0) ++ be32(3) ++
+      be32(4) ++ be32(6) ++ be32(50)
+    // ftyp(16) + moov(8) + trak(8) + mdia(8) + minf(8) + stbl(8) +
+    // stsz(32) + stco(28) + mdat header(8)
+    val mdatStart = 16 + 8 + 8 + 8 + 8 + 8 + 32 + 28 + 8
+    val stco = be32(28) ++ "stco".getBytes ++ be32(0) ++ be32(3) ++
+      be32(mdatStart) ++ be32(mdatStart + 4) ++ be32(mdatStart + 10)
+    val stbl = be32(8L + stsz.length + stco.length) ++ "stbl".getBytes ++ stsz ++ stco
+    val minf = be32(8L + stbl.length) ++ "minf".getBytes ++ stbl
+    val mdia = be32(8L + minf.length) ++ "mdia".getBytes ++ minf
+    val trak = be32(8L + mdia.length) ++ "trak".getBytes ++ mdia
+    val moov = be32(8L + trak.length) ++ "moov".getBytes ++ trak
+    val payload = Array.tabulate(12)(i => (i + 1).toByte)
+    val mdat = be32(8L + payload.length) ++ "mdat".getBytes ++ payload
+    val df = Seq((1L, ftyp ++ moov ++ mdat)).toDF("doc_id", "payload")
+    val rows = graft.ops.MultimodalOps.frameFacts(df).collect()
+    assert(rows.map(_.frame_idx).sorted.toSeq == Seq(0L, 1L)) // frame 2 refused
+    assert(rows.find(_.frame_idx == 0L).get.f_sum == (1 + 2 + 3 + 4))
+    assert(rows.find(_.frame_idx == 1L).get.f_sum == (5 to 10).sum)
+  }
 }

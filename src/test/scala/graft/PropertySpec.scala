@@ -240,4 +240,27 @@ class PropertySpec extends SparkSpec {
       assert(rns.count() == 0)
     }
   }
+
+  test("pq_dists guards malformed vectors and fingerprints its codebook") {
+    val cents: Array[Array[Array[Long]]] =
+      Array(Array(Array(1L, 2L), Array(3L, 4L)), Array(Array(0L, 0L), Array(5L, 5L)))
+    // a vector shorter than nSub*subDim must fail with a message naming
+    // pq_dists and the expected shape, not an ArrayIndexOutOfBoundsException
+    val short = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PqDists.compute(short, cents, 2)
+    }
+    assert(e.getMessage.contains("pq_dists") && e.getMessage.contains(">= 4"))
+    // the expression's string forms carry the codebook shape + content
+    // fingerprint, so two registrations with different codebooks can never
+    // render identically in a plan comparison
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1L, 2L, 3L, 4L),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val ex1 = graft.functions.PqDists(child, cents, 2)
+    val cents2 = Array(Array(Array(9L, 9L), Array(3L, 4L)), Array(Array(0L, 0L), Array(5L, 5L)))
+    val ex2 = graft.functions.PqDists(child, cents2, 2)
+    assert(ex1.toString.contains("2x2x2"))
+    assert(ex1.toString != ex2.toString && ex1.sql != ex2.sql)
+  }
 }
