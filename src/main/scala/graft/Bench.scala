@@ -7,12 +7,16 @@ object Bench {
     * run starts from the same clean session. Without this, queries late in
     * the alphabet were measured against the accumulated block-manager
     * residue of ~80 earlier queries — the r5 artifact recorded same-code
-    * inflations up to 10× on tail queries for exactly this reason. */
+    * inflations up to 10× on tail queries for exactly this reason.
+    * Unpersist is BLOCKING: with blocking=false the block removal raced
+    * the next rep's execution (the r6 forensics suspect for the
+    * item_pagerank 4–23 s rep spread — checkpoint blocks of a previous
+    * rep being evicted mid-measurement). */
   private def resetState(spark: SparkSession): Unit = {
     try {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     } catch { case e: Throwable => System.err.println(s"[bench] reset: $e") }
   }
 
@@ -28,15 +32,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/class-loading and parquet footer reads
-    // otherwise land on whichever query happens to run first
-    try {
-      spark.range(16).write.format("noop").mode("overwrite").save()
-      // warm with the first TIMED query so its slot isn't inflated
-      SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach(_._2(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // per-query untimed warmup reps (below) replace the old global "warm
+    // the first query" pass: JIT/codegen warmup of a CODEPATH otherwise
+    // lands on whichever query reaches it first alphabetically — the r6
+    // artifact recorded dedup_clusters (first user of the CC fixpoint
+    // path) 3.8× SLOWER than its own superset query train_split_safe for
+    // exactly this reason, and the same mechanism inverted the pair the
+    // other way in r5. One still-global pass warms the session itself.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt.max(0)
+    try spark.range(16).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed: compiles/loads this query's whole codepath (codegen
+      // classes, expression JIT, parquet footers) so rep 1 measures the
+      // plan, not the first-touch costs
+      (0 until warmups).foreach { _ =>
+        resetState(spark)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // failures surface in timed reps
+      }
       val times = (0 until reps).map { _ =>
         resetState(spark)
         val t0 = System.nanoTime()
@@ -68,7 +82,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"warmups":$warmups,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // durable copies first: even if the stdout tail is clipped again, the
     // full metrics object survives as a whole file in the repo; the
     // per-rep detail (for variance audits) goes to its own file so the
