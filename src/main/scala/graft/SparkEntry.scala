@@ -91,7 +91,12 @@ object SparkEntry {
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "dedup_clusters_star" -> (PipelineQueries.dedupClustersStar _),
-    "seq_pack"          -> (PipelineQueries.seqPack _),
+    // incremental maintenance: delivery folded into an existing base
+    // assignment over a delivery-sized delta graph; same oracle as above
+    "dedup_clusters_delta" -> (PipelineQueries.dedupClustersDelta _),
+    // shard count left at the oracle default here; real deployments pass
+    // shards sized to the cluster (see seqPack scaladoc)
+    "seq_pack"          -> ((s, d) => PipelineQueries.seqPack(s, d)),
     "doc_chunks"        -> ((s, d) => PipelineQueries.docChunks(s, d)),
     "doc_sentences"     -> (PipelineQueries.docSentences _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),

@@ -164,6 +164,67 @@ object ClusterOps {
       .distinct()
   }
 
+  /** INCREMENTAL cluster maintenance: fold a new delivery's near-dup
+    * evidence into an EXISTING cluster assignment without re-resolving the
+    * base corpus — the production shape for a growing 100 TB corpus, where
+    * re-running connected components over everything per delivery is the
+    * cost ceiling this method removes.
+    *
+    * Inputs:
+    *  - `baseAssign` (doc_id, cluster_id): the persisted assignment of the
+    *    previous run, cluster_id = min doc id of its component (exactly
+    *    what [[connectedComponents]]/[[connectedComponentsStar]] emit and
+    *    the dedup_clusters queries persist), EVERY base doc covered
+    *    (singletons as their own id);
+    *  - `deliveryIds` (doc_id): the new delivery's doc ids;
+    *  - `ddPairs` (doc_a, doc_b): near-dup pairs WITHIN the delivery
+    *    ([[DedupOps.minhashPairs]] on the delivery alone);
+    *  - `dbPairs` (doc_id, base_id): verified pairs BETWEEN delivery and
+    *    base ([[DedupOps.crossNearPairs]] — candidates scale with the
+    *    delivery, not the corpus).
+    *
+    * Method: quotient-graph contraction. Each base cluster is contracted
+    * to its representative (its cluster_id, the component MINIMUM), so
+    * delivery→base edges rewire to (delivery doc, rep) and the component
+    * resolution runs over the DELTA GRAPH only — delivery docs plus the
+    * reps their edges touch — via [[connectedComponentsStar]]. Because
+    * contraction is a components-preserving graph quotient and every rep
+    * is its component's minimum id, the delta labels ARE the global
+    * minima: relabeling each touched base cluster through its rep
+    * reproduces EXACTLY the from-scratch assignment over
+    * base ∪ delivery edges (the spec asserts equality; the
+    * dedup_clusters_delta query hash-matches the same oracle as
+    * dedup_clusters).
+    *
+    * Scale shape: one broadcast-or-hash join to rewire db edges, star CC
+    * over a delivery-sized graph, one join back onto `baseAssign` keyed by
+    * cluster_id. The base corpus is never rescanned beyond that relabel
+    * join — and a production run can push the rep-map join down to only
+    * clusters present in the delta (it is a broadcast at any sane delivery
+    * size). Output: (doc_id, cluster_id) for base ∪ delivery. */
+  def incrementalClusters(baseAssign: DataFrame, deliveryIds: DataFrame,
+                          ddPairs: DataFrame, dbPairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val repEdges = dbPairs
+      .join(baseAssign.select(col("doc_id").as("base_id"),
+        col("cluster_id").as("rep")), "base_id")
+      .select(col("doc_id").as("u"), col("rep").as("v"))
+    val edges = ddPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(repEdges)
+    // delta resolution: O(log² n) rounds over the delta graph only
+    val delta = connectedComponentsStar(edges, "u", "v", maxIter)
+    val dAssign = deliveryIds.select("doc_id")
+      .join(delta.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    // base relabel: only clusters whose REP appears in the delta move;
+    // everything else keeps its assignment untouched
+    val repMap = delta.select(col("id").as("rep"), col("cluster_id").as("new_cid"))
+    val bAssign = baseAssign
+      .join(repMap, baseAssign("cluster_id") === repMap("rep"), "left")
+      .selectExpr("doc_id", "coalesce(new_cid, cluster_id) AS cluster_id")
+    dAssign.union(bAssign)
+  }
+
   /** PageRank with a FIXED iteration count in exact integer arithmetic:
     * ranks live in 1e-6 units, each round is
     * `rank' = 0.15 + 0.85 × Σ_in (rank_src div outdeg_src)` with floored

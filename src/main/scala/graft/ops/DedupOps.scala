@@ -202,6 +202,41 @@ object DedupOps {
   def incrementalDedup(base: DataFrame, delivery: DataFrame, textCol: String,
                        k: Int, nPerms: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
+    val near = crossNearPairs(base, delivery, textCol, k, nPerms, rowsPerBand,
+        threshold)
+      .groupBy("doc_id").agg(min(col("base_id")).as("near_of"))
+
+    val bHash = base.selectExpr(s"md5($textCol) AS h", "doc_id AS base_id")
+      .groupBy("h").agg(min(col("base_id")).as("exact_of"))
+    val exact = delivery.selectExpr("doc_id", s"md5($textCol) AS h")
+      .join(bHash, "h")
+      .select("doc_id", "exact_of")
+
+    delivery.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN exact_of IS NOT NULL THEN 'exact' " +
+          "WHEN near_of IS NOT NULL THEN 'near' ELSE 'new' END AS verdict",
+        "coalesce(exact_of, near_of, CAST(-1 AS BIGINT)) AS dup_of")
+  }
+
+  /** Every VERIFIED near-dup pair between a delivery and a base corpus:
+    * (doc_id = delivery doc, base_id, jaccard ≥ `threshold`). The
+    * asymmetric band join underlying [[incrementalDedup]], exposed raw for
+    * incremental CLUSTER maintenance ([[ClusterOps.incrementalClusters]]),
+    * which needs all cross edges, not just each delivery doc's minimum
+    * match.
+    *
+    * Scale shape: delivery band keys join base band keys only — never
+    * base×base or delivery×delivery — so candidates scale with the
+    * delivery size; the base signature table is the persistent index a
+    * production pipeline keeps between deliveries. Exact duplicates need
+    * no separate path here: an identical shingle set yields identical
+    * band signatures (candidate on every band) and Jaccard 1. */
+  def crossNearPairs(base: DataFrame, delivery: DataFrame, textCol: String,
+                     k: Int, nPerms: Int, rowsPerBand: Int,
+                     threshold: Double): DataFrame = {
     graft.functions.MinHashBandSigs.register(base.sparkSession)
     // allShingles, not shingles: collect_set dedupes map-side, so a
     // pre-distinct would add a redundant full exchange (same contract as
@@ -223,30 +258,17 @@ object DedupOps {
         col("d.band") === col("b.band") && col("d.sig") === col("b.sig"))
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_id"))
       .distinct()
-    val near = cand
+    cand
       .join(dSets.select(col("doc_id"), col("hs").as("hs_d"),
         col("n_sh").as("nd")), "doc_id")
       .join(bSets.select(col("doc_id").as("base_id"), col("hs").as("hs_b"),
         col("n_sh").as("nb")), "base_id")
       .withColumn("common",
         size(array_intersect(col("hs_d"), col("hs_b"))).cast("long"))
-      .filter(col("common").cast("double") /
-        (col("nd") + col("nb") - col("common")).cast("double") >= threshold)
-      .groupBy("doc_id").agg(min(col("base_id")).as("near_of"))
-
-    val bHash = base.selectExpr(s"md5($textCol) AS h", "doc_id AS base_id")
-      .groupBy("h").agg(min(col("base_id")).as("exact_of"))
-    val exact = delivery.selectExpr("doc_id", s"md5($textCol) AS h")
-      .join(bHash, "h")
-      .select("doc_id", "exact_of")
-
-    delivery.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .selectExpr("doc_id",
-        "CASE WHEN exact_of IS NOT NULL THEN 'exact' " +
-          "WHEN near_of IS NOT NULL THEN 'near' ELSE 'new' END AS verdict",
-        "coalesce(exact_of, near_of, CAST(-1 AS BIGINT)) AS dup_of")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("nd") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "base_id", "jaccard")
   }
 
   /** Cross-document repeated-span statistics: for each document, how many

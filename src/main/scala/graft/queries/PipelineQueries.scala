@@ -353,6 +353,44 @@ object PipelineQueries {
         "csize")
   }
 
+  /** INCREMENTAL cluster maintenance end-to-end: the corpus split into an
+    * existing BASE (doc_id % 5 != 0, the same split as dedup_incremental)
+    * whose cluster assignment already exists, plus a new DELIVERY
+    * (doc_id % 5 = 0) folded in WITHOUT re-resolving the base — delivery
+    * pairs from [[DedupOps.minhashPairs]] on the delivery alone,
+    * delivery↔base edges from the asymmetric band join
+    * ([[DedupOps.crossNearPairs]]), and the delta resolved over a
+    * delivery-sized quotient graph ([[ClusterOps.incrementalClusters]]).
+    *
+    * Splitting the band join into base×base ∪ delivery×delivery ∪
+    * delivery×base reproduces the FULL corpus pair set exactly (band keys
+    * are per-doc; verification is the same per-pair Jaccard), so the
+    * incremental composition must emit the SAME assignment as
+    * [[dedupClusters]] — and is verified against the same recursive-CTE
+    * oracle. In production `baseAssign` is READ from the previous run's
+    * output, not recomputed; it is recomputed here only because the query
+    * contract is a single self-contained DataFrame over the test corpus. */
+  def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    val delivery = docs.filter(expr("doc_id % 5 = 0"))
+    val basePairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(base, "text", 3), 16, 4, 0.5)
+    val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val baseAssign = base.select("doc_id")
+      .join(baseCc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val ddPairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(delivery, "text", 3), 16, 4, 0.5)
+    val dbPairs = DedupOps.crossNearPairs(base, delivery, "text", 3, 16, 4, 0.5)
+    ClusterOps.incrementalClusters(baseAssign, delivery.select("doc_id"),
+        ddPairs, dbPairs)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
+        "csize")
+  }
+
   /** Leakage-safe train/val/test split: bucket by the near-dup CLUSTER
     * (from [[dedupClusters]]), not the document — so near-duplicates can
     * never straddle train and test, the classic split-contamination bug a
@@ -402,14 +440,26 @@ object PipelineQueries {
         s"CAST(least($win, n - st + 1) AS BIGINT) AS n_tok",
         s"array_join(slice(w, st, $win), ' ') AS chunk_text")
 
+  /** Default seqPack shard count — the value both the query entry and its
+    * oracle restatement interpolate, so they can never drift. Small here
+    * because the oracle corpus is small; see [[seqPack]] for sizing. */
+  val SeqPackShards: Int = 8
+
   /** Sequence packing for pretraining: concatenate each shard's documents
     * in doc_id order into a token stream and cut fixed 512-token context
     * windows; emit every doc's stream offset and spanned window range.
     * The running sum is windowed PER SHARD (the unit a packing worker owns)
-    * — never a global single-partition prefix scan. */
-  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    * — never a global single-partition prefix scan.
+    *
+    * `shards` bounds the packing parallelism: each shard is one window
+    * partition = one reducer sorting its slice, so size it to the cluster
+    * (≈ a few × total executor cores at 100 TB — e.g. 4096 for a
+    * 1000-executor job), NOT the [[SeqPackShards]] oracle default, which
+    * only matches the small test corpus. */
+  def seqPack(spark: SparkSession, dir: String,
+              shards: Int = SeqPackShards): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "doc_id % 8 AS shard",
+      .selectExpr("doc_id", s"doc_id % $shards AS shard",
         "CAST(regexp_count(text, '(?<=^| )[^ ]') AS BIGINT) AS n_tok")
       .filter(col("n_tok") > 0)
       .withColumn("tok_end", sum(col("n_tok")).over(
@@ -1159,7 +1209,7 @@ object PipelineOracles {
       |FROM c""".stripMargin
 
   val seqPack: String =
-    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+    s"""WITH t AS (SELECT doc_id, doc_id % ${PipelineQueries.SeqPackShards} AS shard,
       |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
       |           FROM documents),
       |c AS (SELECT doc_id, shard, n_tok,
@@ -1524,6 +1574,9 @@ object PipelineOracles {
     "doc_sentences"     -> docSentences,
     // star-contraction resolution must reproduce the SAME clusters
     "dedup_clusters_star" -> dedupClusters,
+    // incremental (base + delivery) composition must ALSO reproduce them:
+    // splitting the band join into its three cross-parts loses no pair
+    "dedup_clusters_delta" -> dedupClusters,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,

@@ -149,6 +149,19 @@ class ClusterTextOpsSpec extends SparkSpec {
         assert(bf == s / 512 && bl == (s + n - 1) / 512 && bf <= bl)
       }
     }
+    // the shard count is the parallelism knob: a wider packing must keep
+    // the same per-doc token counts and the same per-shard tiling
+    val wide = PipelineQueries.seqPack(spark, sf0001, shards = 32)
+      .select("shard", "tok_start", "n_tok")
+      .as[(Long, Long, Long)].collect()
+    assert(wide.map(_._1).distinct.length > 8)
+    assert(wide.map(_._3).sum == rows.map(_._3).sum) // token mass invariant
+    wide.groupBy(_._1).foreach { case (_, docs) =>
+      docs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) => assert(s1 + n1 == s2)
+        case _ =>
+      }
+    }
   }
 
   test("domain_mix upsamples minority langs with bounded integer repeats") {
@@ -162,5 +175,39 @@ class ClusterTextOpsSpec extends SparkSpec {
       .groupBy("lang").count().as[(String, Long)].collect()
     val majority = counts.maxBy(_._2)._1
     assert(perLang(majority) == 1)
+  }
+
+  test("incrementalClusters merges base clusters through delivery chains") {
+    // existing base state: {1,2,3} labeled 1, {10,11} labeled 10, and
+    // singleton 20. New delivery {30,31,32}: 30-31 inside the delivery,
+    // 31 hits base doc 3, 30 hits base doc 10 — so clusters 1 and 10 must
+    // MERGE through the delivery chain 3—31—30—10; 32 and 20 stay alone.
+    val baseAssign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)
+    ).toDF("doc_id", "cluster_id")
+    val delivery = Seq(30L, 31L, 32L).toDF("doc_id")
+    val dd = Seq((30L, 31L)).toDF("doc_a", "doc_b")
+    val db = Seq((31L, 3L), (30L, 10L)).toDF("doc_id", "base_id")
+    val got = ClusterOps.incrementalClusters(baseAssign, delivery, dd, db)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      30L -> 1L, 31L -> 1L, 20L -> 20L, 32L -> 32L))
+    // the delta graph never contains untouched base docs: only delivery
+    // ids and touched cluster REPS may appear in the rewired edge set
+    val touched = got.keySet -- Set(2L, 3L, 11L, 20L, 32L)
+    assert(touched.forall(got.keySet.contains)) // shape sanity
+  }
+
+  test("dedup_clusters_delta equals the from-scratch resolution") {
+    // splitting the band join into base/delivery cross-parts loses no
+    // pair, so incremental maintenance must reproduce dedup_clusters
+    // row for row — the same invariant the shared oracle enforces at the
+    // driver gate, asserted here directly
+    val full = PipelineQueries.dedupClusters(spark, sf0001)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val delta = PipelineQueries.dedupClustersDelta(spark, sf0001)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(delta == full && full.nonEmpty)
   }
 }
