@@ -149,17 +149,31 @@ object DedupOps {
     * so pass [[allShingles]]; a pre-`distinct()` ([[shingles]]) adds a
     * redundant full exchange of span strings for nothing. */
   def minhashPairs(sh: DataFrame, nPerms: Int, rowsPerBand: Int,
-                   threshold: Double): DataFrame = {
-    graft.functions.MinHashBandSigs.register(sh.sparkSession)
-    // per-doc distinct shingle-hash array — the single aggregation pass.
-    // Full 60-bit hashes in the set (mod-2^31 values would hit birthday
-    // collisions within a doc at larger corpora); the permutation applies
-    // the modulus.
-    val docSets = sh
-      .selectExpr("doc_id", s"${md5Long("sh")} AS h")
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"))
-      .withColumn("n_sh", size(col("hs")).cast("long"))
+                   threshold: Double): DataFrame =
+    minhashPairsOfSets(setsOfShingles(sh), nPerms, rowsPerBand, threshold)
+
+  /** Per-doc distinct shingle-hash SETS (doc_id, hs, n_sh) from raw
+    * (doc_id, sh) shingle rows — the single aggregation pass behind every
+    * minhash consumer, and the SIGNATURE INDEX a production pipeline
+    * persists between runs. Full 60-bit hashes in the set (mod-2^31
+    * values would hit birthday collisions within a doc at larger
+    * corpora); the permutation applies the modulus. Duplicate shingle
+    * rows allowed: collect_set dedupes map-side (pass [[allShingles]]). */
+  def setsOfShingles(sh: DataFrame): DataFrame = sh
+    .selectExpr("doc_id", s"${md5Long("sh")} AS h")
+    .groupBy("doc_id")
+    .agg(collect_set(col("h")).as("hs"))
+    .withColumn("n_sh", size(col("hs")).cast("long"))
+
+  /** [[minhashPairs]] over a PRECOMPUTED signature-set table
+    * ([[setsOfShingles]] output, possibly checkpointed/persisted): the
+    * entry point for compositions that band the same side more than once
+    * (within-side + cross-corpus in [[graft.queries.PipelineQueries
+    * .dedupClustersDelta]]) — the corpus is shingled and aggregated ONCE,
+    * not once per banding. */
+  def minhashPairsOfSets(docSets: DataFrame, nPerms: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame = {
+    graft.functions.MinHashBandSigs.register(docSets.sparkSession)
     // band signature strings from the array, per row: one native single-pass
     // expression for all nPerms permutations (graft.functions.MinHashBandSigs)
     // instead of nPerms interpreted transform+array_min lambda walks
@@ -236,23 +250,23 @@ object DedupOps {
     * band signatures (candidate on every band) and Jaccard 1. */
   def crossNearPairs(base: DataFrame, delivery: DataFrame, textCol: String,
                      k: Int, nPerms: Int, rowsPerBand: Int,
-                     threshold: Double): DataFrame = {
-    graft.functions.MinHashBandSigs.register(base.sparkSession)
-    // allShingles, not shingles: collect_set dedupes map-side, so a
-    // pre-distinct would add a redundant full exchange (same contract as
-    // minhashPairs)
-    def docSets(df: DataFrame): DataFrame =
-      allShingles(df, textCol, k)
-        .selectExpr("doc_id", s"${md5Long("sh")} AS h")
-        .groupBy("doc_id")
-        .agg(collect_set(col("h")).as("hs"))
-        .withColumn("n_sh", size(col("hs")).cast("long"))
+                     threshold: Double): DataFrame =
+    crossNearPairsOfSets(
+      setsOfShingles(allShingles(base, textCol, k)),
+      setsOfShingles(allShingles(delivery, textCol, k)),
+      nPerms, rowsPerBand, threshold)
+
+  /** [[crossNearPairs]] over PRECOMPUTED signature-set tables — pass the
+    * same (possibly checkpointed) [[setsOfShingles]] outputs used for the
+    * within-side bandings so each corpus is shingled once. */
+  def crossNearPairsOfSets(bSets: DataFrame, dSets: DataFrame,
+                           nPerms: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
+    graft.functions.MinHashBandSigs.register(bSets.sparkSession)
     def bandKeys(sets: DataFrame): DataFrame =
       sets.selectExpr("doc_id",
         s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
 
-    val bSets = docSets(base)
-    val dSets = docSets(delivery)
     val cand = bandKeys(dSets).alias("d")
       .join(bandKeys(bSets).alias("b"),
         col("d.band") === col("b.band") && col("d.sig") === col("b.sig"))

@@ -374,16 +374,23 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     val base = docs.filter(expr("doc_id % 5 != 0"))
     val delivery = docs.filter(expr("doc_id % 5 = 0"))
-    val basePairs = DedupOps.minhashPairs(
-      DedupOps.allShingles(base, "text", 3), 16, 4, 0.5)
+    // each side's signature-set table is materialized ONCE and reused by
+    // both its within-side banding and the cross banding — the in-query
+    // twin of the persisted signature index a production pipeline keeps
+    // (without this the base corpus is shingled and aggregated once per
+    // banding that references it)
+    val bSets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(base, "text", 3)).localCheckpoint()
+    val dSets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
+    val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
     val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
     val baseAssign = base.select("doc_id")
       .join(baseCc, Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
-    val ddPairs = DedupOps.minhashPairs(
-      DedupOps.allShingles(delivery, "text", 3), 16, 4, 0.5)
-    val dbPairs = DedupOps.crossNearPairs(base, delivery, "text", 3, 16, 4, 0.5)
+    val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
+    val dbPairs = DedupOps.crossNearPairsOfSets(bSets, dSets, 16, 4, 0.5)
     ClusterOps.incrementalClusters(baseAssign, delivery.select("doc_id"),
         ddPairs, dbPairs)
       .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
