@@ -76,6 +76,73 @@ object StreamingJobs {
       .transform(Detectors.onlineDedup(_, streaming = true))
   }
 
+  /** ONLINE incremental cluster maintenance over a delivery stream: every
+    * micro-batch is one DELIVERY, folded into the maintained assignment by
+    * [[graft.ops.ClusterOps.incrementalClusters]] while the signature
+    * index accretes ([[graft.ops.DedupOps.setsOfShingles]] unioned per
+    * batch) — the streaming execution of `dedup_clusters_delta`, and the
+    * job shape that keeps a 100 TB corpus' clusters current per delivery
+    * instead of re-resolving the world.
+    *
+    * foreachBatch, not a stateful agg: component resolution is global —
+    * merges can span arbitrary keys — so it is not an incrementalizable
+    * keyed streaming aggregate (same rationale as Top-N ranking, SURVEY
+    * §2.6); the micro-batch boundary IS the delivery boundary. `sink`
+    * receives the FULL updated assignment (doc_id, cluster_id) after each
+    * delivery; the multi-delivery fold provably converges to the
+    * from-scratch resolution (ClusterTextOpsSpec), so the stream's final
+    * state equals batch `dedup_clusters` on the same corpus.
+    *
+    * Restart note: the in-memory (index, assignment) pair restarts empty;
+    * a production deployment bootstraps both from its last sink write
+    * (they are exactly the two tables such a pipeline persists anyway).
+    * State is epoch-scoped by construction — the index holds one row per
+    * corpus document, the same asymptotics as the batch signature index. */
+  def runIncrementalClusters(spark: SparkSession, docsStream: DataFrame)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val emptyDocs = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    var sets: DataFrame = graft.ops.DedupOps.setsOfShingles(
+      graft.ops.DedupOps.allShingles(emptyDocs, "text", 3)).localCheckpoint()
+    var assign: DataFrame = emptyDocs
+      .selectExpr("doc_id", "doc_id AS cluster_id")
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-root the micro-batch on the DRIVING session: foreachBatch
+        // hands a clone-session DataFrame, and composing it into the
+        // accumulated frames' self-union plans breaks attribute
+        // resolution ("key not found: <attr>"); the RDD hop stays
+        // distributed and pins one session for the whole fold
+        val d = spark.createDataFrame(
+          batch.select("doc_id", "text").rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))).localCheckpoint()
+        val dSets = graft.ops.DedupOps.setsOfShingles(
+          graft.ops.DedupOps.allShingles(d, "text", 3)).localCheckpoint()
+        val dd = graft.ops.DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
+        val db = graft.ops.DedupOps.crossNearPairsOfSets(sets, dSets, 16, 4, 0.5)
+        assign = graft.ops.ClusterOps.incrementalClusters(
+          assign, d.select("doc_id"), dd, db).localCheckpoint()
+        sets = sets.union(dSets).localCheckpoint()
+        sink(assign)
+      }
+      .start()
+  }
+
+  /** [[runIncrementalClusters]] over the corpus-ingest replay of `dir`. */
+  def runIncrementalClustersFromDir(spark: SparkSession, dir: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    runIncrementalClusters(spark, documentsStream(spark, dir))(sink)
+
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
     eventsStreamRaw(spark, dir).withWatermark("ts", watermark)

@@ -210,4 +210,33 @@ class ClusterTextOpsSpec extends SparkSpec {
       .as[(Long, Long, Boolean, Long)].collect().toSet
     assert(delta == full && full.nonEmpty)
   }
+
+  test("multi-delivery fold converges to the from-scratch resolution") {
+    // the production lifecycle: deliveries arrive one at a time, each is
+    // folded into the accumulated assignment while the signature index
+    // accretes - after ALL deliveries the maintained assignment must equal
+    // resolving the whole corpus from scratch, whatever the arrival order
+    // interleaves
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf0001)
+    val deliveries: Seq[DataFrame] =
+      (0 until 3).map(r => docs.filter(col("doc_id") % 3 === r))
+    val emptyAssign = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    var sets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(docs.limit(0), "text", 3)).localCheckpoint()
+    var assign = emptyAssign
+    deliveries.foreach { d =>
+      val dSets = DedupOps.setsOfShingles(
+        DedupOps.allShingles(d, "text", 3)).localCheckpoint()
+      val dd = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
+      val db = DedupOps.crossNearPairsOfSets(sets, dSets, 16, 4, 0.5)
+      assign = ClusterOps.incrementalClusters(
+        assign, d.select("doc_id"), dd, db).localCheckpoint()
+      sets = sets.union(dSets).localCheckpoint() // the accreting index
+    }
+    val folded = assign.as[(Long, Long)].collect().toMap
+    val full = PipelineQueries.dedupClusters(spark, sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(folded == full && full.nonEmpty)
+  }
 }

@@ -213,4 +213,28 @@ class StreamingJobsSpec extends SparkSpec {
       assert(got.nonEmpty, "watermark should decide most replayed documents")
     } finally q.stop()
   }
+
+  test("streaming incremental clusters converge to batch dedup_clusters") {
+    // deliveries arrive as micro-batches; after the last one the
+    // maintained assignment must equal the from-scratch batch resolution
+    // of the whole corpus - the strongest possible claim for an online
+    // cluster maintainer
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](61, spark, None)
+    @volatile var last: Array[(Long, Long)] = Array.empty
+    val q = StreamingJobs.runIncrementalClusters(
+        spark, in.toDS().toDF("doc_id", "text")) { assign =>
+      last = assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    }
+    try {
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { delivery =>
+        in.addData(delivery.toSeq); q.processAllAvailable()
+      }
+      val expected = graft.queries.PipelineQueries.dedupClusters(spark, sf0001)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+      assert(last.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
 }
