@@ -94,6 +94,9 @@ object SparkEntry {
     // incremental maintenance: delivery folded into an existing base
     // assignment over a delivery-sized delta graph; same oracle as above
     "dedup_clusters_delta" -> (PipelineQueries.dedupClustersDelta _),
+    // takedown maintenance: removals re-resolve ONLY affected clusters
+    // (removals can split); oracle = the same CTE over surviving docs
+    "dedup_clusters_takedown" -> (PipelineQueries.dedupClustersTakedown _),
     // shard count left at the oracle default here; real deployments pass
     // shards sized to the cluster (see seqPack scaladoc)
     "seq_pack"          -> ((s, d) => PipelineQueries.seqPack(s, d)),

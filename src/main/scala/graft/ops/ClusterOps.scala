@@ -225,6 +225,56 @@ object ClusterOps {
     dAssign.union(bAssign)
   }
 
+  /** Incremental DOC REMOVAL from a cluster assignment (takedowns,
+    * robots.txt retractions, licensing pulls — the other half of the
+    * corpus lifecycle next to [[incrementalClusters]]): drop `removed`
+    * docs and re-resolve ONLY the clusters they belonged to. Removal is
+    * the operation quotient contraction cannot absorb — deleting a doc
+    * can SPLIT its cluster (it may have been the only bridge between two
+    * clumps) — so the affected clusters' surviving edges are re-run
+    * through star CC while every untouched cluster passes through
+    * verbatim.
+    *
+    * Inputs: `assign` (doc_id, cluster_id) covering all docs; `pairs`
+    * (`aCol`,`bCol`) the near-dup edge list the assignment was built from
+    * (the table a production pipeline persists next to the assignment);
+    * `removed` (doc_id). Output: (doc_id, cluster_id) over the SURVIVING
+    * docs — identical to resolving the surviving corpus from scratch
+    * (edges between surviving docs are unaffected by removals: band keys
+    * are per-doc, verification per-pair — so the restricted edge set IS
+    * the surviving corpus' edge set; the takedown query hash-matches the
+    * restricted from-scratch oracle on this invariant).
+    *
+    * Scale shape: affected-cluster membership and their edges come from
+    * two joins keyed by cluster/doc id; the re-resolution runs over the
+    * affected clusters' edges only — takedown batches touch a vanishing
+    * fraction of a 100 TB corpus, so the fixpoint input is tiny. */
+  def removeFromClusters(assign: DataFrame, pairs: DataFrame,
+                         aCol: String, bCol: String, removed: DataFrame,
+                         maxIter: Int = 50): DataFrame = {
+    val rem = removed.select(col("doc_id").as("rid"))
+    val affected = assign.join(rem, col("doc_id") === col("rid"))
+      .select("cluster_id").distinct()
+    val members = assign.join(affected, Seq("cluster_id"))
+    val survivors = members.join(rem, col("doc_id") === col("rid"), "left_anti")
+    // scoped surviving edges: an edge's component is its endpoints'
+    // cluster (components never span clusters), so scoping by the a-side
+    // membership catches exactly the affected clusters' edges
+    val scoped = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .join(members.select(col("doc_id").as("u")), Seq("u"))
+      .join(rem, col("u") === col("rid"), "left_anti")
+      .join(rem.withColumnRenamed("rid", "rid2"), col("v") === col("rid2"), "left_anti")
+      .select("u", "v")
+    val recc = connectedComponentsStar(scoped, "u", "v", maxIter)
+    val reassigned = survivors.select("doc_id")
+      .join(recc.select(col("id").as("doc_id"), col("cluster_id").as("new_cid")),
+        Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(new_cid, doc_id) AS cluster_id")
+    assign.join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .union(reassigned.select("doc_id", "cluster_id"))
+  }
+
   /** PageRank with a FIXED iteration count in exact integer arithmetic:
     * ranks live in 1e-6 units, each round is
     * `rank' = 0.15 + 0.85 × Σ_in (rank_src div outdeg_src)` with floored

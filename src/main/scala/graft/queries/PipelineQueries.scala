@@ -398,6 +398,32 @@ object PipelineQueries {
         "csize")
   }
 
+  /** TAKEDOWN maintenance end-to-end: remove every doc_id % 17 == 0 from
+    * the resolved corpus and re-resolve ONLY the clusters they belonged
+    * to ([[ClusterOps.removeFromClusters]]) — removals can SPLIT a
+    * cluster (the removed doc may be its only bridge), the one lifecycle
+    * event [[dedupClustersDelta]]'s contraction cannot absorb. Because
+    * surviving-pair evidence is unaffected by removals (band keys are
+    * per-doc, verification per-pair), the scoped re-resolution must equal
+    * resolving the surviving corpus from scratch — the oracle is the
+    * dedup_clusters recursive CTE restricted to surviving docs/pairs. */
+  def dedupClustersTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
+      .localCheckpoint() // the persisted edge table a pipeline keeps
+    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val assign = docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val removed = docs.filter(expr("doc_id % 17 = 0")).select("doc_id")
+    ClusterOps.removeFromClusters(assign, pairs, "doc_a", "doc_b", removed)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
+        "csize")
+  }
+
   /** Leakage-safe train/val/test split: bucket by the near-dup CLUSTER
     * (from [[dedupClusters]]), not the document — so near-duplicates can
     * never straddle train and test, the classic split-contamination bug a
@@ -1182,6 +1208,29 @@ object PipelineOracles {
        |  count(*) OVER (PARTITION BY least(d.doc_id, coalesce(l.mn, d.doc_id))) AS csize
        |FROM documents d LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
 
+  /** Takedown oracle: the dedup_clusters recursive CTE restricted to
+    * surviving docs and surviving pairs — valid because removals cannot
+    * change the pair evidence BETWEEN surviving docs (per-doc band keys,
+    * per-pair verification), so the scoped re-resolution must reproduce
+    * the from-scratch resolution of the surviving corpus. */
+  val dedupClustersTakedown: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhash) mp
+       |          WHERE doc_a % 17 != 0 AND doc_b % 17 != 0),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS lid, min(d) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(l.mn, d.doc_id)) AS cluster_id,
+       |  d.doc_id = least(d.doc_id, coalesce(l.mn, d.doc_id)) AS is_canonical,
+       |  count(*) OVER (PARTITION BY least(d.doc_id, coalesce(l.mn, d.doc_id))) AS csize
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) d
+       |LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
+
   /** Leakage-safe split oracle: the cluster CTE is the dedup_clusters
     * oracle verbatim; the split hashes the CLUSTER id. */
   val trainSplitSafe: String =
@@ -1584,6 +1633,7 @@ object PipelineOracles {
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,
+    "dedup_clusters_takedown" -> dedupClustersTakedown,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,

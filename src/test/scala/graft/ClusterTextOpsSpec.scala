@@ -239,4 +239,40 @@ class ClusterTextOpsSpec extends SparkSpec {
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(folded == full && full.nonEmpty)
   }
+
+  test("removeFromClusters splits a cluster when its bridge doc is removed") {
+    // cluster 1 = chain 1-2-3-4-5 (3 is the only bridge), cluster 10 =
+    // pair 10-11, singleton 20. Removing 3 must SPLIT cluster 1 into
+    // {1,2} and {4,5}; removing 11 shrinks 10 to a singleton; 20 and the
+    // untouched docs pass through verbatim.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)
+    ).toDF("doc_a", "doc_b")
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)
+    ).toDF("doc_id", "cluster_id")
+    val removed = Seq(3L, 11L).toDF("doc_id")
+    val got = ClusterOps.removeFromClusters(
+      assign, pairs, "doc_a", "doc_b", removed)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup_clusters_takedown equals from-scratch on the surviving corpus") {
+    val survivors = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 17 =!= 0)
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(survivors, "text", 3), 16, 4, 0.5)
+    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val fresh = survivors.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+      .as[(Long, Long)].collect().toSet
+    val takedown = PipelineQueries.dedupClustersTakedown(spark, sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(takedown == fresh && fresh.nonEmpty)
+  }
 }
