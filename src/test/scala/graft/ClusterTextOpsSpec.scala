@@ -275,4 +275,46 @@ class ClusterTextOpsSpec extends SparkSpec {
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
     assert(takedown == fresh && fresh.nonEmpty)
   }
+
+  test("lifecycle composition: fold a delivery, then take down docs") {
+    // the primitives must COMPOSE: the assignment incrementalClusters
+    // emits is a valid input to removeFromClusters (with the accumulated
+    // edge table), and the result equals resolving the final corpus from
+    // scratch - the full add -> remove lifecycle a production pipeline runs
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delivery = docs.filter(col("doc_id") % 5 === 0)
+    val bSets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(base, "text", 3)).localCheckpoint()
+    val dSets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
+    val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
+    val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val baseAssign = base.select("doc_id").join(baseCc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val dd = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
+    val db = DedupOps.crossNearPairsOfSets(bSets, dSets, 16, 4, 0.5)
+    val afterAdd = ClusterOps.incrementalClusters(
+      baseAssign, delivery.select("doc_id"), dd, db).localCheckpoint()
+    // accumulated edge table, the artifact a pipeline persists
+    val allEdges = basePairs.select("doc_a", "doc_b")
+      .union(dd.select("doc_a", "doc_b"))
+      .union(db.selectExpr("doc_id AS doc_a", "base_id AS doc_b"))
+      .localCheckpoint()
+    val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val got = ClusterOps.removeFromClusters(
+        afterAdd, allEdges, "doc_a", "doc_b", removed)
+      .as[(Long, Long)].collect().toSet
+    // from-scratch resolution of the FINAL corpus
+    val fin = docs.filter(col("doc_id") % 7 =!= 0)
+    val finPairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(fin, "text", 3), 16, 4, 0.5)
+    val finCc = ClusterOps.connectedComponentsStar(finPairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val expected = fin.select("doc_id").join(finCc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
 }
