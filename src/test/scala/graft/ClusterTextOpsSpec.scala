@@ -317,4 +317,54 @@ class ClusterTextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == expected && expected.nonEmpty)
   }
+
+  test("property: lifecycle equals driver union-find on random graphs") {
+    // independent oracle: a driver-side union-find (not another CC run)
+    // checks both maintenance primitives on random graphs - random
+    // base/delivery splits for the add path, random removals for the
+    // remove path
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 36
+      val nodes = (0L until n.toLong)
+      val edges = (0 until 50)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val inDelivery = nodes.filter(_ => rnd.nextBoolean()).toSet
+      val baseNodes = nodes.filterNot(inDelivery)
+      val baseEdges = edges.filter(e => !inDelivery(e._1) && !inDelivery(e._2))
+      val ddEdges = edges.filter(e => inDelivery(e._1) && inDelivery(e._2))
+      val dbEdges = edges.collect {
+        case (a, b) if inDelivery(a) && !inDelivery(b) => (a, b)
+        case (a, b) if !inDelivery(a) && inDelivery(b) => (b, a)
+      }
+      val baseAssign = unionFind(baseNodes, baseEdges).toSeq
+        .toDF("doc_id", "cluster_id")
+      val afterAdd = ClusterOps.incrementalClusters(
+          baseAssign, inDelivery.toSeq.toDF("doc_id"),
+          ddEdges.toDF("doc_a", "doc_b"), dbEdges.toDF("doc_id", "base_id"))
+        .localCheckpoint()
+      val expectAdd = unionFind(nodes, edges)
+      assert(afterAdd.as[(Long, Long)].collect().toMap == expectAdd,
+        s"trial $trial: add path diverged from union-find")
+      val removedSet = nodes.filter(_ => rnd.nextInt(4) == 0).toSet
+      val survivors = nodes.filterNot(removedSet)
+      val got = ClusterOps.removeFromClusters(
+          afterAdd, edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          removedSet.toSeq.toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      val expectRm = unionFind(survivors,
+        edges.filter(e => !removedSet(e._1) && !removedSet(e._2)))
+      assert(got == expectRm, s"trial $trial: remove path diverged")
+    }
+  }
 }
