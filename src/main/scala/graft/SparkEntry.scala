@@ -97,6 +97,8 @@ object SparkEntry {
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs
     "dedup_clusters_takedown" -> (PipelineQueries.dedupClustersTakedown _),
+    // per-cluster over-merge audit: pair density + weakest pair evidence
+    "cluster_scorecard" -> (PipelineQueries.clusterScorecard _),
     // shard count left at the oracle default here; real deployments pass
     // shards sized to the cluster (see seqPack scaladoc)
     "seq_pack"          -> ((s, d) => PipelineQueries.seqPack(s, d)),

@@ -398,6 +398,39 @@ object PipelineQueries {
         "csize")
   }
 
+  /** Cluster-quality SCORECARD — the over-merge audit a dedup pipeline
+    * reviews before acting on a resolution (LSH false positives chain
+    * unrelated docs into one cluster; low pair density / low min-jaccard
+    * clusters are the tell): one row per MULTI-doc cluster with its size,
+    * verified-pair count vs the possible pair count, and the weakest and
+    * strongest pair evidence. min/max of the IEEE-exact jaccard are
+    * order-independent, so the audit is bit-deterministic (no double
+    * sums). Scale: pair rows shuffle once on cluster id — pairs, not
+    * corpus, bound the cost. */
+  def clusterScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5).localCheckpoint()
+    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val assign = docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val sizes = assign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > 1)
+    val pairStats = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("cluster_id")), "doc_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    sizes.join(pairStats, Seq("cluster_id"))
+      .selectExpr("cluster_id", "csize", "n_pairs",
+        "csize * (csize - 1) div 2 AS n_possible",
+        "min_jaccard", "max_jaccard")
+  }
+
   /** TAKEDOWN maintenance end-to-end: remove every doc_id % 17 == 0 from
     * the resolved corpus and re-resolve ONLY the clusters they belonged
     * to ([[ClusterOps.removeFromClusters]]) — removals can SPLIT a
@@ -1208,6 +1241,33 @@ object PipelineOracles {
        |  count(*) OVER (PARTITION BY least(d.doc_id, coalesce(l.mn, d.doc_id))) AS csize
        |FROM documents d LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
 
+  /** Scorecard oracle: the dedup_clusters assignment CTE joined back to
+    * the verified pair list; min/max jaccard are order-independent over
+    * the IEEE-exact per-pair doubles, so the audit hash-matches. */
+  val clusterScorecard: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM ($dedupMinhash) mp),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS lid, min(d) AS mn FROM reach GROUP BY 1),
+       |assign AS (SELECT d.doc_id,
+       |             least(d.doc_id, coalesce(l.mn, d.doc_id)) AS cluster_id
+       |           FROM documents d LEFT JOIN lbl l ON l.lid = d.doc_id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |       FROM assign GROUP BY 1),
+       |pj AS (SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |              min(p.jaccard) AS min_jaccard,
+       |              max(p.jaccard) AS max_jaccard
+       |       FROM pairs p JOIN assign a ON a.doc_id = p.doc_a GROUP BY 1)
+       |SELECT s.cluster_id, s.csize, pj.n_pairs,
+       |  s.csize * (s.csize - 1) // 2 AS n_possible,
+       |  pj.min_jaccard, pj.max_jaccard
+       |FROM sz s JOIN pj USING (cluster_id) WHERE s.csize > 1""".stripMargin
+
   /** Takedown oracle: the dedup_clusters recursive CTE restricted to
     * surviving docs and surviving pairs — valid because removals cannot
     * change the pair evidence BETWEEN surviving docs (per-doc band keys,
@@ -1634,6 +1694,7 @@ object PipelineOracles {
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,
     "dedup_clusters_takedown" -> dedupClustersTakedown,
+    "cluster_scorecard" -> clusterScorecard,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,

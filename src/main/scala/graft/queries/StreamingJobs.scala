@@ -98,7 +98,9 @@ object StreamingJobs {
     * (they are exactly the two tables such a pipeline persists anyway).
     * State is epoch-scoped by construction — the index holds one row per
     * corpus document, the same asymptotics as the batch signature index. */
-  def runIncrementalClusters(spark: SparkSession, docsStream: DataFrame)(
+  def runIncrementalClusters(spark: SparkSession, docsStream: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5)(
       sink: DataFrame => Unit): StreamingQuery = {
     val emptyDocs = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -108,7 +110,7 @@ object StreamingJobs {
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType))))
     var sets: DataFrame = graft.ops.DedupOps.setsOfShingles(
-      graft.ops.DedupOps.allShingles(emptyDocs, "text", 3)).localCheckpoint()
+      graft.ops.DedupOps.allShingles(emptyDocs, "text", k)).localCheckpoint()
     var assign: DataFrame = emptyDocs
       .selectExpr("doc_id", "doc_id AS cluster_id")
     docsStream.writeStream
@@ -127,9 +129,11 @@ object StreamingJobs {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))).localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
-          graft.ops.DedupOps.allShingles(d, "text", 3)).localCheckpoint()
-        val dd = graft.ops.DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
-        val db = graft.ops.DedupOps.crossNearPairsOfSets(sets, dSets, 16, 4, 0.5)
+          graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
+        val dd = graft.ops.DedupOps.minhashPairsOfSets(
+          dSets, nPerms, rowsPerBand, threshold)
+        val db = graft.ops.DedupOps.crossNearPairsOfSets(
+          sets, dSets, nPerms, rowsPerBand, threshold)
         assign = graft.ops.ClusterOps.incrementalClusters(
           assign, d.select("doc_id"), dd, db).localCheckpoint()
         sets = sets.union(dSets).localCheckpoint()
