@@ -314,6 +314,21 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "kind", "dim1", "dim2", "n_units", "sum1", "sum2")
 
+  /** Attach singleton docs to a CC labeling: every doc gets a cluster
+    * (its own id when edge-untouched) — shared by every cluster query. */
+  private def attachSingletons(docIds: DataFrame, cc: DataFrame): DataFrame =
+    docIds.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+
+  /** The shipped cluster columns: canonical-survivor flag + cluster size
+    * (one count shuffled by cluster id). */
+  private def withClusterFacts(assign: DataFrame): DataFrame =
+    assign
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
+        "csize")
+
   /** Near-dup cluster resolution: MinHash+LSH pairs → connected components
     * → canonical survivor per cluster (min doc_id). One row per document,
     * singletons included — the keep/drop decision a dedup pipeline actually
@@ -326,12 +341,7 @@ object PipelineQueries {
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
     val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    docs.select("doc_id")
-      .join(cc, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
-        "csize")
+    withClusterFacts(attachSingletons(docs, cc))
   }
 
   /** [[dedupClusters]] with the component resolution swapped to
@@ -345,12 +355,7 @@ object PipelineQueries {
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
     val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    docs.select("doc_id")
-      .join(cc, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
-        "csize")
+    withClusterFacts(attachSingletons(docs, cc))
   }
 
   /** INCREMENTAL cluster maintenance end-to-end: the corpus split into an
@@ -386,16 +391,11 @@ object PipelineQueries {
     val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
     val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    val baseAssign = base.select("doc_id")
-      .join(baseCc, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val baseAssign = attachSingletons(base, baseCc)
     val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
     val dbPairs = DedupOps.crossNearPairsOfSets(bSets, dSets, 16, 4, 0.5)
-    ClusterOps.incrementalClusters(baseAssign, delivery.select("doc_id"),
-        ddPairs, dbPairs)
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
-        "csize")
+    withClusterFacts(ClusterOps.incrementalClusters(
+      baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
   }
 
   /** Cluster-quality SCORECARD — the over-merge audit a dedup pipeline
@@ -413,9 +413,7 @@ object PipelineQueries {
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5).localCheckpoint()
     val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    val assign = docs.select("doc_id")
-      .join(cc, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val assign = attachSingletons(docs, cc)
     val sizes = assign.groupBy("cluster_id")
       .agg(count(lit(1)).as("csize"))
       .filter(col("csize") > 1)
@@ -447,14 +445,10 @@ object PipelineQueries {
       .localCheckpoint() // the persisted edge table a pipeline keeps
     val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
-    val assign = docs.select("doc_id")
-      .join(cc, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    val assign = attachSingletons(docs, cc)
     val removed = docs.filter(expr("doc_id % 17 = 0")).select("doc_id")
-    ClusterOps.removeFromClusters(assign, pairs, "doc_a", "doc_b", removed)
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS is_canonical",
-        "csize")
+    withClusterFacts(ClusterOps.removeFromClusters(
+      assign, pairs, "doc_a", "doc_b", removed))
   }
 
   /** Leakage-safe train/val/test split: bucket by the near-dup CLUSTER
