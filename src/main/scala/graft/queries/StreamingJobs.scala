@@ -93,15 +93,20 @@ object StreamingJobs {
     * from-scratch resolution (ClusterTextOpsSpec), so the stream's final
     * state equals batch `dedup_clusters` on the same corpus.
     *
-    * Restart note: the in-memory (index, assignment) pair restarts empty;
-    * a production deployment bootstraps both from its last sink write
-    * (they are exactly the two tables such a pipeline persists anyway).
-    * State is epoch-scoped by construction — the index holds one row per
-    * corpus document, the same asymptotics as the batch signature index. */
+    * Restart contract: `sink` receives BOTH maintained tables — the
+    * assignment and the signature index, exactly what a production
+    * pipeline persists between runs — and `initialAssign`/`initialSets`
+    * bootstrap a restarted job from that persisted pair (a stop/restart
+    * round-trip converges to the same state as an uninterrupted run;
+    * spec-verified). State is epoch-scoped by construction — the index
+    * holds one row per corpus document, the same asymptotics as the
+    * batch signature index. */
   def runIncrementalClusters(spark: SparkSession, docsStream: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5)(
-      sink: DataFrame => Unit): StreamingQuery = {
+      threshold: Double = 0.5,
+      initialAssign: Option[DataFrame] = None,
+      initialSets: Option[DataFrame] = None)(
+      sink: (DataFrame, DataFrame) => Unit): StreamingQuery = {
     val emptyDocs = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -109,10 +114,11 @@ object StreamingJobs {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType))))
-    var sets: DataFrame = graft.ops.DedupOps.setsOfShingles(
-      graft.ops.DedupOps.allShingles(emptyDocs, "text", k)).localCheckpoint()
-    var assign: DataFrame = emptyDocs
-      .selectExpr("doc_id", "doc_id AS cluster_id")
+    var sets: DataFrame = initialSets.map(_.localCheckpoint())
+      .getOrElse(graft.ops.DedupOps.setsOfShingles(
+        graft.ops.DedupOps.allShingles(emptyDocs, "text", k)).localCheckpoint())
+    var assign: DataFrame = initialAssign.map(_.localCheckpoint())
+      .getOrElse(emptyDocs.selectExpr("doc_id", "doc_id AS cluster_id"))
     docsStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -137,14 +143,14 @@ object StreamingJobs {
         assign = graft.ops.ClusterOps.incrementalClusters(
           assign, d.select("doc_id"), dd, db).localCheckpoint()
         sets = sets.union(dSets).localCheckpoint()
-        sink(assign)
+        sink(assign, sets)
       }
       .start()
   }
 
   /** [[runIncrementalClusters]] over the corpus-ingest replay of `dir`. */
   def runIncrementalClustersFromDir(spark: SparkSession, dir: String)(
-      sink: DataFrame => Unit): StreamingQuery =
+      sink: (DataFrame, DataFrame) => Unit): StreamingQuery =
     runIncrementalClusters(spark, documentsStream(spark, dir))(sink)
 
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */

@@ -225,7 +225,7 @@ class StreamingJobsSpec extends SparkSpec {
       .MemoryStream[(Long, String)](61, spark, None)
     @volatile var last: Array[(Long, Long)] = Array.empty
     val q = StreamingJobs.runIncrementalClusters(
-        spark, in.toDS().toDF("doc_id", "text")) { assign =>
+        spark, in.toDS().toDF("doc_id", "text")) { (assign, _) =>
       last = assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
     }
     try {
@@ -236,5 +236,46 @@ class StreamingJobsSpec extends SparkSpec {
         .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
       assert(last.toSet == expected && expected.nonEmpty)
     } finally q.stop()
+  }
+
+  test("incremental clusters survive a stop/restart through persisted state") {
+    // run deliveries 1-2, stop, round-trip the (assignment, index) pair
+    // through plain collected rows - a true persistence simulation - and
+    // bootstrap a NEW stream for deliveries 3-4: the final state must
+    // equal batch dedup_clusters over the whole corpus
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 4, 1)).toSeq
+    @volatile var pAssign: Array[(Long, Long)] = Array.empty
+    @volatile var pSets: Array[(Long, Seq[Long], Long)] = Array.empty
+    val in1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](62, spark, None)
+    val q1 = StreamingJobs.runIncrementalClusters(
+        spark, in1.toDS().toDF("doc_id", "text")) { (assign, sets) =>
+      pAssign = assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      pSets = sets.select("doc_id", "hs", "n_sh")
+        .as[(Long, Seq[Long], Long)].collect()
+    }
+    try {
+      chunks.take(2).foreach { d => in1.addData(d.toSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    val bootAssign = pAssign.toSeq.toDF("doc_id", "cluster_id")
+    val bootSets = pSets.toSeq.toDF("doc_id", "hs", "n_sh")
+    @volatile var last: Array[(Long, Long)] = Array.empty
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](63, spark, None)
+    val q2 = StreamingJobs.runIncrementalClusters(
+        spark, in2.toDS().toDF("doc_id", "text"),
+        initialAssign = Some(bootAssign), initialSets = Some(bootSets)) {
+      (assign, _) =>
+        last = assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    }
+    try {
+      chunks.drop(2).foreach { d => in2.addData(d.toSeq); q2.processAllAvailable() }
+      val expected = graft.queries.PipelineQueries.dedupClusters(spark, sf0001)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+      assert(last.toSet == expected && expected.nonEmpty)
+    } finally q2.stop()
   }
 }
