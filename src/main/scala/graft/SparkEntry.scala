@@ -88,6 +88,8 @@ object SparkEntry {
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
+    // near-dup decontamination: test docs with a verified train near-dup
+    "contamination_near" -> (PipelineQueries.contaminationNear _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     "dedup_clusters_star" -> (PipelineQueries.dedupClustersStar _),

@@ -398,6 +398,32 @@ object PipelineQueries {
       baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
   }
 
+  /** NEAR-DUP contamination: test-split documents with a verified
+    * MinHash near-duplicate (Jaccard ≥ 0.5) in the TRAIN split — the
+    * decontamination level labs actually enforce; exact-shingle
+    * [[contamination]] misses paraphrased/lightly-edited leaks this
+    * catches. Asymmetric band join ([[DedupOps.crossNearPairs]], train as
+    * the indexed base): candidates scale with the test split, never
+    * train×train. Aggregates are order-independent (count, min id, max of
+    * the IEEE-exact jaccard), so the report is bit-deterministic. The
+    * oracle restates it from the SYMMETRIC full-corpus pair list
+    * restricted to cross-split endpoints — equal because band keys are
+    * per-doc and verification per-pair. */
+  def contaminationNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).selectExpr("doc_id", "text",
+      s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
+        s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
+    DedupOps.crossNearPairs(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"),
+        "text", 3, 16, 4, 0.5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("base_id")).as("min_train_dup"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select("doc_id", "n_matches", "min_train_dup", "max_jaccard")
+  }
+
   /** Cluster-quality SCORECARD — the over-merge audit a dedup pipeline
     * reviews before acting on a resolution (LSH false positives chain
     * unrelated docs into one cluster; low pair density / low min-jaccard
@@ -1262,6 +1288,27 @@ object PipelineOracles {
        |  pj.min_jaccard, pj.max_jaccard
        |FROM sz s JOIN pj USING (cluster_id) WHERE s.csize > 1""".stripMargin
 
+  /** Near-contamination oracle: the symmetric full-corpus pair list
+    * restricted to train/test cross endpoints (equal to the asymmetric
+    * band join by the per-doc-band restriction property). */
+  val contaminationNear: String =
+    s"""WITH spl AS (
+       |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS b
+       |        FROM documents)),
+       |mp AS (SELECT doc_a, doc_b, jaccard FROM ($dedupMinhash) m),
+       |ct AS (SELECT CASE WHEN sa.split = 'test' THEN mp.doc_a ELSE mp.doc_b END AS doc_id,
+       |              CASE WHEN sa.split = 'test' THEN mp.doc_b ELSE mp.doc_a END AS train_id,
+       |              mp.jaccard
+       |       FROM mp JOIN spl sa ON sa.doc_id = mp.doc_a
+       |            JOIN spl sb ON sb.doc_id = mp.doc_b
+       |       WHERE (sa.split = 'train' AND sb.split = 'test')
+       |          OR (sa.split = 'test' AND sb.split = 'train'))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  min(train_id) AS min_train_dup, max(jaccard) AS max_jaccard
+       |FROM ct GROUP BY 1""".stripMargin
+
   /** Takedown oracle: the dedup_clusters recursive CTE restricted to
     * surviving docs and surviving pairs — valid because removals cannot
     * change the pair evidence BETWEEN surviving docs (per-doc band keys,
@@ -1689,6 +1736,7 @@ object PipelineOracles {
     "dedup_clusters_delta" -> dedupClusters,
     "dedup_clusters_takedown" -> dedupClustersTakedown,
     "cluster_scorecard" -> clusterScorecard,
+    "contamination_near" -> contaminationNear,
     "domain_mix"        -> domainMix,
     "domain_mix_temp"   -> domainMixTemp,
     "curate_corpus"     -> curateCorpus,
