@@ -26,7 +26,10 @@ object Bench {
     // median-of-N per query (N=3 default): one shot was hostage to ambient
     // host contention — the r5 gate artifact disagreed with same-code
     // reruns by up to 10× on single queries
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env values degrade to the defaults rather than aborting
+    // the whole bench run with a NumberFormatException
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt)
+      .getOrElse(3).max(1)
     val spark = GraftSession.builder("graft-bench", cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")
@@ -39,7 +42,8 @@ object Bench {
     // path) 3.8× SLOWER than its own superset query train_split_safe for
     // exactly this reason, and the same mechanism inverted the pair the
     // other way in r5. One still-global pass warms the session itself.
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt.max(0)
+    val warmups = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_WARMUPS").trim.toInt)
+      .getOrElse(1).max(0)
     try spark.range(16).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

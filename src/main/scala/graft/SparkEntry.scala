@@ -91,11 +91,18 @@ object SparkEntry {
     // near-dup decontamination: test docs with a verified train near-dup
     "contamination_near" -> (PipelineQueries.contaminationNear _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
+    // default resolution = star contraction (O(log²n) rounds, 5× cheaper
+    // on the r7 gate artifact); propagation kept as the parity path below
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
-    "dedup_clusters_star" -> (PipelineQueries.dedupClustersStar _),
+    "dedup_clusters_prop" -> (PipelineQueries.dedupClustersProp _),
     // incremental maintenance: delivery folded into an existing base
     // assignment over a delivery-sized delta graph; same oracle as above
     "dedup_clusters_delta" -> (PipelineQueries.dedupClustersDelta _),
+    // same fold with the base state read from parquet (ClusterState setup
+    // stage) — the production shape; bench time = delivery-sized cost
+    "dedup_clusters_persist" -> (PipelineQueries.dedupClustersPersist _),
+    // chunk → feature-hash embed → cosine top-k → offsets mapped back
+    "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs
     "dedup_clusters_takedown" -> (PipelineQueries.dedupClustersTakedown _),

@@ -527,11 +527,13 @@ object MultimodalOps {
         else t.sizes.indices.iterator.flatMap { i =>
           val abs = t.offsets(i)
           val sz = t.sizes(i)
-          // a frame whose byte range overruns the payload marks the sample
-          // table as lying about this sample: emit NO row rather than a
-          // truncated, plausible-but-wrong byte sum (same refusal contract
-          // as parseMp4Samples for tables overrunning their box)
-          if (abs < 0L || sz < 0L || abs + sz > bytes.length) Iterator.empty
+          // a frame whose byte range falls outside the mdat payload —
+          // before mdatStart (into header bytes) or past the payload end —
+          // marks the sample table as lying about this sample: emit NO row
+          // rather than a negative f_offset or a plausible-but-wrong byte
+          // sum over non-payload bytes (same refusal contract as
+          // parseMp4Samples for tables overrunning their box)
+          if (abs < t.mdatStart || sz < 0L || abs + sz > bytes.length) Iterator.empty
           else {
             var s = 0L
             var j = 0L

@@ -1,0 +1,72 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.{ClusterOps, DedupOps}
+import graft.sources.Tables
+
+/**
+ * Persisted BASE cluster state — the setup stage that makes incremental
+ * maintenance's cost claim measurable. [[PipelineQueries.dedupClustersDelta]]
+ * proves the ALGEBRA (quotient contraction reproduces the from-scratch
+ * assignment) but its self-contained contract recomputes the base
+ * assignment in-query, so its wall time shows base-recompute cost, not the
+ * delivery-sized cost the method exists to deliver. This object plays the
+ * "previous run" of a production pipeline: it resolves the BASE split of
+ * the corpus once (star contraction), writes the assignment and the
+ * signature index to parquet under the build directory, and hands the
+ * paths to [[PipelineQueries.dedupClustersPersist]], whose timed work is
+ * then exactly a delivery fold against persisted state — the shape a
+ * 100 TB deployment runs per delivery.
+ *
+ * State is keyed by the data directory plus a (size, mtime) fingerprint of
+ * `documents.parquet`, so a regenerated corpus can never be served stale
+ * state; a missing `_DONE` marker (a prior process died mid-write) forces
+ * a clean overwrite recompute. The write lands under `target/` (the build
+ * dir, relative to the process cwd like every bench artifact) — never in
+ * the read-only data directories.
+ */
+object ClusterState {
+
+  /** Process-local fast path: state roots already verified on disk. */
+  private val ready = scala.collection.mutable.Set[String]()
+
+  private def stateRoot(dir: String): File = {
+    val src = new File(dir, "documents.parquet")
+    val fp = s"${src.length()}_${src.lastModified()}"
+    new File(s"target/graft-state/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp")
+  }
+
+  /** Absolute parquet paths of (base assignment, base signature index) for
+    * `dir`'s base split (doc_id % 5 != 0 — the delivery split used by the
+    * dedup_incremental / dedup_clusters_delta family), computing and
+    * persisting them on first use. */
+  def baseStatePaths(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val root = stateRoot(dir)
+      val assignP = new File(root, "base_assign").getAbsolutePath
+      val setsP = new File(root, "base_sets").getAbsolutePath
+      val done = new File(root, "_DONE")
+      if (!ready.contains(root.getAbsolutePath)) {
+        if (!done.exists()) {
+          val base = Tables.documents(spark, dir)
+            .filter(org.apache.spark.sql.functions.expr("doc_id % 5 != 0"))
+          val bSets = DedupOps.setsOfShingles(
+            DedupOps.allShingles(base, "text", 3)).localCheckpoint()
+          val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
+          val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
+            .withColumnRenamed("id", "doc_id")
+          val baseAssign = base.select("doc_id")
+            .join(baseCc, Seq("doc_id"), "left")
+            .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+          baseAssign.write.mode("overwrite").parquet(assignP)
+          bSets.write.mode("overwrite").parquet(setsP)
+          done.createNewFile()
+        }
+        ready += root.getAbsolutePath
+      }
+      (assignP, setsP)
+    }
+}

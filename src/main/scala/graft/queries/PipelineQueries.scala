@@ -332,28 +332,39 @@ object PipelineQueries {
   /** Near-dup cluster resolution: MinHash+LSH pairs → connected components
     * → canonical survivor per cluster (min doc_id). One row per document,
     * singletons included — the keep/drop decision a dedup pipeline actually
-    * ships. Scale shape: the component loop touches only edge-involved
-    * docs ([[ClusterOps.connectedComponents]]); the corpus-wide cost is one
-    * left join plus a count shuffled by cluster id. */
+    * ships.
+    *
+    * Resolution DEFAULTS to alternating star contraction
+    * ([[ClusterOps.connectedComponentsStar]]): O(log²n) rounds regardless
+    * of component diameter — the only CC whose round budget survives
+    * adversarial long-chain duplicate graphs at 100 TB — and 5× cheaper
+    * on the r7 gate artifact (BENCH_RUNS dedup_clusters, propagation,
+    * [9.62, 11.73, 4.99] vs dedup_clusters_star [1.84, 1.85, 2.04] on
+    * identical pairs; propagation pays 2 driver-blocking jobs per
+    * diameter-bound round). Min-label propagation stays available as the
+    * parity path ([[dedupClustersProp]]) verified against the SAME
+    * oracle. Scale shape: the contraction loop touches only edge-involved
+    * docs; the corpus-wide cost is one left join plus a count shuffled by
+    * cluster id. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = DedupOps.minhashPairs(
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
-    val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
     withClusterFacts(attachSingletons(docs, cc))
   }
 
-  /** [[dedupClusters]] with the component resolution swapped to
-    * ALTERNATING STAR CONTRACTION ([[ClusterOps.connectedComponentsStar]]
-    * — O(log²n) rounds regardless of component diameter, the
-    * adversarial-graph path). Output contract is identical, so the SAME
-    * recursive-CTE oracle verifies both resolutions end-to-end. */
-  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+  /** [[dedupClusters]] with the component resolution swapped to MIN-LABEL
+    * PROPAGATION ([[ClusterOps.connectedComponents]] — rounds = component
+    * diameter, the cheap path on dense short-diameter near-dup clumps).
+    * Output contract is identical, so the SAME recursive-CTE oracle
+    * verifies both resolutions end-to-end. */
+  def dedupClustersProp(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = DedupOps.minhashPairs(
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
-    val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
     withClusterFacts(attachSingletons(docs, cc))
   }
@@ -398,6 +409,33 @@ object PipelineQueries {
       baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
   }
 
+  /** [[dedupClustersDelta]] with the base state READ FROM PARQUET — the
+    * production run shape, and the query that makes the incremental cost
+    * claim MEASURABLE. [[ClusterState]] persists the base assignment and
+    * signature index once (an untimed setup stage, the "previous run" of
+    * the pipeline); the work HERE — what the bench times after its warmup
+    * rep triggers the setup — is one parquet read of the persisted pair
+    * plus the delivery fold: delivery shingling, within-delivery banding,
+    * the asymmetric cross band join, star CC over a delivery-sized delta
+    * graph, and the relabel join ([[ClusterOps.incrementalClusters]]).
+    * The base corpus is never re-shingled, re-banded, or re-resolved —
+    * so this entry's bench time is the per-delivery cost a 100 TB corpus
+    * actually pays, while `dedup_clusters_delta` (self-contained contract)
+    * keeps proving the algebra. Verified against the SAME full-corpus
+    * recursive-CTE oracle as `dedup_clusters`. */
+  def dedupClustersPersist(spark: SparkSession, dir: String): DataFrame = {
+    val (assignP, setsP) = ClusterState.baseStatePaths(spark, dir)
+    val baseAssign = spark.read.parquet(assignP)
+    val bSets = spark.read.parquet(setsP)
+    val delivery = Tables.documents(spark, dir).filter(expr("doc_id % 5 = 0"))
+    val dSets = DedupOps.setsOfShingles(
+      DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
+    val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
+    val dbPairs = DedupOps.crossNearPairsOfSets(bSets, dSets, 16, 4, 0.5)
+    withClusterFacts(ClusterOps.incrementalClusters(
+      baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
+  }
+
   /** NEAR-DUP contamination: test-split documents with a verified
     * MinHash near-duplicate (Jaccard ≥ 0.5) in the TRAIN split — the
     * decontamination level labs actually enforce; exact-shingle
@@ -410,9 +448,11 @@ object PipelineQueries {
     * restricted to cross-split endpoints — equal because band keys are
     * per-doc and verification per-pair. */
   def contaminationNear(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).selectExpr("doc_id", "text",
-      s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
-        s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        s"${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 AS sb")
+      .selectExpr("doc_id", "text",
+        "CASE WHEN sb < 8 THEN 'train' WHEN sb = 8 THEN 'val' ELSE 'test' END AS split")
     DedupOps.crossNearPairs(
         docs.filter(col("split") === "train"),
         docs.filter(col("split") === "test"),
@@ -525,6 +565,58 @@ object PipelineQueries {
         "CAST(st AS BIGINT) AS tok_start",
         s"CAST(least($win, n - st + 1) AS BIGINT) AS n_tok",
         s"array_join(slice(w, st, $win), ' ') AS chunk_text")
+
+  /** Chunk→embed→retrieve composition — the production RAG-prep shape:
+    * [[docChunks]] output → deterministic chunk embeddings → cosine top-k
+    * retrieval → hits mapped BACK to (doc_id, chunk_idx, token offset),
+    * proving the chunker's offsets survive retrieval end-to-end.
+    *
+    * Embedding: signed feature hashing (Weinberger et al., ICML'09) —
+    * each token hashes to ONE of `dim` buckets (60-bit md5 prefix mod
+    * dim, the [[DedupOps.md5Long]] fragment shared with the oracle) with
+    * a ±1 sign from hash bit 40; the chunk vector is the per-bucket sign
+    * sum over ALL token occurrences. Integer-exact by construction, so
+    * dot products and norms are exact BIGINT sums and the final
+    * `dot/(√nq·√nc)` is IEEE-bit-deterministic — the same determinism
+    * contract as [[SimilarityOps]]' 1e7-quantized cosine.
+    *
+    * Plan shape: the embedding is a NARROW per-row expression chain
+    * (split → hash per token → dim×ntok aggregate), zero shuffles — the
+    * map-only stage a 100 TB chunk corpus needs; queries (docs with
+    * doc_id % 25 = 0) are broadcast against one corpus scan and scored
+    * with the native `ldot` primitive; the only exchange is the per-query
+    * top-k rank. Zero-norm chunks (signs fully cancelled) are excluded
+    * from both sides — cosine is undefined for them. */
+  def chunkTopK(spark: SparkSession, dir: String, dim: Int = 32,
+                k: Int = 3): DataFrame = {
+    graft.functions.QuantizedDot.register(spark)
+    val hv = s"transform(filter(split(chunk_text, ' '), t -> t <> ''), t -> ${DedupOps.md5Long("t")})"
+    val comp = s"transform(sequence(0, ${dim - 1}), j -> aggregate(hv, 0L, " +
+      s"(a, h) -> a + IF(h % $dim = CAST(j AS BIGINT), IF(shiftright(h, 40) & 1 = 1, 1L, -1L), 0L)))"
+    val vecs = docChunks(spark, dir)
+      .selectExpr("doc_id", "chunk_idx", "tok_start", s"$hv AS hv")
+      .selectExpr("doc_id", "chunk_idx", "tok_start", s"$comp AS qvec")
+      .selectExpr("doc_id", "chunk_idx", "tok_start", "qvec",
+        "ldot(qvec, qvec) AS norm2")
+      .filter(col("norm2") > 0)
+    val qs = vecs.filter(expr("doc_id % 25 = 0"))
+      .selectExpr("doc_id AS q_doc", "chunk_idx AS q_chunk",
+        "qvec AS qq", "norm2 AS nq")
+    vecs
+      .selectExpr("doc_id AS c_doc", "chunk_idx AS c_chunk",
+        "tok_start AS c_tok_start", "qvec AS qc", "norm2 AS nc")
+      .crossJoin(broadcast(qs))
+      .filter(col("q_doc") =!= col("c_doc"))
+      .selectExpr("q_doc", "q_chunk", "c_doc", "c_chunk", "c_tok_start",
+        "nq", "nc", "ldot(qq, qc) AS dot")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_doc"), col("q_chunk"))
+          .orderBy(col("cos").desc, col("c_doc").asc, col("c_chunk").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_doc", "q_chunk", "c_doc", "c_chunk", "c_tok_start", "cos", "rn")
+  }
 
   /** Default seqPack shard count — the value both the query entry and its
     * oracle restatement interpolate, so they can never drift. Small here
@@ -1365,6 +1457,44 @@ object PipelineOracles {
       |  array_to_string(w[st:st+63], ' ') AS chunk_text
       |FROM c""".stripMargin
 
+  /** Chunk retrieval oracle: restates the chunking CTE, the signed
+    * feature-hash embedding (sparse (bucket, value) rows — absent buckets
+    * are zero, so the bucket-equijoin dot product equals the dense
+    * Spark-side `ldot`; pairs with NO common bucket get their dot
+    * COALESCEd to 0 via the left join against the full query×candidate
+    * pair list), and the per-query top-3 rank. */
+  val chunkTopK: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+      |c AS (SELECT doc_id, w, n, unnest(generate_series(1, n, 48)) AS st FROM s),
+      |ch AS (SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+      |              CAST(st AS BIGINT) AS tok_start, w[st:st+63] AS cw FROM c),
+      |tok AS (SELECT doc_id, chunk_idx, tok_start, unnest(cw) AS tk FROM ch),
+      |h AS (SELECT doc_id, chunk_idx, tok_start,
+      |             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok),
+      |comp AS (SELECT doc_id, chunk_idx, tok_start, h % 32 AS b,
+      |                SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |         FROM h GROUP BY 1, 2, 3, 4),
+      |nrm AS (SELECT doc_id, chunk_idx, tok_start, SUM(v * v) AS norm2
+      |        FROM comp GROUP BY 1, 2, 3 HAVING SUM(v * v) > 0),
+      |d AS (SELECT a.doc_id AS q_doc, a.chunk_idx AS q_chunk,
+      |             b.doc_id AS c_doc, b.chunk_idx AS c_chunk, SUM(a.v * b.v) AS dot
+      |      FROM comp a JOIN comp b ON a.b = b.b AND a.doc_id % 25 = 0 AND a.doc_id <> b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |p AS (SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk, cc.doc_id AS c_doc,
+      |             cc.chunk_idx AS c_chunk, cc.tok_start AS c_tok_start,
+      |             q.norm2 AS nq, cc.norm2 AS nc
+      |      FROM nrm q JOIN nrm cc ON q.doc_id % 25 = 0 AND q.doc_id <> cc.doc_id),
+      |sc AS (SELECT p.q_doc, p.q_chunk, p.c_doc, p.c_chunk, p.c_tok_start,
+      |              CAST(COALESCE(d.dot, 0) AS DOUBLE) /
+      |                (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(p.nc AS DOUBLE))) AS cos
+      |       FROM p LEFT JOIN d ON d.q_doc = p.q_doc AND d.q_chunk = p.q_chunk
+      |                         AND d.c_doc = p.c_doc AND d.c_chunk = p.c_chunk)
+      |SELECT q_doc, q_chunk, c_doc, c_chunk, c_tok_start, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_doc, q_chunk
+      |                               ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS rn
+      |  FROM sc) WHERE rn <= 3""".stripMargin
+
   val seqPack: String =
     s"""WITH t AS (SELECT doc_id, doc_id % ${PipelineQueries.SeqPackShards} AS shard,
       |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
@@ -1729,8 +1859,12 @@ object PipelineOracles {
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
-    // star-contraction resolution must reproduce the SAME clusters
-    "dedup_clusters_star" -> dedupClusters,
+    // min-label-propagation resolution must reproduce the SAME clusters
+    // as the star-contraction default
+    "dedup_clusters_prop" -> dedupClusters,
+    // persisted-base incremental fold must ALSO reproduce them
+    "dedup_clusters_persist" -> dedupClusters,
+    "chunk_topk" -> chunkTopK,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

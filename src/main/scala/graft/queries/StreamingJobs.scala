@@ -127,13 +127,24 @@ object StreamingJobs {
         // accumulated frames' self-union plans breaks attribute
         // resolution ("key not found: <attr>"); the RDD hop stays
         // distributed and pins one session for the whole fold
-        val d = spark.createDataFrame(
+        val dAll = spark.createDataFrame(
           batch.select("doc_id", "text").rdd,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))).localCheckpoint()
+        // at-least-once replay safety: foreachBatch may re-deliver a batch
+        // after a failure, and this fold keeps its state in driver-side
+        // vars rather than a stream checkpoint — a re-delivered doc would
+        // otherwise be unioned into the signature index twice AND emitted
+        // twice by incrementalClusters (once via the delivery path, once
+        // via the base relabel), corrupting the maintained assignment
+        // permanently. The signature index holds exactly the ingested doc
+        // ids, so one anti-join against it makes replays idempotent.
+        val d = dAll
+          .join(sets.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
         val dd = graft.ops.DedupOps.minhashPairsOfSets(
