@@ -46,6 +46,13 @@ object Bench {
       .getOrElse(1).max(0)
     try spark.range(16).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // per-(query, rep) CC fixpoint forensics: variant, round count, and
+    // per-round wall millis, drained from ClusterOps.CcStats after each
+    // timed rep — the r7 verdict's open question (driver-measured
+    // dedup_clusters at 5x its builder-local cost with identical plans)
+    // needs per-round evidence FROM THE GATE ENVIRONMENT to name the
+    // mechanism; CC_ROUNDS.json below is that artifact.
+    val ccRounds = scala.collection.mutable.ArrayBuffer[(String, Int, graft.ops.ClusterOps.CcStats.Run)]()
     val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed: compiles/loads this query's whole codepath (codegen
       // classes, expression JIT, parquet footers) so rep 1 measures the
@@ -55,7 +62,8 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // failures surface in timed reps
       }
-      val times = (0 until reps).map { _ =>
+      graft.ops.ClusterOps.CcStats.drain() // warmup runs don't pollute the artifact
+      val times = (0 until reps).zipWithIndex.map { case (_, rep) =>
         resetState(spark)
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column —
@@ -64,6 +72,7 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.ClusterOps.CcStats.drain().foreach(r => ccRounds += ((name, rep, r)))
         // a crashed run must be distinguishable from a fast success:
         // elapsed-until-failure rides along negated
         if (ok) sec else -sec
@@ -101,6 +110,15 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_RUNS.json"),
         runsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ccJson = ccRounds
+        .map { case (q, rep, r) =>
+          s"""{"query":"$q","rep":$rep,"variant":"${r.variant}","rounds":${r.rounds},""" +
+            s""""total_ms":${r.totalMillis},"round_ms":${r.roundMillis.mkString("[", ",", "]")}}"""
+        }
+        .mkString("[", ",\n ", "]\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("CC_ROUNDS.json"),
+        ccJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
     // the JSON line is the FINAL stdout of the process — nothing (not even

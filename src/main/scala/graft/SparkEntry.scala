@@ -106,6 +106,9 @@ object SparkEntry {
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs
     "dedup_clusters_takedown" -> (PipelineQueries.dedupClustersTakedown _),
+    // same takedown with assignment + edge table read from parquet —
+    // bench time = takedown-batch-sized cost, no base-recompute tax
+    "dedup_clusters_takedown_persist" -> (PipelineQueries.dedupClustersTakedownPersist _),
     // per-cluster over-merge audit: pair density + weakest pair evidence
     "cluster_scorecard" -> (PipelineQueries.clusterScorecard _),
     // shard count left at the oracle default here; real deployments pass

@@ -34,6 +34,23 @@ import org.apache.spark.storage.StorageLevel
  */
 object ClusterOps {
 
+  /** Fixpoint forensics: every CC invocation records its variant, round
+    * count, and per-round wall millis here; [[graft.Bench]] drains the
+    * buffer per query into `CC_ROUNDS.json` so the GATE artifact shows
+    * where iterative queries' time actually goes (the r7 verdict's open
+    * question — driver-measured dedup_clusters cost was 5× its builder-
+    * local cost with identical plans, and only per-round evidence from
+    * the gate environment can name the mechanism). Recording is a few
+    * appends per QUERY (not per row); zero cost at any data scale. */
+  object CcStats {
+    final case class Run(variant: String, rounds: Int, totalMillis: Long,
+                         roundMillis: Seq[Long])
+    private val buf = scala.collection.mutable.ArrayBuffer[Run]()
+    private[ClusterOps] def record(r: Run): Unit = synchronized { buf += r }
+    /** Returns and clears everything recorded since the last drain. */
+    def drain(): Seq[Run] = synchronized { val r = buf.toList; buf.clear(); r }
+  }
+
   /** Connected components of the undirected graph given by (`aCol`,`bCol`)
     * pairs. Returns one row per node appearing in any pair:
     * (id, cluster_id) with cluster_id = min node id of its component.
@@ -60,7 +77,10 @@ object ClusterOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    val roundMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val t0 = System.nanoTime()
     while (!converged && rounds < maxIter) {
+      val rt0 = System.nanoTime()
       val msgs = edges.join(labels, col("s") === col("id"))
         .select(col("d").as("id"), col("label"))
       val next = labels.union(msgs)
@@ -71,8 +91,11 @@ object ClusterOps {
       prevSum = nextSum
       labels = next
       rounds += 1
+      roundMs += (System.nanoTime() - rt0) / 1000000L
     }
     edges.unpersist()
+    CcStats.record(CcStats.Run("propagation", rounds,
+      (System.nanoTime() - t0) / 1000000L, roundMs.toList))
     require(converged,
       s"connectedComponents: no fixpoint after $maxIter rounds - component " +
         "diameter exceeds the bound; raise maxIter or use a star-contraction scheme")
@@ -126,7 +149,10 @@ object ClusterOps {
     var prev = witness(edges)
     var converged = false
     var rounds = 0
+    val roundMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val t0 = System.nanoTime()
     while (!converged && rounds < maxIter) {
+      val rt0 = System.nanoTime()
       val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       // large-star: m = min over N(u) ∪ {u}; rewire larger neighbors
       val mLarge = nbrs.groupBy("u").agg(min(col("v")).as("mnv"))
@@ -154,7 +180,10 @@ object ClusterOps {
       prev = w
       edges = next
       rounds += 1
+      roundMs += (System.nanoTime() - rt0) / 1000000L
     }
+    CcStats.record(CcStats.Run("star", rounds,
+      (System.nanoTime() - t0) / 1000000L, roundMs.toList))
     require(converged,
       s"connectedComponentsStar: no fixpoint after $maxIter rounds - " +
         "pathological input; raise maxIter")

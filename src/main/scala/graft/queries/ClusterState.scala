@@ -39,6 +39,37 @@ object ClusterState {
     new File(s"target/graft-state/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp")
   }
 
+  /** Absolute parquet paths of (full-corpus assignment, full near-dup pair
+    * list) for `dir` — the state a production pipeline persists next to
+    * its resolution, and exactly what [[ClusterOps.removeFromClusters]]
+    * consumes. Computing and persisting happen on first use;
+    * [[PipelineQueries.dedupClustersTakedownPersist]] then pays only
+    * takedown-batch-sized work per timed run. */
+  def fullStatePaths(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val root = stateRoot(dir)
+      val assignP = new File(root, "full_assign").getAbsolutePath
+      val pairsP = new File(root, "full_pairs").getAbsolutePath
+      val done = new File(root, "_DONE_FULL")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          val docs = Tables.documents(spark, dir)
+          val pairs = DedupOps.minhashPairs(
+            DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5).localCheckpoint()
+          val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+            .withColumnRenamed("id", "doc_id")
+          val assign = docs.select("doc_id")
+            .join(cc, Seq("doc_id"), "left")
+            .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+          assign.write.mode("overwrite").parquet(assignP)
+          pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(pairsP)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      (assignP, pairsP)
+    }
+
   /** Absolute parquet paths of (base assignment, base signature index) for
     * `dir`'s base split (doc_id % 5 != 0 — the delivery split used by the
     * dedup_incremental / dedup_clusters_delta family), computing and

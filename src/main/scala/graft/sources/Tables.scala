@@ -26,15 +26,37 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
 
-  /** The events parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Reading with an
-    * explicit LongType schema yields the raw nanosecond ticks, which we
-    * convert to a proper TimestampType (µs) — schema-on-read with a fixed,
-    * declared schema, mirroring the reference's stance (SURVEY.md §1.4). */
+  /** Schema for generator revisions that stored ts as INT64
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL). Reading with an explicit LongType schema
+    * yields the raw nanosecond ticks, converted to TimestampType (µs)
+    * below — schema-on-read with a fixed, declared schema, mirroring the
+    * reference's stance (SURVEY.md §1.4). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The driver's generator has shipped the events ts column in TWO
+    * encodings across rounds: INT64 TIMESTAMP(NANOS) (rounds ≤7; Spark
+    * rejects the annotation, so it must be read as raw longs and divided
+    * to µs) and standard TIMESTAMP(MICROS) without timezone (round 8+;
+    * Spark infers TimestampNTZType, and the old div-by-1000 would
+    * compress the timeline 1000× and disagree with DuckDB's `epoch_us`
+    * oracle view by the same factor). One footer probe per call site
+    * picks the path: Some(inferred ts type) when the file carries a
+    * readable timestamp annotation (NTZ or LTZ), None for the legacy
+    * raw-nanos encoding. Either path lands on the identical µs timeline
+    * the oracle sees (the NTZ→LTZ cast is the identity under the UTC
+    * session timezone every graft entry point sets). */
+  def eventsTsType(spark: SparkSession, dir: String): Option[DataType] =
+    scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+      .toOption
+      .filter(t => t == TimestampType || t == TimestampNTZType)
+
+  /** [[eventsRawSchema]] with ts as the probed native timestamp type. */
+  def eventsNativeSchema(tsType: DataType): StructType = StructType(
+    eventsRawSchema.map(f => if (f.name == "ts") f.copy(dataType = tsType) else f))
 
   /** Behavior-event stream table: the Spark analogue of the reference's
     * `UserBehavior`/`AdClickEvent`/`LoginEvent` CSV streams
@@ -42,10 +64,16 @@ object Tables {
     * Columns: event_id, ts (timestamp, µs), user_id, event_type
     * (view|click|purchase|signup|error), value, props (JSON string). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      // integer `div`, NOT `/`: ~1.7e18 ns exceeds double's 2^53 mantissa,
-      // so float division would corrupt the low microseconds.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsTsType(spark, dir) match {
+      case Some(t) =>
+        spark.read.schema(eventsNativeSchema(t)).parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          // integer `div`, NOT `/`: ~1.7e18 ns exceeds double's 2^53 mantissa,
+          // so float division would corrupt the low microseconds.
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
