@@ -71,19 +71,23 @@ object ClusterState {
     }
 
   /** Absolute parquet paths of (base assignment, base signature index) for
-    * `dir`'s base split (doc_id % 5 != 0 — the delivery split used by the
-    * dedup_incremental / dedup_clusters_delta family), computing and
-    * persisting them on first use. */
-  def baseStatePaths(spark: SparkSession, dir: String): (String, String) =
+    * `dir`'s base split (doc_id % `mod` != 0; the complementary
+    * doc_id % `mod` = 0 slice is the delivery), computing and persisting
+    * them on first use. `mod` sizes the delivery relative to the corpus:
+    * the dedup_clusters_delta family's self-contained split uses 5 (20%
+    * delivery), while dedup_clusters_persist uses 50 (2% — a realistic
+    * per-delivery fraction for a long-lived corpus, making the
+    * delivery-sized cost claim visible in the bench). */
+  def baseStatePaths(spark: SparkSession, dir: String, mod: Int = 5): (String, String) =
     synchronized {
       val root = stateRoot(dir)
-      val assignP = new File(root, "base_assign").getAbsolutePath
-      val setsP = new File(root, "base_sets").getAbsolutePath
-      val done = new File(root, "_DONE")
-      if (!ready.contains(root.getAbsolutePath)) {
+      val assignP = new File(root, s"base_assign_m$mod").getAbsolutePath
+      val setsP = new File(root, s"base_sets_m$mod").getAbsolutePath
+      val done = new File(root, s"_DONE_m$mod")
+      if (!ready.contains(done.getAbsolutePath)) {
         if (!done.exists()) {
           val base = Tables.documents(spark, dir)
-            .filter(org.apache.spark.sql.functions.expr("doc_id % 5 != 0"))
+            .filter(org.apache.spark.sql.functions.expr(s"doc_id % $mod != 0"))
           val bSets = DedupOps.setsOfShingles(
             DedupOps.allShingles(base, "text", 3)).localCheckpoint()
           val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
@@ -96,7 +100,7 @@ object ClusterState {
           bSets.write.mode("overwrite").parquet(setsP)
           done.createNewFile()
         }
-        ready += root.getAbsolutePath
+        ready += done.getAbsolutePath
       }
       (assignP, setsP)
     }

@@ -424,10 +424,15 @@ object PipelineQueries {
     * keeps proving the algebra. Verified against the SAME full-corpus
     * recursive-CTE oracle as `dedup_clusters`. */
   def dedupClustersPersist(spark: SparkSession, dir: String): DataFrame = {
-    val (assignP, setsP) = ClusterState.baseStatePaths(spark, dir)
+    // 2% delivery (mod 50), not the delta query's 20%: a realistic
+    // per-delivery fraction of a long-lived corpus, so the bench row
+    // prices what a delivery actually costs — the oracle is invariant to
+    // the split (any base/delivery partition reproduces the full pair
+    // set), only the measured fraction changes
+    val (assignP, setsP) = ClusterState.baseStatePaths(spark, dir, mod = 50)
     val baseAssign = spark.read.parquet(assignP)
     val bSets = spark.read.parquet(setsP)
-    val delivery = Tables.documents(spark, dir).filter(expr("doc_id % 5 = 0"))
+    val delivery = Tables.documents(spark, dir).filter(expr("doc_id % 50 = 0"))
     val dSets = DedupOps.setsOfShingles(
       DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
     val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)

@@ -144,4 +144,20 @@ class SourcesSinksSpec extends SparkSpec {
       }
     }
   }
+  test("events reader lands on the true microsecond timeline for any ts encoding") {
+    // The driver's generator changed the events ts encoding between rounds
+    // (INT64 raw nanos -> TIMESTAMP(MICROS) NTZ). The probe in
+    // Tables.eventsTsType must land either encoding on the same real
+    // timeline the DuckDB oracle sees via epoch_us: TimestampType out, and
+    // an epoch in a sane year (the old div-by-1000 on microsecond data
+    // compressed 2024 timestamps into 1970 and silently emptied every
+    // watermark-closed streaming window).
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val (lo, hi) = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .as[(Long, Long)].head()
+    val y2000 = 946684800L
+    assert(lo > y2000, s"min ts $lo predates 2000 - ts encoding misread (1970 = compressed timeline)")
+    assert(hi - lo > 3600L, s"event-time span ${hi - lo}s under an hour - windowed/watermark queries would be degenerate")
+  }
 }
