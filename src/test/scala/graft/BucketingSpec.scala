@@ -71,4 +71,45 @@ class BucketingSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter from a selective build side prunes the probe scan") {
+    // The third 100 TB join-pruning tool next to bucketing and AQE skew
+    // handling: when one join side is made selective by a filter, Spark
+    // can inject a bloom filter built from it into the OTHER side's scan
+    // (spark.sql.optimizer.runtime.bloomFilter.*), discarding non-joining
+    // probe rows before the shuffle - at scale that is the difference
+    // between shuffling the full fact table and shuffling the matching
+    // slice. Thresholds are lowered so test-scale volumes qualify.
+    val before = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val n = joined.collect().length
+      // the injected filter lives in the OPTIMIZED plan as a
+      // might_contain(scalar-subquery building bloom_filter_agg over the
+      // selective side) wrapped around the probe-side scan
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the probe side:\n${plan.take(3000)}")
+      // the filter must be semantically transparent
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(fact.join(dim, col("l_orderkey") === col("o_orderkey")).collect().length == n)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
