@@ -46,6 +46,17 @@ object Bench {
       .getOrElse(1).max(0)
     try spark.range(16).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // prime the persisted-state setup stages OUTSIDE any timed rep: the
+    // dedup_clusters_persist / _takedown_persist queries exist to price
+    // delivery/takedown-sized cost, and with SPARK_GRAFT_BENCH_WARMUPS=0
+    // their lazy one-time base resolution would otherwise land inside
+    // timed rep 0 (and its CC runs inside CC_ROUNDS.json), contradicting
+    // the very claim the rows measure
+    try {
+      graft.queries.ClusterState.baseStatePaths(spark, sfDir, mod = 50)
+      graft.queries.ClusterState.fullStatePaths(spark, sfDir)
+      graft.ops.ClusterOps.CcStats.drain()
+    } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }
     // per-(query, rep) CC fixpoint forensics: variant, round count, and
     // per-round wall millis, drained from ClusterOps.CcStats after each
     // timed rep — the r7 verdict's open question (driver-measured
@@ -63,7 +74,7 @@ object Bench {
         catch { case _: Throwable => () } // failures surface in timed reps
       }
       graft.ops.ClusterOps.CcStats.drain() // warmup runs don't pollute the artifact
-      val times = (0 until reps).zipWithIndex.map { case (_, rep) =>
+      val times = (0 until reps).map { rep =>
         resetState(spark)
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column —

@@ -45,8 +45,16 @@ object ClusterOps {
   object CcStats {
     final case class Run(variant: String, rounds: Int, totalMillis: Long,
                          roundMillis: Seq[Long])
+    /** Undrained entries beyond this are dropped oldest-first: only
+      * graft.Bench drains, so a long-lived process that never does (a
+      * streaming maintainer folding deliveries for weeks) must not grow
+      * driver memory without bound. */
+    private val MaxBuffered = 512
     private val buf = scala.collection.mutable.ArrayBuffer[Run]()
-    private[ClusterOps] def record(r: Run): Unit = synchronized { buf += r }
+    private[ClusterOps] def record(r: Run): Unit = synchronized {
+      if (buf.size >= MaxBuffered) buf.remove(0)
+      buf += r
+    }
     /** Returns and clears everything recorded since the last drain. */
     def drain(): Seq[Run] = synchronized { val r = buf.toList; buf.clear(); r }
   }

@@ -58,9 +58,7 @@ object ClusterState {
             DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5).localCheckpoint()
           val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
             .withColumnRenamed("id", "doc_id")
-          val assign = docs.select("doc_id")
-            .join(cc, Seq("doc_id"), "left")
-            .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+          val assign = PipelineQueries.attachSingletons(docs, cc)
           assign.write.mode("overwrite").parquet(assignP)
           pairs.select("doc_a", "doc_b").write.mode("overwrite").parquet(pairsP)
           done.createNewFile()
@@ -93,9 +91,7 @@ object ClusterState {
           val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
           val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
             .withColumnRenamed("id", "doc_id")
-          val baseAssign = base.select("doc_id")
-            .join(baseCc, Seq("doc_id"), "left")
-            .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+          val baseAssign = PipelineQueries.attachSingletons(base, baseCc)
           baseAssign.write.mode("overwrite").parquet(assignP)
           bSets.write.mode("overwrite").parquet(setsP)
           done.createNewFile()

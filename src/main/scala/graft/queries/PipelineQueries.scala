@@ -316,7 +316,7 @@ object PipelineQueries {
 
   /** Attach singleton docs to a CC labeling: every doc gets a cluster
     * (its own id when edge-untouched) — shared by every cluster query. */
-  private def attachSingletons(docIds: DataFrame, cc: DataFrame): DataFrame =
+  private[queries] def attachSingletons(docIds: DataFrame, cc: DataFrame): DataFrame =
     docIds.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")

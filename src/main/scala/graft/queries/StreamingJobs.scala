@@ -22,24 +22,17 @@ object StreamingJobs {
 
   /** events.parquet as a streaming source, ts: TimestampType, NOT yet
     * watermarked — for ops that place their own withWatermark. */
-  def eventsStreamRaw(spark: SparkSession, dir: String): DataFrame =
-    // encoding probe shared with the batch reader (Tables.eventsTsType):
+  def eventsStreamRaw(spark: SparkSession, dir: String): DataFrame = {
+    // decode path shared with the batch reader (Tables.eventsDecode):
     // the generator's ts annotation changed across driver rounds
-    Tables.eventsTsType(spark, dir) match {
-      case Some(t) =>
-        spark.readStream
-          .schema(Tables.eventsNativeSchema(t))
-          // file-stream sources list a DIRECTORY; select the one table file
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case None =>
-        spark.readStream
-          .schema(Tables.eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val (schema, normalizeTs) = Tables.eventsDecode(spark, dir)
+    normalizeTs(
+      spark.readStream
+        .schema(schema)
+        // file-stream sources list a DIRECTORY; select the one table file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** embeddings.parquet as a streaming source — vectors arriving live
     * (ingest path of a vector index). */

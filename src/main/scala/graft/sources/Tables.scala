@@ -49,31 +49,47 @@ object Tables {
     * raw-nanos encoding. Either path lands on the identical µs timeline
     * the oracle sees (the NTZ→LTZ cast is the identity under the UTC
     * session timezone every graft entry point sets). */
-  def eventsTsType(spark: SparkSession, dir: String): Option[DataType] =
-    scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
-      .toOption
-      .filter(t => t == TimestampType || t == TimestampNTZType)
+  def eventsTsType(spark: SparkSession, dir: String): Option[DataType] = {
+    // memoized per (dir, file size+mtime): the probe is one driver-side
+    // footer read for a value that is constant per data directory, and
+    // events() / eventsStreamRaw() call it per invocation — the
+    // fingerprint (same scheme as ClusterState.stateRoot) keeps a
+    // regenerated corpus from being served a stale answer
+    val f = new java.io.File(s"$dir/events.parquet")
+    val key = s"$dir#${f.length()}_${f.lastModified()}"
+    tsTypeCache.computeIfAbsent(key, _ =>
+      scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+        .toOption
+        .filter(t => t == TimestampType || t == TimestampNTZType))
+  }
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[DataType]]()
 
-  /** [[eventsRawSchema]] with ts as the probed native timestamp type. */
-  def eventsNativeSchema(tsType: DataType): StructType = StructType(
-    eventsRawSchema.map(f => if (f.name == "ts") f.copy(dataType = tsType) else f))
+  /** The (read schema, ts normalization) pair for `dir`'s events encoding —
+    * the ONE place both the batch and the streaming reader get their
+    * decode path from, so a future third encoding is handled here alone. */
+  def eventsDecode(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) =
+    eventsTsType(spark, dir) match {
+      case Some(t) =>
+        val schema = StructType(
+          eventsRawSchema.map(f => if (f.name == "ts") f.copy(dataType = t) else f))
+        (schema, df => df.withColumn("ts", col("ts").cast(TimestampType)))
+      case None =>
+        // integer `div`, NOT `/`: ~1.7e18 ns exceeds double's 2^53 mantissa,
+        // so float division would corrupt the low microseconds.
+        (eventsRawSchema,
+          df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }
 
   /** Behavior-event stream table: the Spark analogue of the reference's
     * `UserBehavior`/`AdClickEvent`/`LoginEvent` CSV streams
     * (reference: hot-items-analysis/.../beans/UserBehavior.java:11-15).
     * Columns: event_id, ts (timestamp, µs), user_id, event_type
     * (view|click|purchase|signup|error), value, props (JSON string). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    eventsTsType(spark, dir) match {
-      case Some(t) =>
-        spark.read.schema(eventsNativeSchema(t)).parquet(s"$dir/events.parquet")
-          .withColumn("ts", col("ts").cast(TimestampType))
-      case None =>
-        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-          // integer `div`, NOT `/`: ~1.7e18 ns exceeds double's 2^53 mantissa,
-          // so float division would corrupt the low microseconds.
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, normalizeTs) = eventsDecode(spark, dir)
+    normalizeTs(spark.read.schema(schema).parquet(s"$dir/events.parquet"))
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
