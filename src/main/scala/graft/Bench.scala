@@ -53,7 +53,8 @@ object Bench {
     // timed rep 0 (and its CC runs inside CC_ROUNDS.json), contradicting
     // the very claim the rows measure
     try {
-      graft.queries.ClusterState.baseStatePaths(spark, sfDir, mod = 50)
+      graft.queries.ClusterState.baseStatePaths(spark, sfDir,
+        graft.queries.ClusterState.PersistDeliveryMod)
       graft.queries.ClusterState.fullStatePaths(spark, sfDir)
       graft.ops.ClusterOps.CcStats.drain()
     } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }
@@ -64,6 +65,13 @@ object Bench {
     // needs per-round evidence FROM THE GATE ENVIRONMENT to name the
     // mechanism; CC_ROUNDS.json below is that artifact.
     val ccRounds = scala.collection.mutable.ArrayBuffer[(String, Int, graft.ops.ClusterOps.CcStats.Run)]()
+    // wall-clock anchor for per-rep start offsets (BENCH_RUNS "starts"):
+    // the r8 gate artifact showed two alphabetically ADJACENT queries
+    // inflated together with a mid-query recovery (hot_pages rep 3 back at
+    // r7 cost) — a transient host-contention window. Absolute rep timing
+    // makes such windows directly visible across query boundaries instead
+    // of inferred from adjacency.
+    val benchT0 = System.nanoTime()
     val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed: compiles/loads this query's whole codepath (codegen
       // classes, expression JIT, parquet footers) so rep 1 measures the
@@ -77,6 +85,7 @@ object Bench {
       val times = (0 until reps).map { rep =>
         resetState(spark)
         val t0 = System.nanoTime()
+        val startOff = (t0 - benchT0) / 1e9
         // noop sink forces full materialization of every output column —
         // count() would let Catalyst prune the computed columns away.
         val ok =
@@ -86,13 +95,14 @@ object Bench {
         graft.ops.ClusterOps.CcStats.drain().foreach(r => ccRounds += ((name, rep, r)))
         // a crashed run must be distinguishable from a fast success:
         // elapsed-until-failure rides along negated
-        if (ok) sec else -sec
+        (if (ok) sec else -sec, startOff)
       }
       name -> times
     }
     // a query is failed if ANY rep crashed; otherwise score the median rep
     val results = allRuns.map { case (name, times) =>
-      name -> times.find(_ < 0).getOrElse(times.sorted.apply(times.length / 2))
+      val secs = times.map(_._1)
+      name -> secs.find(_ < 0).getOrElse(secs.sorted.apply(secs.length / 2))
     }.toMap
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // millisecond precision keeps the artifact line short: the round-3
@@ -116,14 +126,27 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LAST.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val runsJson = allRuns.sortBy(_._1)
-        .map { case (k, ts) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
-        .mkString("{\"reps\":" + reps + ",\"runs\":{", ",", "}}\n")
+        .map { case (k, ts) => "\"" + k + "\":" + ts.map(t => fmt(t._1)).mkString("[", ",", "]") }
+        .mkString("{\"reps\":" + reps + ",\"runs\":{", ",", "},") +
+        // per-rep start offsets (seconds since bench start): lets a
+        // variance audit see whether inflated reps share one wall-clock
+        // window across adjacent queries (host contention) or track the
+        // query itself (a real plan cost)
+        allRuns.sortBy(_._1)
+          .map { case (k, ts) => "\"" + k + "\":" + ts.map(t => fmt(t._2)).mkString("[", ",", "]") }
+          .mkString("\"starts\":{", ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_RUNS.json"),
         runsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // interpolated identifiers are JSON-escaped: today's query keys and
+      // CC variants are clean, but a future key containing a quote or
+      // backslash must not silently emit an invalid artifact
+      def esc(s: String): String =
+        s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
       val ccJson = ccRounds
         .map { case (q, rep, r) =>
-          s"""{"query":"$q","rep":$rep,"variant":"${r.variant}","rounds":${r.rounds},""" +
+          s"""{"query":"${esc(q)}","rep":$rep,"variant":"${esc(r.variant)}","rounds":${r.rounds},""" +
             s""""total_ms":${r.totalMillis},"round_ms":${r.roundMillis.mkString("[", ",", "]")}}"""
         }
         .mkString("[", ",\n ", "]\n")

@@ -165,6 +165,22 @@ object DedupOps {
     .agg(collect_set(col("h")).as("hs"))
     .withColumn("n_sh", size(col("hs")).cast("long"))
 
+  /** Per-doc LSH band keys (doc_id, band, sig) from a [[setsOfShingles]]
+    * signature-set table — the BANDED INDEX of the corpus. Band signature
+    * strings come from one native single-pass expression for all nPerms
+    * permutations ([[graft.functions.MinHashBandSigs]]) instead of nPerms
+    * interpreted transform+array_min lambda walks. A production pipeline
+    * persists THIS table (not just the raw sets) between deliveries: the
+    * per-delivery candidate probe is then a plain join against stored
+    * rows, and the signature recomputation over the corpus — O(corpus ×
+    * shingles × perms) per run if derived from the sets each time — drops
+    * out of the per-delivery cost entirely. */
+  def bandKeysOfSets(sets: DataFrame, nPerms: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.MinHashBandSigs.register(sets.sparkSession)
+    sets.selectExpr("doc_id",
+      s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
+  }
+
   /** [[minhashPairs]] over a PRECOMPUTED signature-set table
     * ([[setsOfShingles]] output, possibly checkpointed/persisted): the
     * entry point for compositions that band the same side more than once
@@ -173,13 +189,7 @@ object DedupOps {
     * not once per banding. */
   def minhashPairsOfSets(docSets: DataFrame, nPerms: Int, rowsPerBand: Int,
                          threshold: Double): DataFrame = {
-    graft.functions.MinHashBandSigs.register(docSets.sparkSession)
-    // band signature strings from the array, per row: one native single-pass
-    // expression for all nPerms permutations (graft.functions.MinHashBandSigs)
-    // instead of nPerms interpreted transform+array_min lambda walks
-    val bands = docSets
-      .selectExpr("doc_id",
-        s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
+    val bands = bandKeysOfSets(docSets, nPerms, rowsPerBand)
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -261,14 +271,26 @@ object DedupOps {
     * within-side bandings so each corpus is shingled once. */
   def crossNearPairsOfSets(bSets: DataFrame, dSets: DataFrame,
                            nPerms: Int, rowsPerBand: Int,
-                           threshold: Double): DataFrame = {
-    graft.functions.MinHashBandSigs.register(bSets.sparkSession)
-    def bandKeys(sets: DataFrame): DataFrame =
-      sets.selectExpr("doc_id",
-        s"posexplode(minhash_band_sigs(hs, $nPerms, $rowsPerBand)) AS (band, sig)")
+                           threshold: Double): DataFrame =
+    crossNearPairsFromIndex(bandKeysOfSets(bSets, nPerms, rowsPerBand),
+      bSets, dSets, nPerms, rowsPerBand, threshold)
 
-    val cand = bandKeys(dSets).alias("d")
-      .join(bandKeys(bSets).alias("b"),
+  /** [[crossNearPairsOfSets]] with the base side's band keys supplied as a
+    * PRECOMPUTED banded index ([[bandKeysOfSets]] output, persisted by
+    * [[graft.queries.ClusterState.baseStatePaths]]): the per-delivery probe
+    * shape. Only the DELIVERY side derives band signatures at run time;
+    * the base index and the base set table (still needed to fetch matched
+    * docs' shingle sets for the exact-Jaccard verify) are consumed as
+    * stored rows — so per-delivery compute scales with the delivery, and
+    * the corpus-sized inputs cost one scan each, no signature math. At
+    * any sane delivery size the delivery band keys broadcast, making the
+    * candidate probe a shuffle-free scan of the stored index. */
+  def crossNearPairsFromIndex(bBands: DataFrame, bSets: DataFrame,
+                              dSets: DataFrame,
+                              nPerms: Int, rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
+    val cand = bandKeysOfSets(dSets, nPerms, rowsPerBand).alias("d")
+      .join(bBands.alias("b"),
         col("d.band") === col("b.band") && col("d.sig") === col("b.sig"))
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("base_id"))
       .distinct()

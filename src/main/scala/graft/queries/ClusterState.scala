@@ -30,6 +30,14 @@ import graft.sources.Tables
  */
 object ClusterState {
 
+  /** Delivery modulus shared by [[PipelineQueries.dedupClustersPersist]]'s
+    * split filter, its [[baseStatePaths]] call, and [[graft.Bench]]'s
+    * untimed state prime. One constant on purpose: if these drifted apart
+    * the prime would silently stop covering the query and the one-time
+    * base resolution would land inside timed rep 0 — exactly the
+    * distortion the prime exists to prevent, with no error raised. */
+  val PersistDeliveryMod = 50
+
   /** Process-local fast path: state roots already verified on disk. */
   private val ready = scala.collection.mutable.Set[String]()
 
@@ -68,20 +76,30 @@ object ClusterState {
       (assignP, pairsP)
     }
 
-  /** Absolute parquet paths of (base assignment, base signature index) for
-    * `dir`'s base split (doc_id % `mod` != 0; the complementary
-    * doc_id % `mod` = 0 slice is the delivery), computing and persisting
-    * them on first use. `mod` sizes the delivery relative to the corpus:
-    * the dedup_clusters_delta family's self-contained split uses 5 (20%
-    * delivery), while dedup_clusters_persist uses 50 (2% — a realistic
-    * per-delivery fraction for a long-lived corpus, making the
-    * delivery-sized cost claim visible in the bench). */
-  def baseStatePaths(spark: SparkSession, dir: String, mod: Int = 5): (String, String) =
+  /** Absolute parquet paths of (base assignment, base signature-set index,
+    * base BANDED index) for `dir`'s base split (doc_id % `mod` != 0; the
+    * complementary doc_id % `mod` = 0 slice is the delivery), computing and
+    * persisting them on first use. `mod` sizes the delivery relative to the
+    * corpus: the dedup_clusters_delta family's self-contained split uses 5
+    * (20% delivery), while dedup_clusters_persist uses
+    * [[PersistDeliveryMod]] (2% — a realistic per-delivery fraction for a
+    * long-lived corpus, making the delivery-sized cost claim visible in
+    * the bench). The banded index ([[DedupOps.bandKeysOfSets]], band_key →
+    * doc_id) is persisted ALONGSIDE the raw sets: deriving it from the
+    * sets at probe time costs O(corpus × shingles × perms) signature math
+    * per delivery — the r8 gate artifact priced that tax at the full
+    * from-scratch resolution (persist 2.339 s vs dedup_clusters 2.341 s),
+    * defeating the row's purpose. */
+  def baseStatePaths(spark: SparkSession, dir: String,
+                     mod: Int = 5): (String, String, String) =
     synchronized {
       val root = stateRoot(dir)
       val assignP = new File(root, s"base_assign_m$mod").getAbsolutePath
       val setsP = new File(root, s"base_sets_m$mod").getAbsolutePath
-      val done = new File(root, s"_DONE_m$mod")
+      val bandsP = new File(root, s"base_bands_m$mod").getAbsolutePath
+      // marker versioned for the state layout: a pre-banded-index _DONE
+      // must not satisfy a reader that now expects the bands table
+      val done = new File(root, s"_DONE_m${mod}_banded")
       if (!ready.contains(done.getAbsolutePath)) {
         if (!done.exists()) {
           val base = Tables.documents(spark, dir)
@@ -94,10 +112,12 @@ object ClusterState {
           val baseAssign = PipelineQueries.attachSingletons(base, baseCc)
           baseAssign.write.mode("overwrite").parquet(assignP)
           bSets.write.mode("overwrite").parquet(setsP)
+          DedupOps.bandKeysOfSets(bSets, 16, 4)
+            .write.mode("overwrite").parquet(bandsP)
           done.createNewFile()
         }
         ready += done.getAbsolutePath
       }
-      (assignP, setsP)
+      (assignP, setsP, bandsP)
     }
 }

@@ -411,14 +411,17 @@ object PipelineQueries {
 
   /** [[dedupClustersDelta]] with the base state READ FROM PARQUET — the
     * production run shape, and the query that makes the incremental cost
-    * claim MEASURABLE. [[ClusterState]] persists the base assignment and
-    * signature index once (an untimed setup stage, the "previous run" of
-    * the pipeline); the work HERE — what the bench times after its warmup
-    * rep triggers the setup — is one parquet read of the persisted pair
-    * plus the delivery fold: delivery shingling, within-delivery banding,
-    * the asymmetric cross band join, star CC over a delivery-sized delta
-    * graph, and the relabel join ([[ClusterOps.incrementalClusters]]).
-    * The base corpus is never re-shingled, re-banded, or re-resolved —
+    * claim MEASURABLE. [[ClusterState]] persists the base assignment, the
+    * signature-set index AND the banded index once (an untimed setup
+    * stage, the "previous run" of the pipeline); the work HERE — what the
+    * bench times after its warmup rep triggers the setup — is a parquet
+    * read of the persisted triple plus the delivery fold: delivery
+    * shingling, within-delivery banding, the asymmetric probe of the
+    * STORED banded index ([[DedupOps.crossNearPairsFromIndex]] — no
+    * signature math over the base, the r8 defect that priced this row at
+    * full-resolution cost), star CC over a delivery-sized delta graph,
+    * and the relabel join ([[ClusterOps.incrementalClusters]]). The base
+    * corpus is never re-shingled, re-signed, re-banded, or re-resolved —
     * so this entry's bench time is the per-delivery cost a 100 TB corpus
     * actually pays, while `dedup_clusters_delta` (self-contained contract)
     * keeps proving the algebra. Verified against the SAME full-corpus
@@ -429,14 +432,16 @@ object PipelineQueries {
     // prices what a delivery actually costs — the oracle is invariant to
     // the split (any base/delivery partition reproduces the full pair
     // set), only the measured fraction changes
-    val (assignP, setsP) = ClusterState.baseStatePaths(spark, dir, mod = 50)
+    val mod = ClusterState.PersistDeliveryMod
+    val (assignP, setsP, bandsP) = ClusterState.baseStatePaths(spark, dir, mod)
     val baseAssign = spark.read.parquet(assignP)
     val bSets = spark.read.parquet(setsP)
-    val delivery = Tables.documents(spark, dir).filter(expr("doc_id % 50 = 0"))
+    val bBands = spark.read.parquet(bandsP)
+    val delivery = Tables.documents(spark, dir).filter(expr(s"doc_id % $mod = 0"))
     val dSets = DedupOps.setsOfShingles(
       DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
     val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
-    val dbPairs = DedupOps.crossNearPairsOfSets(bSets, dSets, 16, 4, 0.5)
+    val dbPairs = DedupOps.crossNearPairsFromIndex(bBands, bSets, dSets, 16, 4, 0.5)
     withClusterFacts(ClusterOps.incrementalClusters(
       baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
   }

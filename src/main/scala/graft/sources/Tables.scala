@@ -58,9 +58,18 @@ object Tables {
     val f = new java.io.File(s"$dir/events.parquet")
     val key = s"$dir#${f.length()}_${f.lastModified()}"
     tsTypeCache.computeIfAbsent(key, _ =>
-      scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
-        .toOption
-        .filter(t => t == TimestampType || t == TimestampNTZType))
+      try {
+        Option(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+          .filter(t => t == TimestampType || t == TimestampNTZType)
+      } catch {
+        // ONLY the expected legacy-encoding rejection (schema conversion
+        // refusing INT64 TIMESTAMP(NANOS), surfaced as AnalysisException /
+        // PARQUET_TYPE_ILLEGAL) selects the raw-nanos path. Anything else
+        // (IO failure, interrupt) propagates instead of being cached as
+        // "legacy" for the process lifetime — a transient probe error on a
+        // MICROS file must not silently pin the wrong decode.
+        case _: org.apache.spark.sql.AnalysisException => None
+      })
   }
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[DataType]]()

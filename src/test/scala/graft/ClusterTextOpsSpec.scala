@@ -24,7 +24,8 @@ class ClusterTextOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("star-contraction CC equals propagation CC on random graphs") {
+  test("star-contraction CC equals propagation CC on random graphs — " +
+      "local fast path AND distributed rounds") {
     val rnd = new scala.util.Random(17)
     for (trial <- 0 until 3) {
       val n = 30 + trial * 10
@@ -33,9 +34,16 @@ class ClusterTextOpsSpec extends SparkSpec {
       }.filter { case (a, b) => a != b }.toDF("a", "b")
       val prop = ClusterOps.connectedComponents(pairs, "a", "b")
         .as[(Long, Long)].collect().toSet
-      val star = ClusterOps.connectedComponentsStar(pairs, "a", "b")
+      // default: every test-sized graph takes the driver-local union-find
+      val local = ClusterOps.connectedComponentsStar(pairs, "a", "b")
         .as[(Long, Long)].collect().toSet
-      assert(star == prop, s"trial $trial: star and propagation CC differ")
+      // localMaxEdges = 0 forces the distributed large/small-star rounds,
+      // keeping them covered now that the local path owns small graphs
+      val dist = ClusterOps.connectedComponentsStar(pairs, "a", "b",
+          localMaxEdges = 0)
+        .as[(Long, Long)].collect().toSet
+      assert(local == prop, s"trial $trial: local star and propagation differ")
+      assert(dist == prop, s"trial $trial: distributed star and propagation differ")
     }
   }
 
@@ -43,12 +51,15 @@ class ClusterTextOpsSpec extends SparkSpec {
     // a 64-hop path: diameter 64, so min-label propagation needs ~64
     // rounds and fails fast at maxIter=10; star contraction is
     // diameter-independent (O(log^2 n) rounds) and labels the whole
-    // chain by its minimum inside the same budget
+    // chain by its minimum inside the same budget — forced onto the
+    // DISTRIBUTED rounds (localMaxEdges = 0), since the diameter argument
+    // is about the round recurrence, not the trivial local path
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
       ClusterOps.connectedComponents(chain, "a", "b", maxIter = 10).collect()
     }
-    val got = ClusterOps.connectedComponentsStar(chain, "a", "b", maxIter = 10)
+    val got = ClusterOps.connectedComponentsStar(chain, "a", "b", maxIter = 10,
+        localMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(got == (0L to 64L).map(_ -> 0L).toMap)
   }
