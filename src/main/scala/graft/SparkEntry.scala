@@ -103,6 +103,7 @@ object SparkEntry {
     "dedup_clusters_persist" -> (PipelineQueries.dedupClustersPersist _),
     // chunk → feature-hash embed → cosine top-k → offsets mapped back
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
+    "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs
     "dedup_clusters_takedown" -> (PipelineQueries.dedupClustersTakedown _),

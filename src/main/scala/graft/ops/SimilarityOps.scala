@@ -242,7 +242,17 @@ object SimilarityOps {
   private def pqCodebook(emb: DataFrame, dim: Int, nSub: Int,
                          subDim: Int): Seq[(Int, Seq[(Long, Seq[Long])])] = {
     require(nSub * subDim == dim)
-    val key = s"$dim|$nSub|$subDim|${emb.queryExecution.analyzed.canonicalized}" +
+    pqCodebookQ(quantVecs(emb), nSub, subDim)
+  }
+
+  /** [[pqCodebook]] over a PRE-QUANTIZED (vec_id, qvec BIGINT array) table
+    * — the entry point for vector families that are integer-exact by
+    * construction (the feature-hashed chunk embeddings) rather than
+    * quantized floats. Same deterministic fit, same memoization. */
+  private[graft] def pqCodebookQ(vecs: DataFrame, nSub: Int,
+                          subDim: Int): Seq[(Int, Seq[(Long, Seq[Long])])] = {
+    val emb = vecs
+    val key = s"$nSub|$subDim|${emb.queryExecution.analyzed.canonicalized}" +
       s"|${dataFingerprint(emb)}"
     val cached = codebookCache.get(key)
     if (cached != null) return cached
@@ -258,7 +268,7 @@ object SimilarityOps {
     // long form (vec, subspace, init bucket, subvector) — cached: both the
     // init-centroid pass and the Lloyd reassignment pass aggregate over it,
     // and without the cache each pass re-runs scan+quantize+explode
-    val subRows = quantVecs(emb)
+    val subRows = registered(vecs)
       .selectExpr(Seq("vec_id") ++ subCols: _*)
       .selectExpr("vec_id", s"explode(array($codeExprs)) AS mc")
       .selectExpr("vec_id", "mc.m AS m", "mc.code AS code", "mc.sub AS sub")
@@ -315,9 +325,13 @@ object SimilarityOps {
     * the nearest codebook centroid (ties to the lowest id). One narrow
     * codegen'd pass over the corpus: no shuffle, no row expansion. */
   def pqCodes(emb: DataFrame, dim: Int, nSub: Int, subDim: Int): DataFrame =
-    pqCodesWith(emb, pqCodebook(emb, dim, nSub, subDim), subDim)
+    pqCodesWith(quantVecs(emb), pqCodebook(emb, dim, nSub, subDim), subDim)
 
-  private def pqCodesWith(emb: DataFrame,
+  /** [[pqCodes]] over a pre-quantized (vec_id, qvec) table. */
+  def pqCodesQ(vecs: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    pqCodesWith(vecs, pqCodebookQ(vecs, nSub, subDim), subDim)
+
+  private def pqCodesWith(vecs: DataFrame,
                           codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                           subDim: Int): DataFrame = {
     // one native pq_dists call per row (the codebook rides into codegen as
@@ -329,14 +343,14 @@ object SimilarityOps {
     // Catalyst keeps the pd-producing project separate (CollapseProject
     // refuses to inline a non-cheap expression referenced 3× per column),
     // so the distance fold runs once per row.
-    graft.functions.PqDists.register(emb.sparkSession, centArray(codebook), subDim)
+    graft.functions.PqDists.register(vecs.sparkSession, centArray(codebook), subDim)
     val codeCols = codebook.map { case (m, cents) =>
       val ids = cents.map(_._1).map(c => s"${c}L").mkString("array(", ",", ")")
       // array_position takes the FIRST minimum → ties to lowest code id
       s"element_at($ids, CAST(array_position(element_at(pd, ${m + 1}), " +
         s"array_min(element_at(pd, ${m + 1}))) AS INT)) AS code_$m"
     }
-    quantVecs(emb)
+    vecs
       .selectExpr("vec_id", "pq_dists(qvec) AS pd")
       .selectExpr(Seq("vec_id") ++ codeCols: _*)
   }
@@ -350,32 +364,39 @@ object SimilarityOps {
     * q_id, c_id, adc (exact quantized squared-L2 approximation), rn. */
   def pqTopK(emb: DataFrame, dim: Int, nSub: Int, subDim: Int,
              queryPred: String, k: Int): DataFrame =
-    pqTopKWith(emb, pqCodebook(emb, dim, nSub, subDim), nSub, subDim,
+    pqTopKWith(quantVecs(emb), pqCodebook(emb, dim, nSub, subDim), nSub, subDim,
       queryPred, k)
 
-  private def pqTopKWith(emb: DataFrame,
+  /** `excludeExpr` (over q_id, c_id) drops forbidden query/candidate pairs
+    * BEFORE ranking — identity by default; chunk retrieval passes a
+    * same-document predicate so a query never retrieves its own doc. */
+  private[graft] def pqTopKWith(vecs: DataFrame,
                          codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                          nSub: Int, subDim: Int,
-                         queryPred: String, k: Int): DataFrame = {
-    graft.functions.PqDists.register(emb.sparkSession, centArray(codebook), subDim)
+                         queryPred: String, k: Int,
+                         excludeExpr: String = "q_id <> c_id"): DataFrame = {
+    graft.functions.PqDists.register(vecs.sparkSession, centArray(codebook), subDim)
     val lutCols = codebook.map { case (m, _) =>
       s"element_at(pd, ${m + 1}) AS lut_$m"
     }
     // code id → LUT slot (codes are the surviving init buckets, not 0..15)
+    // as a flat literal CASE, NOT element_at(map(...)): the map literal is
+    // re-CONSTRUCTED per evaluated row, and the ADC scan evaluates this
+    // once per (candidate × query) — bulk retrieval (chunk_topk_pq,
+    // ~2.5M pairs at sf0.1) spent most of its probe time allocating maps
     val slotOf = codebook.map { case (m, cents) =>
-      val pairs = cents.zipWithIndex
-        .map { case ((code, _), ix) => s"${code}L, ${ix + 1}" }.mkString(", ")
-      s"element_at(map($pairs), code_$m)"
+      val whens = cents.zipWithIndex
+        .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
+      s"CASE code_$m $whens END"
     }
-    val queries = quantVecs(emb)
-      .join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    val queries = vecs.filter(expr(queryPred))
       .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
       .selectExpr(Seq("q_id") ++ lutCols: _*)
     val adc = (0 until nSub)
       .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
-    pqCodesWith(emb, codebook, subDim).crossJoin(broadcast(queries))
-      .filter(col("q_id") =!= col("vec_id"))
+    pqCodesWith(vecs, codebook, subDim).crossJoin(broadcast(queries))
       .selectExpr("q_id", "vec_id AS c_id", s"$adc AS adc")
+      .filter(expr(excludeExpr))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= k)
@@ -390,7 +411,7 @@ object SimilarityOps {
     * ingest path. */
   def pqCodesStreaming(stream: DataFrame, trainedOn: DataFrame, dim: Int,
                        nSub: Int, subDim: Int): DataFrame =
-    pqCodesWith(stream, pqCodebook(trainedOn, dim, nSub, subDim), subDim)
+    pqCodesWith(quantVecs(stream), pqCodebook(trainedOn, dim, nSub, subDim), subDim)
 
   /** PQ search with exact re-rank — the production shape: the ADC pass
     * shortlists `shortlist` candidates per query from codes alone, then
@@ -400,14 +421,46 @@ object SimilarityOps {
     * shortlist restores it while still scoring a small constant per query
     * instead of the corpus. Output: q_id, c_id, l2 (exact), rn. */
   def pqTopKRerank(emb: DataFrame, dim: Int, nSub: Int, subDim: Int,
-                   queryPred: String, k: Int, shortlist: Int): DataFrame = {
-    val short = pqTopKWith(emb, pqCodebook(emb, dim, nSub, subDim), nSub,
-        subDim, queryPred, shortlist)
+                   queryPred: String, k: Int, shortlist: Int): DataFrame =
+    pqTopKRerankWith(quantVecs(emb), pqCodebook(emb, dim, nSub, subDim),
+      nSub, subDim, queryPred, k, shortlist)
+
+  /** [[pqTopKRerank]] over a pre-quantized (vec_id, qvec) table — the bulk
+    * retrieval entry for integer-exact vector families (feature-hashed
+    * chunk embeddings). `excludeExpr` (over q_id, c_id) scopes which
+    * candidates a query may retrieve — chunk retrieval excludes the
+    * query's own document.
+    *
+    * `fitOn` splits MODEL identity from probe materialization: the
+    * codebook is fitted (and memoized) against `fitOn`'s plan while the
+    * encode/ADC/re-rank passes run over `vecs`. Pass the deterministic
+    * un-checkpointed plan as `fitOn` and a checkpointed copy of the SAME
+    * data as `vecs`: the checkpoint stops the vector-construction chain
+    * being re-evaluated once per consumer (codes, query LUTs, both
+    * re-rank sides), while the memo key stays stable across invocations —
+    * a checkpoint RDD id in the key would silently re-train per run. This
+    * is the production split: the codebook comes from the train job, the
+    * probes read stored vectors. */
+  def pqTopKRerankQ(vecs: DataFrame, nSub: Int, subDim: Int,
+                    queryPred: String, k: Int, shortlist: Int,
+                    excludeExpr: String = "q_id <> c_id",
+                    fitOn: Option[DataFrame] = None): DataFrame =
+    pqTopKRerankWith(vecs, pqCodebookQ(fitOn.getOrElse(vecs), nSub, subDim),
+      nSub, subDim, queryPred, k, shortlist, excludeExpr)
+
+  private def pqTopKRerankWith(vecs: DataFrame,
+                               codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
+                               nSub: Int, subDim: Int, queryPred: String,
+                               k: Int, shortlist: Int,
+                               excludeExpr: String = "q_id <> c_id"): DataFrame = {
+    val short = pqTopKWith(vecs, codebook, nSub, subDim, queryPred, shortlist,
+        excludeExpr)
       .select("q_id", "c_id")
-    val vecs = quantVecs(emb)
+    val nv = registered(vecs)
+      .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2")
     short
-      .join(vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc"), "c_id")
-      .join(broadcast(vecs.selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")), "q_id")
+      .join(nv.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc"), "c_id")
+      .join(broadcast(nv.selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")), "q_id")
       .selectExpr("q_id", "c_id", "nq + nc - 2 * ldot(qq, qc) AS l2")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("c_id").asc)).cast("long"))

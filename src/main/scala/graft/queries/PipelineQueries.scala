@@ -633,26 +633,49 @@ object PipelineQueries {
     * with the native `ldot` primitive; the only exchange is the per-query
     * top-k rank. Zero-norm chunks (signs fully cancelled) are excluded
     * from both sides — cosine is undefined for them. */
+  /** Raise `df`'s partition count to the session's default parallelism
+    * BEFORE a localCheckpoint that feeds a fan-out scoring stage
+    * (broadcast join + per-partition top-k). A chunk table derived
+    * narrowly from a single-split parquet scan materializes as ONE
+    * checkpoint partition, serializing every downstream pair-scoring loop
+    * on one core; corpora already split across ≥ parallelism partitions
+    * pass through untouched, so at 100 TB this is a no-op, not an extra
+    * corpus shuffle. */
+  private def withMinParallelism(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  /** Token-hash array expression over a chunk's token array `cw` — the
+    * shared front half of the feature-hash chunk embedding
+    * ([[chunkTopK]], [[chunkTopKPq]]). */
+  private def chunkHvExpr: String = s"transform(cw, t -> ${DedupOps.md5Long("t")})"
+
+  /** SINGLE-PASS bucket-sum over the token hashes `hv` building the whole
+    * dim-vector: one fold, NOT a per-dimension aggregate. The
+    * per-dimension form re-evaluated `hv` (64 md5s) once per dimension
+    * after CollapseProject inlined it — 2048 md5s per chunk, and the r8
+    * bench measured 27 s for what is an 8k-vector problem. Same output
+    * exactly: per-bucket ±1 sums over tokens in token order (integer
+    * addition, commutative — the DuckDB oracle groups by bucket). */
+  private def chunkFoldExpr(dim: Int): String =
+    s"aggregate(hv, array_repeat(0L, $dim), (acc, h) -> " +
+      s"transform(acc, (v, j) -> v + IF(h % $dim = CAST(j AS BIGINT), " +
+      "IF(shiftright(h, 40) & 1 = 1, 1L, -1L), 0L)))"
+
   def chunkTopK(spark: SparkSession, dir: String, dim: Int = 32,
                 k: Int = 3): DataFrame = {
     graft.functions.QuantizedDot.register(spark)
-    val hv = s"transform(cw, t -> ${DedupOps.md5Long("t")})"
-    // SINGLE-PASS bucket-sum: one fold over the token hashes building the
-    // whole dim-vector, NOT a per-dimension aggregate. The per-dimension
-    // form re-evaluated `hv` (64 md5s) once per dimension after
-    // CollapseProject inlined it — 2048 md5s per chunk, and the r8 bench
-    // measured 27 s for what is an 8k-vector problem. Same output exactly:
-    // per-bucket ±1 sums over tokens in token order (integer addition,
-    // commutative — the DuckDB oracle groups by bucket).
-    val comp = s"aggregate(hv, array_repeat(0L, $dim), (acc, h) -> " +
-      s"transform(acc, (v, j) -> v + IF(h % $dim = CAST(j AS BIGINT), " +
-      "IF(shiftright(h, 40) & 1 = 1, 1L, -1L), 0L)))"
+    val hv = chunkHvExpr
+    val comp = chunkFoldExpr(dim)
     // two localCheckpoints, both of chunk-count-sized tables (tiny next to
     // the corpus text): the first pins the md5 token hashes so the
     // norm/filter consumers re-fold cheap integers instead of re-hashing,
     // the second stops the whole embedding chain from being re-evaluated
     // by BOTH join sides
-    val hashed = docChunksTok(spark, dir)
+    // parallelism raised BEFORE the hash projection so the md5 work is
+    // distributed, not single-task upstream of the exchange
+    val hashed = withMinParallelism(docChunksTok(spark, dir))
       .selectExpr("doc_id", "chunk_idx", "tok_start", s"$hv AS hv")
       .localCheckpoint()
     val vecs = hashed
@@ -678,6 +701,71 @@ object PipelineQueries {
           .orderBy(col("cos").desc, col("c_doc").asc, col("c_chunk").asc)).cast("long"))
       .filter(col("rn") <= k)
       .select("q_doc", "q_chunk", "c_doc", "c_chunk", "c_tok_start", "cos", "rn")
+  }
+
+  /** Chunk-id packing for the PQ retrieval path: a chunk is addressed as
+    * ONE BIGINT `vec_id = doc_id · 2^16 + chunk_idx`, so the whole PQ
+    * stack (codebook fit, encode, ADC, re-rank — all keyed by a single
+    * vector id) applies unchanged and the hit set maps back to
+    * (doc_id, chunk_idx, token offset) by div/mod. 2^16 chunk slots per
+    * doc = docs up to ~3.1M tokens at the default 48-token stride —
+    * far past this corpus' documents; a corpus of book-length docs would
+    * widen the packing constant. */
+  val ChunkIdMod: Long = 1L << 16
+
+  /** BULK chunk retrieval via product quantization — the scale path
+    * [[chunkTopK]]'s scaladoc defers to, composed end-to-end:
+    * [[docChunksTok]] → feature-hash chunk embeddings (identical fold to
+    * chunkTopK) → PQ codebook fit on the chunk corpus → ADC shortlist →
+    * exact integer-L2 re-rank ([[SimilarityOps.pqTopKRerankQ]]) → hits
+    * mapped back to (doc_id, chunk_idx, token offset). Queries are every
+    * chunk of every 25th document (5× chunk_topk's batch): per-query cost
+    * is nSub=8 LUT lookups per candidate code row instead of a
+    * dim-length dot per corpus vector — the shape that lets a RAG index
+    * answer retrieval over a 100 TB chunk corpus from codes (≤ 8 small
+    * ints per chunk) rather than full vectors.
+    *
+    * Scale notes: the chunk-vector plan is deliberately NOT checkpointed —
+    * it stays a deterministic expression chain over the parquet scan, so
+    * the memoized codebook (keyed by canonicalized plan + file
+    * fingerprint) fits ONCE per corpus and every later invocation is
+    * probe-only, the train-once/probe-many economics of a real PQ index;
+    * a production deployment would persist the codes table the same way
+    * [[ClusterState]] persists the banded minhash index. Exclusion is by
+    * DOCUMENT (a query never retrieves its own doc's chunks), matching
+    * chunk_topk. Exact re-rank of the 32-candidate shortlist makes the
+    * result oracle-statable: the DuckDB oracle restates fit, encode, ADC
+    * and re-rank in exact integer arithmetic, like pq_topk_rr. */
+  def chunkTopKPq(spark: SparkSession, dir: String, dim: Int = 32,
+                  k: Int = 3, shortlist: Int = 32): DataFrame = {
+    graft.functions.QuantizedDot.register(spark)
+    // parallelism raised BEFORE the hash+fold projections (the expensive
+    // per-chunk work) so they run distributed even off a one-split scan;
+    // the repartition is part of the fitOn plan too, which is fine — the
+    // codebook memo needs the plan STABLE across invocations, not minimal
+    val vecsPlan = withMinParallelism(docChunksTok(spark, dir))
+      .selectExpr(s"doc_id * $ChunkIdMod + chunk_idx AS vec_id",
+        s"$chunkHvExpr AS hv")
+      .selectExpr("vec_id", s"${chunkFoldExpr(dim)} AS qvec")
+    // codebook fitted on the DETERMINISTIC plan (memo hit across runs =
+    // train-once); probes run over one checkpointed materialization so
+    // the tokenize→hash→fold chain executes once, not once per consumer.
+    // The checkpoint keeps the raised partitioning, so the ADC loop and
+    // the partial top-k sort run across all cores — off a one-split scan
+    // without it, the whole probe serialized on one task (measured 5 s
+    // vs ~0.5 s at sf0.1)
+    val vecs = vecsPlan.localCheckpoint()
+    SimilarityOps.pqTopKRerankQ(vecs, nSub = 8, subDim = dim / 8,
+        queryPred = s"(vec_id div $ChunkIdMod) % 25 = 0", k = k,
+        shortlist = shortlist,
+        excludeExpr = s"q_id div $ChunkIdMod <> c_id div $ChunkIdMod",
+        fitOn = Some(vecsPlan))
+      .selectExpr(
+        s"q_id div $ChunkIdMod AS q_doc", s"q_id % $ChunkIdMod AS q_chunk",
+        s"c_id div $ChunkIdMod AS c_doc", s"c_id % $ChunkIdMod AS c_chunk",
+        // tok_start = chunk_idx·stride + 1 (docChunksTok's start sequence)
+        s"(c_id % $ChunkIdMod) * 48 + 1 AS c_tok_start",
+        "l2", "rn")
   }
 
   /** Default seqPack shard count — the value both the query entry and its
@@ -1557,6 +1645,47 @@ object PipelineOracles {
       |                               ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS rn
       |  FROM sc) WHERE rn <= 3""".stripMargin
 
+  /** Bulk chunk retrieval via PQ: the [[chunkTopK]] tokenize→chunk→
+    * feature-hash front half (dense 32-dim integer vectors, ids packed as
+    * doc_id·2^16+chunk_idx), then the SAME fit→encode→ADC→re-rank chain
+    * as [[pqTopKRerank]] at 8×4 geometry, with same-document exclusion
+    * and the hit set unpacked to (doc, chunk, token offset). */
+  val chunkTopKPq: String = {
+    val M = PipelineQueries.ChunkIdMod
+    s"""WITH tt AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |ss AS (SELECT doc_id, w, len(w) AS n FROM tt WHERE len(w) > 0),
+      |cc AS (SELECT doc_id, w, n, unnest(generate_series(1, n, 48)) AS st FROM ss),
+      |chk AS (SELECT doc_id * $M + CAST((st - 1) // 48 AS BIGINT) AS id, w[st:st+63] AS cw FROM cc),
+      |tok AS (SELECT id, unnest(cw) AS tk FROM chk),
+      |hh AS (SELECT id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok),
+      |comp AS (SELECT id, h % 32 AS b, SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS vv
+      |         FROM hh GROUP BY 1, 2),
+      |v AS (SELECT cid.id, p.p AS pos, CAST(COALESCE(comp.vv, 0) AS BIGINT) AS v
+      |      FROM (SELECT DISTINCT id FROM chk) cid CROSS JOIN generate_series(1, 32) p(p)
+      |      LEFT JOIN comp ON comp.id = cid.id AND comp.b = p.p - 1),
+      |${pqChain(8, 4)},
+      |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE (id // $M) % 25 = 0),
+      |adc AS (SELECT qd.q_id, kk.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+      |        FROM codes kk JOIN qd ON qd.m = kk.m AND qd.code = kk.code
+      |                             AND kk.id // $M <> qd.q_id // $M
+      |        GROUP BY 1, 2),
+      |short AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
+      |    FROM adc) WHERE rn <= 32),
+      |ex AS (SELECT sh.q_id, sh.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
+      |       FROM short sh JOIN v a ON a.id = sh.q_id
+      |       JOIN v b ON b.id = sh.c_id AND b.pos = a.pos
+      |       GROUP BY 1, 2)
+      |SELECT q_id // $M AS q_doc, q_id % $M AS q_chunk,
+      |       c_id // $M AS c_doc, c_id % $M AS c_chunk,
+      |       (c_id % $M) * 48 + 1 AS c_tok_start, l2, rn
+      |FROM (SELECT q_id, c_id, l2,
+      |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS BIGINT) AS rn
+      |      FROM ex)
+      |WHERE rn <= 3""".stripMargin
+  }
+
   val seqPack: String =
     s"""WITH t AS (SELECT doc_id, doc_id % ${PipelineQueries.SeqPackShards} AS shard,
       |                  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
@@ -1644,11 +1773,21 @@ object PipelineOracles {
   private val pqBase: String =
     """v AS (SELECT vec_id AS id, p.p AS pos,
       |             CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
-      |      FROM embeddings CROSS JOIN generate_series(1, 64) p(p)),
-      |sub AS (SELECT id, (pos - 1) // 8 AS m, (pos - 1) % 8 + 1 AS d, v FROM v),
+      |      FROM embeddings CROSS JOIN generate_series(1, 64) p(p)),""".stripMargin +
+      "\n" + pqChain(8, 8)
+
+  /** The source-independent tail of the PQ restatement: consumes a dense
+    * long-form `v(id, pos, v)` CTE and chains subspace split → md5
+    * hyperplanes → sign-LSH init → floored-mean centroids → one Lloyd
+    * refinement → exact per-(vec, subspace, centroid) distances →
+    * nearest-centroid codes, for any (nSub, subDim) geometry. Shared by
+    * the embeddings PQ oracles (8×8 over 64 dims) and the chunk-corpus
+    * retrieval oracle (8×4 over 32 feature-hash dims). */
+  private def pqChain(nSub: Int, subDim: Int): String =
+    s"""sub AS (SELECT id, (pos - 1) // $subDim AS m, (pos - 1) % $subDim + 1 AS d, v FROM v),
       |w AS (SELECT j.j AS j, p.p AS d,
       |             CAST(('0x' || substr(md5(j.j || '_' || p.p), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
-      |      FROM generate_series(0, 31) j(j) CROSS JOIN generate_series(1, 8) p(p)),
+      |      FROM generate_series(0, ${nSub * 4 - 1}) j(j) CROSS JOIN generate_series(1, $subDim) p(p)),
       |dots AS (SELECT s.id, s.m, w.j, SUM(s.v * w.wt) AS dot
       |         FROM sub s JOIN w ON w.j // 4 = s.m AND w.d = s.d GROUP BY 1, 2, 3),
       |ic AS (SELECT id, m,
@@ -1927,6 +2066,7 @@ object PipelineOracles {
     // persisted-base incremental fold must ALSO reproduce them
     "dedup_clusters_persist" -> dedupClusters,
     "chunk_topk" -> chunkTopK,
+    "chunk_topk_pq" -> chunkTopKPq,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

@@ -218,6 +218,37 @@ class SamplingSpanSpec extends SparkSpec {
     assert(rrRecall >= 0.6, s"re-ranked PQ recall $rrRecall too low")
   }
 
+  test("chunk PQ retrieval: offsets map back, own doc excluded, shortlist recall") {
+    import graft.queries.PipelineQueries
+    val hits = PipelineQueries.chunkTopKPq(spark, sf0001).collect()
+    assert(hits.nonEmpty)
+    // rank + exclusion contract: ≤3 hits per query chunk, rn 1-based,
+    // never a chunk of the query's own document
+    assert(hits.forall(r => r.getLong(6) >= 1 && r.getLong(6) <= 3))
+    assert(hits.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(hits.groupBy(r => (r.getLong(0), r.getLong(1))).forall(_._2.length <= 3))
+    // the unpacked (c_doc, c_chunk, c_tok_start) must be a REAL chunk with
+    // the REAL offset — the end-to-end claim that retrieval hits map back
+    // into documents
+    val chunks = PipelineQueries.docChunksTok(spark, sf0001)
+      .select("doc_id", "chunk_idx", "tok_start")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits.forall(r =>
+      chunks.contains((r.getLong(2), r.getLong(3), r.getLong(4)))))
+    // shortlist recall: with the shortlist wider than the corpus the ADC
+    // stage passes everything and the re-rank IS exhaustive exact L2 —
+    // the production shortlist must recover most of that truth
+    def pairs(shortlist: Int) =
+      PipelineQueries.chunkTopKPq(spark, sf0001, shortlist = shortlist)
+        .select("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = pairs(1 << 20)
+    val got = pairs(32)
+    assert(got == pairs(32), "retrieval must be run-deterministic")
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"shortlisted PQ chunk recall $recall too low")
+  }
+
   test("PQ streaming encode matches batch codes (literal codebook is stream-safe)") {
     import graft.ops.SimilarityOps
     val emb = Tables.embeddings(spark, sf0001)
