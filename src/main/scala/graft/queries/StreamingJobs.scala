@@ -168,6 +168,97 @@ object StreamingJobs {
       sink: (DataFrame, DataFrame) => Unit): StreamingQuery =
     runIncrementalClusters(spark, documentsStream(spark, dir))(sink)
 
+  /** Streaming corpus LIFECYCLE maintainer — [[runIncrementalClusters]]
+    * extended with TAKEDOWNS, closing the r8 gap where a long-lived
+    * maintainer had to stop for every removal. `opsStream` is one tagged
+    * CDC-style feed (doc_id, text, op) with op ∈ 'add' | 'remove'
+    * (text is ignored for removes); within a micro-batch adds apply
+    * before removes, so a doc added and removed in the same batch ends
+    * removed — the order a per-doc-serialized feed implies.
+    *
+    * Three tables are maintained and handed to `sink` after every batch —
+    * the assignment, the signature index, and the near-dup PAIR LIST,
+    * which is the extra state takedowns require:
+    * [[graft.ops.ClusterOps.removeFromClusters]] re-resolves exactly the
+    * affected clusters from their surviving edges (removal can SPLIT a
+    * cluster, which the additive quotient fold cannot express), and the
+    * edge list is what scopes that work — the same triple a production
+    * pipeline persists ([[ClusterState.fullStatePaths]] persists the
+    * batch analogue). Removals also retire the doc from the index and the
+    * pair list, so later deliveries never band against ghosts.
+    *
+    * Replay safety: foreachBatch re-delivers only the most recent batch
+    * on recovery, in order; adds are idempotent via the index anti-join
+    * (as in [[runIncrementalClusters]]) and removes are naturally
+    * idempotent (removing an absent doc is a no-op), so a re-delivered
+    * mixed batch folds to the identical state. Scale shape per batch:
+    * add cost is the delivery-sized quotient fold; remove cost scales
+    * with the affected clusters' edges (takedown-batch-sized), never the
+    * corpus. */
+  def runClusterLifecycle(spark: SparkSession, opsStream: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      initialAssign: Option[DataFrame] = None,
+      initialSets: Option[DataFrame] = None,
+      initialPairs: Option[DataFrame] = None)(
+      sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    var sets: DataFrame = initialSets.map(_.localCheckpoint())
+      .getOrElse(graft.ops.DedupOps.setsOfShingles(
+        graft.ops.DedupOps.allShingles(empty(docSchema), "text", k)).localCheckpoint())
+    var assign: DataFrame = initialAssign.map(_.localCheckpoint())
+      .getOrElse(empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id"))
+    var pairs: DataFrame = initialPairs.map(_.localCheckpoint())
+      .getOrElse(empty(StructType(Seq(
+        StructField("doc_a", LongType), StructField("doc_b", LongType)))))
+    opsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-root on the driving session (see runIncrementalClusters)
+        val bAll = spark.createDataFrame(
+          batch.select("doc_id", "text", "op").rdd,
+          StructType(docSchema :+ StructField("op", StringType)))
+          .localCheckpoint()
+        // ADDS: replay-idempotent delivery fold, identical to
+        // runIncrementalClusters, plus pair-list accretion
+        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
+          .join(sets.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val dSets = graft.ops.DedupOps.setsOfShingles(
+          graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
+        val dd = graft.ops.DedupOps.minhashPairsOfSets(
+          dSets, nPerms, rowsPerBand, threshold)
+        val db = graft.ops.DedupOps.crossNearPairsOfSets(
+          sets, dSets, nPerms, rowsPerBand, threshold)
+        assign = graft.ops.ClusterOps.incrementalClusters(
+          assign, d.select("doc_id"), dd, db).localCheckpoint()
+        sets = sets.union(dSets).localCheckpoint()
+        pairs = pairs
+          .union(dd.select("doc_a", "doc_b"))
+          .union(db.selectExpr("doc_id AS doc_a", "base_id AS doc_b"))
+          .localCheckpoint()
+        // REMOVES: affected-cluster re-resolution + state retirement
+        val rem = bAll.filter(col("op") === "remove")
+          .select("doc_id").distinct().localCheckpoint()
+        if (!rem.isEmpty) {
+          assign = graft.ops.ClusterOps.removeFromClusters(
+            assign, pairs, "doc_a", "doc_b", rem).localCheckpoint()
+          sets = sets.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          pairs = pairs
+            .join(rem.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+            .join(rem.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        }
+        sink(assign, sets, pairs)
+      }
+      .start()
+  }
+
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =
     eventsStreamRaw(spark, dir).withWatermark("ts", watermark)

@@ -238,6 +238,60 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lifecycle (adds + takedowns) converges to the surviving-corpus resolution") {
+    // deliveries and takedowns interleave on ONE tagged feed, including a
+    // batch that adds and removes in the same micro-batch (add applies
+    // first, so those docs end removed); the maintained assignment must
+    // equal from-scratch resolution of exactly the SURVIVING docs — the
+    // invariant ClusterOps.removeFromClusters is specified by, here
+    // verified through the whole streaming composition
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    val takedown1 = chunks(0).map(_._1).filter(_ % 10 == 0)
+    // second takedown: earlier-delivery docs AND docs added in the very
+    // same micro-batch
+    val takedown2 = chunks(1).map(_._1).filter(_ % 7 == 0) ++
+      chunks(2).map(_._1).filter(_ % 9 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](64, spark, None)
+    @volatile var lastAssign: Array[(Long, Long)] = Array.empty
+    @volatile var lastSetIds: Array[Long] = Array.empty
+    @volatile var lastPairs: Array[(Long, Long)] = Array.empty
+    val q = StreamingJobs.runClusterLifecycle(
+        spark, in.toDS().toDF("doc_id", "text", "op")) { (assign, sets, pairs) =>
+      lastAssign = assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      lastSetIds = sets.select("doc_id").as[Long].collect()
+      lastPairs = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    }
+    try {
+      def adds(c: Seq[(Long, String)]) = c.map { case (i, t) => (i, t, "add") }
+      def rems(ids: Seq[Long]) = ids.map(i => (i, "", "remove"))
+      in.addData(adds(chunks(0))); q.processAllAvailable()
+      in.addData(adds(chunks(1))); q.processAllAvailable()
+      in.addData(rems(takedown1)); q.processAllAvailable()
+      in.addData(adds(chunks(2)) ++ rems(takedown2)); q.processAllAvailable()
+      // grouped() may leave a remainder chunk — deliver everything
+      chunks.drop(3).foreach { c => in.addData(adds(c)); q.processAllAvailable() }
+
+      val removed = (takedown1 ++ takedown2).toSet
+      val surviving = docs.filterNot(d => removed(d._1))
+      val sdf = surviving.toSeq.toDF("doc_id", "text")
+      val p = graft.ops.DedupOps.minhashPairs(
+        graft.ops.DedupOps.allShingles(sdf, "text", 3), 16, 4, 0.5)
+      val cc = graft.ops.ClusterOps.connectedComponentsStar(p, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val expected = sdf.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+        .as[(Long, Long)].collect().toSet
+      assert(lastAssign.toSet == expected && expected.nonEmpty)
+      // the index holds exactly the survivors; no pair touches a removed doc
+      assert(lastSetIds.toSet == surviving.map(_._1).toSet)
+      assert(lastPairs.forall { case (a, b) => !removed(a) && !removed(b) })
+      assert(lastPairs.nonEmpty)
+    } finally q.stop()
+  }
+
   test("incremental clusters survive a stop/restart through persisted state") {
     // run deliveries 1-2, stop, round-trip the (assignment, index) pair
     // through plain collected rows - a true persistence simulation - and
