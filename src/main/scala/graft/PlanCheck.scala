@@ -78,8 +78,10 @@ object PlanCheck {
     println("\n========== pagerankFixed (constant-size round plan) ==========")
     val prEdges = spark.range(0, 200)
       .selectExpr("id AS src", "(id * 7 + 1) % 200 AS dst")
+    // localMaxEdges = 0 forces the distributed rounds — the small-graph
+    // local path is a single LocalRelation and would pass vacuously
     def prPlanLines(iters: Int): Int =
-      graft.ops.ClusterOps.pagerankFixed(prEdges, iters)
+      graft.ops.ClusterOps.pagerankFixed(prEdges, iters, localMaxEdges = 0)
         .queryExecution.executedPlan.toString.linesIterator.size
     val pr3 = prPlanLines(3)
     val pr9 = prPlanLines(9)

@@ -392,10 +392,43 @@ object ClusterOps {
     * round re-reads and re-deduplicates the raw edges.
     *
     * Input: directed (`src`, `dst`) edge list (deduplicated here).
-    * Output: (id, rank) for every node appearing in any edge. */
-  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    * Output: (id, rank) for every node appearing in any edge.
+    *
+    * SMALL-GRAPH FAST PATH (same discipline as
+    * [[connectedComponentsStar]]'s): when the deduplicated edge count is
+    * at most `localMaxEdges`, the fixed rounds run as a driver-local loop
+    * over the collected edge list — every distributed round costs a fixed
+    * number of job launches (join + aggregate + relabel + checkpoint)
+    * regardless of data volume, a pure scheduling floor when the graph is
+    * thousands of edges (item co-occurrence graphs are bounded by the
+    * catalog, not the event volume). The arithmetic is the identical
+    * exact integer recurrence, so both paths are bit-equal
+    * (parity-specced); the bound is corpus-independent driver memory and
+    * larger graphs take the distributed rounds unchanged. */
+  def pagerankFixed(edges: DataFrame, iters: Int,
+                    localMaxEdges: Long = DefaultLocalMaxEdges): DataFrame = {
     val ed = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (ed.count() <= localMaxEdges) {
+      val es = ed.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      ed.unpersist()
+      val out = es.groupBy(_._1).map { case (s, a) => (s, a.length.toLong) }
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      // ranks stay positive, so Long division IS the floored `div` of the
+      // distributed recurrence — bit-identical rounds
+      var rank = nodes.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val contrib = scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          contrib(d) = contrib.getOrElse(d, 0L) + rank(s) / out(s)
+        }
+        rank = nodes.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100)).toMap
+      }
+      val session = edges.sparkSession
+      import session.implicits._
+      return rank.toSeq.toDF("id", "rank")
+    }
     val out = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = ed.select(col("src").as("id"))

@@ -641,10 +641,8 @@ object PipelineQueries {
     * on one core; corpora already split across ≥ parallelism partitions
     * pass through untouched, so at 100 TB this is a no-op, not an extra
     * corpus shuffle. */
-  private def withMinParallelism(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
+  private def withMinParallelism(df: DataFrame): DataFrame =
+    graft.ops.Parallelism.ensureMin(df)
 
   /** Token-hash array expression over a chunk's token array `cw` — the
     * shared front half of the feature-hash chunk embedding

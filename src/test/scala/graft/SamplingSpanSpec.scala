@@ -124,6 +124,11 @@ class SamplingSpanSpec extends SparkSpec {
     val again = graft.ops.ClusterOps.pagerankFixed(edges, 3)
       .as[(Long, Long)].collect().toMap
     assert(again == got)
+    // the forced DISTRIBUTED rounds (localMaxEdges = 0) must be bit-equal
+    // to the default driver-local loop — the same integer recurrence
+    val dist = graft.ops.ClusterOps.pagerankFixed(edges, 3, localMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
   }
 
   test("containmentPairs finds an excerpt at containment 1.0, directed") {
