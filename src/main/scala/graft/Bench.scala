@@ -12,7 +12,7 @@ object Bench {
     * the next rep's execution (the r6 forensics suspect for the
     * item_pagerank 4–23 s rep spread — checkpoint blocks of a previous
     * rep being evicted mid-measurement). */
-  private def resetState(spark: SparkSession): Unit = {
+  private[graft] def resetState(spark: SparkSession): Unit = {
     try {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default matches Bench's — a forensics probe at a DIFFERENT
+    // parallelism than the row it investigates would misattribute plan
+    // effects to the environment (the driver exports 32 for gate runs;
+    // export the same when reproducing a gate row)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt)
       .getOrElse(3).max(1)
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
@@ -39,8 +43,7 @@ object BenchOne {
       catch { case e: Throwable => System.err.println(s"[bench-one] $name warmup: $e") }
       graft.ops.ClusterOps.CcStats.drain()
       val times = (0 until reps).map { rep =>
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        Bench.resetState(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9

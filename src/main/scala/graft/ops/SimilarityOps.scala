@@ -256,6 +256,15 @@ object SimilarityOps {
       s"|${dataFingerprint(emb)}"
     val cached = codebookCache.get(key)
     if (cached != null) return cached
+    // geometry guard (fit path only — memoized away afterwards): a qvec
+    // whose length ≠ nSub·subDim would be silently TRUNCATED by the
+    // subspace slices, so the ADC shortlist and the exact re-rank would
+    // score different spaces with no error anywhere
+    emb.select(size(col("qvec"))).head(1).foreach { r =>
+      require(r.getInt(0) == nSub * subDim,
+        s"PQ geometry mismatch: qvec has ${r.getInt(0)} dims, " +
+          s"nSub*subDim = ${nSub * subDim}")
+    }
     val ws = planeWeights(nSub * 4, subDim)
     val subCols = (0 until nSub).map(m => s"slice(qvec, ${m * subDim + 1}, $subDim) AS sub_$m")
     val codeExprs = (0 until nSub).map { m =>

@@ -38,6 +38,19 @@ object ClusterState {
     * distortion the prime exists to prevent, with no error raised. */
   val PersistDeliveryMod = 50
 
+  /** MinHash band geometry (permutations, rows per band, verify threshold)
+    * shared by the state WRITERS here and the probe side of
+    * [[PipelineQueries.dedupClustersPersist]]. One set of constants for
+    * the same reason as [[PersistDeliveryMod]]: a stored banded index and
+    * a probe deriving band keys at a different geometry would join
+    * nothing (or garbage) with no runtime error — only the downstream
+    * oracle hash could catch it. The geometry is also encoded in the
+    * state directory names, so a tuned geometry can never silently read
+    * an index fitted at the old one. */
+  val BandPerms = 16
+  val BandRows = 4
+  val BandThreshold = 0.5
+
   /** Process-local fast path: state roots already verified on disk. */
   private val ready = scala.collection.mutable.Set[String]()
 
@@ -63,7 +76,8 @@ object ClusterState {
         if (!done.exists()) {
           val docs = Tables.documents(spark, dir)
           val pairs = DedupOps.minhashPairs(
-            DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5).localCheckpoint()
+            DedupOps.allShingles(docs, "text", 3),
+            BandPerms, BandRows, BandThreshold).localCheckpoint()
           val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
             .withColumnRenamed("id", "doc_id")
           val assign = PipelineQueries.attachSingletons(docs, cc)
@@ -94,25 +108,29 @@ object ClusterState {
                      mod: Int = 5): (String, String, String) =
     synchronized {
       val root = stateRoot(dir)
-      val assignP = new File(root, s"base_assign_m$mod").getAbsolutePath
-      val setsP = new File(root, s"base_sets_m$mod").getAbsolutePath
-      val bandsP = new File(root, s"base_bands_m$mod").getAbsolutePath
+      // geometry in the names: state fitted at (perms, rows) can never be
+      // served to a probe tuned to a different geometry
+      val geo = s"m${mod}_p${BandPerms}r$BandRows"
+      val assignP = new File(root, s"base_assign_$geo").getAbsolutePath
+      val setsP = new File(root, s"base_sets_$geo").getAbsolutePath
+      val bandsP = new File(root, s"base_bands_$geo").getAbsolutePath
       // marker versioned for the state layout: a pre-banded-index _DONE
       // must not satisfy a reader that now expects the bands table
-      val done = new File(root, s"_DONE_m${mod}_banded")
+      val done = new File(root, s"_DONE_${geo}_banded")
       if (!ready.contains(done.getAbsolutePath)) {
         if (!done.exists()) {
           val base = Tables.documents(spark, dir)
             .filter(org.apache.spark.sql.functions.expr(s"doc_id % $mod != 0"))
           val bSets = DedupOps.setsOfShingles(
             DedupOps.allShingles(base, "text", 3)).localCheckpoint()
-          val basePairs = DedupOps.minhashPairsOfSets(bSets, 16, 4, 0.5)
+          val basePairs = DedupOps.minhashPairsOfSets(
+            bSets, BandPerms, BandRows, BandThreshold)
           val baseCc = ClusterOps.connectedComponentsStar(basePairs, "doc_a", "doc_b")
             .withColumnRenamed("id", "doc_id")
           val baseAssign = PipelineQueries.attachSingletons(base, baseCc)
           baseAssign.write.mode("overwrite").parquet(assignP)
           bSets.write.mode("overwrite").parquet(setsP)
-          DedupOps.bandKeysOfSets(bSets, 16, 4)
+          DedupOps.bandKeysOfSets(bSets, BandPerms, BandRows)
             .write.mode("overwrite").parquet(bandsP)
           done.createNewFile()
         }

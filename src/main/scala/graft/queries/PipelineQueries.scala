@@ -440,8 +440,13 @@ object PipelineQueries {
     val delivery = Tables.documents(spark, dir).filter(expr(s"doc_id % $mod = 0"))
     val dSets = DedupOps.setsOfShingles(
       DedupOps.allShingles(delivery, "text", 3)).localCheckpoint()
-    val ddPairs = DedupOps.minhashPairsOfSets(dSets, 16, 4, 0.5)
-    val dbPairs = DedupOps.crossNearPairsFromIndex(bBands, bSets, dSets, 16, 4, 0.5)
+    // geometry from the SAME constants the state writer used: a probe at
+    // a different (perms, rows) than the stored banded index would match
+    // nothing with no error (ClusterState encodes it in the paths too)
+    val (p, r, t) =
+      (ClusterState.BandPerms, ClusterState.BandRows, ClusterState.BandThreshold)
+    val ddPairs = DedupOps.minhashPairsOfSets(dSets, p, r, t)
+    val dbPairs = DedupOps.crossNearPairsFromIndex(bBands, bSets, dSets, p, r, t)
     withClusterFacts(ClusterOps.incrementalClusters(
       baseAssign, delivery.select("doc_id"), ddPairs, dbPairs))
   }
@@ -736,6 +741,9 @@ object PipelineQueries {
     * and re-rank in exact integer arithmetic, like pq_topk_rr. */
   def chunkTopKPq(spark: SparkSession, dir: String, dim: Int = 32,
                   k: Int = 3, shortlist: Int = 32): DataFrame = {
+    // 8 subspaces of dim/8: a non-multiple would integer-divide into
+    // subspaces that silently drop the trailing dimensions
+    require(dim % 8 == 0, s"chunkTopKPq: dim $dim must be a multiple of 8")
     graft.functions.QuantizedDot.register(spark)
     // parallelism raised BEFORE the hash+fold projections (the expensive
     // per-chunk work) so they run distributed even off a one-split scan;

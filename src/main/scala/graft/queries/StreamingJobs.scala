@@ -144,10 +144,14 @@ object StreamingJobs {
         // otherwise be unioned into the signature index twice AND emitted
         // twice by incrementalClusters (once via the delivery path, once
         // via the base relabel), corrupting the maintained assignment
-        // permanently. The signature index holds exactly the ingested doc
-        // ids, so one anti-join against it makes replays idempotent.
-        val d = dAll
-          .join(sets.select("doc_id"), Seq("doc_id"), "left_anti")
+        // permanently. The anti-join is against the ASSIGNMENT, not the
+        // signature index: a doc shorter than the shingle width produces
+        // zero shingles and never enters the index, but every ingested doc
+        // has an assignment row — so the assignment is the complete
+        // ingested-id set. dropDuplicates guards against at-least-once
+        // duplicates of the same doc WITHIN one batch the same way.
+        val d = dAll.dropDuplicates("doc_id")
+          .join(assign.select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
@@ -172,9 +176,14 @@ object StreamingJobs {
     * extended with TAKEDOWNS, closing the r8 gap where a long-lived
     * maintainer had to stop for every removal. `opsStream` is one tagged
     * CDC-style feed (doc_id, text, op) with op ∈ 'add' | 'remove'
-    * (text is ignored for removes); within a micro-batch adds apply
-    * before removes, so a doc added and removed in the same batch ends
-    * removed — the order a per-doc-serialized feed implies.
+    * (text is ignored for removes), optionally carrying a per-row `seq`
+    * column (any integral type): with seq, conflicting ops for the SAME
+    * doc inside one micro-batch net to the doc's LAST op by feed order
+    * (ties toward remove), so the terminal state does not depend on where
+    * trigger boundaries fall; without seq there is no intra-batch order
+    * to recover, and the fallback is adds-before-removes (a doc added and
+    * removed in the same batch ends removed). Adds are idempotent, not
+    * upserts: an add for a doc already in the corpus is a no-op.
     *
     * Three tables are maintained and handed to `sink` after every batch —
     * the assignment, the signature index, and the near-dup PAIR LIST,
@@ -188,10 +197,12 @@ object StreamingJobs {
     * pair list, so later deliveries never band against ghosts.
     *
     * Replay safety: foreachBatch re-delivers only the most recent batch
-    * on recovery, in order; adds are idempotent via the index anti-join
-    * (as in [[runIncrementalClusters]]) and removes are naturally
-    * idempotent (removing an absent doc is a no-op), so a re-delivered
-    * mixed batch folds to the identical state. Scale shape per batch:
+    * on recovery, in order; adds are idempotent via an anti-join against
+    * the maintained ASSIGNMENT (the complete ingested-id set — the
+    * signature index misses sub-shingle-width docs) plus a per-batch
+    * doc_id dedup, and removes are naturally idempotent (removing an
+    * absent doc is a no-op), so a re-delivered mixed batch folds to the
+    * identical state. Scale shape per batch:
     * add cost is the delivery-sized quotient fold; remove cost scales
     * with the affected clusters' edges (takedown-batch-sized), never the
     * corpus. */
@@ -219,14 +230,34 @@ object StreamingJobs {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // re-root on the driving session (see runIncrementalClusters)
-        val bAll = spark.createDataFrame(
-          batch.select("doc_id", "text", "op").rdd,
-          StructType(docSchema :+ StructField("op", StringType)))
-          .localCheckpoint()
+        val hasSeq = batch.columns.contains("seq")
+        val opSchema = StructType(docSchema ++
+          Seq(StructField("op", StringType)) ++
+          (if (hasSeq) Seq(StructField("seq", LongType)) else Nil))
+        val raw = if (hasSeq)
+          batch.select(col("doc_id"), col("text"), col("op"), col("seq").cast("long"))
+        else batch.select("doc_id", "text", "op")
+        val bRaw = spark.createDataFrame(raw.rdd, opSchema).localCheckpoint()
+        // per-doc netting: with a `seq` column the batch collapses to each
+        // doc's LAST op (ties toward remove), so conflicting ops for one
+        // doc inside one micro-batch resolve by FEED order, not by where
+        // the trigger boundary fell — without seq there is no intra-batch
+        // order to recover and the documented adds-before-removes fallback
+        // applies (a doc both added and removed in one batch ends removed)
+        val bAll = if (hasSeq) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("seq").desc, col("op").desc)
+          bRaw.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn", "seq")
+        } else bRaw
         // ADDS: replay-idempotent delivery fold, identical to
-        // runIncrementalClusters, plus pair-list accretion
+        // runIncrementalClusters (anti-join against the ASSIGNMENT — the
+        // complete ingested-id set, which the signature index is not:
+        // sub-shingle-width docs never enter it), plus pair-list accretion
         val d = bAll.filter(col("op") === "add").select("doc_id", "text")
-          .join(sets.select("doc_id"), Seq("doc_id"), "left_anti")
+          .dropDuplicates("doc_id")
+          .join(assign.select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()

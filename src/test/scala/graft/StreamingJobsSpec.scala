@@ -292,6 +292,39 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lifecycle seq netting and add idempotency: feed order wins inside a batch; " +
+      "short docs and re-adds never duplicate") {
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)](65, spark, None)
+    @volatile var rows: Array[Long] = Array.empty
+    val q = StreamingJobs.runClusterLifecycle(
+        spark, in.toDS().toDF("doc_id", "text", "op", "seq")) { (assign, _, _) =>
+      rows = assign.select("doc_id").as[Long].collect()
+    }
+    try {
+      // doc 4 is SHORTER than the shingle width (1 token): it never enters
+      // the signature index, so idempotency must come from the assignment
+      in.addData((1L, "alpha beta gamma delta", "add", 1L),
+        (2L, "epsilon zeta eta theta", "add", 2L), (4L, "hi", "add", 3L))
+      q.processAllAvailable()
+      assert(rows.sorted.toSeq == Seq(1L, 2L, 4L))
+      // remove-then-re-add of doc 1 in ONE batch: with seq the net op is
+      // the ADD, so doc 1 survives regardless of trigger boundaries
+      in.addData((1L, "", "remove", 4L), (1L, "alpha beta gamma delta", "add", 5L))
+      q.processAllAvailable()
+      assert(rows.sorted.toSeq == Seq(1L, 2L, 4L))
+      // the symmetric net (add then remove by seq) ends removed; duplicate
+      // add rows in the same batch and a re-add of the short doc must not
+      // duplicate assignment rows
+      in.addData((3L, "iota kappa lambda mu", "add", 6L), (3L, "", "remove", 7L),
+        (5L, "nu xi omicron pi", "add", 8L), (5L, "nu xi omicron pi", "add", 9L),
+        (4L, "hi", "add", 10L))
+      q.processAllAvailable()
+      assert(rows.sorted.toSeq == Seq(1L, 2L, 4L, 5L),
+        s"exactly one assignment row per live doc, got ${rows.sorted.toSeq}")
+    } finally q.stop()
+  }
+
   test("incremental clusters survive a stop/restart through persisted state") {
     // run deliveries 1-2, stop, round-trip the (assignment, index) pair
     // through plain collected rows - a true persistence simulation - and
