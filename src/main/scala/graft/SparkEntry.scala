@@ -91,6 +91,11 @@ object SparkEntry {
     // near-dup decontamination: test docs with a verified train near-dup
     "contamination_near" -> (PipelineQueries.contaminationNear _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),
+    // SemDeDup: coarse-centroid-scoped exhaustive semantic dedup — the
+    // published complement to the banded-LSH dedup_embed pass
+    "semdedup"          -> (PipelineQueries.semDedup _),
+    // BPE merge-round pair statistics over the vocab-sized word table
+    "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // default resolution = star contraction (O(log²n) rounds, 5× cheaper
     // on the r7 gate artifact); propagation kept as the parity path below
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),

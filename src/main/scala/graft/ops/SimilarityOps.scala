@@ -189,6 +189,54 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos", "rn")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * by coarse clustering. Every vector is assigned to its nearest coarse
+    * centroid in one narrow codegen'd pass (literal codebook dots + argmax,
+    * the [[ivfTopK]] list-assignment shape — no corpus shuffle, no row
+    * expansion), then pairs are cosine-scored ONLY within a cluster and a
+    * member is dropped when a lower-id in-cluster neighbor sits at
+    * cos ≥ threshold. This is the published complement to the banded-LSH
+    * pass ([[cosineDupPairs]]): instead of hash collisions bounding the
+    * candidate set, the coarse partition bounds it at O(Σ m_c²) — and at
+    * corpus scale k grows with n (the paper uses k ≈ 11k for 440M
+    * embeddings) so per-cluster membership m_c — the self-join's shuffle
+    * key cardinality — stays bounded. Centroids stand in deterministically
+    * as the first `nCentroids` corpus vectors (same convention as
+    * [[ivfTopK]]); a real deployment trains them offline.
+    *
+    * Output: one row per corpus vector — vec_id, cid, n_near (count of
+    * lower-id in-cluster neighbors at cos ≥ threshold), kept. */
+  def semDedup(emb: DataFrame, dim: Int, nCentroids: Int,
+               threshold: Double): DataFrame = {
+    val vecs = quantVecs(emb)
+    val centroids = vecs.filter(col("vec_id") < nCentroids)
+      .selectExpr("vec_id", "qvec", "norm2")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    def cosExpr(qv: Seq[Long], n2: Long): String =
+      s"CAST(ldot(qvec, array(${qv.mkString("L,")}L)) AS DOUBLE)" +
+        s" / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(${n2}L AS DOUBLE)))"
+    // argmax via scores ARRAY + array_position (first max → ties to the
+    // lowest cid; see ivfTopK for why not a greatest/CASE chain)
+    val ccs = centroids.map { case (_, qv, n2) => cosExpr(qv, n2) }
+      .mkString("array(", ", ", ")")
+    val cidArr = centroids.map(c => s"${c._1}L").mkString("array(", ", ", ")")
+    val assigned = vecs.selectExpr("vec_id AS id", "qvec", "norm2",
+      s"element_at($cidArr, CAST(array_position($ccs, array_max($ccs)) AS INT)) AS cid")
+    val near = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .selectExpr("b.id AS id",
+        "CAST(ldot(a.qvec, b.qvec) AS DOUBLE)" +
+          " / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos")
+      .filter(col("cos") >= threshold)
+      .groupBy("id").agg(count(lit(1)).as("n_near"))
+    assigned.select("id", "cid").join(near, Seq("id"), "left")
+      .selectExpr("id AS vec_id", "cid",
+        "coalesce(n_near, CAST(0 AS BIGINT)) AS n_near", "n_near IS NULL AS kept")
+  }
+
   /** Product quantization: split each quantized vector into `nSub`
     * subvectors of `subDim` dims; per subspace, learn ≤ 16 centroids and
     * represent every vector by its per-subspace nearest-centroid codes —

@@ -1100,6 +1100,39 @@ object PipelineQueries {
       .selectExpr("doc_id", "rolling_min5(text) AS fingerprint",
         "CAST(length(text) - 4 AS BIGINT) AS n_windows")
   }
+
+  /** SemDeDup semantic dedup over the embedding corpus: 16 coarse
+    * centroids, within-cluster pairwise quantized cosine, members with a
+    * lower-id in-cluster neighbor at cos ≥ 0.4 marked dropped
+    * ([[graft.ops.SimilarityOps.semDedup]]). Same 0.4 threshold as
+    * dedup_embed so the two passes' keep/drop decisions are comparable —
+    * the banded-LSH pass trades recall for never materializing clusters;
+    * this pass is exhaustive within its coarse partition. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
+
+  /** BPE-trainer statistics pass: the corpus word-frequency table, then
+    * adjacent character-pair counts weighted by word frequency — exactly
+    * the candidate ranking one byte-pair-encoding merge round consumes
+    * (Sennrich et al. 2016, arXiv:1508.07909). The pair stage aggregates
+    * over the DISTINCT-WORD table (vocabulary-sized, not corpus-sized) —
+    * the property that makes tokenizer training tractable at 100 TB: the
+    * corpus is scanned once to count words; every merge round thereafter
+    * touches only the vocabulary. Global top-50 by (count DESC, pair ASC)
+    * via orderBy+limit = TakeOrderedAndProject (per-partition heads merged
+    * on the driver) — no single-partition window. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .selectExpr("freq",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
+      .groupBy("pair")
+      .agg(sum(col("freq")).as("cnt"), count(lit(1)).as("n_forms"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(50)
+  }
 }
 
 /** Shared language stopword profiles (small on purpose — the data is
@@ -1322,6 +1355,40 @@ object PipelineOracles {
        |SELECT q_id, c_id, cos, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
        |WHERE rn <= 3""".stripMargin
+
+  /** Same assignment CTEs as embedTopKIvf (argmax ties → lowest cid via
+    * the (cos DESC, cid ASC) rank, matching Spark's first-max
+    * array_position), then exhaustive within-cluster pair scoring. */
+  val semDedup: String =
+    s"""WITH $quantCte,
+       |cd AS (SELECT a.id AS vid, b.id AS cid, SUM(a.v * b.v) AS dot
+       |       FROM qz a JOIN qz b ON a.pos = b.pos WHERE b.id < 16 GROUP BY 1, 2),
+       |cs AS (SELECT vid, cid,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM cd JOIN nrm na ON na.id = vid JOIN nrm nb ON nb.id = cid),
+       |assign AS (SELECT vid, cid FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |pr AS (SELECT a.vid AS ida, b.vid AS idb
+       |       FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid),
+       |d AS (SELECT ida, idb, SUM(x.v * y.v) AS dot
+       |      FROM pr JOIN qz x ON x.id = ida JOIN qz y ON y.id = idb AND y.pos = x.pos
+       |      GROUP BY 1, 2),
+       |s AS (SELECT ida, idb,
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = ida JOIN nrm nb ON nb.id = idb),
+       |nn AS (SELECT idb AS vid, count(*) AS n_near FROM s WHERE cos >= 0.4 GROUP BY 1)
+       |SELECT a.vid AS vec_id, a.cid AS cid,
+       |  COALESCE(nn.n_near, CAST(0 AS BIGINT)) AS n_near, nn.n_near IS NULL AS kept
+       |FROM assign a LEFT JOIN nn ON nn.vid = a.vid""".stripMargin
+
+  val bpePairs: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents),
+      |f AS (SELECT w, count(*) AS freq FROM t GROUP BY 1),
+      |p AS (SELECT freq, unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+      |      FROM f WHERE length(w) >= 2),
+      |g AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt, count(*) AS n_forms FROM p GROUP BY 1)
+      |SELECT pair, cnt, n_forms FROM g ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
 
   val docFingerprint: String =
     """WITH h AS (
@@ -2062,6 +2129,8 @@ object PipelineOracles {
     "gopher_repetition" -> gopherRepetition,
     "contamination"     -> contamination,
     "embed_topk_ivf"    -> embedTopKIvf,
+    "semdedup"          -> semDedup,
+    "bpe_pairs"         -> bpePairs,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,

@@ -323,4 +323,44 @@ class PipelineSpec extends SparkSpec {
     assert(rows.find(_.frame_idx == 0L).get.f_sum == (1 + 2 + 3 + 4))
     assert(rows.find(_.frame_idx == 1L).get.f_sum == (5 to 10).sum)
   }
+
+  test("semdedup: one row per vector, kept ⟺ n_near=0, counts every same-cluster banded pair") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = PipelineQueries.semDedup(spark, sf0001).cache()
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == out.count())
+    assert(out.filter("kept <> (n_near = 0)").count() == 0)
+    // the banded-LSH pass emits a SUBSET of all cos≥0.4 pairs; any of its
+    // pairs whose ends share a coarse cluster must be seen by semdedup's
+    // exhaustive within-cluster scoring (id_b is the higher id in both)
+    val cids = out.select("vec_id", "cid")
+    val sameCluster = PipelineQueries.dedupEmbed(spark, sf0001)
+      .join(cids.toDF("id_a", "ca"), "id_a")
+      .join(cids.toDF("id_b", "cb"), "id_b")
+      .filter("ca = cb")
+    assert(sameCluster.count() > 0) // the property must actually bite
+    val missed = sameCluster
+      .join(out.filter("n_near = 0").select(col("vec_id").as("id_b")), "id_b")
+    assert(missed.count() == 0)
+    out.unpersist()
+  }
+
+  test("bpe_pairs matches a corpus-direct recomputation of the top pairs") {
+    val out = PipelineQueries.bpePairs(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // independent derivation: pair occurrences counted over the RAW token
+    // stream (weight 1 per occurrence) instead of freq-weighted vocab rows
+    val direct = Tables.documents(spark, sf0001)
+      .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS w")
+      .filter(length(col("w")) >= 2)
+      .selectExpr("explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(50)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq ==
+      direct.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq)
+  }
 }
