@@ -96,6 +96,9 @@ object SparkEntry {
     "semdedup"          -> (PipelineQueries.semDedup _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
+    // index-quality gate: recall@3 of IVF vs brute cosine and of
+    // PQ+rerank vs brute exact L2, per query
+    "ann_recall"        -> (PipelineQueries.annRecall _),
     // default resolution = star contraction (O(log²n) rounds, 5× cheaper
     // on the r7 gate artifact); propagation kept as the parity path below
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),

@@ -189,6 +189,39 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos", "rn")
   }
 
+  /** Brute-force exact quantized squared-L2 top-k — the metric-matched
+    * ground truth for the PQ family ([[pqTopKRerank]] approximates exact
+    * L2, not cosine, so its recall must be measured against this, not
+    * [[cosineTopK]]). Same broadcast-queries/corpus-scan shape as the
+    * cosine brute. Output: q_id, c_id, l2, rn. */
+  def l2TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
+    val vecs = quantVecs(emb)
+    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
+    vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc")
+      .crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", "nq + nc - 2 * ldot(qq, qc) AS l2")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("c_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "l2", "rn")
+  }
+
+  /** Per-query recall@k of an approximate index against its exact ground
+    * truth: both inputs carry (q_id, c_id) top-k rows; truth rows drive
+    * (an index that returns fewer than k rows — LSH/IVF under-probe —
+    * still yields a row per truth query, with the misses counted).
+    * Output: family, q_id, hits, k, recall. */
+  def recallAtK(family: String, truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select("q_id", "c_id")
+      .join(approx.select(col("q_id"), col("c_id"), lit(1).as("hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+      .selectExpr(s"'$family' AS family", "q_id", "hits", "k",
+        "CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall")
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
     * by coarse clustering. Every vector is assigned to its nearest coarse
     * centroid in one narrow codegen'd pass (literal codebook dots + argmax,

@@ -1111,6 +1111,27 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
 
+  /** ANN index-quality gate: per-query recall@3 of each approximate index
+    * against its METRIC-MATCHED exact ground truth — IVF (4 of 16 lists
+    * probed) vs brute cosine, and PQ ADC+48-shortlist re-rank vs brute
+    * exact quantized L2 ([[graft.ops.SimilarityOps.recallAtK]]). This is
+    * the measurement a production deployment runs on a sampled query set
+    * before turning the brute path off — at 100 TB the truth side runs
+    * over a bounded sample while the approx side exercises the real
+    * index, so the gate costs O(sample × corpus) once, not per query
+    * batch. Geometries match embed_topk_ivf / pq_topk_rr exactly so the
+    * recall rows price those indexes as shipped. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val ivf = SimilarityOps.recallAtK("ivf",
+      SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3),
+      SimilarityOps.ivfTopK(emb, 64, nCentroids = 16, nProbe = 4, "vec_id < 32", 3))
+    val pq = SimilarityOps.recallAtK("pq",
+      SimilarityOps.l2TopK(emb, 64, "vec_id < 8", 3),
+      SimilarityOps.pqTopKRerank(emb, 64, 8, 8, "vec_id < 8", 3, 48))
+    ivf.unionByName(pq)
+  }
+
   /** BPE-trainer statistics pass: the corpus word-frequency table, then
     * adjacent character-pair counts weighted by word frequency — exactly
     * the candidate ranking one byte-pair-encoding merge round consumes
@@ -1381,6 +1402,75 @@ object PipelineOracles {
        |SELECT a.vid AS vec_id, a.cid AS cid,
        |  COALESCE(nn.n_near, CAST(0 AS BIGINT)) AS n_near, nn.n_near IS NULL AS kept
        |FROM assign a LEFT JOIN nn ON nn.vid = a.vid""".stripMargin
+
+  /** Recall@3 restatement: brute cosine / brute L2 as truth, the
+    * embedTopKIvf and pqTopKRerank chains (verbatim CTEs, same geometry)
+    * as the approximate sides, left-join counting per truth query. */
+  val annRecall: String =
+    s"""WITH $quantCte,
+       |bt_d AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+       |         FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |         WHERE a.id < 32 GROUP BY 1, 2),
+       |bt_s AS (SELECT q_id, c_id,
+       |           CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |         FROM bt_d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
+       |bt AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM bt_s)
+       |  WHERE rn <= 3),
+       |cd AS (SELECT a.id AS vid, b.id AS cid, SUM(a.v * b.v) AS dot
+       |       FROM qz a JOIN qz b ON a.pos = b.pos WHERE b.id < 16 GROUP BY 1, 2),
+       |cs AS (SELECT vid, cid,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM cd JOIN nrm na ON na.id = vid JOIN nrm nb ON nb.id = cid),
+       |assign AS (SELECT vid AS c_id, cid AS bucket FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn FROM cs)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vid AS q_id, cid AS bucket FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn FROM cs WHERE vid < 32)
+       |  WHERE rn <= 4),
+       |cand AS (SELECT q_id, c_id FROM probes JOIN assign USING (bucket) WHERE c_id <> q_id),
+       |d AS (SELECT q_id, c_id, SUM(a.v * b.v) AS dot
+       |      FROM cand JOIN qz a ON a.id = q_id JOIN qz b ON b.id = c_id AND b.pos = a.pos
+       |      GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
+       |iv AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+       |  WHERE rn <= 3),
+       |v AS (SELECT id, pos, v FROM qz),
+       |${pqChain(8, 8)},
+       |pt_d AS (SELECT a.id AS q_id, b.id AS c_id, SUM((a.v - b.v) * (a.v - b.v)) AS l2
+       |         FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |         WHERE a.id < 8 GROUP BY 1, 2),
+       |pt AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS rn FROM pt_d)
+       |  WHERE rn <= 3),
+       |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE id < 8),
+       |adc AS (SELECT qd.q_id, k.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+       |        FROM codes k JOIN qd ON qd.m = k.m AND qd.code = k.code AND k.id <> qd.q_id
+       |        GROUP BY 1, 2),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
+       |    FROM adc) WHERE rn <= 48),
+       |ex AS (SELECT s.q_id, s.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
+       |       FROM short s JOIN v a ON a.id = s.q_id
+       |       JOIN v b ON b.id = s.c_id AND b.pos = a.pos
+       |       GROUP BY 1, 2),
+       |pa AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS rn FROM ex)
+       |  WHERE rn <= 3),
+       |r1 AS (SELECT 'ivf' AS family, bt.q_id AS q_id, CAST(count(iv.c_id) AS BIGINT) AS hits,
+       |              CAST(count(*) AS BIGINT) AS k,
+       |              CAST(count(iv.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |       FROM bt LEFT JOIN iv ON iv.q_id = bt.q_id AND iv.c_id = bt.c_id GROUP BY 2),
+       |r2 AS (SELECT 'pq' AS family, pt.q_id AS q_id, CAST(count(pa.c_id) AS BIGINT) AS hits,
+       |              CAST(count(*) AS BIGINT) AS k,
+       |              CAST(count(pa.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |       FROM pt LEFT JOIN pa ON pa.q_id = pt.q_id AND pa.c_id = pt.c_id GROUP BY 2)
+       |SELECT family, q_id, hits, k, recall FROM r1
+       |UNION ALL SELECT family, q_id, hits, k, recall FROM r2""".stripMargin
 
   val bpePairs: String =
     """WITH t AS (SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents),
@@ -2131,6 +2221,7 @@ object PipelineOracles {
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
     "bpe_pairs"         -> bpePairs,
+    "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,

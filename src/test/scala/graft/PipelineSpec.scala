@@ -345,6 +345,25 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ann_recall: bounded recalls, and full-probe IVF recalls 1.0 everywhere") {
+    val out = PipelineQueries.annRecall(spark, sf0001).collect()
+    assert(out.count(_.getString(0) == "ivf") == 32)
+    assert(out.count(_.getString(0) == "pq") == 8)
+    out.foreach { r =>
+      val (hits, k) = (r.getAs[Long]("hits"), r.getAs[Long]("k"))
+      assert(k == 3 && hits >= 0 && hits <= k)
+      assert(r.getAs[Double]("recall") == hits.toDouble / k.toDouble)
+    }
+    // harness validity: probing ALL 16 lists makes IVF exhaustive, so its
+    // recall against the brute cosine truth must be exactly 1.0 per query
+    val emb = Tables.embeddings(spark, sf0001)
+    val full = SimilarityOps.recallAtK("ivf_full",
+      SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3),
+      SimilarityOps.ivfTopK(emb, 64, nCentroids = 16, nProbe = 16, "vec_id < 32", 3))
+      .collect()
+    assert(full.length == 32 && full.forall(_.getAs[Long]("hits") == 3L))
+  }
+
   test("bpe_pairs matches a corpus-direct recomputation of the top pairs") {
     val out = PipelineQueries.bpePairs(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= 50)
