@@ -222,6 +222,31 @@ object SimilarityOps {
       .selectExpr(s"'$family' AS family", "q_id", "hits", "k",
         "CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall")
 
+  /** (id, qvec, norm2, cid) for any vector table: nearest-coarse-centroid
+    * assignment in one narrow codegen'd pass — literal codebook dots +
+    * argmax (scores ARRAY + array_position: first max → ties to the lowest
+    * cid; see [[ivfTopK]] for why not a greatest/CASE chain). The codebook
+    * is collected from `codebookFrom` (a BATCH table — the offline-trained
+    * centroids; the first `nCentroids` of its vectors stand in
+    * deterministically), so `vecs` may be batch OR streaming: the
+    * assignment is stateless and serves the live ingest path unchanged. */
+  def coarseAssigned(vecs: DataFrame, codebookFrom: DataFrame,
+                     nCentroids: Int): DataFrame = {
+    val centroids = quantVecs(codebookFrom).filter(col("vec_id") < nCentroids)
+      .selectExpr("vec_id", "qvec", "norm2")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    def cosExpr(qv: Seq[Long], n2: Long): String =
+      s"CAST(ldot(qvec, array(${qv.mkString("L,")}L)) AS DOUBLE)" +
+        s" / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(${n2}L AS DOUBLE)))"
+    val ccs = centroids.map { case (_, qv, n2) => cosExpr(qv, n2) }
+      .mkString("array(", ", ", ")")
+    val cidArr = centroids.map(c => s"${c._1}L").mkString("array(", ", ", ")")
+    quantVecs(vecs).selectExpr("vec_id AS id", "qvec", "norm2",
+      s"element_at($cidArr, CAST(array_position($ccs, array_max($ccs)) AS INT)) AS cid")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
     * by coarse clustering. Every vector is assigned to its nearest coarse
     * centroid in one narrow codegen'd pass (literal codebook dots + argmax,
@@ -241,22 +266,7 @@ object SimilarityOps {
     * lower-id in-cluster neighbors at cos ≥ threshold), kept. */
   def semDedup(emb: DataFrame, dim: Int, nCentroids: Int,
                threshold: Double): DataFrame = {
-    val vecs = quantVecs(emb)
-    val centroids = vecs.filter(col("vec_id") < nCentroids)
-      .selectExpr("vec_id", "qvec", "norm2")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-      .sortBy(_._1)
-    def cosExpr(qv: Seq[Long], n2: Long): String =
-      s"CAST(ldot(qvec, array(${qv.mkString("L,")}L)) AS DOUBLE)" +
-        s" / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(${n2}L AS DOUBLE)))"
-    // argmax via scores ARRAY + array_position (first max → ties to the
-    // lowest cid; see ivfTopK for why not a greatest/CASE chain)
-    val ccs = centroids.map { case (_, qv, n2) => cosExpr(qv, n2) }
-      .mkString("array(", ", ", ")")
-    val cidArr = centroids.map(c => s"${c._1}L").mkString("array(", ", ", ")")
-    val assigned = vecs.selectExpr("vec_id AS id", "qvec", "norm2",
-      s"element_at($cidArr, CAST(array_position($ccs, array_max($ccs)) AS INT)) AS cid")
+    val assigned = coarseAssigned(emb, emb, nCentroids)
     val near = assigned.alias("a")
       .join(assigned.alias("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))

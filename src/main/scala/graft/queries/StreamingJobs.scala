@@ -80,6 +80,27 @@ object StreamingJobs {
       .transform(Detectors.onlineDedup(_, streaming = true))
   }
 
+  /** ONLINE SemDeDup over the embedding ingest feed: coarse assignment is
+    * a stateless narrow map against the offline-trained codebook (read
+    * from the batch table — [[graft.ops.SimilarityOps.coarseAssigned]]),
+    * so the only streaming state is per-cluster membership inside
+    * [[Detectors.onlineSemDedup]]. vec_id is the arrival clock, as doc_id
+    * is for [[onlineDedupStream]]. Append stream of immutable keep/drop
+    * decisions that converges to the batch `semdedup` relation. */
+  def onlineSemDedupStream(spark: SparkSession, dir: String,
+      nCentroids: Int = 16,
+      threshold: Double = 0.4): Dataset[Detectors.SemDecision] = {
+    import spark.implicits._
+    graft.ops.SimilarityOps
+      .coarseAssigned(embeddingsStream(spark, dir),
+        Tables.embeddings(spark, dir), nCentroids)
+      .selectExpr("cid", "id AS vec_id", "qvec", "norm2", "id AS sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "60 seconds")
+      .as[Detectors.VecEvent]
+      .transform(Detectors.onlineSemDedup(_, threshold, streaming = true))
+  }
+
   /** ONLINE incremental cluster maintenance over a delivery stream: every
     * micro-batch is one DELIVERY, folded into the maintained assignment by
     * [[graft.ops.ClusterOps.incrementalClusters]] while the signature

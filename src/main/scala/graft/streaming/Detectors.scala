@@ -666,4 +666,64 @@ object Detectors {
     events.groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
+
+  /** One embedding on the ingest feed, already coarse-assigned (cid =
+    * nearest offline-trained centroid, a stateless narrow map —
+    * [[graft.ops.SimilarityOps.coarseAssigned]]); sec = arrival clock
+    * (vec_id here; a live feed would use its ingest timestamp). */
+  case class VecEvent(cid: Long, vec_id: Long, qvec: Seq[Long], norm2: Long,
+                      sec: Long)
+  case class SemDecision(vec_id: Long, cid: Long, n_near: Long, kept: Boolean)
+  case class SemState(pending: Seq[VecEvent], members: Seq[VecEvent])
+
+  /** ONLINE SemDeDup twin of the batch `semdedup` query: per-cluster state
+    * holds every member seen so far (kept AND dropped — the batch relation
+    * counts any lower-id neighbor, so dropped members still suppress later
+    * arrivals); each watermark-ready event is scored against that
+    * membership with the SAME arithmetic as the batch expression (exact
+    * integer dot, then one double division over two double sqrts — IEEE
+    * ops in the same order, so decisions are bit-identical). Events buffer
+    * until the watermark passes and process in (sec, vec_id) order, so
+    * replay order cannot change a decision. State is bounded by cluster
+    * membership — the quantity SemDeDup's k-grows-with-corpus centroid
+    * sizing keeps constant. */
+  def onlineSemDedup(events: Dataset[VecEvent], threshold: Double,
+                     streaming: Boolean): Dataset[SemDecision] = {
+    implicit val outEnc = Encoders.product[SemDecision]
+    implicit val stEnc = Encoders.product[SemState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def cos(a: VecEvent, b: VecEvent): Double = {
+      var dot = 0L
+      var i = 0
+      while (i < a.qvec.length) { dot += a.qvec(i) * b.qvec(i); i += 1 }
+      dot.toDouble / (math.sqrt(a.norm2.toDouble) * math.sqrt(b.norm2.toDouble))
+    }
+
+    def process(key: Long, it: Iterator[VecEvent],
+                state: GroupState[SemState]): Iterator[SemDecision] = {
+      val st = state.getOption.getOrElse(SemState(Nil, Nil))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.vec_id))
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var members = st.members
+      val out = Seq.newBuilder[SemDecision]
+      ready.foreach { e =>
+        val n = members.count(m => cos(m, e) >= threshold).toLong
+        out += SemDecision(e.vec_id, key, n, n == 0L)
+        members = members :+ e
+      }
+      state.update(SemState(rest, members))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
 }

@@ -214,6 +214,35 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online semdedup over the embedding feed agrees with the batch query") {
+    import graft.streaming.Detectors
+    // batch truth: the oracle-backed semdedup query
+    val batchOut = graft.queries.PipelineQueries.semDedup(spark, sf0001)
+      .selectExpr("vec_id", "cid", "n_near", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // exact parity of the detector arithmetic: batch-mode run over the
+    // same assigned rows must EQUAL the SQL relation bit-for-bit
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val assigned = graft.ops.SimilarityOps.coarseAssigned(emb, emb, 16)
+      .selectExpr("cid", "id AS vec_id", "qvec", "norm2", "id AS sec")
+      .as[Detectors.VecEvent]
+    val detBatch = Detectors.onlineSemDedup(assigned, 0.4, streaming = false)
+      .collect().map(d => (d.vec_id, d.cid, d.n_near, d.kept)).toSet
+    assert(detBatch == batchOut && batchOut.nonEmpty)
+    // live replay: append decisions are a prefix-consistent subset (the
+    // final watermark stops short of the tail vec_ids)
+    val q = StreamingJobs.onlineSemDedupStream(spark, sf0001)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("semdedup_stream").as[Detectors.SemDecision]
+        .collect().map(d => (d.vec_id, d.cid, d.n_near, d.kept)).toSet
+      assert(got.subsetOf(batchOut))
+      assert(got.nonEmpty, "watermark should decide most replayed vectors")
+    } finally q.stop()
+  }
+
   test("streaming incremental clusters converge to batch dedup_clusters") {
     // deliveries arrive as micro-batches; after the last one the
     // maintained assignment must equal the from-scratch batch resolution
