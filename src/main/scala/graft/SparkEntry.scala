@@ -96,6 +96,9 @@ object SparkEntry {
     "semdedup"          -> (PipelineQueries.semDedup _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
+    // DSIR hashed importance weights: target-vs-raw n-gram likelihood
+    // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
+    "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),
     // index-quality gate: recall@3 of IVF vs brute cosine and of
     // PQ+rerank vs brute exact L2, per query
     "ann_recall"        -> (PipelineQueries.annRecall _),

@@ -925,6 +925,80 @@ object PipelineQueries {
       .select("doc_id", "term", "tf", "df", "score", "rn")
   }
 
+  /** Hashed-feature bucket count for [[dsirWeights]] — 2^10 keeps the
+    * importance model broadcast-trivial at any corpus size while leaving
+    * add-one smoothing mild for this corpus's ~1e4 distinct n-grams. */
+  val DsirBuckets: Int = 1024
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * document by how much more likely its hashed bag-of-n-grams is under a
+    * TARGET distribution than under the raw corpus — the published
+    * data-selection estimator behind quality-targeted pretraining mixes.
+    * Target slice here: `lang = 'en'` (a deterministic stand-in for the
+    * paper's formal-text reference corpus). Features are unigrams plus
+    * adjacent bigrams hashed into [[DsirBuckets]] buckets (the paper's
+    * hashed n-gram reduction); bucket probabilities are add-one smoothed;
+    * a doc's log-weight is its feature-count-weighted sum of per-bucket
+    * log-likelihood ratios. `selected` marks docs more target-like than
+    * raw (logw > 0); for a sized selection, feed `logw_q` to the
+    * [[sampleWeighted]] machinery instead of thresholding.
+    *
+    * Engine-exactness contract: the bucket model is integer counts; the
+    * ratio `((ct+1)/(cr+1)) · ((R+B)/(T+B))` is two IEEE divisions and a
+    * multiply (correctly rounded, bit-identical across engines); `ln` is
+    * the ONE libm call in the suite — both engines' ln is faithful to
+    * ≤ 1 ulp of a bit-identical input, so the 1e6-quantized `qlr` can
+    * diverge only when the true value sits within ~2 ulp (≈ 4e-10) of a
+    * half-integer: ~4e-7 odds across 2^10 buckets, pinned for this corpus
+    * by the tri-SF oracle runs. Per-doc sums are then exact BIGINT
+    * arithmetic (the [[salientTerms]] discipline).
+    *
+    * Scale shape: ONE corpus-sized exchange — the (doc, bucket) count —
+    * whose canonically-equal subtree feeds both the model branch and the
+    * scoring branch (the [[lmFluency]] ReusedExchange pattern), then a
+    * B-row model crossed with a 1-row total, broadcast back for the
+    * per-doc sum. No corpus self-join, no checkpoint. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  buckets: Int = DsirBuckets): DataFrame = {
+    val B = buckets
+    val uniH = s"${DedupOps.md5Long("t")} % $B"
+    val bigH = DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")
+    // one-split corpora otherwise serialize the per-token md5 explode on a
+    // single task (see [[graft.ops.Parallelism]]); no-op on real corpora
+    val feats = graft.ops.Parallelism.ensureMin(Tables.documents(spark, dir)
+        .selectExpr("doc_id", "lang",
+          "filter(split(trim(text), ' '), t -> t <> '') AS w"))
+      .selectExpr("doc_id", "lang",
+        s"explode(concat(transform(w, t -> $uniH), " +
+          s"IF(size(w) > 1, transform(sequence(1, size(w) - 1), i -> $bigH % $B), " +
+          "array()))) AS b")
+      // explicit not-null on the join key so InferFiltersFromConstraints
+      // cannot specialize the scoring branch's copy of this subtree — the
+      // [[lmFluency]] trick that lets AQE materialize the exchange ONCE
+      .filter(col("b").isNotNull)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+    val model = feats.groupBy("b").agg(
+      sum(col("cnt")).as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    // grand totals R=Σcr, T=Σct arithmetically: a doc with n tokens emits
+    // exactly 2n-1 features (n unigrams + n-1 bigrams) — one narrow count
+    // scan instead of a third copy of the explode+aggregate subtree
+    val tot = Tables.documents(spark, dir)
+      .selectExpr("lang", "size(filter(split(trim(text), ' '), t -> t <> '')) AS n")
+      .agg(sum(expr("IF(n > 1, 2 * n - 1, CAST(n AS BIGINT))")).as("r"),
+        sum(expr("IF(lang = 'en', IF(n > 1, 2 * n - 1, CAST(n AS BIGINT)), 0L)")).as("t"))
+    val qlr = model.crossJoin(broadcast(tot))
+      .selectExpr("b",
+        "CAST(round(1000000.0 * ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))" +
+          s" * (CAST(r + $B AS DOUBLE) / CAST(t + $B AS DOUBLE)))) AS BIGINT) AS qlr")
+    feats.join(broadcast(qlr), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt")).as("n_feats"), sum(expr("cnt * qlr")).as("logw_q"))
+      .selectExpr("doc_id", "lang", "lang = 'en' AS is_target",
+        "n_feats", "logw_q", "logw_q > 0 AS selected")
+  }
+
   /** Incremental corpus update: diff the documents snapshot against a
     * deterministically derived successor (every 7th doc dropped, every 11th
     * edited, every 13th re-added under a new id) —
@@ -2046,6 +2120,31 @@ object PipelineOracles {
       |  FROM s)
       |WHERE rn <= 3""".stripMargin
 
+  val dsirWeights: String = {
+    val b = PipelineQueries.DsirBuckets
+    s"""WITH toks AS (SELECT doc_id, lang, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(w, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $b)) AS b
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |         unnest([CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % $b
+       |                 for i in generate_series(1, len(w) - 1)]) AS b
+       |  FROM toks),
+       |fc AS (SELECT doc_id, lang, b, count(*) AS cnt FROM f0 GROUP BY 1, 2, 3),
+       |m AS (SELECT b, SUM(cnt) AS cr, SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct
+       |      FROM fc GROUP BY 1),
+       |tot AS (SELECT SUM(cr) AS r, SUM(ct) AS t FROM m),
+       |q AS (SELECT b, CAST(round(1000000.0 * ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+       |                 * (CAST(r + $b AS DOUBLE) / CAST(t + $b AS DOUBLE)))) AS BIGINT) AS qlr
+       |      FROM m CROSS JOIN tot)
+       |SELECT fc.doc_id, fc.lang, fc.lang = 'en' AS is_target,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_feats, CAST(SUM(cnt * qlr) AS BIGINT) AS logw_q,
+       |       SUM(cnt * qlr) > 0 AS selected
+       |FROM fc JOIN q USING (b) GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val lmFluency: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |occ AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2 FROM (
@@ -2221,6 +2320,7 @@ object PipelineOracles {
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
     "bpe_pairs"         -> bpePairs,
+    "dsir_weights"      -> dsirWeights,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,

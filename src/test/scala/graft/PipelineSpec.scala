@@ -382,4 +382,47 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq ==
       direct.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq)
   }
+
+  test("dsir_weights matches a driver-local recomputation of the importance model") {
+    val B = PipelineQueries.DsirBuckets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Long(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def feats(text: String): Seq[Long] = {
+      val w = text.trim.split(" ").filter(_.nonEmpty).toSeq
+      w.map(t => md5Long(t) % B) ++
+        w.sliding(2).filter(_.size == 2).map(p => md5Long(p(0) + " " + p(1)) % B)
+    }
+    val docs = Tables.documents(spark, sf0001).selectExpr("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), feats(r.getString(2))))
+    val cr = new Array[Long](B); val ct = new Array[Long](B)
+    docs.foreach { case (_, lang, fs) => fs.foreach { b =>
+      cr(b.toInt) += 1; if (lang == "en") ct(b.toInt) += 1 } }
+    val (r, t) = (cr.sum, ct.sum)
+    // same rounding as Spark's Round: shortest-repr BigDecimal, HALF_UP
+    val qlr = Array.tabulate(B) { b =>
+      val ratio = ((ct(b) + 1).toDouble / (cr(b) + 1).toDouble) *
+        ((r + B).toDouble / (t + B).toDouble)
+      java.math.BigDecimal.valueOf(1000000.0 * math.log(ratio))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val expected = docs.map { case (id, _, fs) =>
+      id -> (fs.size.toLong, fs.map(b => qlr(b.toInt)).sum) }.toMap
+    val out = PipelineQueries.dsirWeights(spark, sf0001).collect()
+    val got = out.map(r0 => r0.getAs[Long]("doc_id") ->
+      (r0.getAs[Long]("n_feats"), r0.getAs[Long]("logw_q"))).toMap
+    assert(got == expected)
+    // the estimator must separate its own target slice: higher mean weight
+    // (doc-level sums drift negative under add-one smoothing when the
+    // slices share a vocabulary, so the discriminating signal is relative,
+    // not sign) and majority-target membership among the selected docs
+    val mean = out.groupBy(_.getAs[Boolean]("is_target"))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("logw_q").toDouble).sum / rows.length }
+    assert(mean(true) > mean(false))
+    val sel = out.filter(_.getAs[Boolean]("selected"))
+    assert(sel.nonEmpty && sel.count(_.getAs[Boolean]("is_target")) * 2 > sel.length)
+  }
 }
