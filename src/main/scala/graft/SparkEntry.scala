@@ -96,6 +96,8 @@ object SparkEntry {
     "semdedup"          -> (PipelineQueries.semDedup _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
+    // multi-round BPE tokenizer training: the first 10 learned merges
+    "bpe_learn"         -> (PipelineQueries.bpeLearn _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

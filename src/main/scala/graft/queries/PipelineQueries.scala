@@ -1228,6 +1228,30 @@ object PipelineQueries {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(50)
   }
+
+  /** Rounds learned by [[bpeLearn]]. 10 keeps the oracle restatement (one
+    * CTE block per round) readable while exercising multi-round symbol
+    * growth — merged tokens re-merging in later rounds. */
+  val BpeRounds: Int = 10
+
+  /** Multi-round BPE tokenizer TRAINING ([[graft.ops.BpeOps]] — Sennrich
+    * et al. 2016): the first [[BpeRounds]] merges (round, lhs, rhs,
+    * merged, cnt) learned from the corpus word-frequency table, extending
+    * the single-round statistics pass [[bpePairs]] to the full learning
+    * loop. Corpus-sized work is ONE word-count aggregation; every round
+    * after that is vocabulary-sized (driver-local below
+    * [[graft.ops.BpeOps.DefaultLocalMaxWords]], distributed above it —
+    * bit-identical, parity-specced). The oracle restates the same greedy
+    * left-to-right merge with window-function islanding: a merge starts at
+    * every odd-ranked candidate within a run of consecutive candidate
+    * positions (equivalent to the textbook scan — for lhs≠rhs candidates
+    * are never adjacent, for lhs=rhs a run merges at offsets 1,3,5…). */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeOps.learnMerges(
+      Tables.documents(spark, dir)
+        .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      BpeRounds)
 }
 
 /** Shared language stopword profiles (small on purpose — the data is
@@ -1553,6 +1577,53 @@ object PipelineOracles {
       |      FROM f WHERE length(w) >= 2),
       |g AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt, count(*) AS n_forms FROM p GROUP BY 1)
       |SELECT pair, cnt, n_forms FROM g ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
+
+  /** Generated multi-round restatement of the BPE learning loop: one CTE
+    * block per round computes the freq-weighted pair argmax (same
+    * (cnt DESC, lhs, rhs) tie-break) and applies the merge by islanding —
+    * candidates are pair-start positions; within each run of CONSECUTIVE
+    * candidate positions the odd-ranked ones start a merge (textbook
+    * greedy: non-adjacent for lhs≠rhs, offsets 1,3,5… inside an equal-
+    * symbol run), the following position is consumed, and positions are
+    * renumbered so adjacency stays an integer-gap test next round. */
+  val bpeLearn: String = {
+    def round(r: Int): String = {
+      val p = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT word, freq, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p),
+         |best$r AS MATERIALIZED (SELECT sym AS l, nxt AS r2, CAST(SUM(freq) AS BIGINT) AS cnt
+         |           FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |           ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1),
+         |c$r AS (SELECT word, freq, pos, sym,
+         |               CASE WHEN sym = (SELECT l FROM best$r) AND nxt = (SELECT r2 FROM best$r)
+         |                    THEN 1 ELSE 0 END AS c
+         |        FROM p$r),
+         |g$r AS (SELECT *, CASE WHEN c = 1
+         |               THEN pos - row_number() OVER (PARTITION BY word, c ORDER BY pos) END AS grp
+         |        FROM c$r),
+         |m$r AS (SELECT word, freq, pos, sym,
+         |               CASE WHEN c = 1 AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos)) % 2 = 1
+         |                    THEN 1 ELSE 0 END AS ms
+         |        FROM g$r),
+         |d$r AS (SELECT word, freq, pos, sym, ms,
+         |               coalesce(lag(ms) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+         |        FROM m$r),
+         |s$r AS MATERIALIZED (SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |               CASE WHEN ms = 1 THEN (SELECT l FROM best$r) || (SELECT r2 FROM best$r) ELSE sym END AS sym
+         |        FROM d$r WHERE consumed = 0)""".stripMargin
+    }
+    val rounds = PipelineQueries.BpeRounds
+    s"""WITH w0 AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS pos,
+       |              unnest([substr(word, i, 1) for i in generate_series(1, length(word))]) AS sym
+       |       FROM w0),
+       |""".stripMargin +
+      (1 to rounds).map(round).mkString(",\n") + "\n" +
+      (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt FROM best$r")
+        .mkString("\nUNION ALL\n")
+  }
 
   val docFingerprint: String =
     """WITH h AS (
@@ -2320,6 +2391,7 @@ object PipelineOracles {
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
     "bpe_pairs"         -> bpePairs,
+    "bpe_learn"         -> bpeLearn,
     "dsir_weights"      -> dsirWeights,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
