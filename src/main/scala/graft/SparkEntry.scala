@@ -98,6 +98,9 @@ object SparkEntry {
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges
     "bpe_learn"         -> (PipelineQueries.bpeLearn _),
+    // tokenizer apply: per-doc word/subword/char counts via the learned
+    // merges, segmenting the vocab (model-sized), never the corpus
+    "bpe_encode"        -> (PipelineQueries.bpeEncode _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

@@ -44,18 +44,43 @@ object BpeOps {
                   localMaxWords: Long = DefaultLocalMaxWords): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val base = vocab.localCheckpoint(true)
-    val merges =
-      if (base.count() <= localMaxWords)
-        localLearn(base.select(col("word"), col("freq").cast("long"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq, rounds)
-      else distributedLearn(base, rounds)
-    merges.toDF("round", "lhs", "rhs", "merged", "cnt")
+    train(vocab, rounds, localMaxWords)._1.toDF("round", "lhs", "rhs", "merged", "cnt")
   }
 
-  /** Textbook reference loop over a collected vocabulary. */
-  private[graft] def localLearn(words: Seq[(String, Long)],
-                                rounds: Int): Seq[(Long, String, String, String, Long)] = {
+  /** Tokenizer APPLY at the vocabulary level: train `rounds` merges, then
+    * emit each word's post-merge subword count as (word, n_tok) — the
+    * model-sized table a corpus-wide token-count pass joins against
+    * ([[graft.queries.PipelineQueries.bpeEncode]]). Segmenting the VOCAB
+    * instead of the corpus is the standard trick: the corpus never pays
+    * the per-character merge scan, only a word-key join. */
+  def segmentCounts(vocab: DataFrame, rounds: Int,
+                    localMaxWords: Long = DefaultLocalMaxWords): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    train(vocab, rounds, localMaxWords)._2
+  }
+
+  /** Shared training loop: merges + the segmented vocabulary (word, n_tok). */
+  private def train(vocab: DataFrame, rounds: Int, localMaxWords: Long)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val base = vocab.localCheckpoint(true)
+    if (base.count() <= localMaxWords) {
+      val words = base.select(col("word"), col("freq").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (merges, seqs) = localLearn(words, rounds)
+      (merges, seqs.map { case (w, s) => (w, s.length.toLong) }.toDF("word", "n_tok"))
+    } else {
+      val (merges, cur) = distributedLearn(base, rounds)
+      (merges, cur.select(col("word"), size(col("syms")).cast("long").as("n_tok")))
+    }
+  }
+
+  /** Textbook reference loop over a collected vocabulary; returns the
+    * merges and each word's final symbol sequence. */
+  private[graft] def localLearn(words: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], Seq[(String, Array[String])]) = {
     var seqs: Seq[(Array[String], Long)] =
       words.map { case (w, f) => (w.map(_.toString).toArray, f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -78,7 +103,7 @@ object BpeOps {
         r += 1
       }
     }
-    out.toSeq
+    (out.toSeq, words.map(_._1).zip(seqs.map(_._1)))
   }
 
   /** One greedy left-to-right merge pass — the published apply step. */
@@ -96,8 +121,8 @@ object BpeOps {
     * explode+aggregate for pair counts, a 1-row argmax collect, and a
     * narrow fold projection applying the merge (checkpointed so plan depth
     * stays constant across rounds). */
-  private def distributedLearn(vocab: DataFrame,
-                               rounds: Int): Seq[(Long, String, String, String, Long)] = {
+  private def distributedLearn(vocab: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var cur = vocab
       .selectExpr("word", "freq",
         "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
@@ -123,7 +148,7 @@ object BpeOps {
         r += 1
       }
     }
-    out.toSeq
+    (out.toSeq, cur)
   }
 
   /** Greedy merge as a fold: append each symbol, except that `b` arriving

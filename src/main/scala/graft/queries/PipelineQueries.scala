@@ -1247,11 +1247,33 @@ object PipelineQueries {
     * positions (equivalent to the textbook scan — for lhs≠rhs candidates
     * are never adjacent, for lhs=rhs a run merges at offsets 1,3,5…). */
   def bpeLearn(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.BpeOps.learnMerges(
-      Tables.documents(spark, dir)
-        .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
-        .groupBy("word").agg(count(lit(1)).as("freq")),
-      BpeRounds)
+    graft.ops.BpeOps.learnMerges(bpeVocab(spark, dir), BpeRounds)
+
+  /** Corpus word-frequency table — the tokenizer-training input. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Tokenizer APPLY over the corpus — the token-budgeting pass a
+    * pretraining pipeline runs once a tokenizer exists: [[bpeLearn]]'s
+    * merges segment the VOCABULARY ([[graft.ops.BpeOps.segmentCounts]]),
+    * and each document's subword count is the freq-weighted sum of its
+    * words' counts. Segmenting the vocab instead of the corpus is the
+    * standard trick: the per-character merge scan runs over model-sized
+    * data, the corpus pays only one word explode + a broadcast word join
+    * + one doc-keyed aggregation. Output per doc: whitespace word count,
+    * BPE subword count, character count — the three denominators token
+    * budgets are quoted in. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val seg = graft.ops.BpeOps.segmentCounts(bpeVocab(spark, dir), BpeRounds)
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+  }
 }
 
 /** Shared language stopword profiles (small on purpose — the data is
@@ -1586,7 +1608,10 @@ object PipelineOracles {
     * greedy: non-adjacent for lhs≠rhs, offsets 1,3,5… inside an equal-
     * symbol run), the following position is consumed, and positions are
     * renumbered so adjacency stays an integer-gap test next round. */
-  val bpeLearn: String = {
+  /** Shared CTE prefix for the BPE oracles: word-frequency table, initial
+    * character rows, and one merge-round block per round — `s<rounds>` is
+    * the final segmented vocabulary. */
+  private def bpeChain(rounds: Int): String = {
     def round(r: Int): String = {
       val p = s"s${r - 1}"
       s"""p$r AS MATERIALIZED (SELECT word, freq, pos, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p),
@@ -1611,18 +1636,32 @@ object PipelineOracles {
          |               CASE WHEN ms = 1 THEN (SELECT l FROM best$r) || (SELECT r2 FROM best$r) ELSE sym END AS sym
          |        FROM d$r WHERE consumed = 0)""".stripMargin
     }
-    val rounds = PipelineQueries.BpeRounds
-    s"""WITH w0 AS (SELECT word, count(*) AS freq FROM (
+    s"""w0 AS (SELECT word, count(*) AS freq FROM (
        |  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
        |  GROUP BY 1),
        |s0 AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS pos,
        |              unnest([substr(word, i, 1) for i in generate_series(1, length(word))]) AS sym
        |       FROM w0),
        |""".stripMargin +
-      (1 to rounds).map(round).mkString(",\n") + "\n" +
+      (1 to rounds).map(round).mkString(",\n")
+  }
+
+  val bpeLearn: String = {
+    val rounds = PipelineQueries.BpeRounds
+    s"WITH ${bpeChain(rounds)}\n" +
       (1 to rounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt FROM best$r")
         .mkString("\nUNION ALL\n")
+  }
+
+  val bpeEncode: String = {
+    val rounds = PipelineQueries.BpeRounds
+    s"""WITH ${bpeChain(rounds)},
+       |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM s$rounds GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |FROM dw JOIN seg USING (word) GROUP BY 1""".stripMargin
   }
 
   val docFingerprint: String =
@@ -2392,6 +2431,7 @@ object PipelineOracles {
     "semdedup"          -> semDedup,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
+    "bpe_encode"        -> bpeEncode,
     "dsir_weights"      -> dsirWeights,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,

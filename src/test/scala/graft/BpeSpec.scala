@@ -51,4 +51,26 @@ class BpeSpec extends SparkSpec {
     assert(got(Long.MaxValue) == expected)
     assert(got(0L) == expected)
   }
+
+  test("bpe_encode counts equal direct per-document merge replay") {
+    val merges = PipelineQueries.bpeLearn(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val expected = Tables.documents(spark, sf0001).selectExpr("doc_id", "text")
+      .collect().map { r =>
+        val words = r.getString(1).trim.split(" ").filter(_.nonEmpty)
+        val nTok = words.map { w =>
+          var s = w.map(_.toString).toArray
+          merges.foreach { case (a, b) => s = BpeOps.mergeOnce(s, a, b) }
+          s.length.toLong
+        }.sum
+        r.getLong(0) -> ((words.length.toLong, nTok, words.map(_.length.toLong).sum))
+      }.toMap
+    val got = PipelineQueries.bpeEncode(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars")))).toMap
+    assert(got == expected)
+    // subword counts sit between word and character granularity
+    assert(got.values.forall { case (w, t, c) => w <= t && t <= c })
+  }
 }
