@@ -961,43 +961,98 @@ object PipelineQueries {
     * per-doc sum. No corpus self-join, no checkpoint. */
   def dsirWeights(spark: SparkSession, dir: String,
                   buckets: Int = DsirBuckets): DataFrame = {
-    val B = buckets
-    val uniH = s"${DedupOps.md5Long("t")} % $B"
-    val bigH = DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")
-    // one-split corpora otherwise serialize the per-token md5 explode on a
-    // single task (see [[graft.ops.Parallelism]]); no-op on real corpora
-    val feats = graft.ops.Parallelism.ensureMin(Tables.documents(spark, dir)
-        .selectExpr("doc_id", "lang",
-          "filter(split(trim(text), ' '), t -> t <> '') AS w"))
-      .selectExpr("doc_id", "lang",
-        s"explode(concat(transform(w, t -> $uniH), " +
-          s"IF(size(w) > 1, transform(sequence(1, size(w) - 1), i -> $bigH % $B), " +
-          "array()))) AS b")
-      // explicit not-null on the join key so InferFiltersFromConstraints
-      // cannot specialize the scoring branch's copy of this subtree — the
-      // [[lmFluency]] trick that lets AQE materialize the exchange ONCE
-      .filter(col("b").isNotNull)
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
-    val model = feats.groupBy("b").agg(
-      sum(col("cnt")).as("cr"),
-      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
-    // grand totals R=Σcr, T=Σct arithmetically: a doc with n tokens emits
-    // exactly 2n-1 features (n unigrams + n-1 bigrams) — one narrow count
-    // scan instead of a third copy of the explode+aggregate subtree
-    val tot = Tables.documents(spark, dir)
-      .selectExpr("lang", "size(filter(split(trim(text), ' '), t -> t <> '')) AS n")
-      .agg(sum(expr("IF(n > 1, 2 * n - 1, CAST(n AS BIGINT))")).as("r"),
-        sum(expr("IF(lang = 'en', IF(n > 1, 2 * n - 1, CAST(n AS BIGINT)), 0L)")).as("t"))
-    val qlr = model.crossJoin(broadcast(tot))
-      .selectExpr("b",
-        "CAST(round(1000000.0 * ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))" +
-          s" * (CAST(r + $B AS DOUBLE) / CAST(t + $B AS DOUBLE)))) AS BIGINT) AS qlr")
-    feats.join(broadcast(qlr), "b")
+    val feats = dsirFeats(spark, dir, buckets)
+    feats.join(broadcast(dsirModel(spark, dir, buckets)), "b")
       .groupBy("doc_id", "lang")
       .agg(sum(col("cnt")).as("n_feats"), sum(expr("cnt * qlr")).as("logw_q"))
       .selectExpr("doc_id", "lang", "lang = 'en' AS is_target",
         "n_feats", "logw_q", "logw_q > 0 AS selected")
   }
+
+  /** Feature-array SQL fragment over token array `w` — bucket ids of all
+    * unigrams + adjacent bigrams, shared by the batch aggregation and the
+    * streaming per-row scorer (identical bytes → identical hashes). */
+  private def dsirFeatArr(buckets: Int): String = {
+    val uniH = s"${DedupOps.md5Long("t")} % $buckets"
+    val bigH = DedupOps.md5Long("concat(element_at(w, i), ' ', element_at(w, i + 1))")
+    s"concat(transform(w, t -> $uniH), " +
+      s"IF(size(w) > 1, transform(sequence(1, size(w) - 1), i -> $bigH % $buckets), " +
+      "array()))"
+  }
+
+  /** Corpus (doc, lang, bucket, cnt) feature counts — the ONE corpus-sized
+    * exchange of the DSIR family; its canonically-equal subtree appears
+    * under both [[dsirWeights]]'s scoring branch and [[dsirModel]], so AQE
+    * materializes it once (ReusedExchange-verified via ExecPlan). */
+  private def dsirFeats(spark: SparkSession, dir: String, buckets: Int): DataFrame =
+    // one-split corpora otherwise serialize the per-token md5 explode on a
+    // single task (see [[graft.ops.Parallelism]]); no-op on real corpora
+    graft.ops.Parallelism.ensureMin(Tables.documents(spark, dir)
+        .selectExpr("doc_id", "lang",
+          "filter(split(trim(text), ' '), t -> t <> '') AS w"))
+      .selectExpr("doc_id", "lang", s"explode(${dsirFeatArr(buckets)}) AS b")
+      // explicit not-null on the join key so InferFiltersFromConstraints
+      // cannot specialize the scoring branch's copy of this subtree — the
+      // [[lmFluency]] trick that lets AQE materialize the exchange ONCE
+      .filter(col("b").isNotNull)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+
+  /** The trained importance model: per-bucket quantized log-likelihood
+    * ratio (b, qlr) — B rows at any corpus size. */
+  def dsirModel(spark: SparkSession, dir: String,
+                buckets: Int = DsirBuckets): DataFrame = {
+    val B = buckets
+    val model = dsirFeats(spark, dir, buckets).groupBy("b").agg(
+      sum(col("cnt")).as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    model.crossJoin(broadcast(dsirTotals(spark, dir)))
+      .selectExpr("b",
+        "CAST(round(1000000.0 * ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))" +
+          s" * (CAST(r + $B AS DOUBLE) / CAST(t + $B AS DOUBLE)))) AS BIGINT) AS qlr")
+  }
+
+  /** Grand totals R=Σcr, T=Σct arithmetically: a doc with n tokens emits
+    * exactly 2n-1 features (n unigrams + n-1 bigrams) — one narrow count
+    * scan instead of a third copy of the explode+aggregate subtree. */
+  private def dsirTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("lang", "size(filter(split(trim(text), ' '), t -> t <> '')) AS n")
+      .agg(sum(expr("IF(n > 1, 2 * n - 1, CAST(n AS BIGINT))")).as("r"),
+        sum(expr("IF(lang = 'en', IF(n > 1, 2 * n - 1, CAST(n AS BIGINT)), 0L)")).as("t"))
+
+  /** [[dsirModel]] densified to a bucket-indexed array (bounded model
+    * params — the collect the PQ codebook discipline allows): buckets the
+    * corpus never emitted get the ct=cr=0 smoothed ratio, so the scorer's
+    * lookup is total. Rounding mirrors Spark's `round` (HALF_UP on the
+    * shortest-repr decimal). */
+  def dsirModelArray(spark: SparkSession, dir: String,
+                     buckets: Int = DsirBuckets): Array[Long] = {
+    val tot = dsirTotals(spark, dir).collect()(0)
+    val (r, t) = (tot.getLong(0), tot.getLong(1))
+    val default = java.math.BigDecimal.valueOf(
+        1000000.0 * math.log((r + buckets).toDouble / (t + buckets).toDouble))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val m = dsirModel(spark, dir, buckets).collect()
+      .map(row => row.getLong(0).toInt -> row.getLong(1)).toMap
+    Array.tabulate(buckets)(b => m.getOrElse(b, default))
+  }
+
+  /** STATELESS per-row DSIR scoring against a frozen model array — the
+    * ingest-time shape (train offline, score on arrival); works on batch
+    * and streaming frames alike and is bit-identical to [[dsirWeights]]
+    * by construction (same hash fragment, same integer sums — asserted in
+    * PipelineSpec and live-replayed in StreamingJobsSpec). */
+  def dsirScore(docs: DataFrame, qlr: Array[Long],
+                buckets: Int = DsirBuckets): DataFrame =
+    docs.withColumn("qlrarr", typedLit(qlr.toSeq))
+      .selectExpr("doc_id", "lang",
+        "filter(split(trim(text), ' '), t -> t <> '') AS w", "qlrarr")
+      .selectExpr("doc_id", "lang", s"${dsirFeatArr(buckets)} AS fb", "qlrarr")
+      .selectExpr("doc_id", "lang", "lang = 'en' AS is_target",
+        "CAST(size(fb) AS BIGINT) AS n_feats",
+        "aggregate(fb, 0L, (acc, b) -> acc + element_at(qlrarr, CAST(b + 1 AS INT))) AS logw_q")
+      .selectExpr("doc_id", "lang", "is_target", "n_feats", "logw_q",
+        "logw_q > 0 AS selected")
 
   /** Incremental corpus update: diff the documents snapshot against a
     * deterministically derived successor (every 7th doc dropped, every 11th

@@ -101,6 +101,19 @@ object StreamingJobs {
       .transform(Detectors.onlineSemDedup(_, threshold, streaming = true))
   }
 
+  /** ONLINE DSIR importance scoring: documents arriving on a stream are
+    * scored STATELESSLY against the offline-trained bucket model
+    * ([[PipelineQueries.dsirModelArray]] — B quantized log-ratios frozen
+    * into a literal array), the production ingest-time shape: the model
+    * trains on yesterday's corpus, today's deliveries are scored on
+    * arrival with zero state and zero shuffles. Bit-identical to the
+    * batch `dsir_weights` rows (same hash fragment, same integer sums) —
+    * asserted by the live-replay spec. */
+  def dsirScoreStream(spark: SparkSession, dir: String,
+                      buckets: Int = PipelineQueries.DsirBuckets): DataFrame =
+    PipelineQueries.dsirScore(documentsStream(spark, dir),
+      PipelineQueries.dsirModelArray(spark, dir, buckets), buckets)
+
   /** ONLINE incremental cluster maintenance over a delivery stream: every
     * micro-batch is one DELIVERY, folded into the maintained assignment by
     * [[graft.ops.ClusterOps.incrementalClusters]] while the signature

@@ -394,4 +394,26 @@ class StreamingJobsSpec extends SparkSpec {
       assert(last.toSet == expected && expected.nonEmpty)
     } finally q2.stop()
   }
+
+  test("online DSIR scoring replays to the exact batch weights") {
+    import graft.queries.PipelineQueries
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_feats"),
+        r.getAs[Long]("logw_q"), r.getAs[Boolean]("selected"))
+    val batch = PipelineQueries.dsirWeights(spark, sf0001).collect().map(rowKey).toSet
+    // the stateless scorer over the static table is bit-identical
+    val arr = PipelineQueries.dsirModelArray(spark, sf0001)
+    val scored = PipelineQueries.dsirScore(
+      graft.sources.Tables.documents(spark, sf0001), arr).collect().map(rowKey).toSet
+    assert(scored == batch && batch.nonEmpty)
+    // live replay: a stateless append stream emits EVERY row — full
+    // equality, not a watermark-bounded subset
+    val q = StreamingJobs.dsirScoreStream(spark, sf0001)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dsir_stream").collect().map(rowKey).toSet == batch)
+    } finally q.stop()
+  }
 }
