@@ -104,6 +104,8 @@ object SparkEntry {
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),
+    // DSIR's resampling step: Gumbel-top-k draw ∝ exp(logw), hash-derived
+    "dsir_select"       -> ((s, d) => PipelineQueries.dsirSelect(s, d)),
     // index-quality gate: recall@3 of IVF vs brute cosine and of
     // PQ+rerank vs brute exact L2, per query
     "ann_recall"        -> (PipelineQueries.annRecall _),

@@ -1037,6 +1037,31 @@ object PipelineQueries {
     Array.tabulate(buckets)(b => m.getOrElse(b, default))
   }
 
+  /** The RESAMPLING step DSIR exists for: k documents drawn WITHOUT
+    * replacement with probability ∝ exp(logw) via the Gumbel-top-k
+    * identity (perturb each log-weight with an independent Gumbel noise
+    * term, take the k largest keys — Vieira 2014; the paper's §2.3
+    * selection). The uniforms are hash-derived, not rand(): u =
+    * (2·md5(doc_id)+1)/2^61 ∈ (0,1) strictly — both the doubling trick
+    * (odd numerator, exactly-representable 2^61 denominator) and the
+    * Gumbel transform −ln(−ln u) are stated identically in the oracle,
+    * with the same 1e6 quantization margin as the model's log-ratios
+    * (~2 ulp of libm risk per doc, pinned tri-SF); the final key is then
+    * an EXACT integer sum in shared micro-nat units. Top-k is
+    * orderBy+limit = TakeOrderedAndProject — per-partition heads, no
+    * single-partition window — with doc_id as total tie-break. */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = DedupOps.md5Long("CAST(doc_id AS STRING)")
+    dsirWeights(spark, dir)
+      .selectExpr("doc_id", "lang", "is_target", "logw_q",
+        s"CAST(round(1000000.0 * -ln(-ln(CAST(2 * ($h) + 1 AS DOUBLE)" +
+          " / 2305843009213693952.0D))) AS BIGINT) AS gumbel_q")
+      .selectExpr("doc_id", "lang", "is_target", "logw_q", "gumbel_q",
+        "logw_q + gumbel_q AS gkey")
+      .orderBy(col("gkey").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** STATELESS per-row DSIR scoring against a frozen model array — the
     * ingest-time shape (train offline, score on arrival); works on batch
     * and streaming frames alike and is bit-identical to [[dsirWeights]]
@@ -2310,6 +2335,17 @@ object PipelineOracles {
        |FROM fc JOIN q USING (b) GROUP BY 1, 2, 3""".stripMargin
   }
 
+  val dsirSelect: String = {
+    val h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""SELECT doc_id, lang, is_target, logw_q, gumbel_q, logw_q + gumbel_q AS gkey
+       |FROM (
+       |  SELECT doc_id, lang, is_target, logw_q,
+       |         CAST(round(1000000.0 * -ln(-ln(CAST(2 * ($h) + 1 AS DOUBLE)
+       |              / 2305843009213693952.0))) AS BIGINT) AS gumbel_q
+       |  FROM ($dsirWeights))
+       |ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin
+  }
+
   val lmFluency: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |occ AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2 FROM (
@@ -2488,6 +2524,7 @@ object PipelineOracles {
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
     "dsir_weights"      -> dsirWeights,
+    "dsir_select"       -> dsirSelect,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,

@@ -425,4 +425,29 @@ class PipelineSpec extends SparkSpec {
     val sel = out.filter(_.getAs[Boolean]("selected"))
     assert(sel.nonEmpty && sel.count(_.getAs[Boolean]("is_target")) * 2 > sel.length)
   }
+
+  test("dsir_select is the Gumbel-top-k of the verified weights") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Long(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val weights = PipelineQueries.dsirWeights(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Long]("logw_q")))
+    val keyed = weights.map { case (id, _, lw) =>
+      val u = (2.0 * md5Long(id.toString) + 1.0) / 2305843009213693952.0
+      val g = java.math.BigDecimal.valueOf(1000000.0 * -math.log(-math.log(u)))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      (id, lw + g)
+    }
+    val expected = keyed.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSeq
+    val sel = PipelineQueries.dsirSelect(spark, sf0001).collect()
+    assert(sel.map(_.getAs[Long]("doc_id")).toSeq == expected)
+    // resampling ∝ exp(logw) must ENRICH the target slice vs its corpus share
+    val corpusShare = weights.count(_._2).toDouble / weights.length
+    val selShare = sel.count(_.getAs[Boolean]("is_target")).toDouble / sel.length
+    assert(selShare > corpusShare)
+  }
 }
