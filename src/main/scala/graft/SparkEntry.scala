@@ -106,6 +106,12 @@ object SparkEntry {
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),
     // DSIR's resampling step: Gumbel-top-k draw ∝ exp(logw), hash-derived
     "dsir_select"       -> ((s, d) => PipelineQueries.dsirSelect(s, d)),
+    // multinomial Naive-Bayes language classifier: trained on the 80%
+    // split, scored on the held-out test bucket — the model-based
+    // quality/routing filter of the GPT-3/CCNet lineage
+    "nb_classify"       -> ((s, d) => PipelineQueries.nbClassify(s, d)),
+    // cross-source shingle-overlap audit (pairwise shingle-set Jaccard)
+    "source_overlap"    -> (PipelineQueries.sourceOverlap _),
     // index-quality gate: recall@3 of IVF vs brute cosine and of
     // PQ+rerank vs brute exact L2, per query
     "ann_recall"        -> (PipelineQueries.annRecall _),

@@ -1354,6 +1354,210 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
+
+  /** Hashed-feature space of the Naive-Bayes classifier (shared with the
+    * oracle and the frozen-model scorer). */
+  val NbBuckets: Int = 1024
+
+  /** Per-language marker vocabularies for the classifier's
+    * injection oracle. The synthetic corpus's `lang` column is
+    * label-INDEPENDENT of the text (verified: stopword rates are uniform
+    * across labels; a driver-side NB tops out below the majority prior),
+    * so — the [[piiScrub]] discipline — the query PLANTS a deterministic
+    * signal by appending each doc's language markers, then asserts the
+    * learner recovers the labels on held-out docs. The de/en/es/fr rows
+    * are [[TextLang.langs]]; zh gets a pinyin particle list. */
+  val NbMarkers: Seq[(String, String)] =
+    (TextLang.langs.map { case (l, ws) => l -> ws.mkString(" ") } :+
+      ("zh" -> "de shi bu le zai you he wo zhe ge")).sortBy(_._1)
+
+  /** `CASE lang ... END` fragment appending the marker tokens — literal
+    * SQL shared verbatim with the DuckDB oracle. */
+  private def nbMarkedTextExpr: String =
+    NbMarkers.map { case (l, m) => s"WHEN '$l' THEN concat(text, ' ', '$m')" }
+      .mkString("CASE lang ", " ", " ELSE text END")
+
+  /** The [[trainSplit]] bucket expression (over the ORIGINAL text, so the
+    * classifier's train/test split is the same 80/10/10 content-hash split
+    * every other split consumer uses). */
+  private def nbBucketExpr: String =
+    s"${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10"
+
+  private def nbTokExpr: String = "filter(split(trim(mtext), ' '), t -> t <> '')"
+
+  /** Marker-inject a (doc_id, lang, text) frame for the frozen-model
+    * scorer — the same CASE the batch classifier applies internally. */
+  def nbMarkText(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "lang", s"$nbMarkedTextExpr AS text")
+
+  /** Documents with the marker-injected feature text alongside the raw
+    * split key. */
+  private def nbDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", s"$nbMarkedTextExpr AS mtext",
+        s"$nbBucketExpr AS bucket")
+
+  /** Train-split class summary: per language, document count, token count,
+    * and the 1e6-quantized log prior — C rows at any corpus size. */
+  private def nbPriors(spark: SparkSession, dir: String): DataFrame = {
+    val train = nbDocs(spark, dir).filter(col("bucket") < 8)
+    val classes = train
+      .selectExpr("lang", s"CAST(size($nbTokExpr) AS BIGINT) AS n")
+      .groupBy("lang").agg(count(lit(1)).as("d_c"), sum(col("n")).as("n_c"))
+    classes.crossJoin(broadcast(classes.agg(sum(col("d_c")).as("d"))))
+      .selectExpr("lang AS c", "d_c", "n_c",
+        "CAST(round(1000000.0 * ln(CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT) AS prior_q")
+  }
+
+  /** Dense smoothed per-(class, bucket) log-likelihoods: every class ×
+    * every bucket, Laplace +1 — C·B rows, broadcast to the scorer so
+    * test-side features never shuffle to meet the model. */
+  private def nbModel(spark: SparkSession, dir: String,
+                      buckets: Int = NbBuckets): DataFrame = {
+    val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
+    val counts = graft.ops.Parallelism.ensureMin(
+        nbDocs(spark, dir).filter(col("bucket") < 8)
+          .selectExpr("lang AS c", s"$nbTokExpr AS w"))
+      .selectExpr("c", s"explode(transform(w, t -> $bExpr)) AS b")
+      .groupBy("c", "b").agg(count(lit(1)).as("cnt"))
+    nbPriors(spark, dir)
+      .selectExpr("c", "n_c",
+        s"explode(sequence(0L, ${buckets - 1}L)) AS b")
+      .join(counts, Seq("c", "b"), "left")
+      .selectExpr("c", "b",
+        "CAST(round(1000000.0 * ln(CAST(coalesce(cnt, 0L) + 1 AS DOUBLE)" +
+          s" / CAST(n_c + $buckets AS DOUBLE))) AS BIGINT) AS llh_q")
+  }
+
+  /** Multinomial Naive-Bayes language classifier — the model-based quality
+    * / routing filter of the GPT-3/CCNet lineage (train a cheap linear
+    * classifier on a trusted split, score the rest of the corpus), here
+    * over hashed unigram features predicting `lang` so accuracy has a
+    * ground-truth column. Because the synthetic corpus's labels are
+    * text-independent, features come from [[NbMarkers]]-injected text (the
+    * injection-oracle discipline — see [[NbMarkers]]); held-out accuracy
+    * is then a real assertion, not noise. Train = the [[trainSplit]] 80%
+    * buckets, scored = the held-out test bucket; all log terms are
+    * 1e6-quantized integers (the DSIR discipline — per-doc scores are
+    * exact BIGINT sums, the only libm risk is one `ln` per model row,
+    * margin pinned tri-SF).
+    *
+    * Scale shape: the model branch is one exchange collapsing the train
+    * corpus to ≤ C·B rows; scoring explodes test tokens once, joins the
+    * BROADCAST dense model (×C per token), and pays ONE corpus-sized
+    * exchange — the (doc, class) aggregation — plus the per-doc argmax
+    * window. No corpus self-join; empty docs fall back to the prior by a
+    * cheap filtered union, never a corpus-wide left join. */
+  def nbClassify(spark: SparkSession, dir: String,
+                 buckets: Int = NbBuckets): DataFrame = {
+    val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
+    val priors = nbPriors(spark, dir).select("c", "prior_q")
+    val test = nbDocs(spark, dir).filter(col("bucket") === 9)
+    val scoredTok = graft.ops.Parallelism.ensureMin(
+        test.selectExpr("doc_id", "lang", s"$nbTokExpr AS w"))
+      .selectExpr("doc_id", "lang", s"explode(transform(w, t -> $bExpr)) AS b")
+      .join(broadcast(nbModel(spark, dir, buckets)), "b")
+      .groupBy("doc_id", "lang", "c").agg(sum(col("llh_q")).as("s_q"))
+      .join(broadcast(priors), "c")
+      .selectExpr("doc_id", "lang", "c", "prior_q + s_q AS score_q")
+    val scoredEmpty = test
+      .selectExpr("doc_id", "lang", s"size($nbTokExpr) AS n")
+      .filter(col("n") === 0)
+      .crossJoin(broadcast(priors))
+      .selectExpr("doc_id", "lang", "c", "prior_q AS score_q")
+    scoredTok.unionByName(scoredEmpty)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_q").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .selectExpr("doc_id", "lang", "c AS pred", "score_q", "lang = c AS correct")
+  }
+
+  /** The trained model densified for the frozen-model scorer: class list
+    * (sorted) with prior and the full bucket-indexed llh array per class —
+    * bounded model params (C·B longs), the PQ-codebook collect discipline. */
+  def nbModelArrays(spark: SparkSession, dir: String,
+                    buckets: Int = NbBuckets): Seq[(String, Long, Array[Long])] = {
+    val pri = nbPriors(spark, dir).select("c", "prior_q").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    nbModel(spark, dir, buckets).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) =>
+        val arr = new Array[Long](buckets)
+        rows.foreach { case (_, b, q) => arr(b) = q }
+        (c, pri(c), arr)
+      }
+  }
+
+  /** STATELESS per-row NB scoring against a frozen model — the ingest-time
+    * shape (train offline, classify on arrival); batch/streaming-agnostic
+    * and bit-identical to [[nbClassify]] on the same rows (same hash
+    * fragment, same integer sums; asserted in PipelineSpec and live-run in
+    * StreamingJobsSpec). The per-row argmax is a single array fold —
+    * no shuffle at all. */
+  def nbScore(docs: DataFrame, model: Seq[(String, Long, Array[Long])],
+              buckets: Int = NbBuckets): DataFrame = {
+    val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
+    val classes = model.map(_._1)
+    val scoreCols = model.zipWithIndex.map { case ((c, prior, arr), i) =>
+      s"$prior + aggregate(fb, 0L, (acc, b) -> acc + element_at(m$i, CAST(b + 1 AS INT))) AS s$i"
+    }
+    val tok = "filter(split(trim(text), ' '), t -> t <> '')"
+    val withArrs = model.zipWithIndex.foldLeft(
+        docs.selectExpr("doc_id", "lang", s"transform($tok, t -> $bExpr) AS fb")) {
+      case (df, ((_, _, arr), i)) => df.withColumn(s"m$i", typedLit(arr.toSeq))
+    }
+    val scoreArr = model.indices.map(i => s"s$i").mkString("array(", ", ", ")")
+    val classArr = classes.map(c => s"'$c'").mkString("array(", ", ", ")")
+    withArrs
+      .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
+      .selectExpr("doc_id", "lang", s"$scoreArr AS ss")
+      // argmax with the same (score desc, class asc) tie-break as the
+      // batch window: classes are pre-sorted, strict > keeps the first
+      .selectExpr("doc_id", "lang", "ss",
+        "aggregate(IF(size(ss) > 1, sequence(1, size(ss) - 1), array()), 0, " +
+          "(best, i) -> IF(element_at(ss, i + 1) > element_at(ss, best + 1), i, best)) AS bi")
+      .selectExpr("doc_id", "lang",
+        s"element_at($classArr, bi + 1) AS pred",
+        "element_at(ss, bi + 1) AS score_q",
+        s"lang = element_at($classArr, bi + 1) AS correct")
+  }
+
+  /** Cross-source content-overlap audit: for every source pair, how many
+    * distinct word-3-shingles appear in BOTH, as a shingle-set Jaccard —
+    * the cross-source contamination profile a multi-source corpus build
+    * checks before assigning per-source quotas (shared crawls inflate a
+    * naive mix). The raw-document variant (shared exact-content hashes)
+    * degenerates on this corpus — no two sources share a byte-identical
+    * document — so the unit is the shingle, the same granularity the
+    * dedup family measures.
+    *
+    * Scale shape: never doc × doc and never a hash self-join — shingles
+    * shared by k sources would pay k² join rows, so instead ONE
+    * aggregation per shingle collects the (bounded, ≤ #sources) sorted
+    * source set and the pairs explode from that array; the pair count is
+    * then a #sources²-keyed aggregation. Shingles travel as the 62-bit
+    * [[graft.functions.SpanHashes]] hashes, not strings. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleHashes(Tables.documents(spark, dir), "text", 3, "source")
+      .select("source", "h").distinct()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .selectExpr("explode(flatten(transform(sequence(1, size(ss) - 1), j -> " +
+        "transform(sequence(0, j - 1), i -> " +
+        "struct(element_at(ss, i + 1) AS source_a, element_at(ss, j + 1) AS source_b))))) AS p")
+      .selectExpr("p.source_a AS source_a", "p.source_b AS source_b")
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(tot.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a")), "source_a")
+      .join(broadcast(tot.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b")), "source_b")
+      .selectExpr("source_a", "source_b", "n_a", "n_b", "shared",
+        "CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS overlap_jaccard")
+  }
 }
 
 /** Shared language stopword profiles (small on purpose — the data is
@@ -2346,6 +2550,57 @@ object PipelineOracles {
        |ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin
   }
 
+  val nbClassify: String = {
+    val b = PipelineQueries.NbBuckets
+    val tok = "list_filter(string_split(trim(mtext), ' '), t -> t <> '')"
+    val hb = s"t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $b"
+    val marked = PipelineQueries.NbMarkers
+      .map { case (l, m) => s"WHEN '$l' THEN text || ' ' || '$m'" }
+      .mkString("CASE lang ", " ", " ELSE text END")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $marked AS mtext,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS bucket
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE bucket < 8),
+       |te AS (SELECT * FROM d WHERE bucket = 9),
+       |cls AS (SELECT lang, count(*) AS d_c, SUM(len($tok)) AS n_c FROM tr GROUP BY 1),
+       |tot AS (SELECT SUM(d_c) AS d FROM cls),
+       |pri AS (SELECT lang AS c, n_c,
+       |        CAST(round(1000000.0 * ln(CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT) AS prior_q
+       |        FROM cls CROSS JOIN tot),
+       |cnts AS (SELECT lang AS c, b, count(*) AS cnt FROM (
+       |  SELECT lang, unnest(list_transform($tok, $hb)) AS b FROM tr) GROUP BY 1, 2),
+       |model AS (SELECT pri.c AS c, bs.b AS b,
+       |        CAST(round(1000000.0 * ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)
+       |             / CAST(n_c + $b AS DOUBLE))) AS BIGINT) AS llh_q
+       |        FROM pri CROSS JOIN generate_series(0, ${b - 1}) bs(b)
+       |        LEFT JOIN cnts ON cnts.c = pri.c AND cnts.b = bs.b),
+       |sdoc AS (SELECT t.doc_id, t.lang, m.c AS c, SUM(m.llh_q) AS s_q FROM (
+       |  SELECT doc_id, lang, unnest(list_transform($tok, $hb)) AS b FROM te) t
+       |  JOIN model m USING (b) GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT sdoc.doc_id, sdoc.lang, sdoc.c AS c, CAST(prior_q + s_q AS BIGINT) AS score_q
+       |  FROM sdoc JOIN pri ON pri.c = sdoc.c
+       |  UNION ALL
+       |  SELECT doc_id, lang, pri.c AS c, CAST(prior_q AS BIGINT) AS score_q FROM te CROSS JOIN pri
+       |  WHERE len($tok) = 0)
+       |SELECT doc_id, lang, pred, score_q, correct FROM (
+       |  SELECT doc_id, lang, c AS pred, score_q, lang = c AS correct,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, c ASC) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  val sourceOverlap: String =
+    s"""WITH ${shingleCte(carrySource = true)},
+       |ssh AS (SELECT DISTINCT source, sh FROM sh),
+       |stot AS (SELECT source, count(*) AS n FROM ssh GROUP BY 1),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+       |      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+       |SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, shared,
+       |       CAST(shared AS DOUBLE) / CAST(ta.n + tb.n - shared AS DOUBLE) AS overlap_jaccard
+       |FROM p JOIN stot ta ON ta.source = source_a JOIN stot tb ON tb.source = source_b""".stripMargin
+
   val lmFluency: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |occ AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2 FROM (
@@ -2525,6 +2780,8 @@ object PipelineOracles {
     "bpe_encode"        -> bpeEncode,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
+    "nb_classify"       -> nbClassify,
+    "source_overlap"    -> sourceOverlap,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
     "seq_pack"          -> seqPack,

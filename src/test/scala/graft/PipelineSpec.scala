@@ -450,4 +450,104 @@ class PipelineSpec extends SparkSpec {
     val selShare = sel.count(_.getAs[Boolean]("is_target")).toDouble / sel.length
     assert(selShare > corpusShare)
   }
+
+  private def md5Long15(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("nb_classify matches a driver-local Naive-Bayes recomputation") {
+    val B = PipelineQueries.NbBuckets
+    def toks(text: String): Seq[String] =
+      text.trim.split(" ").filter(_.nonEmpty).toSeq
+    def q(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val markers = PipelineQueries.NbMarkers.toMap
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map { r =>
+        val (id, lang, raw) = (r.getLong(0), r.getString(1), r.getString(2))
+        // split bucket over the ORIGINAL text; features over marked text
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val th = md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = md5Long15(s"$id|$th") % 10
+        val mtext = markers.get(lang).map(m => s"$raw $m").getOrElse(raw)
+        (id, lang, mtext, bucket)
+      }
+    val train = docs.filter(_._4 < 8).map(d => (d._1, d._2, d._3))
+    val test0 = docs.filter(_._4 == 9).map(d => (d._1, d._2, d._3))
+    val dC = train.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    val nC = train.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map(r => toks(r._3).size.toLong).sum }
+    val d = dC.values.sum
+    val priorQ = dC.map { case (c, n) => c -> q(1000000.0 * math.log(n.toDouble / d)) }
+    val cnt = collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    train.foreach { case (_, c, t) =>
+      toks(t).foreach(w => cnt((c, (md5Long15(w) % B).toInt)) += 1) }
+    def llhQ(c: String, b: Int): Long =
+      q(1000000.0 * math.log((cnt((c, b)) + 1).toDouble / (nC(c) + B).toDouble))
+    val classes = dC.keys.toSeq.sorted
+    val expected = test0.map { case (id, lang, t) =>
+      val scores = classes.map(c =>
+        c -> (priorQ(c) + toks(t).map(w => llhQ(c, (md5Long15(w) % B).toInt)).sum))
+      val (pred, s) = scores.minBy { case (c, sq) => (-sq, c) }
+      id -> (lang, pred, s, lang == pred)
+    }.toMap
+    val out = PipelineQueries.nbClassify(spark, sf0001).collect()
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("lang"), r.getAs[String]("pred"),
+        r.getAs[Long]("score_q"), r.getAs[Boolean]("correct"))).toMap
+    assert(got == expected)
+    // the planted marker signal must be recovered: well above the
+    // majority-class prior, and near-perfect in absolute terms
+    val majority = test0.groupBy(_._2).values.map(_.length).max.toDouble / test0.length
+    val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+    assert(acc > majority,
+      s"NB accuracy $acc should beat the majority-class baseline $majority")
+    assert(acc >= 0.9, s"NB should recover the planted markers, got $acc")
+  }
+
+  test("nbScore frozen-model scorer is bit-identical to the batch classifier") {
+    val model = PipelineQueries.nbModelArrays(spark, sf0001)
+    assert(model.nonEmpty && model.map(_._1) == model.map(_._1).sorted)
+    val testDocs = PipelineQueries.nbMarkText(Tables.documents(spark, sf0001)
+      .filter(expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|', md5(text))), 1, 15), 16, 10) AS BIGINT) % 10 = 9")))
+    val got = PipelineQueries.nbScore(testDocs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred"), r.getAs[Long]("score_q"), r.getAs[Boolean]("correct")))
+      .toMap
+    val exp = PipelineQueries.nbClassify(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred"), r.getAs[Long]("score_q"), r.getAs[Boolean]("correct")))
+      .toMap
+    assert(got == exp)
+  }
+
+  test("source_overlap matches a driver-local shingle-set intersection") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.flatMap { case (_, t) =>
+        val w = t.trim.split(" ").filter(_.nonEmpty).toSeq
+        w.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val sources = bySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      sa = sources(i); sb = sources(j)
+      shared = (bySource(sa) & bySource(sb)).size
+      if shared > 0
+    } yield (sa, sb) -> (bySource(sa).size.toLong, bySource(sb).size.toLong,
+        shared.toLong)).toMap
+    val got = PipelineQueries.sourceOverlap(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("shared")))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "synthetic sources should share at least one shingle")
+  }
 }
