@@ -94,6 +94,11 @@ object SparkEntry {
     // SemDeDup: coarse-centroid-scoped exhaustive semantic dedup — the
     // published complement to the banded-LSH dedup_embed pass
     "semdedup"          -> (PipelineQueries.semDedup _),
+    // distributed fixed-round Lloyd k-means: broadcast literal centroids,
+    // one narrow argmin pass + one k×dim aggregation per round
+    "embed_kmeans"      -> (PipelineQueries.embedKmeans _),
+    // per-cluster data map: size, exact inertia, majority-label purity
+    "kmeans_map"        -> (PipelineQueries.kmeansMap _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges

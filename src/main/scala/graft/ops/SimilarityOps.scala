@@ -588,4 +588,68 @@ object SimilarityOps {
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cos", "rn")
   }
+
+  /** Distributed fixed-round Lloyd k-means over the embedding corpus —
+    * the clustering pass behind data maps, SemDeDup codebooks and
+    * cluster-balanced curation. Extends the PQ fit's single Lloyd step
+    * ([[pqCodebookQ]]) to full multi-round training while keeping the
+    * same bit-determinism guarantees: exact BIGINT squared-L2 distances
+    * over the 1e7-quantized vectors, argmin ties to the lowest cluster
+    * id, centroid updates as component-wise FLOORED integer means
+    * ((s - floormod(s, n)) / n), empty clusters carrying their previous
+    * centroid — so the run reproduces bit-for-bit on any cluster size
+    * and in the unrolled DuckDB oracle.
+    *
+    * Scale shape: centroids are O(k·dim) model parameters. Each round is
+    * ONE narrow codegen'd corpus pass (k literal-centroid `ldot`s + a
+    * struct array_min argmin — no corpus shuffle, no row expansion) into
+    * ONE (cluster, dim)-keyed aggregation whose k·dim partial sums
+    * combine map-side, then a bounded driver-side mean — the canonical
+    * broadcast-centroids/tree-aggregate k-means on Spark, linear in the
+    * corpus per round regardless of cluster count. The quantized corpus
+    * is cached across the `rounds` scans and unpersisted before return.
+    *
+    * Init: the k lowest-vec_id corpus vectors (cluster ids 0..k-1 in
+    * vec_id order) — an offline deployment would seed from a sample.
+    * Output: one row per vector — vec_id, cluster, dist2 (exact integer
+    * squared L2 to its FINAL centroid: the per-row inertia term). */
+  def kmeans(emb: DataFrame, dim: Int, k: Int, rounds: Int): DataFrame = {
+    val vecs = quantVecs(emb).cache()
+    def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val structs = cents.map { case (cid, c) =>
+        val n2 = c.map(x => x * x).sum
+        s"struct(${n2}L + norm2 - 2 * ldot(qvec, array(${c.mkString("L,")}L)) AS dist2, ${cid}L AS cid)"
+      }.mkString(", ")
+      vecs.selectExpr("vec_id", "qvec", s"array_min(array($structs)) AS best")
+        .selectExpr("vec_id", "qvec", "best.cid AS cluster", "best.dist2 AS dist2")
+    }
+    try {
+      // deterministic seed: k lowest-vec_id vectors (bounded collect —
+      // O(k·dim) model parameters, never data)
+      var centroids: Seq[(Long, Seq[Long])] =
+        vecs.orderBy(col("vec_id").asc).limit(k).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+          .zipWithIndex
+          .map { case ((_, qv), i) => (i.toLong, qv) }
+      require(centroids.size == k, s"k-means needs >= $k corpus vectors")
+      for (_ <- 1 to rounds) {
+        val sums = assigned(centroids)
+          .selectExpr("cluster", "posexplode(qvec) AS (d, v)")
+          .groupBy("cluster", "d")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+          .toMap
+        centroids = centroids.map { case (cid, prev) =>
+          if (sums.contains((cid, 0)))
+            (cid, prev.indices.map { d =>
+              val (n, s) = sums((cid, d))
+              (s - Math.floorMod(s, n)) / n
+            })
+          else (cid, prev) // empty cluster: carry the previous centroid
+        }
+      }
+      assigned(centroids).select("vec_id", "cluster", "dist2")
+    } finally vecs.unpersist(blocking = false)
+  }
 }

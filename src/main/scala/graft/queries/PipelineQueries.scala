@@ -1265,6 +1265,41 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
 
+  /** Distributed multi-round Lloyd k-means over the embedding corpus
+    * (k=8, 3 rounds — [[graft.ops.SimilarityOps.kmeans]]): the clustering
+    * job behind corpus data maps and offline codebook training (the
+    * coarse centroids semdedup / embed_topk_ivf stand in for
+    * deterministically are trained by exactly this pass in a real
+    * deployment). Bit-deterministic by construction — integer distances,
+    * floored integer means, ties to the lowest cluster id — so the
+    * unrolled 3-round DuckDB oracle hash-matches exactly. */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeans(Tables.embeddings(spark, dir), 64, 8, 3)
+
+  /** Corpus data map over the k-means clustering: per cluster — member
+    * count, exact inertia (Σ dist2 as DECIMAL(38,0): order-independent,
+    * never a float sum, wide enough that petabyte-scale member counts
+    * cannot overflow the BIGINT distances), majority label with ties to
+    * the lowest label id, and purity. The audit a curation team reads to
+    * decide which regions of embedding space are over/under-represented
+    * before mixing ([[embedKmeans]] ∘ one two-level keyed aggregation). */
+  def kmeansMap(spark: SparkSession, dir: String): DataFrame = {
+    val asg = embedKmeans(spark, dir)
+    val lab = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+    val byLabel = asg.join(lab, "vec_id")
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("ln"),
+        sum(col("dist2").cast("decimal(28,0)")).as("li"))
+    byLabel.groupBy("cluster")
+      .agg(sum(col("ln")).as("n"),
+        sum(col("li")).as("inertia_raw"),
+        max(struct(col("ln").as("c"), (-col("label")).as("negl"))).as("top"))
+      .selectExpr("cluster", "n", "CAST(inertia_raw AS DECIMAL(38,0)) AS inertia",
+        "-top.negl AS top_label", "top.c AS top_label_n",
+        "CAST(top.c AS DOUBLE) / CAST(n AS DOUBLE) AS purity")
+  }
+
   /** ANN index-quality gate: per-query recall@3 of each approximate index
     * against its METRIC-MATCHED exact ground truth — IVF (4 of 16 lists
     * probed) vs brute cosine, and PQ ADC+48-shortlist re-rank vs brute
@@ -1806,6 +1841,60 @@ object PipelineOracles {
        |SELECT a.vid AS vec_id, a.cid AS cid,
        |  COALESCE(nn.n_near, CAST(0 AS BIGINT)) AS n_near, nn.n_near IS NULL AS kept
        |FROM assign a LEFT JOIN nn ON nn.vid = a.vid""".stripMargin
+
+  /** Unrolled 3-round Lloyd restatement of
+    * [[PipelineQueries.embedKmeans]]: identical integer squared-L2
+    * distances, argmin ties to the lowest cluster id ((dist2, cid) rank),
+    * floored integer means via the rounding-agnostic
+    * (s - floormod(s, n)) // n, and empty clusters carrying the previous
+    * centroid through the LEFT JOIN coalesce. */
+  val embedKmeans: String = {
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""d$r AS (SELECT q.id, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist2
+         |      FROM qz q JOIN c$p c ON c.pos = q.pos GROUP BY 1, 2),
+         |a$r AS (SELECT id, cid,
+         |             row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, cid ASC) AS rn
+         |      FROM d$r),
+         |m$r AS (SELECT a.cid, q.pos, count(*) AS n, SUM(q.v) AS s
+         |      FROM a$r a JOIN qz q ON q.id = a.id AND a.rn = 1 GROUP BY 1, 2),
+         |c$r AS (SELECT p.cid, p.pos,
+         |             COALESCE((m.s - (((m.s % m.n) + m.n) % m.n)) // m.n, p.c) AS c
+         |      FROM c$p p LEFT JOIN m$r m ON m.cid = p.cid AND m.pos = p.pos)""".stripMargin
+    }
+    s"""WITH $quantCte,
+       |ini AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+       |        FROM (SELECT DISTINCT id FROM qz ORDER BY id LIMIT 8)),
+       |c0 AS (SELECT ini.cid AS cid, qz.pos AS pos, qz.v AS c
+       |       FROM ini JOIN qz ON qz.id = ini.id),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |df AS (SELECT q.id, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist2
+       |       FROM qz q JOIN c3 c ON c.pos = q.pos GROUP BY 1, 2)
+       |SELECT id AS vec_id, cid AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
+       |  SELECT id, cid, dist2,
+       |         row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, cid ASC) AS rn
+       |  FROM df) WHERE rn = 1""".stripMargin
+  }
+
+  /** [[PipelineQueries.kmeansMap]] restatement over the full unrolled
+    * k-means assignment: same two-level aggregation, majority-label rank
+    * (ln DESC, label ASC) matching Spark's max(struct(ln, -label)). */
+  val kmeansMap: String =
+    s"""WITH base AS ($embedKmeans),
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |bl AS (SELECT b.cluster, l.label, count(*) AS ln, SUM(b.dist2) AS li
+       |       FROM base b JOIN lab l ON l.id = b.vec_id GROUP BY 1, 2),
+       |top AS (SELECT cluster, label AS top_label, ln AS top_label_n,
+       |               row_number() OVER (PARTITION BY cluster ORDER BY ln DESC, label ASC) AS rn
+       |        FROM bl)
+       |SELECT bl.cluster, CAST(SUM(bl.ln) AS BIGINT) AS n,
+       |       CAST(SUM(bl.li) AS DECIMAL(38,0)) AS inertia,
+       |       t.top_label, CAST(t.top_label_n AS BIGINT) AS top_label_n,
+       |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
+       |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
+       |GROUP BY bl.cluster, t.top_label, t.top_label_n""".stripMargin
 
   /** Recall@3 restatement: brute cosine / brute L2 as truth, the
     * embedTopKIvf and pqTopKRerank chains (verbatim CTEs, same geometry)
@@ -2775,6 +2864,8 @@ object PipelineOracles {
     "contamination"     -> contamination,
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
+    "embed_kmeans"      -> embedKmeans,
+    "kmeans_map"        -> kmeansMap,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,

@@ -191,6 +191,54 @@ class SamplingSpanSpec extends SparkSpec {
     assert(rows.forall { case (_, _, n, s, m) => m == s.toDouble / n.toDouble })
   }
 
+  test("kmeans: fixed-round Lloyd matches a driver-local replay bit-for-bit") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = SimilarityOps.kmeans(emb, 64, 8, 3)
+      .select("vec_id", "cluster", "dist2").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // driver-local replay with the engine's exact arithmetic contract:
+    // Spark-Round quantization (shortest-repr BigDecimal, HALF_UP),
+    // integer squared L2, ties to the lowest cluster id, floored means,
+    // empty clusters carrying the previous centroid
+    def q(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => q(x.toDouble * 1e7)).toArray }
+      .sortBy(_._1)
+    var cents: Seq[Array[Long]] = vecs.take(8).map(_._2.clone).toSeq
+    def assign(v: Array[Long]): (Int, Long) = {
+      var best = -1; var bd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      (best, bd)
+    }
+    for (_ <- 1 to 3) {
+      val byC = vecs.groupBy(v => assign(v._2)._1)
+      cents = cents.indices.map { c =>
+        byC.get(c) match {
+          case Some(members) =>
+            val n = members.length.toLong
+            Array.tabulate(64) { d =>
+              val s = members.map(_._2(d)).sum
+              (s - Math.floorMod(s, n)) / n
+            }
+          case None => cents(c)
+        }
+      }
+    }
+    val expect = vecs.map { case (id, v) =>
+      val (c, d2) = assign(v); id -> (c.toLong, d2)
+    }.toMap
+    assert(got == expect, "engine k-means must equal the driver-local replay")
+    assert(got.values.map(_._1).toSet.size > 1, "degenerate single-cluster run")
+  }
+
   test("PQ: codes deterministic across runs; ADC recall beats chance vs exact L2") {
     import graft.ops.SimilarityOps
     val emb = Tables.embeddings(spark, sf0001)
