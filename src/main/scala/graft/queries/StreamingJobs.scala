@@ -394,6 +394,40 @@ object StreamingJobs {
       eventsStreamRaw(spark, dir).select(col("user_id"), col("ts")),
       "ts", "1 hour", gap, col("user_id"))
 
+  /** J2 TxPayMatchByJoin as Spark's NATIVE watermarked stream-stream
+    * interval join (reference: TxPayMatchByJoin.java:63-67): BOTH live
+    * streams carry watermarks and the join condition carries an
+    * event-time band, so the state store evicts rows the moment the
+    * watermark passes their band — state stays bounded by band width ×
+    * arrival rate regardless of stream length, the property that keeps a
+    * reconciliation join alive at production scale. This is the
+    * engine-native complement to [[graft.streaming.Detectors.reconcile]]
+    * (flatMapGroupsWithState), which exists for the side-output/timer
+    * semantics (unmatched rows) a plain inner join cannot express.
+    * Inner joins emit on match arrival — the watermark only bounds state
+    * — so a drained replay reproduces the batch
+    * [[DetectQueries.txMatch]] row set exactly (parity spec). */
+  def txMatchStream(spark: SparkSession, dir: String,
+                    bandSec: Long = 1800L): DataFrame = {
+    val pays = eventsStreamRaw(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id"),
+        col("ts").as("pay_ts"))
+      .withWatermark("pay_ts", s"$bandSec seconds")
+    val receipts = eventsStreamRaw(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("receipt_id"), col("user_id").as("r_user"),
+        col("ts").as("receipt_ts"))
+      .withWatermark("receipt_ts", s"$bandSec seconds")
+    pays.join(receipts, expr(
+        s"user_id = r_user AND " +
+          s"receipt_ts >= pay_ts - INTERVAL $bandSec SECONDS AND " +
+          s"receipt_ts <= pay_ts + INTERVAL $bandSec SECONDS"))
+      .select(col("pay_id"), col("receipt_id"), col("user_id"),
+        col("pay_ts").cast("long").as("pay_sec"),
+        col("receipt_ts").cast("long").as("receipt_sec"))
+  }
+
   /** Stream-static enrichment: the live event stream joined to the static
     * customer dimension (broadcast per micro-batch — no state store). */
   def enrichedStream(spark: SparkSession, dir: String): DataFrame =

@@ -110,6 +110,22 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native stream-stream interval join equals the batch tx_match") {
+    val batch = graft.queries.DetectQueries.txMatch(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture must produce pay/receipt matches")
+    val q = StreamingJobs.txMatchStream(spark, sf0001)
+      .writeStream.format("memory").queryName("txj_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txj_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        "drained stream-stream interval join must equal the batch interval join")
+    } finally q.stop()
+  }
+
   test("streaming uv (HLL) equals the batch sketch on closed windows") {
     val batch = graft.sources.Tables.events(spark, sf0001)
       .filter(col("event_type") === "view")
