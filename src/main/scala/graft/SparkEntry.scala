@@ -99,6 +99,8 @@ object SparkEntry {
     "embed_kmeans"      -> (PipelineQueries.embedKmeans _),
     // per-cluster data map: size, exact inertia, majority-label purity
     "kmeans_map"        -> (PipelineQueries.kmeansMap _),
+    // cluster-balanced pruning: hash-rank quota per k-means cluster
+    "sample_clusters"   -> (PipelineQueries.sampleClusters _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges

@@ -1300,6 +1300,20 @@ object PipelineQueries {
         "CAST(top.c AS DOUBLE) / CAST(n AS DOUBLE) AS purity")
   }
 
+  /** Cluster-balanced subsampling: deterministic hash-rank quota per
+    * k-means cluster ([[embedKmeans]] ∘
+    * [[graft.ops.SamplingOps.stratifiedQuota]]) — the pruning selection
+    * that shrinks a corpus while keeping its embedding-space coverage
+    * (every cluster keeps up to the quota; no region is emptied the way
+    * a uniform sample empties small clusters). Same hash-derived
+    * determinism as sample_stratified: reproducible on any cluster
+    * size, and the scale path (hash-slab prefilter) applies unchanged. */
+  def sampleClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SamplingOps.stratifiedQuota(
+      embedKmeans(spark, dir).select("vec_id", "cluster"),
+      "cluster", "CAST(vec_id AS STRING)", 40)
+      .select("vec_id", "cluster", "rk")
+
   /** ANN index-quality gate: per-query recall@3 of each approximate index
     * against its METRIC-MATCHED exact ground truth — IVF (4 of 16 lists
     * probed) vs brute cosine, and PQ ADC+48-shortlist re-rank vs brute
@@ -1895,6 +1909,19 @@ object PipelineOracles {
        |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
        |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
        |GROUP BY bl.cluster, t.top_label, t.top_label_n""".stripMargin
+
+  /** [[PipelineQueries.sampleClusters]] restatement: the unrolled k-means
+    * assignment, then the sample_stratified hash-rank quota per cluster. */
+  val sampleClusters: String =
+    s"""WITH base AS ($embedKmeans),
+       |h AS (SELECT vec_id, cluster,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+       |  FROM base)
+       |SELECT vec_id, cluster, rk FROM (
+       |  SELECT vec_id, cluster,
+       |         CAST(row_number() OVER (PARTITION BY cluster ORDER BY hh ASC) AS BIGINT) AS rk
+       |  FROM h)
+       |WHERE rk <= 40""".stripMargin
 
   /** Recall@3 restatement: brute cosine / brute L2 as truth, the
     * embedTopKIvf and pqTopKRerank chains (verbatim CTEs, same geometry)
@@ -2866,6 +2893,7 @@ object PipelineOracles {
     "semdedup"          -> semDedup,
     "embed_kmeans"      -> embedKmeans,
     "kmeans_map"        -> kmeansMap,
+    "sample_clusters"   -> sampleClusters,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
