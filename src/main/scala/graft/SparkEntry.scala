@@ -101,6 +101,8 @@ object SparkEntry {
     "kmeans_map"        -> (PipelineQueries.kmeansMap _),
     // cluster-balanced pruning: hash-rank quota per k-means cluster
     "sample_clusters"   -> (PipelineQueries.sampleClusters _),
+    // SemDeDup over the TRAINED codebook: kmeans → assign → in-cell dedup
+    "semdedup_kmeans"   -> (PipelineQueries.semDedupKmeans _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges

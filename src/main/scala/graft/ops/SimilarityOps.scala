@@ -265,8 +265,15 @@ object SimilarityOps {
     * Output: one row per corpus vector — vec_id, cid, n_near (count of
     * lower-id in-cluster neighbors at cos ≥ threshold), kept. */
   def semDedup(emb: DataFrame, dim: Int, nCentroids: Int,
-               threshold: Double): DataFrame = {
-    val assigned = coarseAssigned(emb, emb, nCentroids)
+               threshold: Double): DataFrame =
+    semDedupScoped(coarseAssigned(emb, emb, nCentroids), threshold)
+
+  /** SemDeDup's pair-scoring half over ANY coarse partition: `assigned`
+    * carries (id, qvec, norm2, cid); pairs are scored only within a cid.
+    * Factored out so the partition can come from the first-N stand-in
+    * codebook ([[semDedup]]) OR from a trained one ([[semDedupKmeans]]). */
+  private def semDedupScoped(assigned: DataFrame,
+                             threshold: Double): DataFrame = {
     val near = assigned.alias("a")
       .join(assigned.alias("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
@@ -278,6 +285,22 @@ object SimilarityOps {
     assigned.select("id", "cid").join(near, Seq("id"), "left")
       .selectExpr("id AS vec_id", "cid",
         "coalesce(n_near, CAST(0 AS BIGINT)) AS n_near", "n_near IS NULL AS kept")
+  }
+
+  /** SemDeDup scoped by the TRAINED clustering instead of the first-N
+    * stand-in codebook: [[kmeans]] learns the coarse partition (the
+    * offline training job the stand-in convention defers to), and the
+    * within-cluster exhaustive pass scores pairs inside it — the
+    * composition a production deployment actually runs (train codebook →
+    * assign → dedup within cells). Same output contract as [[semDedup]]:
+    * vec_id, cid, n_near, kept. */
+  def semDedupKmeans(emb: DataFrame, dim: Int, k: Int, rounds: Int,
+                     threshold: Double): DataFrame = {
+    val assign = kmeans(emb, dim, k, rounds)
+      .select(col("vec_id"), col("cluster").as("cid"))
+    val assigned = quantVecs(emb).join(assign, "vec_id")
+      .selectExpr("vec_id AS id", "qvec", "norm2", "cid")
+    semDedupScoped(assigned, threshold)
   }
 
   /** Product quantization: split each quantized vector into `nSub`

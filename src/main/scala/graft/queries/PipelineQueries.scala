@@ -1265,6 +1265,15 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
 
+  /** SemDeDup over the TRAINED k-means partition (k=8, 3 rounds,
+    * cos ≥ 0.4) — the production composition the stand-in-codebook
+    * convention defers to: [[embedKmeans]] is the offline codebook
+    * training job, this query is its consumer (train → assign → dedup
+    * within cells). Same output contract and threshold as semdedup, so
+    * the two rows price the stand-in vs trained partitions directly. */
+  def semDedupKmeans(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semDedupKmeans(Tables.embeddings(spark, dir), 64, 8, 3, 0.4)
+
   /** Distributed multi-round Lloyd k-means over the embedding corpus
     * (k=8, 3 rounds — [[graft.ops.SimilarityOps.kmeans]]): the clustering
     * job behind corpus data maps and offline codebook training (the
@@ -1909,6 +1918,25 @@ object PipelineOracles {
        |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
        |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
        |GROUP BY bl.cluster, t.top_label, t.top_label_n""".stripMargin
+
+  /** [[PipelineQueries.semDedupKmeans]] restatement: the unrolled k-means
+    * assignment as the coarse partition, then the semDedup within-cluster
+    * pair scoring verbatim. */
+  val semDedupKmeans: String =
+    s"""WITH base AS ($embedKmeans),
+       |$quantCte,
+       |pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+       |       FROM base a JOIN base b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |d AS (SELECT ida, idb, SUM(x.v * y.v) AS dot
+       |      FROM pr JOIN qz x ON x.id = ida JOIN qz y ON y.id = idb AND y.pos = x.pos
+       |      GROUP BY 1, 2),
+       |s AS (SELECT ida, idb,
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = ida JOIN nrm nb ON nb.id = idb),
+       |nn AS (SELECT idb AS vid, count(*) AS n_near FROM s WHERE cos >= 0.4 GROUP BY 1)
+       |SELECT a.vec_id, a.cluster AS cid,
+       |  COALESCE(nn.n_near, CAST(0 AS BIGINT)) AS n_near, nn.n_near IS NULL AS kept
+       |FROM base a LEFT JOIN nn ON nn.vid = a.vec_id""".stripMargin
 
   /** [[PipelineQueries.sampleClusters]] restatement: the unrolled k-means
     * assignment, then the sample_stratified hash-rank quota per cluster. */
@@ -2894,6 +2922,7 @@ object PipelineOracles {
     "embed_kmeans"      -> embedKmeans,
     "kmeans_map"        -> kmeansMap,
     "sample_clusters"   -> sampleClusters,
+    "semdedup_kmeans"   -> semDedupKmeans,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
