@@ -103,6 +103,8 @@ object SparkEntry {
     "sample_clusters"   -> (PipelineQueries.sampleClusters _),
     // SemDeDup over the TRAINED codebook: kmeans → assign → in-cell dedup
     "semdedup_kmeans"   -> (PipelineQueries.semDedupKmeans _),
+    // MMR diversification: greedy λ-tradeoff re-rank of the shortlist
+    "embed_topk_mmr"    -> (PipelineQueries.embedTopKMmr _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges

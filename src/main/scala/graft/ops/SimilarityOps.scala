@@ -612,6 +612,60 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos", "rn")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR'98): brute cosine shortlists `shortlist` candidates per query,
+    * then `nSelect` greedy rounds each pick
+    * argmax λ·rel − (1−λ)·max_sim-to-already-selected (λ = 0.5) — the
+    * re-rank a retrieval stack runs so the returned set covers distinct
+    * regions instead of `k` near-duplicates of the best hit.
+    *
+    * Scale shape: the greedy loop is a STATIC per-round DAG over
+    * shortlist-sized frames — the corpus is touched exactly once (the
+    * shortlist scan); candidate vectors and pair sims are
+    * queries×shortlist-bounded and broadcast. Determinism: rel/sim are
+    * the bit-exact quantized cosines, ×0.5 is exact halving, score
+    * subtraction is one IEEE op in fixed operand order, argmax ties to
+    * the lowest candidate id — so the unrolled SQL restatement
+    * hash-matches. Output: q_id, c_id, mmr_rank (1-based selection
+    * order), score. */
+  def mmrTopK(emb: DataFrame, dim: Int, queryPred: String, shortlist: Int,
+              nSelect: Int): DataFrame = {
+    val cands = cosineTopK(emb, dim, queryPred, shortlist)
+      .select(col("q_id"), col("c_id"), col("cos").as("rel"))
+    val vecs = quantVecs(emb)
+    // candidate vectors: one corpus scan semi-joined to the bounded id set
+    val cvecs = vecs
+      .join(broadcast(cands.select(col("c_id").as("vec_id")).distinct()), "vec_id")
+      .select(col("vec_id"), col("qvec"), col("norm2"))
+    val sims = cands.select(col("q_id"), col("c_id").as("a_id"))
+      .join(cands.select(col("q_id").as("q2"), col("c_id").as("b_id")),
+        col("q_id") === col("q2") && col("a_id") =!= col("b_id"))
+      .drop("q2")
+      .join(broadcast(cvecs.select(col("vec_id").as("a_id"),
+        col("qvec").as("qa"), col("norm2").as("na"))), "a_id")
+      .join(broadcast(cvecs.select(col("vec_id").as("b_id"),
+        col("qvec").as("qb"), col("norm2").as("nb"))), "b_id")
+      .selectExpr("q_id", "a_id", "b_id",
+        "CAST(ldot(qa, qb) AS DOUBLE)" +
+          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim")
+    def pick(scored: DataFrame, r: Int): DataFrame = scored
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)))
+      .filter(col("prn") === 1)
+      .selectExpr("q_id", "c_id", s"CAST($r AS BIGINT) AS mmr_rank", "score")
+    var sel = pick(cands.withColumn("score", col("rel") * 0.5), 1)
+    for (r <- 2 to nSelect) {
+      val rem = cands.join(sel.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+      val scored = rem
+        .join(sel.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id"))
+        .join(sims.withColumnRenamed("a_id", "c_id"), Seq("q_id", "c_id", "b_id"))
+        .groupBy("q_id", "c_id", "rel").agg(max(col("sim")).as("maxsim"))
+        .withColumn("score", col("rel") * 0.5 - col("maxsim") * 0.5)
+      sel = sel.union(pick(scored, r))
+    }
+    sel
+  }
+
   /** Distributed fixed-round Lloyd k-means over the embedding corpus —
     * the clustering pass behind data maps, SemDeDup codebooks and
     * cluster-balanced curation. Extends the PQ fit's single Lloyd step

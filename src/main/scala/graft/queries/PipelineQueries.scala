@@ -1265,6 +1265,13 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
 
+  /** MMR-diversified retrieval (λ=0.5): brute top-10 shortlist per query
+    * vector (vec_id < 8, as embed_topk), then 3 greedy
+    * max-marginal-relevance selections — the diversification re-rank of
+    * a RAG stack ([[graft.ops.SimilarityOps.mmrTopK]]). */
+  def embedTopKMmr(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mmrTopK(Tables.embeddings(spark, dir), 64, "vec_id < 8", 10, 3)
+
   /** SemDeDup over the TRAINED k-means partition (k=8, 3 rounds,
     * cos ≥ 0.4) — the production composition the stand-in-codebook
     * convention defers to: [[embedKmeans]] is the offline codebook
@@ -1918,6 +1925,55 @@ object PipelineOracles {
        |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
        |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
        |GROUP BY bl.cluster, t.top_label, t.top_label_n""".stripMargin
+
+  /** [[PipelineQueries.embedTopKMmr]] restatement: brute shortlist,
+    * candidate-pair sims, then the 3 greedy MMR rounds unrolled — the
+    * score expression `rel * 0.5 - maxsim * 0.5` keeps Spark's exact
+    * operand order (×0.5 is exact halving; one IEEE subtraction). */
+  val embedTopKMmr: String =
+    s"""WITH $quantCte,
+       |bd AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+       |       FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |       WHERE a.id < 8 GROUP BY 1, 2),
+       |bs AS (SELECT q_id, c_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS rel
+       |       FROM bd JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
+       |cands AS (SELECT q_id, c_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS rn FROM bs)
+       |  WHERE rn <= 10),
+       |pp AS (SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id
+       |       FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+       |pd AS (SELECT pp.q_id, pp.a_id, pp.b_id, SUM(xa.v * xb.v) AS dot
+       |       FROM pp JOIN qz xa ON xa.id = pp.a_id JOIN qz xb ON xb.id = pp.b_id AND xb.pos = xa.pos
+       |       GROUP BY 1, 2, 3),
+       |psim AS (SELECT q_id, a_id, b_id,
+       |           CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS sim
+       |         FROM pd JOIN nrm na ON na.id = a_id JOIN nrm nb ON nb.id = b_id),
+       |s1 AS (SELECT q_id, c_id, score FROM (
+       |    SELECT q_id, c_id, rel * 0.5 AS score,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel * 0.5 DESC, c_id ASC) AS prn
+       |    FROM cands) WHERE prn = 1),
+       |r2 AS (SELECT c.q_id, c.c_id, c.rel, MAX(p.sim) AS maxsim
+       |       FROM cands c JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.c_id
+       |       JOIN psim p ON p.q_id = c.q_id AND p.a_id = c.c_id AND p.b_id = s1.c_id
+       |       GROUP BY 1, 2, 3),
+       |s2 AS (SELECT q_id, c_id, score FROM (
+       |    SELECT q_id, c_id, rel * 0.5 - maxsim * 0.5 AS score,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel * 0.5 - maxsim * 0.5 DESC, c_id ASC) AS prn
+       |    FROM r2) WHERE prn = 1),
+       |r3 AS (SELECT c.q_id, c.c_id, c.rel, MAX(p.sim) AS maxsim
+       |       FROM cands c JOIN s1 ON s1.q_id = c.q_id JOIN s2 ON s2.q_id = c.q_id
+       |       JOIN psim p ON p.q_id = c.q_id AND p.a_id = c.c_id
+       |                  AND (p.b_id = s1.c_id OR p.b_id = s2.c_id)
+       |       WHERE c.c_id <> s1.c_id AND c.c_id <> s2.c_id
+       |       GROUP BY 1, 2, 3),
+       |s3 AS (SELECT q_id, c_id, score FROM (
+       |    SELECT q_id, c_id, rel * 0.5 - maxsim * 0.5 AS score,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel * 0.5 - maxsim * 0.5 DESC, c_id ASC) AS prn
+       |    FROM r3) WHERE prn = 1)
+       |SELECT q_id, c_id, CAST(1 AS BIGINT) AS mmr_rank, score FROM s1
+       |UNION ALL SELECT q_id, c_id, CAST(2 AS BIGINT), score FROM s2
+       |UNION ALL SELECT q_id, c_id, CAST(3 AS BIGINT), score FROM s3""".stripMargin
 
   /** [[PipelineQueries.semDedupKmeans]] restatement: the unrolled k-means
     * assignment as the coarse partition, then the semDedup within-cluster
@@ -2923,6 +2979,7 @@ object PipelineOracles {
     "kmeans_map"        -> kmeansMap,
     "sample_clusters"   -> sampleClusters,
     "semdedup_kmeans"   -> semDedupKmeans,
+    "embed_topk_mmr"    -> embedTopKMmr,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,

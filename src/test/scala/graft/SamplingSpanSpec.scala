@@ -191,6 +191,25 @@ class SamplingSpanSpec extends SparkSpec {
     assert(rows.forall { case (_, _, n, s, m) => m == s.toDouble / n.toDouble })
   }
 
+  test("mmrTopK: diversification picks the distinct region over the near-duplicate") {
+    import graft.ops.SimilarityOps
+    // query 0 sits between two regions; 1 and 2 are near-duplicates of
+    // each other, 3 covers the other region
+    val emb = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.11f, 0f, 0f), 0),
+      (3L, Seq(0.1f, 1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val mmr = SimilarityOps.mmrTopK(emb, 4, "vec_id = 0", 3, 3)
+      .orderBy("mmr_rank").select("c_id").as[Long].collect().toSeq
+    // pure relevance ranks the near-duplicate second; MMR must demote it
+    val brute = SimilarityOps.cosineTopK(emb, 4, "vec_id = 0", 3)
+      .orderBy("rn").select("c_id").as[Long].collect().toSeq
+    assert(brute == Seq(2L, 1L, 3L), s"brute order was $brute")
+    assert(mmr == Seq(2L, 3L, 1L), s"mmr order was $mmr")
+  }
+
   test("kmeans: fixed-round Lloyd matches a driver-local replay bit-for-bit") {
     import graft.ops.SimilarityOps
     val emb = Tables.embeddings(spark, sf0001)
