@@ -121,6 +121,8 @@ object SparkEntry {
     // split, scored on the held-out test bucket — the model-based
     // quality/routing filter of the GPT-3/CCNet lineage
     "nb_classify"       -> ((s, d) => PipelineQueries.nbClassify(s, d)),
+    // classifier evaluation: confusion matrix + recall/precision shares
+    "nb_confusion"      -> (PipelineQueries.nbConfusion _),
     // cross-source shingle-overlap audit (pairwise shingle-set Jaccard)
     "source_overlap"    -> (PipelineQueries.sourceOverlap _),
     // index-quality gate: recall@3 of IVF vs brute cosine and of

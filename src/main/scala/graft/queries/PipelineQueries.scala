@@ -1538,6 +1538,24 @@ object PipelineQueries {
       .selectExpr("doc_id", "lang", "c AS pred", "score_q", "lang = c AS correct")
   }
 
+  /** Classifier evaluation closing the train→score→evaluate loop: the
+    * confusion matrix of [[nbClassify]]'s held-out predictions, each cell
+    * carrying its row (true-class) and column (predicted-class) totals
+    * and the derived recall/precision shares — the diagonal cells read as
+    * per-class recall and precision, the off-diagonals as the error
+    * routing a model owner actually debugs. One keyed aggregation over
+    * the classifier output; totals are class-cardinality-sized. */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = nbClassify(spark, dir)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val byTrue = cells.groupBy("lang").agg(sum(col("n")).as("n_true"))
+    val byPred = cells.groupBy("pred").agg(sum(col("n")).as("n_pred"))
+    cells.join(byTrue, "lang").join(byPred, "pred")
+      .selectExpr("lang", "pred", "n", "n_true", "n_pred",
+        "CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_share",
+        "CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision_share")
+  }
+
   /** The trained model densified for the frozen-model scorer: class list
     * (sorted) with prior and the full bucket-indexed llh array per class —
     * bounded model params (C·B longs), the PQ-codebook collect discipline. */
@@ -2791,6 +2809,19 @@ object PipelineOracles {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** [[PipelineQueries.nbConfusion]] restatement: the nbClassify chain as
+    * a CTE, one cell aggregation, row/column totals joined back. */
+  val nbConfusion: String =
+    s"""WITH pr AS ($nbClassify),
+       |cells AS (SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+       |bt AS (SELECT lang, SUM(n) AS n_true FROM cells GROUP BY 1),
+       |bp AS (SELECT pred, SUM(n) AS n_pred FROM cells GROUP BY 1)
+       |SELECT c.lang, c.pred, CAST(c.n AS BIGINT) AS n,
+       |  CAST(bt.n_true AS BIGINT) AS n_true, CAST(bp.n_pred AS BIGINT) AS n_pred,
+       |  CAST(c.n AS DOUBLE) / CAST(bt.n_true AS DOUBLE) AS recall_share,
+       |  CAST(c.n AS DOUBLE) / CAST(bp.n_pred AS DOUBLE) AS precision_share
+       |FROM cells c JOIN bt ON bt.lang = c.lang JOIN bp ON bp.pred = c.pred""".stripMargin
+
   val sourceOverlap: String =
     s"""WITH ${shingleCte(carrySource = true)},
        |ssh AS (SELECT DISTINCT source, sh FROM sh),
@@ -2986,6 +3017,7 @@ object PipelineOracles {
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,
+    "nb_confusion"      -> nbConfusion,
     "source_overlap"    -> sourceOverlap,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
