@@ -105,6 +105,8 @@ object SparkEntry {
     "semdedup_kmeans"   -> (PipelineQueries.semDedupKmeans _),
     // MMR diversification: greedy λ-tradeoff re-rank of the shortlist
     "embed_topk_mmr"    -> (PipelineQueries.embedTopKMmr _),
+    // contrastive-training negatives: nearest cross-label neighbors
+    "hard_negatives"    -> (PipelineQueries.hardNegatives _),
     // BPE merge-round pair statistics over the vocab-sized word table
     "bpe_pairs"         -> (PipelineQueries.bpePairs _),
     // multi-round BPE tokenizer training: the first 10 learned merges

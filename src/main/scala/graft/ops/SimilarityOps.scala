@@ -612,6 +612,34 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos", "rn")
   }
 
+  /** Hard-negative mining for embedding-model training: per query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses a contrastive fine-tune needs as negatives (easy random
+    * negatives teach nothing once the model separates classes). Same
+    * broadcast-queries/corpus-scan shape as [[cosineTopK]]; the label
+    * inequality prunes before the rank. Output: q_id, q_label, c_id,
+    * c_label, cos, rn. */
+  def hardNegatives(emb: DataFrame, dim: Int, queryPred: String,
+                    k: Int): DataFrame = {
+    val vecs = quantVecs(emb)
+      .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq",
+        "label AS q_label")
+    vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc",
+        "label AS c_label")
+      .crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .selectExpr("q_id", "q_label", "c_id", "c_label", "nq", "nc",
+        "ldot(qq, qc) AS dot")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "q_label", "c_id", "c_label", "cos", "rn")
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
     * SIGIR'98): brute cosine shortlists `shortlist` candidates per query,
     * then `nSelect` greedy rounds each pick

@@ -1265,6 +1265,13 @@ object PipelineQueries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.semDedup(Tables.embeddings(spark, dir), 64, 16, 0.4)
 
+  /** Hard-negative mining: for query vectors vec_id < 8, the top-5
+    * most-similar vectors with a DIFFERENT label — contrastive-training
+    * negatives ([[graft.ops.SimilarityOps.hardNegatives]]). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.hardNegatives(Tables.embeddings(spark, dir), 64,
+      "vec_id < 8", 5)
+
   /** MMR-diversified retrieval (λ=0.5): brute top-10 shortlist per query
     * vector (vec_id < 8, as embed_topk), then 3 greedy
     * max-marginal-relevance selections — the diversification re-rank of
@@ -1943,6 +1950,23 @@ object PipelineOracles {
        |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
        |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
        |GROUP BY bl.cluster, t.top_label, t.top_label_n""".stripMargin
+
+  /** [[PipelineQueries.hardNegatives]] restatement: the embedTopK chain
+    * with the label carried and the cross-label filter before the rank. */
+  val hardNegatives: String =
+    s"""WITH $quantCte,
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |d AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+       |      FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |      WHERE a.id < 8 GROUP BY 1, 2),
+       |s AS (SELECT q_id, la.label AS q_label, c_id, lb.label AS c_label,
+       |             CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |      FROM d JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id
+       |      JOIN lab la ON la.id = q_id JOIN lab lb ON lb.id = c_id
+       |      WHERE la.label <> lb.label)
+       |SELECT q_id, q_label, c_id, c_label, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s
+       |) WHERE rn <= 5""".stripMargin
 
   /** [[PipelineQueries.embedTopKMmr]] restatement: brute shortlist,
     * candidate-pair sims, then the 3 greedy MMR rounds unrolled — the
@@ -3011,6 +3035,7 @@ object PipelineOracles {
     "sample_clusters"   -> sampleClusters,
     "semdedup_kmeans"   -> semDedupKmeans,
     "embed_topk_mmr"    -> embedTopKMmr,
+    "hard_negatives"    -> hardNegatives,
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
