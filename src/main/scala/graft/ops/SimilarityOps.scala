@@ -718,16 +718,29 @@ object SimilarityOps {
     * vec_id order) — an offline deployment would seed from a sample.
     * Output: one row per vector — vec_id, cluster, dist2 (exact integer
     * squared L2 to its FINAL centroid: the per-row inertia term). */
-  def kmeans(emb: DataFrame, dim: Int, k: Int, rounds: Int): DataFrame = {
+  def kmeans(emb: DataFrame, dim: Int, k: Int, rounds: Int): DataFrame =
+    kmeansAssignExpr(quantVecs(emb), kmeansCentroids(emb, dim, k, rounds))
+      .select("vec_id", "cluster", "dist2")
+
+  /** Nearest-centroid assignment over a quantVecs-form frame: one narrow
+    * codegen'd pass (k literal-centroid `ldot`s + struct array_min). */
+  private def kmeansAssignExpr(vecsQ: DataFrame,
+                               cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val structs = cents.map { case (cid, c) =>
+      val n2 = c.map(x => x * x).sum
+      s"struct(${n2}L + norm2 - 2 * ldot(qvec, array(${c.mkString("L,")}L)) AS dist2, ${cid}L AS cid)"
+    }.mkString(", ")
+    vecsQ.selectExpr("vec_id", "qvec", s"array_min(array($structs)) AS best")
+      .selectExpr("vec_id", "qvec", "best.cid AS cluster", "best.dist2 AS dist2")
+  }
+
+  /** The k-means FIT alone: trained centroids as bounded model params —
+    * for consumers that freeze the model and assign elsewhere (the
+    * streaming scorer, a separate corpus). Same arithmetic contract as
+    * [[kmeans]]. */
+  def kmeansCentroids(emb: DataFrame, dim: Int, k: Int,
+                      rounds: Int): Seq[(Long, Seq[Long])] = {
     val vecs = quantVecs(emb).cache()
-    def assigned(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val structs = cents.map { case (cid, c) =>
-        val n2 = c.map(x => x * x).sum
-        s"struct(${n2}L + norm2 - 2 * ldot(qvec, array(${c.mkString("L,")}L)) AS dist2, ${cid}L AS cid)"
-      }.mkString(", ")
-      vecs.selectExpr("vec_id", "qvec", s"array_min(array($structs)) AS best")
-        .selectExpr("vec_id", "qvec", "best.cid AS cluster", "best.dist2 AS dist2")
-    }
     try {
       // deterministic seed: k lowest-vec_id vectors (bounded collect —
       // O(k·dim) model parameters, never data)
@@ -738,7 +751,7 @@ object SimilarityOps {
           .map { case ((_, qv), i) => (i.toLong, qv) }
       require(centroids.size == k, s"k-means needs >= $k corpus vectors")
       for (_ <- 1 to rounds) {
-        val sums = assigned(centroids)
+        val sums = kmeansAssignExpr(vecs, centroids)
           .selectExpr("cluster", "posexplode(qvec) AS (d, v)")
           .groupBy("cluster", "d")
           .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
@@ -754,7 +767,16 @@ object SimilarityOps {
           else (cid, prev) // empty cluster: carry the previous centroid
         }
       }
-      assigned(centroids).select("vec_id", "cluster", "dist2")
+      centroids
     } finally vecs.unpersist(blocking = false)
   }
+
+  /** Frozen-model assignment of ANY (vec_id, embedding) frame — batch OR
+    * streaming — against already-trained centroids: stateless, zero
+    * shuffles, no state store; the train-offline/assign-on-ingest shape
+    * ([[pqCodesStreaming]] discipline). Output: vec_id, cluster, dist2. */
+  def kmeansAssignedOf(vecs: DataFrame,
+                       cents: Seq[(Long, Seq[Long])]): DataFrame =
+    kmeansAssignExpr(quantVecs(vecs), cents)
+      .select("vec_id", "cluster", "dist2")
 }

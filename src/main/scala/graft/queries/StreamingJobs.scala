@@ -394,6 +394,20 @@ object StreamingJobs {
       eventsStreamRaw(spark, dir).select(col("user_id"), col("ts")),
       "ts", "1 hour", gap, col("user_id"))
 
+  /** k-means assignment on the live vector stream: centroids trained
+    * OFFLINE on the batch corpus
+    * ([[graft.ops.SimilarityOps.kmeansCentroids]]), frozen as plan
+    * literals, applied statelessly per arriving vector — zero shuffles,
+    * no state store, bit-identical arithmetic to the batch embed_kmeans
+    * assignment (parity spec: drained stream equals the batch rows
+    * exactly). The train-offline/assign-on-ingest shape of a production
+    * vector-index or routing tier. */
+  def kmeansAssignStream(spark: SparkSession, dir: String): DataFrame = {
+    val cents = graft.ops.SimilarityOps.kmeansCentroids(
+      Tables.embeddings(spark, dir), 64, 8, 3)
+    graft.ops.SimilarityOps.kmeansAssignedOf(embeddingsStream(spark, dir), cents)
+  }
+
   /** J2 TxPayMatchByJoin as Spark's NATIVE watermarked stream-stream
     * interval join (reference: TxPayMatchByJoin.java:63-67): BOTH live
     * streams carry watermarks and the join condition carries an

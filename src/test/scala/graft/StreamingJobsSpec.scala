@@ -110,6 +110,20 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-centroid kmeans assignment on the stream equals the batch") {
+    val batch = graft.queries.PipelineQueries.embedKmeans(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    val q = StreamingJobs.kmeansAssignStream(spark, sf0001)
+      .writeStream.format("memory").queryName("km_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("km_stream").as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, "streamed assignment must equal batch embed_kmeans")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("native stream-stream interval join equals the batch tx_match") {
     val batch = graft.queries.DetectQueries.txMatch(spark, sf0001)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
