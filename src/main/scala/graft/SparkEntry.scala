@@ -99,6 +99,9 @@ object SparkEntry {
     "embed_kmeans"      -> (PipelineQueries.embedKmeans _),
     // per-cluster data map: size, exact inertia, majority-label purity
     "kmeans_map"        -> (PipelineQueries.kmeansMap _),
+    // drift monitor: reference-trained centroids, full-corpus assignment,
+    // per-cluster ppm share comparison
+    "kmeans_drift"      -> (PipelineQueries.kmeansDrift _),
     // cluster-balanced pruning: hash-rank quota per k-means cluster
     "sample_clusters"   -> (PipelineQueries.sampleClusters _),
     // SemDeDup over the TRAINED codebook: kmeans → assign → in-cell dedup

@@ -1299,6 +1299,32 @@ object PipelineQueries {
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.kmeans(Tables.embeddings(spark, dir), 64, 8, 3)
 
+  /** Embedding-distribution drift monitor: centroids are trained on the
+    * REFERENCE window only (vec_id % 2 = 0 — in production, last week's
+    * snapshot), the FULL corpus is assigned against that frozen model,
+    * and each cluster's share of reference vs current population is
+    * compared in exact ppm integers. A large drift_ppm on any cluster is
+    * the signal that new data occupies embedding space differently than
+    * the corpus the downstream models were tuned on — the check a
+    * curation team runs before absorbing a delivery. Cost: the fit runs
+    * on the reference window; the comparison is one assignment pass +
+    * one cluster-keyed aggregation. */
+  def kmeansDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = SimilarityOps.kmeansCentroids(
+      emb.filter("vec_id % 2 = 0"), 64, 8, 3)
+    val cells = SimilarityOps.kmeansAssignedOf(emb, cents)
+      .groupBy("cluster")
+      .agg(sum(expr("CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END")).as("n_ref"),
+        sum(expr("CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END")).as("n_cur"))
+    val tot = cells.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    cells.crossJoin(broadcast(tot))
+      .selectExpr("cluster", "n_ref", "n_cur",
+        "n_ref * 1000000 div t_ref AS ref_ppm",
+        "n_cur * 1000000 div t_cur AS cur_ppm",
+        "abs(n_ref * 1000000 div t_ref - n_cur * 1000000 div t_cur) AS drift_ppm")
+  }
+
   /** Corpus data map over the k-means clustering: per cluster — member
     * count, exact inertia (Σ dist2 as DECIMAL(38,0): order-independent,
     * never a float sum, wide enough that petabyte-scale member counts
@@ -1903,35 +1929,62 @@ object PipelineOracles {
     * floored integer means via the rounding-agnostic
     * (s - floormod(s, n)) // n, and empty clusters carrying the previous
     * centroid through the LEFT JOIN coalesce. */
-  val embedKmeans: String = {
+  /** The unrolled Lloyd CTE chain, parametrized by the TRAINING
+    * population (`qt` — the fit's vectors; assignment always covers the
+    * full qz). `trainWhere` of "TRUE" reproduces embedKmeans; a filter
+    * trains on a sub-population (the drift monitor's reference window).
+    * Ends with CTE `af` = (id, cid, dist2, rn): final full-corpus
+    * assignment rows are those with rn = 1. */
+  private def kmeansChain(trainWhere: String): String = {
     def round(r: Int): String = {
       val p = r - 1
       s"""d$r AS (SELECT q.id, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist2
-         |      FROM qz q JOIN c$p c ON c.pos = q.pos GROUP BY 1, 2),
+         |      FROM qt q JOIN c$p c ON c.pos = q.pos GROUP BY 1, 2),
          |a$r AS (SELECT id, cid,
          |             row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, cid ASC) AS rn
          |      FROM d$r),
          |m$r AS (SELECT a.cid, q.pos, count(*) AS n, SUM(q.v) AS s
-         |      FROM a$r a JOIN qz q ON q.id = a.id AND a.rn = 1 GROUP BY 1, 2),
+         |      FROM a$r a JOIN qt q ON q.id = a.id AND a.rn = 1 GROUP BY 1, 2),
          |c$r AS (SELECT p.cid, p.pos,
          |             COALESCE((m.s - (((m.s % m.n) + m.n) % m.n)) // m.n, p.c) AS c
          |      FROM c$p p LEFT JOIN m$r m ON m.cid = p.cid AND m.pos = p.pos)""".stripMargin
     }
-    s"""WITH $quantCte,
+    s"""$quantCte,
+       |qt AS (SELECT * FROM qz WHERE $trainWhere),
        |ini AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
-       |        FROM (SELECT DISTINCT id FROM qz ORDER BY id LIMIT 8)),
-       |c0 AS (SELECT ini.cid AS cid, qz.pos AS pos, qz.v AS c
-       |       FROM ini JOIN qz ON qz.id = ini.id),
+       |        FROM (SELECT DISTINCT id FROM qt ORDER BY id LIMIT 8)),
+       |c0 AS (SELECT ini.cid AS cid, qt.pos AS pos, qt.v AS c
+       |       FROM ini JOIN qt ON qt.id = ini.id),
        |${round(1)},
        |${round(2)},
        |${round(3)},
        |df AS (SELECT q.id, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS dist2
-       |       FROM qz q JOIN c3 c ON c.pos = q.pos GROUP BY 1, 2)
-       |SELECT id AS vec_id, cid AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
-       |  SELECT id, cid, dist2,
-       |         row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, cid ASC) AS rn
-       |  FROM df) WHERE rn = 1""".stripMargin
+       |       FROM qz q JOIN c3 c ON c.pos = q.pos GROUP BY 1, 2),
+       |af AS (SELECT id, cid, dist2,
+       |              row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, cid ASC) AS rn
+       |       FROM df)""".stripMargin
   }
+
+  val embedKmeans: String =
+    s"""WITH ${kmeansChain("TRUE")}
+       |SELECT id AS vec_id, cid AS cluster, CAST(dist2 AS BIGINT) AS dist2
+       |FROM af WHERE rn = 1""".stripMargin
+
+  /** [[PipelineQueries.kmeansDrift]] restatement: the Lloyd chain trained
+    * on the reference half (`qt` filter), full-corpus assignment, then
+    * the exact-integer ppm share comparison. */
+  val kmeansDrift: String =
+    s"""WITH ${kmeansChain("id % 2 = 0")},
+       |cells AS (SELECT cid AS cluster,
+       |            SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+       |            SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+       |          FROM af WHERE rn = 1 GROUP BY 1),
+       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells)
+       |SELECT cluster, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       |  CAST(n_ref * 1000000 // t_ref AS BIGINT) AS ref_ppm,
+       |  CAST(n_cur * 1000000 // t_cur AS BIGINT) AS cur_ppm,
+       |  CAST(abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur) AS BIGINT) AS drift_ppm
+       |FROM cells CROSS JOIN tot""".stripMargin
 
   /** [[PipelineQueries.kmeansMap]] restatement over the full unrolled
     * k-means assignment: same two-level aggregation, majority-label rank
@@ -3032,6 +3085,7 @@ object PipelineOracles {
     "semdedup"          -> semDedup,
     "embed_kmeans"      -> embedKmeans,
     "kmeans_map"        -> kmeansMap,
+    "kmeans_drift"      -> kmeansDrift,
     "sample_clusters"   -> sampleClusters,
     "semdedup_kmeans"   -> semDedupKmeans,
     "embed_topk_mmr"    -> embedTopKMmr,
