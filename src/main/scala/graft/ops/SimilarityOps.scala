@@ -658,8 +658,15 @@ object SimilarityOps {
     * order), score. */
   def mmrTopK(emb: DataFrame, dim: Int, queryPred: String, shortlist: Int,
               nSelect: Int): DataFrame = {
+    // localCheckpoint both bounded frames (queries×shortlist rows): every
+    // greedy round references them, and without truncation the DAG
+    // re-plans the corpus-shortlist scan per reference — the r9 plan
+    // audit counted 65 shuffle exchanges in the composed plan; with the
+    // checkpoints the corpus is scanned once and the rounds operate on
+    // materialized KB-scale frames (the chunk_topk discipline)
     val cands = cosineTopK(emb, dim, queryPred, shortlist)
       .select(col("q_id"), col("c_id"), col("cos").as("rel"))
+      .localCheckpoint()
     val vecs = quantVecs(emb)
     // candidate vectors: one corpus scan semi-joined to the bounded id set
     val cvecs = vecs
@@ -676,6 +683,7 @@ object SimilarityOps {
       .selectExpr("q_id", "a_id", "b_id",
         "CAST(ldot(qa, qb) AS DOUBLE)" +
           " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim")
+      .localCheckpoint()
     def pick(scored: DataFrame, r: Int): DataFrame = scored
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)))
@@ -689,7 +697,9 @@ object SimilarityOps {
         .join(sims.withColumnRenamed("a_id", "c_id"), Seq("q_id", "c_id", "b_id"))
         .groupBy("q_id", "c_id", "rel").agg(max(col("sim")).as("maxsim"))
         .withColumn("score", col("rel") * 0.5 - col("maxsim") * 0.5)
-      sel = sel.union(pick(scored, r))
+      // truncate per round: later rounds and the final union otherwise
+      // re-plan every earlier round's subtree on each reference
+      sel = sel.union(pick(scored, r)).localCheckpoint()
     }
     sel
   }

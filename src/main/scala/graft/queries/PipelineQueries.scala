@@ -1579,11 +1579,15 @@ object PipelineQueries {
     * routing a model owner actually debugs. One keyed aggregation over
     * the classifier output; totals are class-cardinality-sized. */
   def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    // totals as WINDOW sums over the |classes|²-row cell frame, not
+    // re-aggregations: joining separate groupBys re-planned the whole
+    // classifier chain per branch (the r9 plan audit counted 46 shuffle
+    // exchanges); the windows reuse the one cell aggregation
     val cells = nbClassify(spark, dir)
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-    val byTrue = cells.groupBy("lang").agg(sum(col("n")).as("n_true"))
-    val byPred = cells.groupBy("pred").agg(sum(col("n")).as("n_pred"))
-    cells.join(byTrue, "lang").join(byPred, "pred")
+    cells
+      .withColumn("n_true", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("n_pred", sum(col("n")).over(Window.partitionBy(col("pred"))))
       .selectExpr("lang", "pred", "n", "n_true", "n_pred",
         "CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_share",
         "CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision_share")
