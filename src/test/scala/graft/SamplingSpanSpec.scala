@@ -258,6 +258,33 @@ class SamplingSpanSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size > 1, "degenerate single-cluster run")
   }
 
+  test("kmeans: an emptied cluster carries its centroid and regains members") {
+    import graft.ops.SimilarityOps
+    // vec 0 and 1 are IDENTICAL, so init centroids 0 and 1 coincide and
+    // every point assigns to the lower cid — cluster 1 is empty from
+    // round 1 and must carry its (duplicate) centroid without error
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (4L, Seq(0.1f, 0.9f, 0f, 0f))
+    ).map { case (id, e) => (id, e, 0) }.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.kmeans(vecs, 4, 2, 3)
+      .select("vec_id", "cluster", "dist2").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.size == 5)
+    // no row lands in the emptied duplicate cluster: cid 0 wins all ties
+    assert(got.values.forall(_._1 == 0L) ||
+      got.values.map(_._1).toSet == Set(0L, 1L),
+      s"unexpected assignment $got")
+    // the duplicate of vec 0 must land with it, exactly
+    assert(got(0L) == got(1L))
+    // centroid of the surviving cluster absorbed its members: vec 0's
+    // distance to the round-3 centroid is positive (mean moved off it)
+    assert(got.values.exists(_._2 > 0L))
+  }
+
   test("PQ: codes deterministic across runs; ADC recall beats chance vs exact L2") {
     import graft.ops.SimilarityOps
     val emb = Tables.embeddings(spark, sf0001)
