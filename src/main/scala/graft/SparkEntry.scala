@@ -79,6 +79,9 @@ object SparkEntry {
     "text_quality"    -> (PipelineQueries.textQuality _),
     "dedup_ngram"     -> (PipelineQueries.dedupNgram _),
     "dedup_minhash"   -> (PipelineQueries.dedupMinhash _),
+    // threshold calibration: exact-Jaccard decile histogram over ALL
+    // band-collision candidates
+    "dedup_pair_hist" -> (PipelineQueries.dedupPairHist _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "dedup_simhash"   -> (PipelineQueries.dedupSimhash _),
     "embed_topk"      -> (PipelineQueries.embedTopK _),

@@ -172,6 +172,21 @@ object PipelineQueries {
     DedupOps.minhashPairs(
       DedupOps.allShingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
 
+  /** Threshold-calibration histogram for the MinHash dedup family: ALL
+    * band-collision candidates (floor 0.05 — common ≥ 1 both engines)
+    * verified with exact Jaccard, bucketed by decile with per-bucket
+    * min/max. This is the curve an operator reads before choosing the
+    * production threshold: where the near-dup mass sits vs where LSH
+    * candidate recall falls off — shipped with the dedup pass, not
+    * guessed. Same banding geometry as dedup_minhash. */
+  def dedupPairHist(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashPairs(
+        DedupOps.allShingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.05)
+      .selectExpr("CAST(floor(jaccard * 10) AS BIGINT) AS bucket", "jaccard")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+
   /** Directed near-containment pairs (excerpt/quote dedup): shared-5-span
     * candidates, exact 3-gram asymmetric overlap ≥ 0.6
     * ([[DedupOps.containmentPairs]]). */
@@ -1738,10 +1753,14 @@ object PipelineOracles {
        |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= 0.5""".stripMargin
 
-  val dedupMinhash: String = {
+  /** The MinHash candidate+verify chain through CTE `jp` =
+    * (doc_a, doc_b, jaccard) over ALL band-collision candidates with ≥ 1
+    * common shingle — shared by the threshold query (dedupMinhash) and
+    * the calibration histogram (dedupPairHist). */
+  private val minhashChain: String = {
     val perms = graft.ops.DedupOps.permConstants(16)
       .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH ${shingleCte(carrySource = false)},
+    s"""${shingleCte(carrySource = false)},
        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h32 FROM sh),
        |perms(i, a, b) AS (VALUES $perms),
        |mh AS (SELECT doc_id, i, min((a * h32 + b) % 2147483647) AS v
@@ -1756,12 +1775,24 @@ object PipelineOracles {
        |       FROM cand
        |       JOIN sh sa ON sa.doc_id = doc_a
        |       JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
-       |       GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS jaccard
-       |FROM cm JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= 0.5""".stripMargin
+       |       GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b,
+       |         CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) AS jaccard
+       |       FROM cm JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)""".stripMargin
   }
+
+  val dedupMinhash: String =
+    s"""WITH $minhashChain
+       |SELECT doc_a, doc_b, jaccard FROM jp WHERE jaccard >= 0.5""".stripMargin
+
+  /** [[PipelineQueries.dedupPairHist]] restatement: the same chain, low
+    * floor, decile bucketing with exact min/max per bucket. */
+  val dedupPairHist: String =
+    s"""WITH $minhashChain
+       |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
+       |FROM jp WHERE jaccard >= 0.05 GROUP BY 1""".stripMargin
 
   val dedupSimhash: String =
     """WITH toks AS (
@@ -3092,6 +3123,7 @@ object PipelineOracles {
     "kmeans_drift"      -> kmeansDrift,
     "sample_clusters"   -> sampleClusters,
     "semdedup_kmeans"   -> semDedupKmeans,
+    "dedup_pair_hist"   -> dedupPairHist,
     "embed_topk_mmr"    -> embedTopKMmr,
     "hard_negatives"    -> hardNegatives,
     "bpe_pairs"         -> bpePairs,
