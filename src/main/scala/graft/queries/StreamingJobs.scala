@@ -394,6 +394,53 @@ object StreamingJobs {
       eventsStreamRaw(spark, dir).select(col("user_id"), col("ts")),
       "ts", "1 hour", gap, col("user_id"))
 
+  /** The drift monitor as a LIVE job: reference model (centroids + the
+    * reference window's per-cluster census) trained and FROZEN from the
+    * batch corpus before the stream starts; arriving vectors are
+    * assigned statelessly against the frozen centroids, a running
+    * per-cluster count accumulates (complete-mode agg — cluster
+    * cardinality = k rows of state), and every trigger emits the full
+    * drift table against the frozen shares — so the ingest watch alerts
+    * WHILE a skewed delivery is arriving, not after. The drained stream's
+    * final table equals the batch kmeans_drift rows exactly (parity
+    * spec); integer ppm arithmetic matches the batch query's `div`. */
+  def runKmeansDrift(spark: SparkSession, dir: String)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.ops.SimilarityOps.kmeansCentroids(
+      emb.filter("vec_id % 2 = 0"), 64, 8, 3)
+    val refCells = graft.ops.SimilarityOps.kmeansAssignedOf(
+        emb.filter("vec_id % 2 = 0"), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tRef = refCells.map(_._2).sum
+    val counts = graft.ops.SimilarityOps.kmeansAssignedOf(
+        embeddingsStream(spark, dir).filter(col("vec_id") % 2 === 1), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n_cur"))
+    counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val cur = batch.cache()
+        try {
+          val tCur = cur.agg(coalesce(sum(col("n_cur")), lit(0L)))
+            .collect()(0).getLong(0)
+          if (tCur > 0L) {
+            import ss.implicits._
+            val refDf = refCells.toDF("cluster", "n_ref")
+            val z = "CAST(0 AS BIGINT)"
+            sink(refDf.join(cur, Seq("cluster"), "full_outer")
+              .selectExpr("cluster",
+                s"coalesce(n_ref, $z) AS n_ref",
+                s"coalesce(n_cur, $z) AS n_cur",
+                s"coalesce(n_ref, $z) * 1000000 div ${tRef}L AS ref_ppm",
+                s"coalesce(n_cur, $z) * 1000000 div ${tCur}L AS cur_ppm",
+                s"abs(coalesce(n_ref, $z) * 1000000 div ${tRef}L" +
+                  s" - coalesce(n_cur, $z) * 1000000 div ${tCur}L) AS drift_ppm"))
+          }
+        } finally { cur.unpersist(); () }
+      }
+  }.start()
+
   /** k-means assignment on the live vector stream: centroids trained
     * OFFLINE on the batch corpus
     * ([[graft.ops.SimilarityOps.kmeansCentroids]]), frozen as plan

@@ -110,6 +110,22 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live drift monitor's drained census equals the batch kmeans_drift") {
+    val batch = graft.queries.PipelineQueries.kmeansDrift(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    @volatile var last = Set.empty[(Long, Long, Long, Long, Long, Long)]
+    val q = StreamingJobs.runKmeansDrift(spark, sf0001) { df =>
+      last = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    }
+    try {
+      q.processAllAvailable()
+      assert(last == batch,
+        "drained live drift table must equal the batch kmeans_drift rows")
+    } finally q.stop()
+  }
+
   test("frozen-centroid kmeans assignment on the stream equals the batch") {
     val batch = graft.queries.PipelineQueries.embedKmeans(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSet
