@@ -105,6 +105,8 @@ object SparkEntry {
     // drift monitor: reference-trained centroids, full-corpus assignment,
     // per-cluster ppm share comparison
     "kmeans_drift"      -> (PipelineQueries.kmeansDrift _),
+    // textual drift: per-term smoothed log-odds between corpus halves
+    "term_drift"        -> (PipelineQueries.termDrift _),
     // cluster-balanced pruning: hash-rank quota per k-means cluster
     "sample_clusters"   -> (PipelineQueries.sampleClusters _),
     // SemDeDup over the TRAINED codebook: kmeans → assign → in-cell dedup

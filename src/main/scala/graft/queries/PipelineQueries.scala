@@ -172,6 +172,34 @@ object PipelineQueries {
     DedupOps.minhashPairs(
       DedupOps.allShingles(Tables.documents(spark, dir), "text", 3), 16, 4, 0.5)
 
+  /** TEXTUAL drift between the reference and current corpus halves — the
+    * content-shift complement to the embedding-space kmeans_drift: per
+    * term, add-one-smoothed log-odds of appearing in the current half vs
+    * the reference half (the "fightin' words" shape), quantized to
+    * integer micro-nats exactly like the DSIR model so ordering is
+    * engine-stable; top 20 by |log-odds| via TakeOrderedAndProject. At
+    * scale: one term-keyed count aggregation + three scalar broadcasts —
+    * the vocabulary row count is the only post-shuffle state. */
+  def termDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .selectExpr("CAST(doc_id % 2 AS BIGINT) AS half",
+        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS t")
+    val counts = toks.groupBy("t").agg(
+      sum(expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).as("c_ref"),
+      sum(expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).as("c_cur"))
+      .filter(col("c_ref") + col("c_cur") >= 20)
+    val totals = toks.groupBy().agg(
+      sum(expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).as("t_ref"),
+      sum(expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).as("t_cur"))
+    val vocab = counts.groupBy().agg(count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .selectExpr("t AS term", "c_ref", "c_cur",
+        "CAST(round(1000000.0D * ln((CAST(c_cur + 1 AS DOUBLE) / CAST(c_ref + 1 AS DOUBLE))" +
+          " * (CAST(t_ref + v AS DOUBLE) / CAST(t_cur + v AS DOUBLE)))) AS BIGINT) AS lo_q")
+      .orderBy(abs(col("lo_q")).desc, col("term").asc)
+      .limit(20)
+  }
+
   /** Threshold-calibration histogram for the MinHash dedup family: ALL
     * band-collision candidates (floor 0.05 — common ≥ 1 both engines)
     * verified with exact Jaccard, bucketed by decile with per-bucket
@@ -1785,6 +1813,28 @@ object PipelineOracles {
     s"""WITH $minhashChain
        |SELECT doc_a, doc_b, jaccard FROM jp WHERE jaccard >= 0.5""".stripMargin
 
+  /** [[PipelineQueries.termDrift]] restatement: same tokenization, same
+    * single-ln quantized ratio (the dsirWeights idiom — one combined
+    * ratio per ln call), same (|lo| DESC, term ASC) rank. */
+  val termDrift: String =
+    s"""WITH tk AS (SELECT CAST(doc_id % 2 AS BIGINT) AS half,
+       |              unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS t
+       |            FROM documents),
+       |counts AS (SELECT t, SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_ref,
+       |                  SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_cur
+       |           FROM tk GROUP BY 1
+       |           HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+       |                + SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) >= 20),
+       |tot AS (SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS t_ref,
+       |               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS t_cur FROM tk),
+       |voc AS (SELECT count(*) AS v FROM counts),
+       |lo AS (SELECT t AS term, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+       |         CAST(round(1000000.0 * ln((CAST(c_cur + 1 AS DOUBLE) / CAST(c_ref + 1 AS DOUBLE))
+       |              * (CAST(t_ref + v AS DOUBLE) / CAST(t_cur + v AS DOUBLE)))) AS BIGINT) AS lo_q
+       |       FROM counts CROSS JOIN tot CROSS JOIN voc)
+       |SELECT term, c_ref, c_cur, lo_q FROM lo
+       |ORDER BY abs(lo_q) DESC, term ASC LIMIT 20""".stripMargin
+
   /** [[PipelineQueries.dedupPairHist]] restatement: the same chain, low
     * floor, decile bucketing with exact min/max per bucket. */
   val dedupPairHist: String =
@@ -3124,6 +3174,7 @@ object PipelineOracles {
     "sample_clusters"   -> sampleClusters,
     "semdedup_kmeans"   -> semDedupKmeans,
     "dedup_pair_hist"   -> dedupPairHist,
+    "term_drift"        -> termDrift,
     "embed_topk_mmr"    -> embedTopKMmr,
     "hard_negatives"    -> hardNegatives,
     "bpe_pairs"         -> bpePairs,
