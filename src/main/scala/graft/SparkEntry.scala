@@ -89,6 +89,8 @@ object SparkEntry {
     "dedup_embed"     -> (PipelineQueries.dedupEmbed _),
     "lang_id"         -> (PipelineQueries.langId _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    // true winnowing (Schleimer et al. 2003): per-8-window minima set
+    "doc_winnow"      -> (PipelineQueries.docWinnow _),
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
     // near-dup decontamination: test docs with a verified train near-dup

@@ -1298,6 +1298,37 @@ object PipelineQueries {
         "CAST(length(text) - 4 AS BIGINT) AS n_windows")
   }
 
+  /** TRUE winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+    * MOSS algorithm): the 5-char polynomial rolling hashes, then the MIN
+    * of every 8-hash window, deduplicated — the guarantee the global-min
+    * [[docFingerprint]] cannot give: any shared substring of length
+    * ≥ w+k−1 (= 12 chars) between two documents shares at least one
+    * selected fingerprint. Emitted per doc as the fingerprint-set
+    * profile (count, min, max, exact sum — an order-independent integer
+    * signature). Zero shuffles: the whole selection runs in one
+    * codegen'd scan where the document is read — the 100 TB
+    * fingerprint-extraction shape; a dedup pass joins on the exploded
+    * fingerprint values. */
+  /** (doc_id, fps) — the winnowed fingerprint SET per document; the
+    * join surface of a winnowing dedup pass, exposed for the coverage
+    * spec. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val hExpr = "transform(sequence(1, length(text) - 4), p -> " +
+      "CAST(ascii(substr(text, p, 1)) * 923521 + ascii(substr(text, p + 1, 1)) * 29791" +
+      " + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31" +
+      " + ascii(substr(text, p + 4, 1)) AS BIGINT))"
+    docs.filter("length(text) >= 12")
+      .selectExpr("doc_id", s"$hExpr AS hs")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))) AS fps")
+  }
+
+  def docWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFps(Tables.documents(spark, dir))
+      .selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fps",
+        "array_min(fps) AS fp_min", "array_max(fps) AS fp_max",
+        "aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS fp_sum")
+
   /** SemDeDup semantic dedup over the embedding corpus: 16 coarse
     * centroids, within-cluster pairwise quantized cosine, members with a
     * lower-id in-cluster neighbor at cos ≥ 0.4 marked dropped
@@ -2339,6 +2370,24 @@ object PipelineOracles {
       |SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint, count(*) AS n_windows
       |FROM h GROUP BY 1""".stripMargin
 
+  /** [[PipelineQueries.docWinnow]] restatement: same polynomial hashes,
+    * per-8-window list_min comprehension, distinct, exact profile. */
+  val docWinnow: String =
+    """WITH h AS (
+      |  SELECT doc_id, [
+      |    CAST(ascii(substr(text, p, 1)) * 923521 + ascii(substr(text, p + 1, 1)) * 29791
+      |    + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31
+      |    + ascii(substr(text, p + 4, 1)) AS BIGINT)
+      |    for p in generate_series(1, length(text) - 4)] AS hs
+      |  FROM documents WHERE length(text) >= 12),
+      |w AS (SELECT doc_id,
+      |        list_distinct([list_min(hs[i:i+7]) for i in generate_series(1, len(hs) - 7)]) AS fps
+      |      FROM h)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+      |  CAST(list_min(fps) AS BIGINT) AS fp_min, CAST(list_max(fps) AS BIGINT) AS fp_max,
+      |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+      |FROM w""".stripMargin
+
   val multimodalMeta: String =
     """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |       md5(text) AS content_hash
@@ -3175,6 +3224,7 @@ object PipelineOracles {
     "semdedup_kmeans"   -> semDedupKmeans,
     "dedup_pair_hist"   -> dedupPairHist,
     "term_drift"        -> termDrift,
+    "doc_winnow"        -> docWinnow,
     "embed_topk_mmr"    -> embedTopKMmr,
     "hard_negatives"    -> hardNegatives,
     "bpe_pairs"         -> bpePairs,

@@ -191,6 +191,24 @@ class SamplingSpanSpec extends SparkSpec {
     assert(rows.forall { case (_, _, n, s, m) => m == s.toDouble / n.toDouble })
   }
 
+  test("winnowing: any shared 12-char substring shares a fingerprint") {
+    // two otherwise-unrelated documents embedding the same 12-char run
+    // at different offsets MUST intersect in at least one selected
+    // fingerprint (the w+k-1 guarantee of Schleimer et al. 2003)
+    val shared = "THEQUICKFOXZ"
+    val docs = Seq(
+      (1L, s"aaaaaaa${shared}bbbbbbbbbbbb"),
+      (2L, s"cccccccccccccccccc${shared}dddd"),
+      (3L, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeee")
+    ).toDF("doc_id", "text")
+    val fps = PipelineQueries.winnowFps(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "shared 12-char substring must share a winnowed fingerprint")
+    // the unrelated uniform document shares nothing with either
+    assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
+  }
+
   test("mmrTopK: diversification picks the distinct region over the near-duplicate") {
     import graft.ops.SimilarityOps
     // query 0 sits between two regions; 1 and 2 are near-duplicates of
