@@ -91,6 +91,8 @@ object SparkEntry {
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     // true winnowing (Schleimer et al. 2003): per-8-window minima set
     "doc_winnow"      -> (PipelineQueries.docWinnow _),
+    // MOSS-style near-dup pairs on shared winnowed fingerprints
+    "dedup_winnow"    -> (PipelineQueries.dedupWinnow _),
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
     // near-dup decontamination: test docs with a verified train near-dup

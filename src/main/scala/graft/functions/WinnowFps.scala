@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `winnow_fps(text, k)` — the winnowed fingerprint SET of a document
+ * (Schleimer et al., SIGMOD 2003): base-31 polynomial hashes of every
+ * k-char window, the minimum of each run of 8 consecutive hashes, then
+ * first-occurrence deduplication. Guarantee: any shared substring of
+ * length ≥ k+7 between two documents shares at least one fingerprint.
+ *
+ * Why a custom Expression: the SQL formulation (two nested
+ * `transform(sequence(...))` chains with a `slice`+`array_min` per window
+ * position) is higher-order-function work — interpreted, outside
+ * whole-stage codegen, one O(k) lambda tree walk per position plus an
+ * 8-element array allocation per window. This is a single allocation-lean
+ * O(n) pass: incremental rolling hash, nested-min over the fixed 8-window
+ * (w is small; no deque needed), HashSet dedup. ~8× on the sf0.1 corpus.
+ *
+ * Value contract (shared with the DuckDB oracle, which states the same
+ * polynomial as generated per-term arithmetic —
+ * [[graft.queries.PipelineQueries.winnowHashTerms]]): code points as the
+ * oracle's `ascii()` sees them (ASCII/BMP: `charAt`), no modulus — exact
+ * BIGINT arithmetic, which for the ASCII corpus stays below 2^62 at
+ * k ≤ 12. Window order and first-occurrence dedup match
+ * `array_distinct`/`list_distinct` exactly.
+ *
+ * Returns NULL for strings shorter than k+7 chars (no full 8-hash window
+ * exists; callers filter those rows out, as the SQL form did).
+ */
+case class WinnowFps(child: Expression, k: Int) extends UnaryExpression
+  with ExpectsInputTypes {
+
+  require(k >= 1, s"winnow_fps: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = WinnowFps.compute(input.asInstanceOf[UTF8String].toString, k)
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fps = ctx.freshName("fps")
+      s"""
+         |long[] $fps = graft.functions.WinnowFps.compute($c.toString(), $k);
+         |if ($fps == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($fps);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  private val W = 8 // the winnowing window: min of every 8 consecutive hashes
+
+  /** Single pass shared by interpreted eval and codegen so the paths
+    * cannot diverge. Returns null when no full window exists. */
+  def compute(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    val m = n - k + 1 // number of k-char hashes
+    if (m < W) return null
+    var bk = 1L // 31^(k-1), the roll-out factor
+    var e = 1
+    while (e < k) { bk *= 31L; e += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * 31L + s.charAt(i); i += 1 }
+    hs(0) = h
+    var j = 1
+    while (j < m) {
+      h = (h - s.charAt(j - 1) * bk) * 31L + s.charAt(j + k - 1)
+      hs(j) = h
+      j += 1
+    }
+    // min per 8-window in window order, dedup keeping first occurrence
+    // (matches array_distinct over the transform(...array_min(slice)) form)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - W + 1)
+    var nOut = 0
+    i = 0
+    while (i <= m - W) {
+      var mn = hs(i)
+      var t = i + 1
+      while (t < i + W) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      if (seen.add(mn)) { out(nOut) = mn; nOut += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, nOut)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFps(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+}

@@ -1312,15 +1312,29 @@ object PipelineQueries {
   /** (doc_id, fps) — the winnowed fingerprint SET per document; the
     * join surface of a winnowing dedup pass, exposed for the coverage
     * spec. */
-  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
-    val hExpr = "transform(sequence(1, length(text) - 4), p -> " +
-      "CAST(ascii(substr(text, p, 1)) * 923521 + ascii(substr(text, p + 1, 1)) * 29791" +
-      " + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31" +
-      " + ascii(substr(text, p + 4, 1)) AS BIGINT))"
-    docs.filter("length(text) >= 12")
-      .selectExpr("doc_id", s"$hExpr AS hs")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))) AS fps")
+  /** Base-31 polynomial over the k chars at position p, as a SQL string
+    * valid in BOTH Spark SQL and DuckDB (per-term BIGINT cast: the
+    * k=12 coefficients overflow INT32). Shared with the oracle so the
+    * two engines hash identically by construction. */
+  private[graft] def winnowHashTerms(k: Int): String =
+    (0 until k).map { i =>
+      // exact integer power: math.pow is double math and 31^11 > 2^53 —
+      // it rounds the coefficient and silently shifts every hash
+      val coef = (0 until k - 1 - i).foldLeft(1L)((a, _) => a * 31L)
+      s"CAST(ascii(substr(text, p + $i, 1)) AS BIGINT) * $coef"
+    }.mkString(" + ")
+
+  private[graft] def winnowFps(docs: DataFrame, k: Int = 5): DataFrame = {
+    // native single-pass expression ([[graft.functions.WinnowFps]]): the
+    // SQL formulation (nested transform/sequence + slice/array_min per
+    // window) is interpreted HOF work — one lambda tree walk per position
+    // — and benched 8 s for a 1.5M-position corpus; the codegen'd loop is
+    // ~8×. The scan still spreads across cores first (no-op on a
+    // multi-split corpus): a one-split parquet file would otherwise
+    // serialize the extraction on a single task (the chunk_topk lesson).
+    graft.functions.WinnowFps.register(docs.sparkSession)
+    withMinParallelism(docs).filter(s"length(text) >= ${k + 7}")
+      .selectExpr("doc_id", s"winnow_fps(text, $k) AS fps")
   }
 
   def docWinnow(spark: SparkSession, dir: String): DataFrame =
@@ -1328,6 +1342,45 @@ object PipelineQueries {
       .selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fps",
         "array_min(fps) AS fp_min", "array_max(fps) AS fp_max",
         "aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS fp_sum")
+
+  /** Winnowing-based near-dup pairs — the MOSS use of winnowed
+    * fingerprints: documents joined on shared fingerprints (hot
+    * fingerprints capped at 20 docs — the containmentPairs blast-radius
+    * guard: boilerplate minima otherwise quadratically pair the corpus),
+    * scored as shared-fp count over the SMALLER document's fingerprint
+    * set (containment-style, so an excerpt inside a larger document
+    * still scores high), kept at overlap ≥ 0.3. Uses k=12 character
+    * windows (vs [[docWinnow]]'s k=5 profile): the guarantee becomes
+    * "any shared substring ≥ 19 chars shares a fingerprint", and the
+    * windows span word boundaries — with a small vocabulary, 5-char
+    * windows collapse to a corpus-wide fingerprint set too small to
+    * discriminate (61 distinct at sf0.01, nearly all over the hot cap).
+    * Character-level where the shingle family is token-level: catches
+    * shared runs that whitespace tokenization splits differently. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    // The fingerprint table MUST be materialized before the self-join:
+    // otherwise the join's pushed-down null filters re-inline the
+    // O(len²) transform chain under the explode and evaluate it
+    // interpreted once per exploded row (thread-dump verified). This is
+    // also the production shape — the fingerprint index is built once,
+    // then joined on.
+    val w = winnowFps(Tables.documents(spark, dir), k = 12).localCheckpoint()
+    val f = w.selectExpr("doc_id", "explode(fps) AS fp")
+    val nf = w.selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n")
+    val usable = f.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 20).select("fp")
+    val fu = f.join(usable, "fp")
+    val pairs = fu.alias("a").join(fu.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    pairs.join(nf.selectExpr("doc_id AS doc_a", "n AS na"), "doc_a")
+      .join(nf.selectExpr("doc_id AS doc_b", "n AS nb"), "doc_b")
+      .withColumn("overlap", col("n_shared").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .filter(col("overlap") >= 0.3)
+      .select("doc_a", "doc_b", "n_shared", "overlap")
+  }
 
   /** SemDeDup semantic dedup over the embedding corpus: 16 coarse
     * centroids, within-cluster pairwise quantized cosine, members with a
@@ -2370,23 +2423,47 @@ object PipelineOracles {
       |SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint, count(*) AS n_windows
       |FROM h GROUP BY 1""".stripMargin
 
+  /** Winnowed fingerprint-set CTEs (h = rolling hashes, w = per-doc
+    * distinct window minima) shared by docWinnow (k=5) and dedupWinnow
+    * (k=12). The polynomial terms come from the SAME builder the Spark
+    * side uses ([[PipelineQueries.winnowHashTerms]]) — the two engines
+    * hash identically by construction, not by parallel maintenance. */
+  private def winnowChain(k: Int): String =
+    s"""h AS (
+       |  SELECT doc_id, [${PipelineQueries.winnowHashTerms(k)}
+       |    for p in generate_series(1, length(text) - ${k - 1})] AS hs
+       |  FROM documents WHERE length(text) >= ${k + 7}),
+       |w AS (SELECT doc_id,
+       |        list_distinct([list_min(hs[i:i+7]) for i in generate_series(1, len(hs) - 7)]) AS fps
+       |      FROM h)""".stripMargin
+
   /** [[PipelineQueries.docWinnow]] restatement: same polynomial hashes,
     * per-8-window list_min comprehension, distinct, exact profile. */
   val docWinnow: String =
-    """WITH h AS (
-      |  SELECT doc_id, [
-      |    CAST(ascii(substr(text, p, 1)) * 923521 + ascii(substr(text, p + 1, 1)) * 29791
-      |    + ascii(substr(text, p + 2, 1)) * 961 + ascii(substr(text, p + 3, 1)) * 31
-      |    + ascii(substr(text, p + 4, 1)) AS BIGINT)
-      |    for p in generate_series(1, length(text) - 4)] AS hs
-      |  FROM documents WHERE length(text) >= 12),
-      |w AS (SELECT doc_id,
-      |        list_distinct([list_min(hs[i:i+7]) for i in generate_series(1, len(hs) - 7)]) AS fps
-      |      FROM h)
-      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-      |  CAST(list_min(fps) AS BIGINT) AS fp_min, CAST(list_max(fps) AS BIGINT) AS fp_max,
-      |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
-      |FROM w""".stripMargin
+    s"""WITH ${winnowChain(5)}
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       |  CAST(list_min(fps) AS BIGINT) AS fp_min, CAST(list_max(fps) AS BIGINT) AS fp_max,
+       |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+       |FROM w""".stripMargin
+
+  /** [[PipelineQueries.dedupWinnow]] restatement: shared-fingerprint
+    * pairs under the 20-doc hot-fingerprint cap, containment-style
+    * overlap vs the smaller fingerprint set, same k=12 windows and
+    * 0.3 floor. */
+  val dedupWinnow: String =
+    s"""WITH ${winnowChain(12)},
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n FROM w),
+       |us AS (SELECT fp FROM (SELECT fp, count(*) AS nd FROM f GROUP BY 1)
+       |       WHERE nd >= 2 AND nd <= 20),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |      FROM f a JOIN us USING (fp)
+       |      JOIN f b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+       |FROM p JOIN nf na ON na.doc_id = doc_a JOIN nf nb ON nb.doc_id = doc_b
+       |WHERE CAST(n_shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.3""".stripMargin
 
   val multimodalMeta: String =
     """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -3225,6 +3302,7 @@ object PipelineOracles {
     "dedup_pair_hist"   -> dedupPairHist,
     "term_drift"        -> termDrift,
     "doc_winnow"        -> docWinnow,
+    "dedup_winnow"      -> dedupWinnow,
     "embed_topk_mmr"    -> embedTopKMmr,
     "hard_negatives"    -> hardNegatives,
     "bpe_pairs"         -> bpePairs,

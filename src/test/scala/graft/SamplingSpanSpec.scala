@@ -209,6 +209,43 @@ class SamplingSpanSpec extends SparkSpec {
     assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
   }
 
+  test("winnow_fps native expression matches the SQL HOF formulation on the corpus") {
+    // the declarative twin the native loop replaced (nested
+    // transform/sequence + per-window slice/array_min + array_distinct):
+    // same hashes, same window order, same first-occurrence dedup
+    for (k <- Seq(5, 12)) {
+      val terms = PipelineQueries.winnowHashTerms(k)
+      val sqlForm = Tables.documents(spark, sf0001)
+        .filter(s"length(text) >= ${k + 7}")
+        .selectExpr("doc_id",
+          s"transform(sequence(1, length(text) - ${k - 1}), p -> $terms) AS hs")
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))) AS fps")
+        .as[(Long, Seq[Long])].collect().toMap
+      val native = PipelineQueries.winnowFps(Tables.documents(spark, sf0001), k)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native.keySet == sqlForm.keySet)
+      native.foreach { case (id, fps) =>
+        assert(fps == sqlForm(id), s"k=$k doc $id fingerprints diverge")
+      }
+    }
+  }
+
+  test("winnowing k=12: any shared 19-char substring shares a fingerprint") {
+    // the dedup_winnow window length: guarantee threshold is w+k-1 = 19
+    val shared = "THEQUICKBROWNFOXJMP" // 19 chars
+    val docs = Seq(
+      (1L, s"aaaaaaaaaa${shared}bbbbbbbbbb"),
+      (2L, s"cccccccccccccccccccccc${shared}dd"),
+      (3L, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee")
+    ).toDF("doc_id", "text")
+    val fps = PipelineQueries.winnowFps(docs, k = 12)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "shared 19-char substring must share a k=12 winnowed fingerprint")
+    assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
+  }
+
   test("mmrTopK: diversification picks the distinct region over the near-duplicate") {
     import graft.ops.SimilarityOps
     // query 0 sits between two regions; 1 and 2 are near-duplicates of
