@@ -126,6 +126,8 @@ object SparkEntry {
     // tokenizer apply: per-doc word/subword/char counts via the learned
     // merges, segmenting the vocab (model-sized), never the corpus
     "bpe_encode"        -> (PipelineQueries.bpeEncode _),
+    // BPE apply x language ID: per-language fertility/compression ratios
+    "tok_fertility"     -> (PipelineQueries.tokFertility _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

@@ -1580,6 +1580,28 @@ object PipelineQueries {
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
 
+  /** Tokenizer fertility by language — the multilingual-fairness
+    * diagnostic a shared-tokenizer pipeline reports before fixing a token
+    * budget: per detected language, corpus-summed word/subword/char
+    * counts from the BPE apply ([[bpeEncode]]) keyed by [[langId]]'s
+    * verdict, with exact integer micro-ratios (subwords per word,
+    * chars per subword — languages the tokenizer segments poorly show
+    * high fertility and pay more sequence length for the same text).
+    * Composition of two green passes: the corpus pays the bpeEncode word
+    * explode + one doc-keyed agg and the langId narrow scan, then a
+    * |languages|-row aggregation. Micro-ratios are BIGINT
+    * (sum × 10^6 div sum): headroom to ~9×10^12 tokens per language —
+    * beyond that, widen to DECIMAL(38,0) before the multiply. */
+  def tokFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(langId(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+      .selectExpr("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        "n_tokens * 1000000L div n_words AS fertility_micro",
+        "n_chars * 1000000L div n_tokens AS compression_micro")
+
   /** Hashed-feature space of the Naive-Bayes classifier (shared with the
     * oracle and the frozen-model scorer). */
   val NbBuckets: Int = 1024
@@ -2001,17 +2023,23 @@ object PipelineOracles {
        |      FROM d JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)
        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4""".stripMargin
 
-  val langId: String = {
+  /** Language-ID CTE chain ending in `lid(doc_id, lang, score)` — the
+    * argmax stopword-profile verdict, shared by langId and tokFertility.
+    * CTE names are `l`-prefixed so the chain composes with bpeChain. */
+  private def langIdChain: String = {
     val branches = TextLang.langs.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString(", ")
-      s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, t -> list_contains([$arr], t))) AS BIGINT) AS score FROM t"
+      s"SELECT doc_id, '$lang' AS lang, CAST(len(list_filter(toks, t -> list_contains([$arr], t))) AS BIGINT) AS score FROM lt"
     }.mkString("\nUNION ALL\n")
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks FROM documents),
-       |s AS ($branches)
-       |SELECT doc_id, lang, score FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM s
-       |) WHERE rn = 1""".stripMargin
+    s"""lt AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks FROM documents),
+       |ls AS ($branches),
+       |lid AS (SELECT doc_id, lang, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM ls
+       |) WHERE rn = 1)""".stripMargin
   }
+
+  val langId: String =
+    s"WITH $langIdChain\nSELECT doc_id, lang, score FROM lid"
 
   val gopherRepetition: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
@@ -2400,6 +2428,26 @@ object PipelineOracles {
       (1 to rounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt FROM best$r")
         .mkString("\nUNION ALL\n")
+  }
+
+  /** [[PipelineQueries.tokFertility]] restatement: the bpeEncode per-doc
+    * encode CTE joined to the langIdChain verdict, summed per language
+    * with the same BIGINT micro-ratio arithmetic (`//` = Spark's div). */
+  val tokFertility: String = {
+    val rounds = PipelineQueries.BpeRounds
+    s"""WITH ${bpeChain(rounds)},
+       |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM s$rounds GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |               CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |        FROM dw JOIN seg USING (word) GROUP BY 1),
+       |$langIdChain
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT) AS fertility_micro,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT) AS compression_micro
+       |FROM enc JOIN lid USING (doc_id) GROUP BY 1""".stripMargin
   }
 
   val bpeEncode: String = {
@@ -3308,6 +3356,7 @@ object PipelineOracles {
     "bpe_pairs"         -> bpePairs,
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
+    "tok_fertility"     -> tokFertility,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,

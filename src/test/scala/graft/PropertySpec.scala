@@ -263,4 +263,51 @@ class PropertySpec extends SparkSpec {
     assert(ex1.toString.contains("2x2x2"))
     assert(ex1.toString != ex2.toString && ex1.sql != ex2.sql)
   }
+
+  test("property: winnow_fps matches the naive polynomial reference for random text") {
+    // reference: direct O(n·k) polynomial per position, min per 8-window,
+    // first-occurrence dedup — the definition the single-pass rolling loop
+    // must reproduce exactly
+    def naive(s: String, k: Int): Array[Long] = {
+      val m = s.length - k + 1
+      if (m < 8) return null
+      val hs = Array.tabulate(m) { j =>
+        (0 until k).foldLeft(0L)((a, i) => a * 31L + s.charAt(j + i))
+      }
+      val seen = scala.collection.mutable.LinkedHashSet[Long]()
+      (0 to m - 8).foreach(i => seen += (i until i + 8).map(hs).min)
+      seen.toArray
+    }
+    val genCase = for {
+      k <- Gen.choose(2, 12)
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar))
+    } yield (k, cs.mkString)
+    samples(genCase, 300).foreach { case (k, s) =>
+      val got = graft.functions.WinnowFps.compute(s, k)
+      val exp = naive(s, k)
+      assert((got == null) == (exp == null), s"null mismatch k=$k len=${s.length}")
+      if (exp != null)
+        assert(got.toSeq == exp.toSeq, s"fps diverge k=$k text=${s.take(40)}")
+    }
+  }
+
+  test("property: winnowing guarantee holds for random embedded shared runs") {
+    // any shared substring of length >= k+7 must share a fingerprint,
+    // whatever surrounds it (Schleimer et al. 2003, theorem 1)
+    val genCase = for {
+      k <- Gen.choose(2, 12)
+      shared <- Gen.listOfN(k + 7, Gen.choose('a', 'z')).map(_.mkString)
+      pre1 <- Gen.listOfN(17, Gen.choose('A', 'Z')).map(_.mkString)
+      suf1 <- Gen.listOfN(9, Gen.choose('A', 'Z')).map(_.mkString)
+      pre2 <- Gen.listOfN(3, Gen.choose('0', '9')).map(_.mkString)
+      suf2 <- Gen.listOfN(23, Gen.choose('0', '9')).map(_.mkString)
+    } yield (k, pre1 + shared + suf1, pre2 + shared + suf2)
+    samples(genCase, 200).foreach { case (k, d1, d2) =>
+      val f1 = graft.functions.WinnowFps.compute(d1, k)
+      val f2 = graft.functions.WinnowFps.compute(d2, k)
+      assert(f1.toSet.intersect(f2.toSet).nonEmpty,
+        s"k=$k: shared ${k + 7}-char run selected no common fingerprint")
+    }
+  }
 }
