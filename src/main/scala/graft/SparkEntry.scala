@@ -147,6 +147,8 @@ object SparkEntry {
     // default resolution = star contraction (O(log²n) rounds, 5× cheaper
     // on the r7 gate artifact); propagation kept as the parity path below
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
+    // quality-argmax keeper per near-dup cluster (production keep policy)
+    "dedup_canonical"   -> (PipelineQueries.dedupCanonical _),
     "dedup_clusters_prop" -> (PipelineQueries.dedupClustersProp _),
     // incremental maintenance: delivery folded into an existing base
     // assignment over a delivery-sized delta graph; same oracle as above

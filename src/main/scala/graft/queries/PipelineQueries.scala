@@ -611,6 +611,25 @@ object PipelineQueries {
       .selectExpr("doc_id", "cluster_id", "bucket",
         "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
 
+  /** Quality-argmax canonical selection per near-dup cluster: within each
+    * [[dedupClusters]] cluster, keep the HIGHEST-[[textQuality]] member
+    * (ties break to the lower doc_id) — the production keeper policy,
+    * where the min-id `is_canonical` flag is only an arbitrary
+    * representative. Safe to rank on the double score because
+    * text_quality itself is hash-green (both engines produce the same
+    * IEEE doubles in the same operation order). Scale shape: one doc_id
+    * join of two green passes + one rank window keyed by cluster_id —
+    * singleton clusters (the corpus mass) rank trivially and AQE
+    * coalesces them; no new corpus-sized exchange beyond the parents'. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir).select("doc_id", "cluster_id", "csize")
+      .join(textQuality(spark, dir), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+      .selectExpr("doc_id", "cluster_id", "csize", "quality", "rn",
+        "rn = 1 AS keep")
+
   /** Sentence segmentation with stable indices: sentences are maximal runs
     * of non-terminator characters plus an optional trailing `[.!?]` —
     * an RE2-safe contract (no lookbehind) both engines state identically,
@@ -2759,6 +2778,17 @@ object PipelineOracles {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) d
        |LEFT JOIN lbl l ON l.lid = d.doc_id""".stripMargin
 
+  /** [[PipelineQueries.dedupCanonical]] restatement: the dedup_clusters
+    * oracle as a CTE joined to the quality oracle, quality-DESC/doc-ASC
+    * rank per cluster. */
+  val dedupCanonical: String =
+    s"""WITH c AS ($dedupClusters),
+       |q AS ($textQuality)
+       |SELECT c.doc_id, c.cluster_id, c.csize, q.quality,
+       |  CAST(row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) AS BIGINT) AS rn,
+       |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+       |FROM c JOIN q ON q.doc_id = c.doc_id""".stripMargin
+
   /** Leakage-safe split oracle: the cluster CTE is the dedup_clusters
     * oracle verbatim; the split hashes the CLUSTER id. */
   val trainSplitSafe: String =
@@ -3364,6 +3394,7 @@ object PipelineOracles {
     "source_overlap"    -> sourceOverlap,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
+    "dedup_canonical"   -> dedupCanonical,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
