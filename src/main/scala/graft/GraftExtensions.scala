@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ExactDistinctLong, RollingMin5Hash}
+import graft.functions.{ExactDistinctLong, RollingMin5Hash, WinnowFps}
 
 /**
  * Engine extension point: registers graft's custom Catalyst functions at
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingMin5Hash].getName, "rolling_min5"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingMin5Hash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFps(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

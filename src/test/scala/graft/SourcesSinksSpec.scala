@@ -133,10 +133,13 @@ class SourcesSinksSpec extends SparkSpec {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       val row = s2.sql(
-        "SELECT exact_distinct(c) AS d, rolling_min5('hello world') AS h FROM VALUES (1L),(2L),(2L) t(c)")
+        "SELECT exact_distinct(c) AS d, rolling_min5('hello world') AS h, " +
+          "size(winnow_fps('the quick brown fox jumps', 5)) AS w " +
+          "FROM VALUES (1L),(2L),(2L) t(c)")
         .collect().head
       assert(row.getLong(0) == 2L)
       assert(row.getLong(1) > 0L)
+      assert(row.getInt(2) > 0)
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)
