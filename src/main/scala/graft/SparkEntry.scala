@@ -183,6 +183,8 @@ object SparkEntry {
     // PII injection → real regex redaction, regex-free arithmetic oracle
     "pii_scrub"         -> (PipelineQueries.piiScrub _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
+    // top shared 5-token spans: the boilerplate the hot-key caps exclude
+    "boilerplate_spans" -> (PipelineQueries.boilerplateSpans _),
     "span_scrub"        -> (PipelineQueries.spanScrub _),
     "salient_terms"     -> (PipelineQueries.salientTerms _),
     "lm_fluency"        -> (PipelineQueries.lmFluency _),

@@ -950,6 +950,24 @@ object PipelineQueries {
   def dupSpanStats(spark: SparkSession, dir: String): DataFrame =
     DedupOps.spanStats(DedupOps.shingleHashes(Tables.documents(spark, dir), "text", 5))
 
+  /** Top-20 most widely shared 5-token spans — the boilerplate
+    * inspection table behind every hot-key cap in the dedup family
+    * (minhash band caps, containment maxDocsPerSpan, winnow hot-fp cap):
+    * it SHOWS the license headers / navigation chrome those caps exclude,
+    * with doc reach, occurrence count, and an example doc to pull. One
+    * span-keyed aggregation (map-side combined) + distributed top-k
+    * (TakeOrderedAndProject — per-partition heaps, no global sort); the
+    * (n_docs, n_occurrences, sh) order is total because sh is the group
+    * key, so the 20-cut is deterministic in both engines. */
+  def boilerplateSpans(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.allShingles(Tables.documents(spark, dir), "text", 5)
+      .groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"), min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("sh").asc)
+      .limit(20)
+
   /** Product-quantization codes for the whole corpus: 64 quantized dims →
     * 8 nearest-centroid ids from a deterministically trained codebook
     * ([[SimilarityOps.pqCodes]] — sign-LSH-initialized floored-integer-mean
@@ -1894,6 +1912,18 @@ object PipelineOracles {
        |sh AS (SELECT DISTINCT doc_id$src, sh FROM sh0),
        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
   }
+
+  /** [[PipelineQueries.boilerplateSpans]] restatement: 5-token span
+    * comprehension, span-keyed aggregate, same total order and 20-cut. */
+  val boilerplateSpans: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w FROM documents),
+      |s AS (SELECT doc_id, unnest([w[k] || ' ' || w[k+1] || ' ' || w[k+2] || ' ' || w[k+3] || ' ' || w[k+4]
+      |        for k in generate_series(1, len(w) - 4)]) AS sh FROM toks),
+      |g AS (SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |             CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS example_doc
+      |      FROM s GROUP BY 1)
+      |SELECT sh, n_docs, n_occurrences, example_doc FROM g WHERE n_docs >= 2
+      |ORDER BY n_docs DESC, n_occurrences DESC, sh ASC LIMIT 20""".stripMargin
 
   val dedupNgram: String =
     s"""WITH ${shingleCte(carrySource = true)},
@@ -3395,6 +3425,7 @@ object PipelineOracles {
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,
     "dedup_canonical"   -> dedupCanonical,
+    "boilerplate_spans" -> boilerplateSpans,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
