@@ -149,6 +149,8 @@ object SparkEntry {
     "dedup_clusters"    -> (PipelineQueries.dedupClusters _),
     // quality-argmax keeper per near-dup cluster (production keep policy)
     "dedup_canonical"   -> (PipelineQueries.dedupCanonical _),
+    // the full curation press in one table: gates + canonical + safe split
+    "corpus_manifest"   -> (PipelineQueries.corpusManifest _),
     "dedup_clusters_prop" -> (PipelineQueries.dedupClustersProp _),
     // incremental maintenance: delivery folded into an existing base
     // assignment over a delivery-sized delta graph; same oracle as above

@@ -630,6 +630,35 @@ object PipelineQueries {
       .selectExpr("doc_id", "cluster_id", "csize", "quality", "rn",
         "rn = 1 AS keep")
 
+  /** The corpus MANIFEST — the full curation press as one query, the
+    * table a pipeline actually ships to training: per document its
+    * quality score, repetition verdict, near-dup-cluster canonical flag
+    * ([[dedupCanonical]]'s quality-argmax keeper), the combined keep
+    * decision (quality ≥ 0.5 AND repetition pass AND canonical), and the
+    * leakage-safe split (cluster-hash bucketing, [[trainSplitSafe]]).
+    * Composition discipline: the cluster resolution runs ONCE and feeds
+    * both the canonical rank and the split hash — the expensive pass is
+    * shared, not recomputed per consumer. Short documents without a
+    * trigram drop out with the repetition join, matching
+    * [[curateCorpus]]'s gate semantics. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val rep = gopherRepetition(spark, dir)
+      .select(col("doc_id"), col("pass").as("rep_pass"))
+    cl.join(textQuality(spark, dir), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+      .join(rep, "doc_id")
+      .selectExpr("doc_id", "cluster_id", "quality", "rep_pass",
+        "rn = 1 AS canonical",
+        "quality >= CAST(0.5 AS DOUBLE) AND rep_pass AND rn = 1 AS keep",
+        s"${DedupOps.md5Long("CAST(cluster_id AS STRING)")} % 10 AS bucket")
+      .selectExpr("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+        "keep",
+        "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
+  }
+
   /** Sentence segmentation with stable indices: sentences are maximal runs
     * of non-terminator characters plus an optional trailing `[.!?]` —
     * an RE2-safe contract (no lookbehind) both engines state identically,
@@ -2819,6 +2848,24 @@ object PipelineOracles {
        |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
        |FROM c JOIN q ON q.doc_id = c.doc_id""".stripMargin
 
+  /** [[PipelineQueries.corpusManifest]] restatement: cluster CTE +
+    * quality + repetition + canonical rank + cluster-hash split, all
+    * reusing the parent oracles as CTEs. */
+  val corpusManifest: String =
+    s"""WITH c AS ($dedupClusters),
+       |q AS ($textQuality),
+       |rep AS (SELECT doc_id, pass AS rep_pass FROM ($gopherRepetition) g),
+       |r AS (SELECT c.doc_id, c.cluster_id, q.quality,
+       |        row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+       |      FROM c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT r.doc_id, r.cluster_id, r.quality, rep.rep_pass,
+       |  r.rn = 1 AS canonical,
+       |  r.quality >= CAST(0.5 AS DOUBLE) AND rep.rep_pass AND r.rn = 1 AS keep,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(r.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(r.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM r JOIN rep ON rep.doc_id = r.doc_id""".stripMargin
+
   /** Leakage-safe split oracle: the cluster CTE is the dedup_clusters
     * oracle verbatim; the split hashes the CLUSTER id. */
   val trainSplitSafe: String =
@@ -3426,6 +3473,7 @@ object PipelineOracles {
     "dedup_clusters"    -> dedupClusters,
     "dedup_canonical"   -> dedupCanonical,
     "boilerplate_spans" -> boilerplateSpans,
+    "corpus_manifest"   -> corpusManifest,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
