@@ -378,4 +378,43 @@ class ClusterTextOpsSpec extends SparkSpec {
       assert(got == expectRm, s"trial $trial: remove path diverged")
     }
   }
+
+  test("dedup_canonical keeps exactly the quality-argmax member of every cluster") {
+    val rows = PipelineQueries.dedupCanonical(spark, sf0001)
+      .select("doc_id", "cluster_id", "quality", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length} members")
+      // argmax by (quality desc, doc_id asc): nothing strictly better exists
+      val k = kept.head
+      members.foreach { m =>
+        assert(m._3 < k._3 || (m._3 == k._3 && m._1 >= k._1),
+          s"cluster $cid: member ${m._1} (q=${m._3}) beats keeper ${k._1} (q=${k._3})")
+      }
+    }
+  }
+
+  test("corpus_manifest agrees with its parent passes doc by doc") {
+    val man = PipelineQueries.corpusManifest(spark, sf0001)
+      .select("doc_id", "quality", "rep_pass", "canonical", "keep", "split")
+      .as[(Long, Double, Boolean, Boolean, Boolean, String)].collect()
+    // keep is exactly the conjunction of its three gates
+    man.foreach { case (id, q, rep, canon, keep, _) =>
+      assert(keep == (q >= 0.5 && rep && canon), s"doc $id keep flag inconsistent")
+    }
+    // the split column IS trainSplitSafe's split (same cluster hash)
+    val safe = PipelineQueries.trainSplitSafe(spark, sf0001)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    man.foreach { case (id, _, _, _, _, split) =>
+      assert(safe(id) == split, s"doc $id split diverges from trainSplitSafe")
+    }
+    // the canonical flag matches dedup_canonical's keeper
+    val keepers = PipelineQueries.dedupCanonical(spark, sf0001)
+      .filter("keep").select("doc_id").as[Long].collect().toSet
+    man.foreach { case (id, _, _, canon, _, _) =>
+      assert(canon == keepers(id), s"doc $id canonical flag diverges")
+    }
+  }
 }
