@@ -151,6 +151,8 @@ object SparkEntry {
     "dedup_canonical"   -> (PipelineQueries.dedupCanonical _),
     // the full curation press in one table: gates + canonical + safe split
     "corpus_manifest"   -> (PipelineQueries.corpusManifest _),
+    // per-source press yield: gate rejections + keep rate, the sourcing report
+    "curation_yield"    -> (PipelineQueries.curationYield _),
     "dedup_clusters_prop" -> (PipelineQueries.dedupClustersProp _),
     // incremental maintenance: delivery folded into an existing base
     // assignment over a delivery-sized delta graph; same oracle as above

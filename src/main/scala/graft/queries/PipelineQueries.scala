@@ -659,6 +659,27 @@ object PipelineQueries {
         "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
   }
 
+  /** Curation YIELD by delivery source — the sourcing business report on
+    * top of [[corpusManifest]]: per source, how many documents entered
+    * the press, how many each gate rejected (quality / repetition /
+    * non-canonical — flags counted independently, so a doc failing two
+    * gates appears under both), how many survive, and the keep rate as
+    * an exact integer per-myriad. The number that decides which
+    * crawls/feeds are worth paying for. One broadcast-able join of the
+    * manifest to the doc→source map + a |sources|-row aggregation. */
+  def curationYield(spark: SparkSession, dir: String): DataFrame =
+    corpusManifest(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(!col("rep_pass"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(!col("canonical"), 1L).otherwise(0L)).as("n_dup_shadowed"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .selectExpr("source", "n_docs", "n_low_quality", "n_repetitive",
+        "n_dup_shadowed", "n_kept",
+        "n_kept * 10000L div n_docs AS keep_per_myriad")
+
   /** Sentence segmentation with stable indices: sentences are maximal runs
     * of non-terminator characters plus an optional trailing `[.!?]` —
     * an RE2-safe contract (no lookbehind) both engines state identically,
@@ -2866,6 +2887,20 @@ object PipelineOracles {
        |       ELSE 'test' END AS split
        |FROM r JOIN rep ON rep.doc_id = r.doc_id""".stripMargin
 
+  /** [[PipelineQueries.curationYield]] restatement: the manifest oracle
+    * as a CTE, joined to the doc→source map, per-source gate counts and
+    * the integer per-myriad keep rate. */
+  val curationYield: String =
+    s"""WITH m AS ($corpusManifest)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN m.quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       |  CAST(sum(CASE WHEN NOT m.rep_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       |  CAST(sum(CASE WHEN NOT m.canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shadowed,
+       |  CAST(sum(CASE WHEN m.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN m.keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS keep_per_myriad
+       |FROM m JOIN documents d ON d.doc_id = m.doc_id
+       |GROUP BY 1""".stripMargin
+
   /** Leakage-safe split oracle: the cluster CTE is the dedup_clusters
     * oracle verbatim; the split hashes the CLUSTER id. */
   val trainSplitSafe: String =
@@ -3474,6 +3509,7 @@ object PipelineOracles {
     "dedup_canonical"   -> dedupCanonical,
     "boilerplate_spans" -> boilerplateSpans,
     "corpus_manifest"   -> corpusManifest,
+    "curation_yield"    -> curationYield,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
     "doc_sentences"     -> docSentences,
