@@ -17,7 +17,46 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // ContextCleaner only reaps a query's shuffle files after its
+      // ShuffleDependency objects are GC'd; without an explicit GC a
+      // shuffle-heavy query's files accrete across its OWN reps on a
+      // disk-pressured host (the r9 escalating-rep residue:
+      // cluster_scorecard reps 1.16 → 7.23 → 17.1 s with unchanged work,
+      // the driver-local union-find inside it degrading 18 → 715 ms).
+      // The brief sleep gives the async cleaner thread a window to drain
+      // the reference queue before the next rep starts writing.
+      // SPARK_GRAFT_BENCH_GC=0 disables (for A/B-ing the mechanism).
+      if (gcEachReset) { System.gc(); Thread.sleep(100) }
     } catch { case e: Throwable => System.err.println(s"[bench] reset: $e") }
+  }
+
+  private val gcEachReset: Boolean =
+    !sys.env.get("SPARK_GRAFT_BENCH_GC").map(_.trim).contains("0")
+
+  /** Cumulative stop-the-world GC millis of this JVM (all collectors). */
+  private def gcMillis(): Long = {
+    var s = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => s += math.max(0L, b.getCollectionTime))
+    s
+  }
+
+  /** Bytes currently held by Spark block-manager directories (shuffle
+    * .data/.index files + spilled blocks) under java.io.tmpdir — the
+    * on-disk residue ContextCleaner is responsible for reaping. Sampled
+    * per rep so the artifact can correlate inflated reps with disk
+    * accretion (r9 "What's wrong #3" forensics). */
+  private def blockMgrDiskBytes(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foldLeft(0L)((a, c) => a + size(c))
+    try {
+      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+        .foldLeft(0L)((a, d) => a + size(d))
+    } catch { case _: Throwable => -1L }
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,6 +123,7 @@ object Bench {
       graft.ops.ClusterOps.CcStats.drain() // warmup runs don't pollute the artifact
       val times = (0 until reps).map { rep =>
         resetState(spark)
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val startOff = (t0 - benchT0) / 1e9
         // noop sink forces full materialization of every output column —
@@ -92,10 +132,15 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // per-rep forensics (r9 "What's wrong #3"): GC millis spent INSIDE
+        // the rep and block-manager disk bytes at rep end — distinguishes
+        // heap/GC pressure from shuffle-file accretion when reps escalate
+        val gcMs = gcMillis() - gc0
+        val diskB = blockMgrDiskBytes()
         graft.ops.ClusterOps.CcStats.drain().foreach(r => ccRounds += ((name, rep, r)))
         // a crashed run must be distinguishable from a fast success:
         // elapsed-until-failure rides along negated
-        (if (ok) sec else -sec, startOff)
+        (if (ok) sec else -sec, startOff, gcMs, diskB)
       }
       name -> times
     }
@@ -134,7 +179,17 @@ object Bench {
         // query itself (a real plan cost)
         allRuns.sortBy(_._1)
           .map { case (k, ts) => "\"" + k + "\":" + ts.map(t => fmt(t._2)).mkString("[", ",", "]") }
-          .mkString("\"starts\":{", ",", "}}\n")
+          .mkString("\"starts\":{", ",", "},") +
+        // per-rep stop-the-world GC millis inside each rep + block-manager
+        // disk megabytes at rep end (r9 escalating-rep forensics: is an
+        // inflated rep paying GC, reading past residue, or neither?)
+        allRuns.sortBy(_._1)
+          .map { case (k, ts) => "\"" + k + "\":" + ts.map(_._3.toString).mkString("[", ",", "]") }
+          .mkString("\"gc_ms\":{", ",", "},") +
+        allRuns.sortBy(_._1)
+          .map { case (k, ts) => "\"" + k + "\":" +
+            ts.map(t => (t._4 / (1024 * 1024)).toString).mkString("[", ",", "]") }
+          .mkString("\"disk_mb\":{", ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_RUNS.json"),
         runsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

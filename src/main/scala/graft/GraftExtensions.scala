@@ -33,6 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WinnowFps(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+        WinnowFps.build(exprs)))
   }
 }

@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Value contract (shared with the DuckDB oracle, which states the same
  * polynomial as generated per-term arithmetic —
  * [[graft.queries.PipelineQueries.winnowHashTerms]]): code points as the
- * oracle's `ascii()` sees them (ASCII/BMP: `charAt`), no modulus — exact
- * BIGINT arithmetic, which for the ASCII corpus stays below 2^62 at
- * k ≤ 12. Window order and first-occurrence dedup match
+ * oracle's `ascii()` sees them (true code points — `codePointAt`, not
+ * UTF-16 code units), no modulus — exact BIGINT arithmetic, enforced by a
+ * loud rejection of code points above 0xFF (the widest value for which
+ * the polynomial provably fits signed-64 at k ≤ 12; Java would wrap
+ * where DuckDB's BIGINT errors, so out-of-contract text fails instead of
+ * silently diverging). Window order and first-occurrence dedup match
  * `array_distinct`/`list_distinct` exactly.
  *
  * Returns NULL for strings shorter than k+7 chars (no full 8-hash window
@@ -69,10 +72,33 @@ object WinnowFps {
   private val W = 8 // the winnowing window: min of every 8 consecutive hashes
 
   /** Single pass shared by interpreted eval and codegen so the paths
-    * cannot diverge. Returns null when no full window exists. */
+    * cannot diverge. Returns null when no full window exists.
+    *
+    * Code-POINT semantics, enforced: the oracle contract is stated in
+    * `ascii()`/`length(text)` terms (code points), and the Spark-side
+    * `length(text) >= k+7` row filter counts code points too — so the
+    * hash must consume code points, not UTF-16 code units, or non-BMP
+    * text would silently diverge instead of failing. Code points above
+    * 0xFF are REJECTED loudly: the exact no-modulus polynomial stays
+    * inside signed-64 only for cp ≤ 255 at k ≤ 12 (max ≈ 255·(31^12−1)/30
+    * ≈ 6.8e18 < 2^63) — beyond that Java would wrap where DuckDB's BIGINT
+    * errors, the silent-divergence class this guard exists to close. */
   def compute(s: String, k: Int): Array[Long] = {
-    val n = s.length
-    val m = n - k + 1 // number of k-char hashes
+    // widen UTF-16 to code points up front (ASCII corpus: a plain copy)
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var n = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (cp > 0xFF) throw new IllegalArgumentException(
+        s"winnow_fps: code point U+${cp.toHexString.toUpperCase} exceeds the " +
+          "exact-arithmetic contract (code points must be <= 0xFF; wider " +
+          "text needs a modular variant of the fingerprint polynomial)")
+      cps(n) = cp
+      n += 1
+      ci += Character.charCount(cp)
+    }
+    val m = n - k + 1 // number of k-codepoint hashes
     if (m < W) return null
     var bk = 1L // 31^(k-1), the roll-out factor
     var e = 1
@@ -80,11 +106,11 @@ object WinnowFps {
     val hs = new Array[Long](m)
     var h = 0L
     var i = 0
-    while (i < k) { h = h * 31L + s.charAt(i); i += 1 }
+    while (i < k) { h = h * 31L + cps(i); i += 1 }
     hs(0) = h
     var j = 1
     while (j < m) {
-      h = (h - s.charAt(j - 1) * bk) * 31L + s.charAt(j + k - 1)
+      h = (h - cps(j - 1) * bk) * 31L + cps(j + k - 1)
       hs(j) = h
       j += 1
     }
@@ -104,10 +130,29 @@ object WinnowFps {
     java.util.Arrays.copyOf(out, nOut)
   }
 
+  /** Validated SQL builder shared by both registration surfaces
+    * ([[register]] and [[graft.GraftExtensions]]): a wrong arity or a
+    * non-foldable k must surface as a clear AnalysisException naming the
+    * expected signature — not an IndexOutOfBoundsException or an
+    * UnsupportedOperationException from eval() on an unresolved column. */
+  def build(exprs: Seq[Expression]): WinnowFps = {
+    def bad(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"winnow_fps expects (text, k-literal): $why"))
+    if (exprs.length != 2)
+      bad(s"got ${exprs.length} argument(s)")
+    if (!exprs(1).foldable)
+      bad("k must be a literal integer, got a non-foldable expression")
+    val k = exprs(1).eval() match {
+      case n: Number => n.intValue()
+      case other => bad(s"k must be an integer literal, got $other")
+    }
+    WinnowFps(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps",
-      exprs => WinnowFps(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
+      "winnow_fps", build, "scala_udf")
 }

@@ -54,6 +54,35 @@ object MultimodalOps {
                            dim2: Long, n_units: Long, sum1: Long, sum2: Long)
 
   /** Unknown-format fallback: total byte sum, no decode claim. */
+  /** In-memory ImageIO decode. ImageIO's default `useCache=true` wraps an
+    * InputStream in a FileCacheImageInputStream that spills to a
+    * java.io.tmpdir file — one temp-file create/delete PER IMAGE, a
+    * per-row disk write in a decode path that must stay CPU-bound at
+    * 100 TB (and hostage to gate-host tmp state: the r9 bench saw
+    * multimodal_pixels 1.0→5.2 s with unchanged code). The payload is
+    * already an in-memory byte array, so wrap it in a
+    * MemoryCacheImageInputStream — the codec never touches disk. */
+  private def readImageInMemory(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read closes the stream on success but not on null; the
+    // second close on the success path is a harmless no-op guarded below.
+    try javax.imageio.ImageIO.read(iis)
+    finally { try iis.close() catch { case _: java.io.IOException => () } }
+  }
+
+  /** In-memory ImageIO encode (write twin of [[readImageInMemory]]): the
+    * OutputStream overload of ImageIO.write would also route through a
+    * temp-file cache; a MemoryCacheImageOutputStream keeps the encoder
+    * entirely on-heap. close() flushes the cached bytes into `bos`. */
+  private[ops] def writeImageInMemory(
+      img: java.awt.image.RenderedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+    bos.toByteArray
+  }
+
   private def byteMathFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var s = 0L; var i = 0
     while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
@@ -63,7 +92,7 @@ object MultimodalOps {
   private def decodeFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val img = graft.functions.ImageHeader.parse(bytes)
     if (img.format == "png" || img.format == "gif") {
-      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val decoded = readImageInMemory(bytes)
       if (decoded == null) byteMathFeatures(id, bytes)
       else {
         var sum = 0L; var sumR = 0L
@@ -128,8 +157,7 @@ object MultimodalOps {
       .mapPartitions(rows => rows.map { case (id, bytes) =>
         val fmt = graft.functions.ImageHeader.parse(bytes).format
         val decoded =
-          if (fmt == "png" || fmt == "gif")
-            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (fmt == "png" || fmt == "gif") readImageInMemory(bytes)
           else null
         val out = new Array[Byte](w * h)
         if (decoded != null) {
@@ -189,10 +217,8 @@ object MultimodalOps {
             while (x < w) { img.setRGB(x, y, rgb); x += 1 }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
           val fmt = if (id % 2 == 0) "png" else "jpg"
-          javax.imageio.ImageIO.write(img, fmt, bos)
-          (id, bos.toByteArray)
+          (id, writeImageInMemory(img, fmt))
         }
       }(enc).toDF("doc_id", "payload")
   }
@@ -232,8 +258,7 @@ object MultimodalOps {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         if (!graft.functions.ImageHeader.parse(bytes).format.equals("png")) None
         else {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = readImageInMemory(bytes)
           if (img == null) None
           else {
             var (sr, sg, sb) = (0L, 0L, 0L)
@@ -314,9 +339,7 @@ object MultimodalOps {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writeImageInMemory(img, "png")
   }
 
   /** Mixed-modality corpus for the unified feature sweep — payload by

@@ -640,16 +640,22 @@ object PipelineQueries {
     * both the canonical rank and the split hash — the expensive pass is
     * shared, not recomputed per consumer. Short documents without a
     * trigram drop out with the repetition join, matching
-    * [[curateCorpus]]'s gate semantics. */
+    * [[curateCorpus]]'s gate semantics — and the canonical rank runs
+    * AFTER that join, so a cluster whose quality-argmax keeper is too
+    * short to be repetition-scored promotes its next-best SURVIVING
+    * member instead of shipping with zero canonical/keep rows (the
+    * manifest's keeper may therefore differ from [[dedupCanonical]]'s on
+    * exactly those clusters: dedupCanonical states the pure near-dup
+    * keeper policy; the manifest states it among gate-survivors). */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val cl = dedupClusters(spark, dir).select("doc_id", "cluster_id")
     val rep = gopherRepetition(spark, dir)
       .select(col("doc_id"), col("pass").as("rep_pass"))
     cl.join(textQuality(spark, dir), "doc_id")
+      .join(rep, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality").desc, col("doc_id").asc)))
-      .join(rep, "doc_id")
       .selectExpr("doc_id", "cluster_id", "quality", "rep_pass",
         "rn = 1 AS canonical",
         "quality >= CAST(0.5 AS DOUBLE) AND rep_pass AND rn = 1 AS keep",
@@ -1540,9 +1546,13 @@ object PipelineQueries {
   }
 
   /** Corpus data map over the k-means clustering: per cluster — member
-    * count, exact inertia (Σ dist2 as DECIMAL(38,0): order-independent,
-    * never a float sum, wide enough that petabyte-scale member counts
-    * cannot overflow the BIGINT distances), majority label with ties to
+    * count, exact inertia (Σ dist2 accumulated as DECIMAL(38,0):
+    * order-independent, never a float sum, wide enough that
+    * petabyte-scale member counts cannot overflow the BIGINT distances —
+    * but SURFACED as an exact hi/lo BIGINT pair, `inertia_hi * 10^18 +
+    * inertia_lo`, because DECIMAL in a final output hits the driver's
+    * hash-canonicalization divergence purged in r3, SURVEY §9), majority
+    * label with ties to
     * the lowest label id, and purity. The audit a curation team reads to
     * decide which regions of embedding space are over/under-represented
     * before mixing ([[embedKmeans]] ∘ one two-level keyed aggregation). */
@@ -1558,7 +1568,9 @@ object PipelineQueries {
       .agg(sum(col("ln")).as("n"),
         sum(col("li")).as("inertia_raw"),
         max(struct(col("ln").as("c"), (-col("label")).as("negl"))).as("top"))
-      .selectExpr("cluster", "n", "CAST(inertia_raw AS DECIMAL(38,0)) AS inertia",
+      .selectExpr("cluster", "n",
+        "inertia_raw div 1000000000000000000 AS inertia_hi",
+        "CAST(inertia_raw % 1000000000000000000 AS BIGINT) AS inertia_lo",
         "-top.negl AS top_label", "top.c AS top_label_n",
         "CAST(top.c AS DOUBLE) / CAST(n AS DOUBLE) AS purity")
   }
@@ -2294,7 +2306,8 @@ object PipelineOracles {
        |               row_number() OVER (PARTITION BY cluster ORDER BY ln DESC, label ASC) AS rn
        |        FROM bl)
        |SELECT bl.cluster, CAST(SUM(bl.ln) AS BIGINT) AS n,
-       |       CAST(SUM(bl.li) AS DECIMAL(38,0)) AS inertia,
+       |       CAST(SUM(bl.li) // 1000000000000000000 AS BIGINT) AS inertia_hi,
+       |       CAST(SUM(bl.li) % 1000000000000000000 AS BIGINT) AS inertia_lo,
        |       t.top_label, CAST(t.top_label_n AS BIGINT) AS top_label_n,
        |       CAST(t.top_label_n AS DOUBLE) / CAST(SUM(bl.ln) AS DOUBLE) AS purity
        |FROM bl JOIN top t ON t.cluster = bl.cluster AND t.rn = 1
@@ -2871,21 +2884,23 @@ object PipelineOracles {
 
   /** [[PipelineQueries.corpusManifest]] restatement: cluster CTE +
     * quality + repetition + canonical rank + cluster-hash split, all
-    * reusing the parent oracles as CTEs. */
+    * reusing the parent oracles as CTEs. The rank runs AFTER the
+    * repetition join (gate-dropped keepers promote the next-best
+    * surviving member), mirroring the Spark side exactly. */
   val corpusManifest: String =
     s"""WITH c AS ($dedupClusters),
        |q AS ($textQuality),
        |rep AS (SELECT doc_id, pass AS rep_pass FROM ($gopherRepetition) g),
-       |r AS (SELECT c.doc_id, c.cluster_id, q.quality,
+       |r AS (SELECT c.doc_id, c.cluster_id, q.quality, rep.rep_pass,
        |        row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC) AS rn
-       |      FROM c JOIN q ON q.doc_id = c.doc_id)
-       |SELECT r.doc_id, r.cluster_id, r.quality, rep.rep_pass,
+       |      FROM c JOIN q ON q.doc_id = c.doc_id JOIN rep ON rep.doc_id = c.doc_id)
+       |SELECT r.doc_id, r.cluster_id, r.quality, r.rep_pass,
        |  r.rn = 1 AS canonical,
-       |  r.quality >= CAST(0.5 AS DOUBLE) AND rep.rep_pass AND r.rn = 1 AS keep,
+       |  r.quality >= CAST(0.5 AS DOUBLE) AND r.rep_pass AND r.rn = 1 AS keep,
        |  CASE WHEN CAST(('0x' || substr(md5(CAST(r.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
        |       WHEN CAST(('0x' || substr(md5(CAST(r.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
        |       ELSE 'test' END AS split
-       |FROM r JOIN rep ON rep.doc_id = r.doc_id""".stripMargin
+       |FROM r""".stripMargin
 
   /** [[PipelineQueries.curationYield]] restatement: the manifest oracle
     * as a CTE, joined to the doc→source map, per-source gate counts and

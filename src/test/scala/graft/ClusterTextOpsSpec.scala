@@ -410,11 +410,33 @@ class ClusterTextOpsSpec extends SparkSpec {
     man.foreach { case (id, _, _, _, _, split) =>
       assert(safe(id) == split, s"doc $id split diverges from trainSplitSafe")
     }
-    // the canonical flag matches dedup_canonical's keeper
+    // canonical = the quality-argmax among the cluster's GATE-SURVIVING
+    // members (the rank runs after the repetition join): every cluster
+    // present in the manifest has exactly one canonical row, and it is
+    // beaten by no other surviving member — even when dedup_canonical's
+    // pure-policy keeper was too short to be repetition-scored (the
+    // promote-next-best fallback ADVICE r9 prescribed)
+    val manFull = PipelineQueries.corpusManifest(spark, sf0001)
+      .select("doc_id", "cluster_id", "quality", "canonical")
+      .as[(Long, Long, Double, Boolean)].collect()
+    manFull.groupBy(_._2).foreach { case (cid, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canonical rows")
+      val k = canon.head
+      members.foreach { m =>
+        assert(m._3 < k._3 || (m._3 == k._3 && m._1 >= k._1),
+          s"cluster $cid: survivor ${m._1} (q=${m._3}) beats canonical ${k._1} (q=${k._3})")
+      }
+    }
+    // and wherever dedup_canonical's keeper DID survive the gate, the two
+    // policies agree doc-for-doc
     val keepers = PipelineQueries.dedupCanonical(spark, sf0001)
       .filter("keep").select("doc_id").as[Long].collect().toSet
-    man.foreach { case (id, _, _, canon, _, _) =>
-      assert(canon == keepers(id), s"doc $id canonical flag diverges")
+    val survivingKeeperClusters = manFull.filter(m => keepers(m._1)).map(_._2).toSet
+    manFull.filter(m => survivingKeeperClusters(m._2)).foreach {
+      case (id, _, _, canon) =>
+        assert(canon == keepers(id),
+          s"doc $id canonical flag diverges though the policy keeper survived")
     }
   }
 }

@@ -209,6 +209,39 @@ class SamplingSpanSpec extends SparkSpec {
     assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
   }
 
+  test("winnow_fps fails loudly on bad signatures and out-of-contract text") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import graft.functions.WinnowFps
+    // wrong arity: a clear AnalysisException naming the signature, not an
+    // IndexOutOfBoundsException from exprs(1)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      WinnowFps.build(Seq(Literal("abc")))
+    }
+    assert(e1.getMessage.contains("winnow_fps expects (text, k-literal)"))
+    // non-foldable k: AnalysisException, not UnsupportedOperationException
+    // from eval() on an unresolved attribute
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      WinnowFps.build(Seq(Literal("abc"),
+        AttributeReference("k", org.apache.spark.sql.types.IntegerType)()))
+    }
+    assert(e2.getMessage.contains("k-literal"))
+    // code points above 0xFF breach the exact no-modulus arithmetic
+    // (Java would wrap where DuckDB BIGINT errors): loud rejection,
+    // never a silent divergence
+    val e3 = intercept[IllegalArgumentException] {
+      WinnowFps.compute("€uro symbols €€€ breach it€", 5)
+    }
+    assert(e3.getMessage.contains("exact-arithmetic contract"))
+    // Latin-1 stays inside the contract — and hashes CODE POINTS, so the
+    // result equals hashing the equivalent char values
+    assert(WinnowFps.compute("café au lait et crème café", 5) != null)
+    // astral text (surrogate pairs) is likewise rejected, not hashed as
+    // two UTF-16 halves
+    intercept[IllegalArgumentException] {
+      WinnowFps.compute("😀 emoji corpus 😀 abcdefghijkl", 5)
+    }
+  }
+
   test("winnow_fps native expression matches the SQL HOF formulation on the corpus") {
     // the declarative twin the native loop replaced (nested
     // transform/sequence + per-window slice/array_min + array_distinct):
