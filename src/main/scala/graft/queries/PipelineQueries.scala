@@ -73,16 +73,22 @@ object PipelineQueries {
     * delimits with tabs or newlines should be whitespace-normalized first
     * (as dedup_normalized does) — counting them as delimiters here would
     * desync from the split-on-space oracles. */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOf(Tables.documents(spark, dir))
+
+  /** [[textStats]] over an arbitrary (doc_id, text) frame — the per-doc
+    * scorer is STATELESS, so the streaming press scores each delivery
+    * with exactly the batch pass. */
+  def textStatsOf(docs: DataFrame): DataFrame = {
     // one native single-pass scan per document ([[graft.functions
     // .TextScanStats]]) — replaces four regex passes, the worst a
     // backtracking alternation lookaround for stopword hits. Catalyst keeps
     // the struct-producing project separate from the field extraction
     // (CollapseProject treats non-cheap expressions referenced more than
     // once as non-collapsible), so the scan runs once per row.
-    graft.functions.TextScanStats.register(spark)
+    graft.functions.TextScanStats.register(docs.sparkSession)
     val stops = TextLang.langs.toMap.apply("en").mkString(",")
-    Tables.documents(spark, dir)
+    docs
       .selectExpr("doc_id", s"text_scan(text, '$stops') AS ts")
       .selectExpr(
         "doc_id",
@@ -96,7 +102,12 @@ object PipelineQueries {
   /** Quality score in [0,1]: length saturation + punctuation cleanliness +
     * stopword density, the usual cheap pre-filter before expensive dedup. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    textStats(spark, dir).selectExpr(
+    textQualityOf(Tables.documents(spark, dir))
+
+  /** [[textQuality]] over an arbitrary (doc_id, text) frame (stateless —
+    * shared verbatim by the streaming curation press). */
+  def textQualityOf(docs: DataFrame): DataFrame =
+    textStatsOf(docs).selectExpr(
       "doc_id",
       "CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))" +
         " + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE) / (CAST(punct_cnt AS DOUBLE) + CAST(100.0 AS DOUBLE)))" +
@@ -107,8 +118,13 @@ object PipelineQueries {
     * the cheap repetition gate a pretraining pipeline runs before dedup.
     * Two narrow explode→groupBy passes (shuffle keyed by doc), no joins
     * against other documents. */
-  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOf(Tables.documents(spark, dir))
+
+  /** [[gopherRepetition]] over an arbitrary (doc_id, text) frame: per-doc
+    * shingle statistics only — no cross-document state, so a streaming
+    * delivery scores identically to the batch pass. */
+  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
     val bg = DedupOps.allShingles(docs, "text", 2)
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
@@ -389,8 +405,13 @@ object PipelineQueries {
     * oracle. Scale shape: the contraction loop touches only edge-involved
     * docs; the corpus-wide cost is one left join plus a count shuffled by
     * cluster id. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(Tables.documents(spark, dir))
+
+  /** [[dedupClusters]] over an arbitrary (doc_id, text) frame — the
+    * from-scratch resolution the streaming press's convergence spec
+    * compares against on the SURVIVING corpus after takedowns. */
+  def dedupClustersOf(docs: DataFrame): DataFrame = {
     val pairs = DedupOps.minhashPairs(
       DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
     val cc = ClusterOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
@@ -647,11 +668,17 @@ object PipelineQueries {
     * manifest's keeper may therefore differ from [[dedupCanonical]]'s on
     * exactly those clusters: dedupCanonical states the pure near-dup
     * keeper policy; the manifest states it among gate-survivors). */
-  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
-    val cl = dedupClusters(spark, dir).select("doc_id", "cluster_id")
-    val rep = gopherRepetition(spark, dir)
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame =
+    corpusManifestOf(Tables.documents(spark, dir))
+
+  /** [[corpusManifest]] over an arbitrary (doc_id, text) frame — the
+    * batch truth the streaming press ([[StreamingJobs.runCurationPress]])
+    * must converge to on the surviving corpus. */
+  def corpusManifestOf(docs: DataFrame): DataFrame = {
+    val cl = dedupClustersOf(docs).select("doc_id", "cluster_id")
+    val rep = gopherRepetitionOf(docs)
       .select(col("doc_id"), col("pass").as("rep_pass"))
-    cl.join(textQuality(spark, dir), "doc_id")
+    cl.join(textQualityOf(docs), "doc_id")
       .join(rep, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))

@@ -246,7 +246,25 @@ object StreamingJobs {
       initialAssign: Option[DataFrame] = None,
       initialSets: Option[DataFrame] = None,
       initialPairs: Option[DataFrame] = None)(
-      sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+      sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery =
+    runClusterLifecycleDelta(spark, opsStream, k, nPerms, rowsPerBand,
+      threshold, initialAssign, initialSets, initialPairs)(
+      (assign, sets, pairs, _, _) => sink(assign, sets, pairs))
+
+  /** [[runClusterLifecycle]] with the per-batch DELTAS handed to the sink
+    * alongside the maintained state: `added` is the (doc_id, text) frame
+    * actually folded this batch (post seq-netting, post idempotency
+    * anti-join — never a re-add), `removed` the distinct takedown ids
+    * applied after the adds. Downstream per-batch maintainers (the
+    * curation press) need exactly these to keep their own delivery-sized
+    * state without re-deriving the netting semantics. */
+  def runClusterLifecycleDelta(spark: SparkSession, opsStream: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      initialAssign: Option[DataFrame] = None,
+      initialSets: Option[DataFrame] = None,
+      initialPairs: Option[DataFrame] = None)(
+      sink: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -319,9 +337,103 @@ object StreamingJobs {
             .select("doc_a", "doc_b")
             .localCheckpoint()
         }
-        sink(assign, sets, pairs)
+        sink(assign, sets, pairs, d, rem)
       }
       .start()
+  }
+
+  /** The streaming CURATION PRESS — the continuously-maintained
+    * [[PipelineQueries.corpusManifest]]: one tagged add/remove CDC feed
+    * (same contract as [[runClusterLifecycle]]) drives the near-dup
+    * cluster lifecycle, and after every micro-batch the keep/split
+    * manifest of the ENTIRE surviving corpus is handed to `sink` — the
+    * "ship to training continuously" composition (the closing r9 gap):
+    * quality gate, repetition gate, canonical-among-survivors flag,
+    * leakage-safe cluster-hash split, all live.
+    *
+    * Composition discipline (everything per-batch is DELIVERY- or
+    * TOUCHED-CLUSTER-sized, never corpus-sized recompute):
+    *  - the frozen per-doc scorers ([[PipelineQueries.textQualityOf]] +
+    *    [[PipelineQueries.gopherRepetitionOf]] — stateless, shared
+    *    verbatim with the batch press) score ONLY the docs actually
+    *    folded this batch; the inner join to the repetition pass
+    *    reproduces the batch trigram gate (sub-trigram docs never enter
+    *    the manifest);
+    *  - the canonical rank is re-run ONLY for clusters whose membership
+    *    changed (a 2-column diff of consecutive assignments — the same
+    *    compact-table size class as the lifecycle's own assignment fold —
+    *    names the touched clusters; merges and takedown splits change
+    *    members' cluster_id, so the diff catches them);
+    *  - untouched clusters' manifest rows (canonical flag, keep bit,
+    *    split) are carried forward verbatim, so a quiet 100 TB corpus
+    *    pays only for its deliveries.
+    *
+    * Convergence contract (specced incl. takedowns): after any sequence
+    * of deliveries and takedowns, the maintained manifest equals batch
+    * [[PipelineQueries.corpusManifestOf]] over exactly the surviving
+    * documents. */
+  def runCurationPress(spark: SparkSession, opsStream: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    var prevAssign: DataFrame = empty(StructType(Seq(
+      StructField("doc_id", LongType), StructField("cluster_id", LongType))))
+    var scores: DataFrame = empty(StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality", DoubleType),
+      StructField("rep_pass", BooleanType))))
+    var manifest: DataFrame = empty(StructType(Seq(
+      StructField("doc_id", LongType), StructField("cluster_id", LongType),
+      StructField("quality", DoubleType), StructField("rep_pass", BooleanType),
+      StructField("canonical", BooleanType), StructField("keep", BooleanType),
+      StructField("split", StringType))))
+    runClusterLifecycleDelta(spark, opsStream, k, nPerms, rowsPerBand,
+      threshold) { (assign, _, _, added, removed) =>
+      // 1. frozen-model scoring of exactly this delivery; inner join =
+      //    the batch trigram gate. The scorers are per-doc pure functions,
+      //    so delivery scoring ≡ batch scoring doc-for-doc.
+      val newScores = graft.queries.PipelineQueries.textQualityOf(added)
+        .join(graft.queries.PipelineQueries.gopherRepetitionOf(added)
+          .select(col("doc_id"), col("pass").as("rep_pass")), "doc_id")
+        .select("doc_id", "quality", "rep_pass")
+      scores = scores.unionByName(newScores)
+        .join(removed, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // 2. touched clusters: every cluster (previous or current) of any
+      //    doc whose assignment row changed this batch — covers adds,
+      //    merges (members' cluster_id changes), and takedown splits
+      val changed = prevAssign.selectExpr("doc_id", "cluster_id AS old_cid")
+        .join(assign.selectExpr("doc_id", "cluster_id AS new_cid"),
+          Seq("doc_id"), "full_outer")
+        .filter("old_cid IS NULL OR new_cid IS NULL OR old_cid <> new_cid")
+      val touched = changed.selectExpr("old_cid AS cluster_id")
+        .union(changed.selectExpr("new_cid AS cluster_id"))
+        .filter("cluster_id IS NOT NULL").distinct().localCheckpoint()
+      // 3. re-rank ONLY the touched clusters over the maintained scores
+      val rebuilt = assign.select("doc_id", "cluster_id")
+        .join(touched, Seq("cluster_id"), "left_semi")
+        .join(scores, "doc_id")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id").asc)))
+        .selectExpr("doc_id", "cluster_id", "quality", "rep_pass",
+          "rn = 1 AS canonical",
+          "quality >= CAST(0.5 AS DOUBLE) AND rep_pass AND rn = 1 AS keep",
+          s"${graft.ops.DedupOps.md5Long("CAST(cluster_id AS STRING)")} % 10 AS bucket")
+        .selectExpr("doc_id", "cluster_id", "quality", "rep_pass",
+          "canonical", "keep",
+          "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
+      manifest = manifest.join(touched, Seq("cluster_id"), "left_anti")
+        .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+          "keep", "split")
+        .unionByName(rebuilt)
+        .localCheckpoint()
+      prevAssign = assign // already lineage-truncated by the lifecycle
+      sink(manifest)
+    }
   }
 
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */

@@ -367,6 +367,66 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation press converges to the batch manifest, through a takedown") {
+    // the composed "ship to training continuously" maintainer: deliveries
+    // and takedowns on one CDC feed; after every batch the press's
+    // manifest must equal batch corpus_manifest over exactly the
+    // SURVIVING corpus — canonical promotion, keep bits, and splits
+    // included. Checked at an intermediate point AND at the end, so the
+    // convergence is maintained, not merely terminal.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    val takedown1 = chunks(0).map(_._1).filter(_ % 10 == 0)
+    val takedown2 = chunks(1).map(_._1).filter(_ % 7 == 0) ++
+      chunks(2).map(_._1).filter(_ % 9 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](66, spark, None)
+    type ManRow = (Long, Long, Double, Boolean, Boolean, Boolean, String)
+    @volatile var last: Array[ManRow] = Array.empty
+    val q = StreamingJobs.runCurationPress(
+        spark, in.toDS().toDF("doc_id", "text", "op")) { man =>
+      last = man.select("doc_id", "cluster_id", "quality", "rep_pass",
+        "canonical", "keep", "split")
+        .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect()
+    }
+    def expectedOver(surviving: Seq[(Long, String)]): Set[ManRow] =
+      graft.queries.PipelineQueries.corpusManifestOf(
+        surviving.toDF("doc_id", "text"))
+        .select("doc_id", "cluster_id", "quality", "rep_pass",
+          "canonical", "keep", "split")
+        .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect().toSet
+    try {
+      def adds(c: Seq[(Long, String)]) = c.map { case (i, t) => (i, t, "add") }
+      def rems(ids: Seq[Long]) = ids.map(i => (i, "", "remove"))
+      in.addData(adds(chunks(0))); q.processAllAvailable()
+      in.addData(adds(chunks(1))); q.processAllAvailable()
+      in.addData(rems(takedown1)); q.processAllAvailable()
+      // mid-stream convergence right after the first takedown
+      val surviving1 = (chunks(0) ++ chunks(1)).filterNot(d => takedown1.contains(d._1))
+      val mid = expectedOver(surviving1)
+      assert(last.toSet == mid && mid.nonEmpty,
+        "post-takedown manifest must equal the surviving-corpus batch manifest")
+      // a batch that adds and removes in the same micro-batch (adds fold
+      // first, so those docs end removed), then the remainder
+      in.addData(adds(chunks(2)) ++ rems(takedown2)); q.processAllAvailable()
+      chunks.drop(3).foreach { c => in.addData(adds(c)); q.processAllAvailable() }
+      val removed = (takedown1 ++ takedown2).toSet
+      val surviving = docs.filterNot(d => removed(d._1)).toSeq
+      val expected = expectedOver(surviving)
+      assert(last.toSet == expected && expected.nonEmpty)
+      // sanity on the semantics carried through: exactly one canonical per
+      // cluster, keep = quality>=0.5 AND rep_pass AND canonical
+      val byCluster = last.groupBy(_._2)
+      byCluster.foreach { case (cid, ms) =>
+        assert(ms.count(_._5) == 1, s"cluster $cid canonical count != 1")
+      }
+      last.foreach { case (id, _, qv, rep, canon, keep, _) =>
+        assert(keep == (qv >= 0.5 && rep && canon), s"doc $id keep bit")
+      }
+    } finally q.stop()
+  }
+
   test("lifecycle seq netting and add idempotency: feed order wins inside a batch; " +
       "short docs and re-adds never duplicate") {
     val in = org.apache.spark.sql.execution.streaming.runtime
