@@ -162,6 +162,8 @@ object SparkEntry {
     "dedup_clusters_persist" -> (PipelineQueries.dedupClustersPersist _),
     // chunk → feature-hash embed → cosine top-k → offsets mapped back
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
+    // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
+    "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs

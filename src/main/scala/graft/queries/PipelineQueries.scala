@@ -1637,6 +1637,72 @@ object PipelineQueries {
     ivf.unionByName(pq)
   }
 
+  /** The BM25 per-term partial score in exact micro-units, shared
+    * TEXTUALLY between the Spark plan and the DuckDB oracle (the
+    * winnowChain discipline: one arithmetic statement, two engines — so
+    * the engines cannot drift). Okapi BM25 with k1=1.2, b=0.75 and the
+    * always-positive idf `ln(1 + (N−df+0.5)/(df+0.5))`; each per-term
+    * double is rounded to an integer MICRO-score before the per-(q,doc)
+    * sum, so the aggregation is exact BIGINT arithmetic — never an
+    * order-dependent float sum (SURVEY §9 discipline). */
+  private[queries] val bm25MicroTerm: String =
+    "CAST(round(1000000.0 * " +
+      "ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+      " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
+      "(CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+      "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) " +
+      "/ (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))" +
+      ") AS BIGINT)"
+
+  /** BM25 lexical retrieval over the document corpus (Robertson et al.,
+    * TREC-3 Okapi): documents `doc_id < 8` act as queries (their distinct
+    * whitespace tokens, query-side tf ignored as in standard Okapi), every
+    * corpus document is a candidate, top-5 per query by exact micro-unit
+    * score (ties to the lower doc_id). The lexical complement to the
+    * embedding retrieval family (embed_topk/chunk_topk) and the seed-based
+    * quality-filter shape (score a crawl against a trusted seed corpus —
+    * CCNet-style) a curation pipeline runs before model-based filters.
+    *
+    * Scale shape: ONE corpus tokenization feeds term frequencies, document
+    * lengths AND document frequencies (no second scan); the retrieval join
+    * is posting-list-shaped — keyed by term, co-partitioned with the
+    * vocabulary-sized df table, the bounded query term set broadcast; the
+    * global (N, Σdl) pair is a 1-row broadcast. Nothing is ever doc×doc;
+    * candidates per query are bounded by postings of its terms. Note the
+    * self-match need NOT rank first: length normalization can put a
+    * shorter document with high tf on the query's rare terms above the
+    * query doc itself — the spec pins the scores against a driver-local
+    * recomputation instead. */
+  def bm25TopK(spark: SparkSession, dir: String, nQ: Int = 8,
+               kTop: Int = 5): DataFrame = {
+    // the (doc, term, tf) postings table is built ONCE and materialized
+    // (localCheckpoint): four consumers derive from it (dl, df, the
+    // global stats, the query term sets), and without the checkpoint each
+    // re-runs the corpus tokenize+aggregate from the scan — the plan
+    // audit showed 4 corpus scans + 4 corpus-wide shuffles (the
+    // query-side doc_id pushdown defeats ReusedExchange). This IS the
+    // inverted-index build a lexical engine persists at 100 TB.
+    val tok = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = tok.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term")
+    qterms.join(tok, "term").join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= kTop)
+      .select("q_id", "doc_id", "score_micro", "rn")
+  }
+
   /** BPE-trainer statistics pass: the corpus word-frequency table, then
     * adjacent character-pair counts weighted by word frequency — exactly
     * the candidate ranking one byte-pair-encoding merge round consumes
@@ -2506,6 +2572,26 @@ object PipelineOracles {
        |       FROM pt LEFT JOIN pa ON pa.q_id = pt.q_id AND pa.c_id = pt.c_id GROUP BY 2)
        |SELECT family, q_id, hits, k, recall FROM r1
        |UNION ALL SELECT family, q_id, hits, k, recall FROM r2""".stripMargin
+
+  /** [[PipelineQueries.bm25TopK]] restatement: the identical single
+    * tokenization feeding tf/dl/df, the same 1-row (N, Σdl) statistics,
+    * and the SHARED micro-unit per-term arithmetic
+    * ([[PipelineQueries.bm25MicroTerm]] — one statement, two engines). */
+  val bm25TopK: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term FROM documents),
+       |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfq GROUP BY 1),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
+       |q AS (SELECT doc_id AS q_id, term FROM tfq WHERE doc_id < 8),
+       |s AS (SELECT q.q_id, t.doc_id, ${PipelineQueries.bm25MicroTerm} AS s_micro
+       |      FROM q JOIN tfq t USING (term) JOIN dft USING (term)
+       |      JOIN dlt USING (doc_id) CROSS JOIN st),
+       |g AS (SELECT q_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+       |      FROM s GROUP BY 1, 2)
+       |SELECT q_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
+       |WHERE rn <= 5""".stripMargin
 
   val bpePairs: String =
     """WITH t AS (SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents),
@@ -3562,6 +3648,7 @@ object PipelineOracles {
     "dedup_clusters_persist" -> dedupClusters,
     "chunk_topk" -> chunkTopK,
     "chunk_topk_pq" -> chunkTopKPq,
+    "bm25_topk" -> bm25TopK,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

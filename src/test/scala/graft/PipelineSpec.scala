@@ -364,6 +364,55 @@ class PipelineSpec extends SparkSpec {
     assert(full.length == 32 && full.forall(_.getAs[Long]("hits") == 3L))
   }
 
+  test("bm25_topk: self-match ranks first, scores match a driver-local BM25") {
+    val out = PipelineQueries.bm25TopK(spark, sf0001)
+      .select("q_id", "doc_id", "score_micro", "rn")
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5, s"query $q returned ${rows.length} rows")
+      // NOTE deliberately NOT asserted: self-match at rank 1. BM25's
+      // length normalization can legitimately rank a shorter document
+      // with high tf on the query's rare terms above the query doc itself
+      // (observed on the corpus: doc 82 over query doc 0).
+      // ranks are (score desc, doc_id asc)-consistent
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        case _ => ()
+      }
+    }
+    // driver-local recomputation of one query's full BM25 ranking
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split(" ").filter(_.nonEmpty)
+    }.toMap
+    val n = toks.size
+    val sumDl = toks.values.map(_.length.toLong).sum
+    val avgdl = sumDl.toDouble / n.toDouble
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val q0 = toks(0L).distinct
+    val exp = toks.map { case (id, ts) =>
+      val tfm = ts.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val dl = ts.length
+      id -> q0.flatMap { t =>
+        tfm.get(t).map { tf =>
+          val df = dfm(t)
+          val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+          val s = 1000000.0 * idf *
+            (tf.toDouble / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+          math.round(s) // round half-up on positives, matching both engines
+        }
+      }.sum
+    }.filter(_._2 > 0)
+    val expTop = exp.toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(byQ(0L).sortBy(_._4).map(r => (r._2, r._3)).toSeq == expTop,
+      "engine top-5 for query 0 must equal the driver-local BM25")
+  }
+
   test("bpe_pairs matches a corpus-direct recomputation of the top pairs") {
     val out = PipelineQueries.bpePairs(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= 50)
