@@ -139,6 +139,8 @@ object SparkEntry {
     "nb_classify"       -> ((s, d) => PipelineQueries.nbClassify(s, d)),
     // classifier evaluation: confusion matrix + recall/precision shares
     "nb_confusion"      -> (PipelineQueries.nbConfusion _),
+    // classifier-confidence reliability bins (top1-top2 margin vs accuracy)
+    "nb_calibration"    -> (PipelineQueries.nbCalibration _),
     // cross-source shingle-overlap audit (pairwise shingle-set Jaccard)
     "source_overlap"    -> (PipelineQueries.sourceOverlap _),
     // index-quality gate: recall@3 of IVF vs brute cosine and of

@@ -1888,7 +1888,19 @@ object PipelineQueries {
     * window. No corpus self-join; empty docs fall back to the prior by a
     * cheap filtered union, never a corpus-wide left join. */
   def nbClassify(spark: SparkSession, dir: String,
-                 buckets: Int = NbBuckets): DataFrame = {
+                 buckets: Int = NbBuckets): DataFrame =
+    nbScoredAll(spark, dir, buckets)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_q").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .selectExpr("doc_id", "lang", "c AS pred", "score_q", "lang = c AS correct")
+
+  /** The full per-(doc, class) NB score frame [[nbClassify]] and
+    * [[nbCalibration]] rank — every held-out doc × every class, exact
+    * micro-log-units. */
+  private def nbScoredAll(spark: SparkSession, dir: String,
+                          buckets: Int): DataFrame = {
     val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
     val priors = nbPriors(spark, dir).select("c", "prior_q")
     val test = nbDocs(spark, dir).filter(col("bucket") === 9)
@@ -1905,11 +1917,39 @@ object PipelineQueries {
       .crossJoin(broadcast(priors))
       .selectExpr("doc_id", "lang", "c", "prior_q AS score_q")
     scoredTok.unionByName(scoredEmpty)
+  }
+
+  /** Reliability diagram of the NB classifier — the evaluation that
+    * decides whether a model-based filter's CONFIDENCE can gate routing
+    * decisions, completing the [[nbConfusion]] suite: per held-out doc
+    * the top1−top2 margin in exact micro-log-units (the classifier's own
+    * integer scores, no float softmax), binned at 4 log-units per bin
+    * (capped at bin 19), and per bin the doc count, correct count, exact
+    * ppm accuracy, and mean margin. A well-calibrated filter shows
+    * accuracy rising with the margin bin; a flat curve means thresholding
+    * on confidence is noise. Cost: the one classifier pass
+    * ([[nbClassify]]'s own chain) + a top-2 rank + a ≤10-row
+    * aggregation. */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScoredAll(spark, dir, NbBuckets)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score_q").desc, col("c").asc)))
-      .filter(col("rn") === 1)
-      .selectExpr("doc_id", "lang", "c AS pred", "score_q", "lang = c AS correct")
+      .filter(col("rn") <= 2)
+    ranked.groupBy("doc_id", "lang")
+      .agg(max(when(col("rn") === 1,
+          struct(col("score_q").as("s"), col("c").as("c")))).as("t1"),
+        max(when(col("rn") === 2, col("score_q"))).as("s2"))
+      .selectExpr("lang = t1.c AS correct", "t1.s - s2 AS margin_q")
+      .selectExpr("least(margin_q div 4000000, CAST(19 AS BIGINT)) AS bin",
+        "correct", "margin_q")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("margin_q")).as("sum_margin"))
+      .selectExpr("bin", "n", "n_correct",
+        "n_correct * 1000000L div n AS acc_ppm",
+        "sum_margin div n AS avg_margin_q")
   }
 
   /** Classifier evaluation closing the train→score→evaluate loop: the
@@ -3374,14 +3414,17 @@ object PipelineOracles {
        |ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin
   }
 
-  val nbClassify: String = {
+  /** The shared NB score chain (everything through the per-(doc, class)
+    * `scored` relation) — one statement reused by the [[nbClassify]] and
+    * [[nbCalibration]] oracles so the two cannot drift. */
+  private val nbScoredCte: String = {
     val b = PipelineQueries.NbBuckets
     val tok = "list_filter(string_split(trim(mtext), ' '), t -> t <> '')"
     val hb = s"t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $b"
     val marked = PipelineQueries.NbMarkers
       .map { case (l, m) => s"WHEN '$l' THEN text || ' ' || '$m'" }
       .mkString("CASE lang ", " ", " ELSE text END")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, lang, $marked AS mtext,
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS bucket
        |  FROM documents),
@@ -3407,13 +3450,34 @@ object PipelineOracles {
        |  FROM sdoc JOIN pri ON pri.c = sdoc.c
        |  UNION ALL
        |  SELECT doc_id, lang, pri.c AS c, CAST(prior_q AS BIGINT) AS score_q FROM te CROSS JOIN pri
-       |  WHERE len($tok) = 0)
+       |  WHERE len($tok) = 0)""".stripMargin
+  }
+
+  val nbClassify: String =
+    s"""WITH $nbScoredCte
        |SELECT doc_id, lang, pred, score_q, correct FROM (
        |  SELECT doc_id, lang, c AS pred, score_q, lang = c AS correct,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, c ASC) AS rn
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
-  }
+
+  /** [[PipelineQueries.nbCalibration]] restatement: the shared scored
+    * chain, top-2 rank, exact integer margin, 2-log-unit bins. */
+  val nbCalibration: String =
+    s"""WITH $nbScoredCte,
+       |rk AS (SELECT doc_id, lang, c, score_q,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, c ASC) AS rn
+       |       FROM scored),
+       |pd AS (SELECT r1.doc_id, r1.lang = r1.c AS correct,
+       |         CAST(r1.score_q - r2.score_q AS BIGINT) AS margin_q
+       |       FROM rk r1 JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+       |       WHERE r1.rn = 1),
+       |bn AS (SELECT least(margin_q // 4000000, CAST(19 AS BIGINT)) AS bin, correct, margin_q FROM pd)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       |  CAST(SUM(margin_q) // count(*) AS BIGINT) AS avg_margin_q
+       |FROM bn GROUP BY 1""".stripMargin
 
   /** [[PipelineQueries.nbConfusion]] restatement: the nbClassify chain as
     * a CTE, one cell aggregation, row/column totals joined back. */
@@ -3631,6 +3695,7 @@ object PipelineOracles {
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,
     "nb_confusion"      -> nbConfusion,
+    "nb_calibration"    -> nbCalibration,
     "source_overlap"    -> sourceOverlap,
     "ann_recall"        -> annRecall,
     "dedup_clusters"    -> dedupClusters,

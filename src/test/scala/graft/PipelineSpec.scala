@@ -557,6 +557,26 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.9, s"NB should recover the planted markers, got $acc")
   }
 
+  test("nb_calibration bins account for every held-out doc with exact shares") {
+    val bins = PipelineQueries.nbCalibration(spark, sf0001)
+      .select("bin", "n", "n_correct", "acc_ppm", "avg_margin_q")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bins.nonEmpty)
+    bins.foreach { case (bin, n, nc, ppm, avg) =>
+      assert(bin >= 0 && bin <= 19 && n > 0 && nc >= 0 && nc <= n)
+      assert(ppm == nc * 1000000L / n, s"bin $bin ppm")
+      assert(avg >= bin * 4000000L || bin == 19,
+        s"bin $bin mean margin below its bin floor")
+    }
+    // every classified doc lands in exactly one bin
+    val total = PipelineQueries.nbClassify(spark, sf0001).count()
+    assert(bins.map(_._2).sum == total)
+    // overall accuracy recomposes from the bins
+    val correct = PipelineQueries.nbClassify(spark, sf0001)
+      .filter("correct").count()
+    assert(bins.map(_._3).sum == correct)
+  }
+
   test("nbScore frozen-model scorer is bit-identical to the batch classifier") {
     val model = PipelineQueries.nbModelArrays(spark, sf0001)
     assert(model.nonEmpty && model.map(_._1) == model.map(_._1).sorted)
