@@ -1703,6 +1703,62 @@ object PipelineQueries {
       .select("q_id", "doc_id", "score_micro", "rn")
   }
 
+  /** The frozen BM25 index statistics [[bm25Score]] scores against:
+    * the query term sets with their CORPUS document frequencies (bounded —
+    * only terms occurring in a query doc matter to any score), plus the
+    * global (N, Σdl) pair. The trained artifact a production deployment
+    * persists; everything is collected over vocabulary-of-the-queries
+    * sized data, never the corpus. */
+  case class Bm25Model(terms: Seq[(Long, String, Long)], nDocs: Long,
+                       sumDl: Long)
+
+  /** Train the frozen index from the batch corpus — same tokenization and
+    * statistics as [[bm25TopK]]'s inline chain. */
+  def bm25Model(spark: SparkSession, dir: String, nQ: Int = 8): Bm25Model = {
+    val tok = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val Array(st) = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")).collect()
+    val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val terms = tok.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term")
+      .join(dft, "term")
+      .select("q_id", "term", "df")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    Bm25Model(terms, st.getLong(0), st.getLong(1))
+  }
+
+  /** STATELESS BM25 scoring of arriving documents against a FROZEN index
+    * ([[Bm25Model]]) — the ingest-time seed-similarity filter shape
+    * (score a crawl against trusted seed queries on arrival, CCNet-style;
+    * the retrieval twin of [[nbScore]]/dsirScore). Per arriving doc its
+    * tf and dl are self-contained, and df/N/Σdl come from the frozen
+    * model, so a doc's (q_id, score_micro) rows are BIT-IDENTICAL however
+    * the stream is batched — the convergence property the parity spec
+    * pins against the batch [[bm25TopK]] scores. The model join is a
+    * broadcast of the bounded query-term table; micro-unit arithmetic is
+    * the SAME shared statement ([[bm25MicroTerm]]). */
+  def bm25Score(docs: DataFrame, model: Bm25Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = model.terms.toDF("q_id", "term", "df")
+    val tok = docs
+      .selectExpr("doc_id",
+        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    tok.join(broadcast(qdf), "term").join(dl, "doc_id")
+      .withColumn("n_docs", lit(model.nDocs))
+      .withColumn("sum_dl", lit(model.sumDl))
+      .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
+  }
+
   /** BPE-trainer statistics pass: the corpus word-frequency table, then
     * adjacent character-pair counts weighted by word frequency — exactly
     * the candidate ranking one byte-pair-encoding merge round consumes

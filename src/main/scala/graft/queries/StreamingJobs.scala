@@ -114,6 +114,33 @@ object StreamingJobs {
     PipelineQueries.dsirScore(documentsStream(spark, dir),
       PipelineQueries.dsirModelArray(spark, dir, buckets), buckets)
 
+  /** Ingest-time BM25 scoring of a document stream against a FROZEN index
+    * ([[PipelineQueries.bm25Model]]) — the retrieval member of the
+    * frozen-model scorer family (nbScore / dsirScore): per micro-batch
+    * the arriving docs get their (q_id, score_micro) rows from
+    * [[PipelineQueries.bm25Score]] and are handed to `sink`. A doc's
+    * scores are self-contained given the frozen df/N/Σdl, so the union of
+    * all batches is bit-identical to scoring the same docs in one batch
+    * (parity-specced against the oracle-green bm25_topk scores).
+    * foreachBatch rather than a stream transform because per-doc tf/dl
+    * need a per-batch (doc, term) aggregation — delivery-sized, the same
+    * shape the curation press uses for its per-delivery scoring. */
+  def runBm25Score(spark: SparkSession, docsStream: DataFrame,
+                   model: PipelineQueries.Bm25Model)(
+      sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = spark.createDataFrame(batch.select("doc_id", "text").rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        sink(PipelineQueries.bm25Score(b, model))
+      }
+      .start()
+
   /** ONLINE incremental cluster maintenance over a delivery stream: every
     * micro-batch is one DELIVERY, folded into the maintained assignment by
     * [[graft.ops.ClusterOps.incrementalClusters]] while the signature

@@ -367,6 +367,42 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-index BM25 stream scoring equals batch scoring and the bm25_topk rows") {
+    val model = graft.queries.PipelineQueries.bm25Model(spark, sf0001)
+    assert(model.terms.nonEmpty && model.nDocs > 0 && model.sumDl > 0)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](67, spark, None)
+    val got = scala.collection.mutable.Map[(Long, Long), Long]()
+    val q = StreamingJobs.runBm25Score(
+        spark, in.toDS().toDF("doc_id", "text"), model) { scored =>
+      scored.select("q_id", "doc_id", "score_micro")
+        .as[(Long, Long, Long)].collect()
+        .foreach { case (qi, d, s) => got((qi, d)) = s }
+    }
+    try {
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { c =>
+        in.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batching-invariance: the streamed union equals one-shot batch scoring
+    val batch = graft.queries.PipelineQueries
+      .bm25Score(docs.toSeq.toDF("doc_id", "text"), model)
+      .select("q_id", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (qi, d, s) => (qi, d) -> s }.toMap
+    assert(got.toMap == batch && batch.nonEmpty)
+    // and the frozen scorer agrees with the oracle-green retrieval query
+    // on every (query, doc) pair the top-5 surface exposes
+    graft.queries.PipelineQueries.bm25TopK(spark, sf0001)
+      .select("q_id", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (qi, d, s) =>
+        assert(got((qi, d)) == s, s"(q=$qi, doc=$d) frozen-scorer divergence")
+      }
+  }
+
   test("streaming curation press converges to the batch manifest, through a takedown") {
     // the composed "ship to training continuously" maintainer: deliveries
     // and takedowns on one CDC feed; after every batch the press's
