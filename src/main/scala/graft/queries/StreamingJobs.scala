@@ -398,26 +398,41 @@ object StreamingJobs {
     * Convergence contract (specced incl. takedowns): after any sequence
     * of deliveries and takedowns, the maintained manifest equals batch
     * [[PipelineQueries.corpusManifestOf]] over exactly the surviving
-    * documents. */
+    * documents.
+    *
+    * Restart contract: `sink` receives the full [[PressState]] — the
+    * lifecycle triple (assignment / signature index / pair list) plus the
+    * press's own score table and manifest, exactly what a production run
+    * persists between restarts — and `initial` bootstraps a new press
+    * from that persisted five-table state (stop/restart converges to the
+    * same manifest as an uninterrupted run; spec-verified through a
+    * post-restart takedown). */
   def runCurationPress(spark: SparkSession, opsStream: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5)(
-      sink: DataFrame => Unit): StreamingQuery = {
+      threshold: Double = 0.5,
+      initial: Option[PressState] = None)(
+      sink: PressState => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    var prevAssign: DataFrame = empty(StructType(Seq(
-      StructField("doc_id", LongType), StructField("cluster_id", LongType))))
-    var scores: DataFrame = empty(StructType(Seq(
-      StructField("doc_id", LongType), StructField("quality", DoubleType),
-      StructField("rep_pass", BooleanType))))
-    var manifest: DataFrame = empty(StructType(Seq(
-      StructField("doc_id", LongType), StructField("cluster_id", LongType),
-      StructField("quality", DoubleType), StructField("rep_pass", BooleanType),
-      StructField("canonical", BooleanType), StructField("keep", BooleanType),
-      StructField("split", StringType))))
+    var prevAssign: DataFrame = initial.map(_.assign.localCheckpoint())
+      .getOrElse(empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster_id", LongType)))))
+    var scores: DataFrame = initial.map(_.scores.localCheckpoint())
+      .getOrElse(empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality", DoubleType),
+        StructField("rep_pass", BooleanType)))))
+    var manifest: DataFrame = initial.map(_.manifest.localCheckpoint())
+      .getOrElse(empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster_id", LongType),
+        StructField("quality", DoubleType), StructField("rep_pass", BooleanType),
+        StructField("canonical", BooleanType), StructField("keep", BooleanType),
+        StructField("split", StringType)))))
     runClusterLifecycleDelta(spark, opsStream, k, nPerms, rowsPerBand,
-      threshold) { (assign, _, _, added, removed) =>
+      threshold,
+      initialAssign = initial.map(_.assign),
+      initialSets = initial.map(_.sets),
+      initialPairs = initial.map(_.pairs)) { (assign, sets, pairs, added, removed) =>
       // 1. frozen-model scoring of exactly this delivery; inner join =
       //    the batch trigram gate. The scorers are per-doc pure functions,
       //    so delivery scoring ≡ batch scoring doc-for-doc.
@@ -459,9 +474,14 @@ object StreamingJobs {
         .unionByName(rebuilt)
         .localCheckpoint()
       prevAssign = assign // already lineage-truncated by the lifecycle
-      sink(manifest)
+      sink(PressState(assign, sets, pairs, scores, manifest))
     }
   }
+
+  /** The five tables a curation-press run persists between restarts:
+    * the lifecycle triple plus the press's score table and manifest. */
+  case class PressState(assign: DataFrame, sets: DataFrame, pairs: DataFrame,
+                        scores: DataFrame, manifest: DataFrame)
 
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =

@@ -421,8 +421,8 @@ class StreamingJobsSpec extends SparkSpec {
     type ManRow = (Long, Long, Double, Boolean, Boolean, Boolean, String)
     @volatile var last: Array[ManRow] = Array.empty
     val q = StreamingJobs.runCurationPress(
-        spark, in.toDS().toDF("doc_id", "text", "op")) { man =>
-      last = man.select("doc_id", "cluster_id", "quality", "rep_pass",
+        spark, in.toDS().toDF("doc_id", "text", "op")) { st =>
+      last = st.manifest.select("doc_id", "cluster_id", "quality", "rep_pass",
         "canonical", "keep", "split")
         .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect()
     }
@@ -461,6 +461,68 @@ class StreamingJobsSpec extends SparkSpec {
         assert(keep == (qv >= 0.5 && rep && canon), s"doc $id keep bit")
       }
     } finally q.stop()
+  }
+
+  test("curation press survives a stop/restart through persisted state, then a takedown") {
+    // run deliveries 1-2, stop, round-trip the FULL five-table PressState
+    // through plain collected rows (a true persistence simulation), boot a
+    // NEW press, feed the rest of the corpus plus a takedown: the final
+    // manifest must equal the batch manifest of the surviving corpus
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 4, 1)).toSeq
+    type ManRow = (Long, Long, Double, Boolean, Boolean, Boolean, String)
+    @volatile var pAssign: Array[(Long, Long)] = Array.empty
+    @volatile var pSets: Array[(Long, Seq[Long], Long)] = Array.empty
+    @volatile var pPairs: Array[(Long, Long)] = Array.empty
+    @volatile var pScores: Array[(Long, Double, Boolean)] = Array.empty
+    @volatile var pMan: Array[ManRow] = Array.empty
+    def adds(c: Seq[(Long, String)]) = c.map { case (i, t) => (i, t, "add") }
+    def rems(ids: Seq[Long]) = ids.map(i => (i, "", "remove"))
+    val in1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](68, spark, None)
+    val q1 = StreamingJobs.runCurationPress(
+        spark, in1.toDS().toDF("doc_id", "text", "op")) { st =>
+      pAssign = st.assign.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      pSets = st.sets.select("doc_id", "hs", "n_sh").as[(Long, Seq[Long], Long)].collect()
+      pPairs = st.pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      pScores = st.scores.select("doc_id", "quality", "rep_pass")
+        .as[(Long, Double, Boolean)].collect()
+      pMan = st.manifest.select("doc_id", "cluster_id", "quality", "rep_pass",
+        "canonical", "keep", "split").as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect()
+    }
+    try {
+      chunks.take(2).foreach { d => in1.addData(adds(d)); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(pMan.nonEmpty && pScores.nonEmpty && pPairs.nonEmpty)
+
+    val boot = StreamingJobs.PressState(
+      pAssign.toSeq.toDF("doc_id", "cluster_id"),
+      pSets.toSeq.toDF("doc_id", "hs", "n_sh"),
+      pPairs.toSeq.toDF("doc_a", "doc_b"),
+      pScores.toSeq.toDF("doc_id", "quality", "rep_pass"),
+      pMan.toSeq.map(identity[(Long, Long, Double, Boolean, Boolean, Boolean, String)]).toDF("doc_id", "cluster_id", "quality", "rep_pass",
+        "canonical", "keep", "split"))
+    val takedown = docs.map(_._1).filter(_ % 11 == 0)
+    @volatile var last: Array[ManRow] = Array.empty
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](69, spark, None)
+    val q2 = StreamingJobs.runCurationPress(
+        spark, in2.toDS().toDF("doc_id", "text", "op"),
+        initial = Some(boot)) { st =>
+      last = st.manifest.select("doc_id", "cluster_id", "quality", "rep_pass",
+        "canonical", "keep", "split").as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect()
+    }
+    try {
+      chunks.drop(2).foreach { d => in2.addData(adds(d)); q2.processAllAvailable() }
+      in2.addData(rems(takedown)); q2.processAllAvailable()
+      val surviving = docs.filterNot(d => takedown.contains(d._1)).toSeq
+      val expected = graft.queries.PipelineQueries.corpusManifestOf(
+          surviving.toDF("doc_id", "text"))
+        .select("doc_id", "cluster_id", "quality", "rep_pass",
+          "canonical", "keep", "split").as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect().toSet
+      assert(last.toSet == expected && expected.nonEmpty)
+    } finally q2.stop()
   }
 
   test("lifecycle seq netting and add idempotency: feed order wins inside a batch; " +
