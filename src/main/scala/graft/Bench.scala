@@ -188,7 +188,10 @@ object Bench {
           .mkString("\"gc_ms\":{", ",", "},") +
         allRuns.sortBy(_._1)
           .map { case (k, ts) => "\"" + k + "\":" +
-            ts.map(t => (t._4 / (1024 * 1024)).toString).mkString("[", ",", "]") }
+            // -1 = sampling failed; keep the sentinel instead of
+            // truncating it into a plausible-looking 0 MB
+            ts.map(t => (if (t._4 < 0) -1L else t._4 / (1024 * 1024)).toString)
+              .mkString("[", ",", "]") }
           .mkString("\"disk_mb\":{", ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_RUNS.json"),
