@@ -153,6 +153,9 @@ object SparkEntry {
     "dedup_canonical"   -> (PipelineQueries.dedupCanonical _),
     // the full curation press in one table: gates + canonical + safe split
     "corpus_manifest"   -> (PipelineQueries.corpusManifest _),
+    // manifest from the persisted cluster assignment: prices the
+    // per-shipment cost once the lifecycle maintains the resolution
+    "corpus_manifest_persist" -> (PipelineQueries.corpusManifestPersist _),
     // per-source press yield: gate rejections + keep rate, the sourcing report
     "curation_yield"    -> (PipelineQueries.curationYield _),
     "dedup_clusters_prop" -> (PipelineQueries.dedupClustersProp _),

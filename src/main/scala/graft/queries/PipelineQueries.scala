@@ -674,8 +674,29 @@ object PipelineQueries {
   /** [[corpusManifest]] over an arbitrary (doc_id, text) frame — the
     * batch truth the streaming press ([[StreamingJobs.runCurationPress]])
     * must converge to on the surviving corpus. */
-  def corpusManifestOf(docs: DataFrame): DataFrame = {
-    val cl = dedupClustersOf(docs).select("doc_id", "cluster_id")
+  def corpusManifestOf(docs: DataFrame): DataFrame =
+    manifestOverClusters(dedupClustersOf(docs).select("doc_id", "cluster_id"), docs)
+
+  /** The manifest computed from a PERSISTED cluster assignment
+    * ([[ClusterState.fullStatePaths]]) — the cost shape a production
+    * press actually pays per shipment: the near-dup resolution (the
+    * expensive pass — banded pairs + star CC) is state maintained by the
+    * delivery/takedown lifecycle, so shipping a manifest costs only the
+    * two linear scorer scans + the rank. Same oracle as
+    * [[corpusManifest]] (the persisted assignment IS the from-scratch
+    * assignment), pricing the self-containment tax the corpus_manifest
+    * row pays — the manifest sibling of dedup_clusters_persist. */
+  def corpusManifestPersist(spark: SparkSession, dir: String): DataFrame = {
+    val (assignP, _) = ClusterState.fullStatePaths(spark, dir)
+    manifestOverClusters(
+      spark.read.parquet(assignP).select("doc_id", "cluster_id"),
+      Tables.documents(spark, dir))
+  }
+
+  /** The post-resolution half of the press (repetition gate + quality
+    * join + canonical rank + split hash), shared by the from-scratch and
+    * persisted-assignment manifests. */
+  private def manifestOverClusters(cl: DataFrame, docs: DataFrame): DataFrame = {
     val rep = gopherRepetitionOf(docs)
       .select(col("doc_id"), col("pass").as("rep_pass"))
     cl.join(textQualityOf(docs), "doc_id")
@@ -3758,6 +3779,8 @@ object PipelineOracles {
     "dedup_canonical"   -> dedupCanonical,
     "boilerplate_spans" -> boilerplateSpans,
     "corpus_manifest"   -> corpusManifest,
+    // persisted-assignment manifest must reproduce the from-scratch one
+    "corpus_manifest_persist" -> corpusManifest,
     "curation_yield"    -> curationYield,
     "seq_pack"          -> seqPack,
     "doc_chunks"        -> docChunks,
