@@ -224,6 +224,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: BM25 scoring equals a driver-local model on random corpora") {
+    // random small corpora over a tiny vocabulary (forcing term collisions,
+    // repeated tf, shared rare terms), including empty and single-token
+    // docs: the frozen-model scorer must equal an independent driver-side
+    // BM25 for every (query, doc) pair, and bm25Score must agree with the
+    // model's own statistics however the corpus is shaped
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(4, 16)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.frequency((1, Gen.const(0)), (1, Gen.const(1)), (6, Gen.choose(2, 30)))
+        ws <- Gen.listOfN(len, Gen.choose(0, vocab.length - 1))
+      } yield ws.map(vocab).mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(genCorpus, 25).filter(_.nonEmpty).foreach { corpus =>
+      val docsDf = corpus.toDF("doc_id", "text")
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.split(" ").filter(_.nonEmpty) }.toMap
+      val nonEmpty = toks.filter(_._2.nonEmpty)
+      if (nonEmpty.nonEmpty) {
+        // frozen model trained on this corpus, queries = docs with id < 3
+        val model = {
+          val n = nonEmpty.size.toLong
+          val sumDl = nonEmpty.values.map(_.length.toLong).sum
+          val dfm = nonEmpty.values.flatMap(_.distinct)
+            .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+          val terms = nonEmpty.toSeq.filter(_._1 < 3).flatMap { case (q, ws) =>
+            ws.distinct.map(t => (q, t, dfm(t)))
+          }
+          graft.queries.PipelineQueries.Bm25Model(terms, n, sumDl)
+        }
+        val got = graft.queries.PipelineQueries.bm25Score(docsDf, model)
+          .select("q_id", "doc_id", "score_micro")
+          .as[(Long, Long, Long)].collect()
+          .map { case (q, d, s) => (q, d) -> s }.toMap
+        // independent driver-side BM25 (no shared code with the engine)
+        val avgdl = model.sumDl.toDouble / model.nDocs.toDouble
+        val exp = (for {
+          (q, ws) <- nonEmpty.toSeq.filter(_._1 < 3)
+          (d, ds) <- nonEmpty.toSeq
+          score = ws.distinct.flatMap { t =>
+            val tf = ds.count(_ == t)
+            if (tf == 0) None
+            else {
+              val df = model.terms.find(x => x._1 == q && x._2 == t).get._3
+              val idf = math.log(1.0 +
+                (model.nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+              Some(math.round(1000000.0 * idf * (tf.toDouble /
+                (tf.toDouble + 1.2 * (0.25 + 0.75 * (ds.length.toDouble / avgdl))))))
+            }
+          }.sum
+          if score != 0L || ws.distinct.exists(t => ds.contains(t))
+        } yield (q, d) -> score).toMap
+        assert(got == exp, s"bm25 divergence on corpus of ${corpus.size} docs")
+      }
+    }
+  }
+
   test("property: top-N count never exceeds its window total") {
     samples(genEvents, 3).foreach { evs =>
       val df = evs.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
