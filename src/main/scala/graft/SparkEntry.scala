@@ -169,6 +169,10 @@ object SparkEntry {
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
     // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
+    // SoftDedup commonness reweighting (down-weight, don't drop)
+    "dedup_soft"        -> (PipelineQueries.dedupSoft _),
+    // quality-score distribution drift between snapshot halves
+    "quality_drift"     -> (PipelineQueries.qualityDrift _),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),
     // takedown maintenance: removals re-resolve ONLY affected clusters
     // (removals can split); oracle = the same CTE over surviving docs

@@ -1724,6 +1724,71 @@ object PipelineQueries {
       .select("q_id", "doc_id", "score_micro", "rn")
   }
 
+  /** The two SoftDedup micro-unit statements, shared textually between
+    * the Spark plan and the DuckDB oracle (one arithmetic statement, two
+    * engines): per-shingle ln(df) in exact micro-nats, and the
+    * exp(−commonness) sampling weight. */
+  private[queries] val softLnTerm: String =
+    "CAST(round(1000000.0 * ln(CAST(df AS DOUBLE))) AS BIGINT)"
+  private[queries] val softWeight: String =
+    "CAST(round(1000000.0 * exp(-(CAST(mean_lndf_micro AS DOUBLE) / 1000000.0))) AS BIGINT)"
+
+  /** SoftDedup-style commonness reweighting (He et al. 2024,
+    * arXiv:2407.06654): instead of DROPPING near-duplicate mass, each doc
+    * gets a sampling weight that decays with how COMMON its content is —
+    * the mean ln(document frequency) of its distinct 3-gram shingles,
+    * in exact micro-nats, mapped through `exp(−·)` to a weight in
+    * (0, 1e6]. A doc of corpus-unique shingles keeps weight 1e6; boiler-
+    * plate-heavy docs are down-weighted smoothly, preserving the long
+    * tail hard dedup would delete. Weight arithmetic is the shared-
+    * statement micro-unit idiom (sum of per-shingle integer micro-nats,
+    * exact integer mean), so the ranking is engine-exact; only the final
+    * ln/exp are libm calls, confined to the same 1e6-quantization margin
+    * the DSIR/NB models document.
+    *
+    * Scale shape: shingles travel as 62-bit [[graft.functions.SpanHashes]]
+    * hashes; TWO shingle-keyed exchanges (the df aggregation and the
+    * join back) + one doc-keyed aggregation — contamination's cost
+    * class, never doc×doc. At 100 TB the df table is the persistable
+    * corpus-commonness index. */
+  def dedupSoft(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleHashes(Tables.documents(spark, dir), "text", 3)
+      .select("doc_id", "h").distinct()
+    val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfT, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(expr(softLnTerm)).as("s"))
+      .selectExpr("doc_id", "n_sh", "s div n_sh AS mean_lndf_micro")
+      .selectExpr("doc_id", "n_sh", "mean_lndf_micro",
+        s"$softWeight AS weight_micro")
+  }
+
+  /** Quality-score DISTRIBUTION drift: the quality scorer is a frozen
+    * pure function, so a shift in its score distribution between the
+    * reference window (doc_id % 2 = 0 — last snapshot) and the current
+    * window is a data-mix signal, not a model change — the gate a
+    * curation team reads next to [[kmeansDrift]] before absorbing a
+    * delivery (embedding-space drift and quality-mass drift catch
+    * different regressions). Per 0.1-wide quality bin: ref/cur counts
+    * and exact ppm shares with the absolute drift, the same integer-ppm
+    * comparison shape as kmeans_drift. Cost: the linear quality scan +
+    * one ≤11-row aggregation + a 1-row broadcast. */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = textQuality(spark, dir)
+      .selectExpr("doc_id",
+        "least(CAST(floor(quality * CAST(10 AS DOUBLE)) AS BIGINT), CAST(9 AS BIGINT)) AS bin")
+      .groupBy("bin")
+      .agg(sum(expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END")).as("n_ref"),
+        sum(expr("CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END")).as("n_cur"))
+    val tot = cells.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    cells.crossJoin(broadcast(tot))
+      .selectExpr("bin", "n_ref", "n_cur",
+        "n_ref * 1000000 div t_ref AS ref_ppm",
+        "n_cur * 1000000 div t_cur AS cur_ppm",
+        "abs(n_ref * 1000000 div t_ref - n_cur * 1000000 div t_cur) AS drift_ppm")
+  }
+
   /** The frozen BM25 index statistics [[bm25Score]] scores against:
     * the query term sets with their CORPUS document frequencies (bounded —
     * only terms occurring in a query doc matter to any score), plus the
@@ -2390,6 +2455,36 @@ object PipelineOracles {
       |SELECT te.doc_id, count(*) AS n_sh, count(tr.sh) AS n_hit,
       |  CAST(count(tr.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
       |FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY 1""".stripMargin
+
+  /** [[PipelineQueries.dedupSoft]] restatement: string shingles stand in
+    * for the 62-bit hashes (identity-equivalent for df counting), the
+    * SAME shared micro-unit statements
+    * ([[PipelineQueries.softLnTerm]]/[[PipelineQueries.softWeight]]). */
+  val dedupSoft: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+       |g AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]) AS sh FROM t)),
+       |dfx AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+       |d AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |        CAST(SUM(${PipelineQueries.softLnTerm}) AS BIGINT) AS s
+       |      FROM g JOIN dfx USING (sh) GROUP BY 1),
+       |m AS (SELECT doc_id, n_sh, CAST(s // n_sh AS BIGINT) AS mean_lndf_micro FROM d)
+       |SELECT doc_id, n_sh, mean_lndf_micro, ${PipelineQueries.softWeight} AS weight_micro FROM m""".stripMargin
+
+  /** [[PipelineQueries.qualityDrift]] restatement: the quality oracle as
+    * a CTE, 0.1-wide bins, the kmeans_drift integer-ppm comparison. */
+  val qualityDrift: String =
+    s"""WITH q AS ($textQuality),
+       |cells AS (SELECT least(CAST(floor(quality * CAST(10 AS DOUBLE)) AS BIGINT), CAST(9 AS BIGINT)) AS bin,
+       |            SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+       |            SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+       |          FROM q GROUP BY 1),
+       |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells)
+       |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       |  CAST(n_ref * 1000000 // t_ref AS BIGINT) AS ref_ppm,
+       |  CAST(n_cur * 1000000 // t_cur AS BIGINT) AS cur_ppm,
+       |  CAST(abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur) AS BIGINT) AS drift_ppm
+       |FROM cells CROSS JOIN tot""".stripMargin
 
   val embedTopKIvf: String =
     s"""WITH $quantCte,
@@ -3793,6 +3888,8 @@ object PipelineOracles {
     "chunk_topk" -> chunkTopK,
     "chunk_topk_pq" -> chunkTopKPq,
     "bm25_topk" -> bm25TopK,
+    "dedup_soft" -> dedupSoft,
+    "quality_drift" -> qualityDrift,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

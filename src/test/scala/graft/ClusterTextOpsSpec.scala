@@ -379,6 +379,61 @@ class ClusterTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_soft: unique content keeps full weight, duplicated content decays") {
+    val rows = PipelineQueries.dedupSoft(spark, sf0001)
+      .select("doc_id", "n_sh", "mean_lndf_micro", "weight_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, m, w) =>
+      assert(n > 0 && m >= 0 && w > 0 && w <= 1000000L, s"doc $id out of range")
+      // weight is exactly exp(-mean) in micro-units — the shared statement
+      assert(w == math.round(1000000.0 * math.exp(-(m.toDouble / 1000000.0))),
+        s"doc $id weight disagrees with its own mean")
+    }
+    // the generated corpus shares vocabulary: every doc carries SOME
+    // common trigram, so weights spread strictly below 1e6 (the exact
+    // w=1e6 unique case is proven on the hand fixture below), and the
+    // seeded near-dup mass must push the minimum well under the maximum
+    assert(rows.map(_._4).max < 1000000L)
+    assert(rows.map(_._4).min < rows.map(_._4).max,
+      "commonness must differentiate docs")
+    // hand fixture: exact duplicates split df=2 evenly — both weighted
+    // exp(-ln 2) = 1/2; the unique doc keeps 1e6
+    val fix = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), (3L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    val sh = graft.ops.DedupOps.shingleHashes(fix, "text", 3)
+      .select("doc_id", "h").distinct()
+    val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val got = sh.join(dfT, "h").groupBy("doc_id")
+      .agg(sum(expr("CAST(round(1000000.0 * ln(CAST(df AS DOUBLE))) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .selectExpr("doc_id",
+        "CAST(round(1000000.0 * exp(-(CAST(s div n AS DOUBLE) / 1000000.0))) AS BIGINT) AS w")
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == 1000000L)
+    assert(got(1L) == got(2L) && got(1L) == 500000L,
+      s"exact-duplicate pair must halve, got ${got(1L)}")
+  }
+
+  test("quality_drift bins recompose the corpus with exact ppm shares") {
+    val rows = PipelineQueries.qualityDrift(spark, sf0001)
+      .select("bin", "n_ref", "n_cur", "ref_ppm", "cur_ppm", "drift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = PipelineQueries.textQuality(spark, sf0001).count()
+    assert(rows.map(r => r._2 + r._3).sum == total,
+      "every scored doc lands in exactly one bin")
+    rows.foreach { case (bin, nr, nc, rp, cp, dp) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(dp == math.abs(rp - cp), s"bin $bin drift_ppm inconsistent")
+    }
+    // integer-floored shares sum to at most 1e6 and within bin-count slack
+    val rps = rows.map(_._4).sum
+    assert(rps <= 1000000L && rps > 1000000L - rows.length,
+      s"ref ppm shares sum $rps out of the floor-rounding envelope")
+  }
+
   test("dedup_canonical keeps exactly the quality-argmax member of every cluster") {
     val rows = PipelineQueries.dedupCanonical(spark, sf0001)
       .select("doc_id", "cluster_id", "quality", "keep")
