@@ -171,6 +171,10 @@ object SparkEntry {
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
     // SoftDedup commonness reweighting (down-weight, don't drop)
     "dedup_soft"        -> (PipelineQueries.dedupSoft _),
+    // perceptual image fingerprints over real decoded rasters
+    "image_dhash"       -> (PipelineQueries.imageDhash _),
+    // image near-dup pairs: hamming-banded dHash candidates, exact verify
+    "dedup_dhash"       -> (PipelineQueries.dedupDhash _),
     // quality-score distribution drift between snapshot halves
     "quality_drift"     -> (PipelineQueries.qualityDrift _),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),

@@ -223,6 +223,100 @@ object MultimodalOps {
       }(enc).toDF("doc_id", "payload")
   }
 
+  /** Deterministic GRADIENT image per doc id — real PNG bytes whose pixel
+    * colors are stated arithmetically (linear ramps per channel mod 256),
+    * so perceptual-hash oracles can restate the raster without decoding:
+    * `base = id` rounded down to its variant anchor (every id ≡ 9 mod 10
+    * reuses id−1's ramps), dims `(9 + base·7 % 23) × (8 + base·11 % 19)`,
+    * and variants add +48 to the red ramp in the bottom-right region
+    * (x ≥ w/2, y ≥ 7h/8) — a localized edit that flips only a few
+    * gradient bits, seeding REAL near-duplicate structure for
+    * [[graft.queries.PipelineQueries.dedupDhash]]. Lossless PNG, so the
+    * decode side sees exactly these integers. */
+  def synthGradientImages(ids: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ids.select(col("doc_id")).as(Encoders.scalaLong)
+      .mapPartitions(_.map(id => (id, buildGradientPng(id))))(enc)
+      .toDF("doc_id", "payload")
+  }
+
+  private[graft] def buildGradientPng(id: Long): Array[Byte] = {
+    val variant = id % 10 == 9
+    val base = if (variant) id - 1 else id
+    val w = (9 + (base * 7) % 23).toInt
+    val h = (8 + (base * 11) % 19).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // id-dependent ramp SLOPES keep the per-image gradients wrapping at
+    // id-specific frequencies, so dHashes spread across the band space
+    // (constant slopes made every image mostly-monotone → a handful of
+    // degenerate all-ones band keys shared corpus-wide, which the 2–20
+    // band cap then drops — hiding even the seeded variants)
+    val sr = 37 + (base * 13) % 191
+    val sg = 29 + (base * 17) % 181
+    val sb = 23 + (base * 19) % 171
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = if (variant && x >= w / 2 && y >= (7 * h) / 8) 48L else 0L
+        val r = ((base + sr * x + p) % 256).toInt
+        val g = ((3L * base + sg * y) % 256).toInt
+        val b = ((5L * base + sb * (x + y)) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    writeImageInMemory(img, "png")
+  }
+
+  case class DHash(doc_id: Long, dhash: Long)
+
+  /** Difference hash (dHash) over REAL decoded rasters — the standard
+    * perceptual image fingerprint: sample a 9×8 luminance grid
+    * (floored-integer nearest-neighbor positions, (r+g+b)/3 integer
+    * luminance — the same bit-stable resample contract as [[resize]]),
+    * then one bit per horizontal neighbor pair (left < right). Gradient
+    * DIRECTIONS survive re-encode, brightness shifts, and mild resizes —
+    * what byte hashes (content_hash) cannot do — making this the
+    * image-side member of the dedup family. Narrow mapPartitions, no
+    * shuffle; non-decodable payloads are skipped. */
+  def dHash(payloads: DataFrame): Dataset[DHash] = {
+    val enc = Encoders.product[DHash]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = readImageInMemory(bytes)
+        if (img == null) None
+        else {
+          val sw = img.getWidth; val sh = img.getHeight
+          val lum = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val p = img.getRGB(x * sw / 9, y * sh / 8)
+              lum(y)(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var bits = 0L
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (lum(y)(x) < lum(y)(x + 1)) bits |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Some(DHash(id, bits))
+        }
+      })(enc)
+  }
+
   case class ImageMeta(doc_id: Long, format: String, width: Long,
                        height: Long, bit_depth: Long, channels: Long)
 

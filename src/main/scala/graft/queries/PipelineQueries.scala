@@ -313,6 +313,52 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
 
+  /** Perceptual image fingerprints over REAL decoded rasters: deterministic
+    * gradient PNGs ([[graft.ops.MultimodalOps.synthGradientImages]] — every
+    * id ≡ 9 mod 10 is a locally-edited VARIANT of id−1) through the
+    * standard dHash (9×8 luminance grid, one bit per horizontal neighbor
+    * pair — [[graft.ops.MultimodalOps.dHash]]). The oracle restates the
+    * full pipeline (nearest-neighbor sample positions, integer luminance,
+    * gradient bits) from the PNG color ramps arithmetically — valid
+    * because PNG round-trips losslessly — so this row is green only if a
+    * real ImageIO decode feeds a bit-exact perceptual hash. Narrow
+    * mapPartitions, zero shuffles. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.dHash(
+      graft.ops.MultimodalOps.synthGradientImages(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "dhash")
+
+  /** Image NEAR-DUP pairs over the perceptual fingerprints — the
+    * image-side member of the dedup family (byte hashes catch only exact
+    * re-uploads; dHash catches re-encodes, brightness shifts, local
+    * edits): 4×16-bit hamming bands (a pair within hamming ≤ 8 of 64
+    * bits is guaranteed to agree on ≥ 1 band... when its flips cluster —
+    * here variants flip only bottom-row bits, i.e. band 3), band keys
+    * capped at 2–20 docs exactly like [[dedupWinnow]]'s hot-fp cap (a
+    * boilerplate band would otherwise pair the corpus quadratically),
+    * then the exact `bit_count(a ^ b) ≤ 8` hamming verify on the banded
+    * candidates. Scale shape: the banded join is the SimHash/MinHash
+    * candidate discipline applied to images — never image × image. */
+  def dedupDhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = imageDhash(spark, dir).localCheckpoint()
+    val bands = d.selectExpr("doc_id", "dhash",
+      "explode(sequence(0, 3)) AS j")
+      .selectExpr("doc_id", "dhash", "j",
+        "shiftright(dhash, 16 * CAST(j AS INT)) & 65535 AS bkey")
+    val usable = bands.groupBy("j", "bkey").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 20).select("j", "bkey")
+    val bu = bands.join(usable, Seq("j", "bkey"))
+    bu.alias("a").join(bu.alias("b"),
+        col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT) AS hamming")
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
   /** REAL audio decode: deterministic WAV blobs written by the JDK's
     * `javax.sound.sampled` encoder (actual RIFF bytes), parsed back by the
     * pure-JVM container reader and 16-bit PCM decoder
@@ -2968,6 +3014,57 @@ object PipelineOracles {
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents""".stripMargin
 
+  /** [[PipelineQueries.imageDhash]] restatement: the gradient-PNG color
+    * ramps, nearest-neighbor 9×8 sample positions, integer luminance and
+    * gradient bits — pure integer arithmetic end to end (valid because
+    * PNG round-trips losslessly, the multimodal_pixels argument). */
+  val imageDhash: String =
+    """WITH ids AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS base,
+      |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS var
+      |  FROM documents),
+      |dim AS (SELECT doc_id, base, var,
+      |    CAST(9 + (base * 7) % 23 AS BIGINT) AS w,
+      |    CAST(8 + (base * 11) % 19 AS BIGINT) AS h,
+      |    CAST(37 + (base * 13) % 191 AS BIGINT) AS sr,
+      |    CAST(29 + (base * 17) % 181 AS BIGINT) AS sg,
+      |    CAST(23 + (base * 19) % 171 AS BIGINT) AS sb
+      |  FROM ids),
+      |lum AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+      |    ( (base + sr * (gx.x * w // 9)
+      |        + CASE WHEN var = 1 AND gx.x * w // 9 >= w // 2
+      |                    AND gy.y * h // 8 >= (7 * h) // 8 THEN 48 ELSE 0 END) % 256
+      |    + (3 * base + sg * (gy.y * h // 8)) % 256
+      |    + (5 * base + sb * ((gx.x * w // 9) + (gy.y * h // 8))) % 256 ) // 3 AS l
+      |  FROM dim CROSS JOIN generate_series(0, 8) gx(x)
+      |           CROSS JOIN generate_series(0, 7) gy(y)),
+      |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS i,
+      |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+      |           WHEN i = 63 THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+      |           ELSE (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS dhash
+      |FROM bits GROUP BY 1""".stripMargin
+
+  /** [[PipelineQueries.dedupDhash]] restatement: the dhash oracle as a
+    * CTE, the same 4×16-bit banding with the 2–20 band cap, exact
+    * hamming via bit_count(xor). */
+  val dedupDhash: String =
+    s"""WITH d AS ($imageDhash),
+       |bands AS (SELECT doc_id, dhash, g.j AS j,
+       |    (dhash >> (16 * g.j)) & 65535 AS bkey
+       |  FROM d CROSS JOIN generate_series(0, 3) g(j)),
+       |usable AS (SELECT j, bkey FROM (
+       |    SELECT j, bkey, count(*) AS nd FROM bands GROUP BY 1, 2)
+       |  WHERE nd >= 2 AND nd <= 20),
+       |bu AS (SELECT b.* FROM bands b JOIN usable USING (j, bkey)),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |  FROM bu a JOIN bu b ON b.j = a.j AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8""".stripMargin
+
   val multimodalPixels: String =
     """WITH d AS (SELECT doc_id,
       |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_px
@@ -3890,6 +3987,8 @@ object PipelineOracles {
     "bm25_topk" -> bm25TopK,
     "dedup_soft" -> dedupSoft,
     "quality_drift" -> qualityDrift,
+    "image_dhash" -> imageDhash,
+    "dedup_dhash" -> dedupDhash,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

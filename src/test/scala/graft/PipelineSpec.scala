@@ -229,6 +229,47 @@ class PipelineSpec extends SparkSpec {
     assert(frames.groupBy(_.doc_id).size == 20)
   }
 
+  test("dHash detects every seeded image variant and matches the raster") {
+    // every id ≡ 9 mod 10 is a locally-edited variant of id−1: the
+    // perceptual pairs must surface them all within the hamming budget
+    val pairs = PipelineQueries.dedupDhash(spark, sf0001)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, hm) => (a, b) -> hm }.toMap
+    val ids = Tables.documents(spark, sf0001).select("doc_id")
+      .as[Long].collect().sorted
+    val variants = ids.filter(i => i % 10 == 9 && ids.contains(i - 1))
+    assert(variants.nonEmpty)
+    variants.foreach { v =>
+      val hm = pairs.get((v - 1, v))
+      assert(hm.isDefined, s"variant pair (${v - 1}, $v) not detected")
+      assert(hm.get <= 8, s"variant pair (${v - 1}, $v) hamming ${hm.get}")
+    }
+    // the engine hash equals a driver-side recomputation straight from
+    // the color-ramp arithmetic (no decode) — the lossless-PNG argument
+    val got = PipelineQueries.imageDhash(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    ids.take(50).foreach { id =>
+      val variant = id % 10 == 9
+      val base = if (variant) id - 1 else id
+      val w = (9 + (base * 7) % 23).toInt
+      val h = (8 + (base * 11) % 19).toInt
+      val sr = 37 + (base * 13) % 191
+      val sg = 29 + (base * 17) % 181
+      val sb = 23 + (base * 19) % 171
+      def lum(x: Int, y: Int): Int = {
+        val sx = x * w / 9; val sy = y * h / 8
+        val p = if (variant && sx >= w / 2 && sy >= (7 * h) / 8) 48L else 0L
+        ((((base + sr * sx + p) % 256) + ((3L * base + sg * sy) % 256) +
+          ((5L * base + sb * (sx + sy)) % 256)) / 3).toInt
+      }
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (lum(x, y) < lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+      assert(got(id) == bits, s"doc $id dhash diverges from the ramp arithmetic")
+    }
+  }
+
   test("extractFeatures dispatches JPEG to header-only decode (sums -1)") {
     val ids = Tables.documents(spark, sf0001).select("doc_id")
       .filter("doc_id % 2 = 1").limit(10)
