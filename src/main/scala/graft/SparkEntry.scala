@@ -175,6 +175,8 @@ object SparkEntry {
     "image_dhash"       -> (PipelineQueries.imageDhash _),
     // image near-dup pairs: hamming-banded dHash candidates, exact verify
     "dedup_dhash"       -> (PipelineQueries.dedupDhash _),
+    // energy-contour audio fingerprint over real decoded PCM
+    "audio_fingerprint" -> (PipelineQueries.audioFingerprintQ _),
     // quality-score distribution drift between snapshot halves
     "quality_drift"     -> (PipelineQueries.qualityDrift _),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),

@@ -372,6 +372,55 @@ object MultimodalOps {
       })(enc)
   }
 
+  case class AudioFp(doc_id: Long, n_frames: Long, fp: Long, e_total: Long)
+
+  /** Energy-contour audio fingerprint over REAL decoded PCM — the
+    * audio-side perceptual hash (a chromaprint-style contour reduced to
+    * its integer-exact core): frames bucket into 16 windows by
+    * `w = i·16 / n` (shared floored-integer formula), each window's
+    * energy is the exact Σ|pcm| across channels, and bit w (of 15) is
+    * set iff energy(w) < energy(w+1). Loudness contours survive
+    * re-encoding and gain-independent comparisons the way image
+    * gradients do; energies are pure integers, so the oracle restates
+    * the whole pipeline from the synth PCM formula. Narrow
+    * mapPartitions; non-PCM16 payloads are skipped. */
+  def audioFingerprint(payloads: DataFrame): Dataset[AudioFp] = {
+    val enc = Encoders.product[AudioFp]
+    payloads.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val info = graft.functions.MediaContainers.parseWav(bytes)
+        if (info.format != "wav" || info.audioFormat != 1L ||
+            info.bitsPerSample != 16L || info.nSamples < 16L) None
+        else {
+          val n = info.nSamples
+          val ch = info.channels.toInt
+          val e = new Array[Long](16)
+          var total = 0L
+          var i = 0L
+          while (i < n) {
+            val w = (i * 16 / n).toInt
+            var c = 0
+            while (c < ch) {
+              val off = info.dataOffset + ((i * ch + c) * 2).toInt
+              val s = (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort).toLong
+              val a = math.abs(s)
+              e(w) += a; total += a
+              c += 1
+            }
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < 15) {
+            if (e(w) < e(w + 1)) fp |= 1L << w
+            w += 1
+          }
+          Some(AudioFp(id, n, fp, total))
+        }
+      })(enc)
+  }
+
   // ---- real audio decode (JDK javax.sound encoder + own RIFF parser)
 
   /** Deterministic real-format WAV per doc id, ENCODED BY THE JDK

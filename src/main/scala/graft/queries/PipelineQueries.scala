@@ -330,6 +330,21 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "dhash")
 
+  /** Energy-contour audio fingerprints over REAL decoded PCM: the synth
+    * WAV corpus (actual RIFF bytes from the JDK encoder) through
+    * [[graft.ops.MultimodalOps.audioFingerprint]] — 16 exact integer
+    * window energies, 15 contour bits. The oracle restates windows,
+    * energies and bits from the PCM sample formula arithmetically, so
+    * the row is green only if real WAV bytes round-trip through a real
+    * parse into a bit-exact contour. Narrow mapPartitions, zero
+    * shuffles. */
+  def audioFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.audioFingerprint(
+      graft.ops.MultimodalOps.synthAudio(
+        Tables.documents(spark, dir).select("doc_id")))
+      .toDF()
+      .select("doc_id", "n_frames", "fp", "e_total")
+
   /** Image NEAR-DUP pairs over the perceptual fingerprints — the
     * image-side member of the dedup family (byte hashes catch only exact
     * re-uploads; dHash catches re-encodes, brightness shifts, local
@@ -3065,6 +3080,28 @@ object PipelineOracles {
        |  FROM bu a JOIN bu b ON b.j = a.j AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8""".stripMargin
 
+  /** [[PipelineQueries.audioFingerprintQ]] restatement: the synth PCM
+    * sample formula through the SAME window formula `w = i·16 // n`,
+    * exact integer window energies and contour bits. */
+  val audioFingerprint: String =
+    """WITH prm AS (SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |               CAST(64 + doc_id % 256 AS BIGINT) AS n FROM documents),
+      |smp AS (SELECT doc_id, n, (gi.i * 16) // n AS w,
+      |          abs((doc_id * 31 + gi.i * 7 + gc.c * 13) % 2048 - 1024) AS a
+      |        FROM prm
+      |        CROSS JOIN generate_series(0, 319) gi(i)
+      |        CROSS JOIN generate_series(0, 1) gc(c)
+      |        WHERE gi.i < n AND gc.c < ch),
+      |win AS (SELECT doc_id, n, w, SUM(a) AS e FROM smp GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+      |          CAST(SUM(e) AS BIGINT) AS e_total FROM win GROUP BY 1),
+      |bits AS (SELECT a.doc_id, a.w AS w, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      |         FROM win a JOIN win b ON b.doc_id = a.doc_id AND b.w = a.w + 1),
+      |f AS (SELECT doc_id,
+      |        CAST(SUM(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << w) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+      |      FROM bits GROUP BY 1)
+      |SELECT t.doc_id, t.n_frames, f.fp, t.e_total FROM tot t JOIN f USING (doc_id)""".stripMargin
+
   val multimodalPixels: String =
     """WITH d AS (SELECT doc_id,
       |  CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS BIGINT) AS n_px
@@ -3989,6 +4026,7 @@ object PipelineOracles {
     "quality_drift" -> qualityDrift,
     "image_dhash" -> imageDhash,
     "dedup_dhash" -> dedupDhash,
+    "audio_fingerprint" -> audioFingerprint,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,

@@ -270,6 +270,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprints carry real contour structure, formula-exact frames") {
+    val rows = PipelineQueries.audioFingerprintQ(spark, sf0001)
+      .select("doc_id", "n_frames", "fp", "e_total")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, n, fp, et) =>
+      assert(n == 64 + id % 256, s"doc $id frame count off the formula")
+      assert(fp >= 0 && fp < (1L << 15) && et > 0)
+    }
+    // contours differentiate the corpus: many distinct fingerprints, and
+    // not every bit pattern is monotone (both 0 and 1 bits occur)
+    assert(rows.map(_._3).distinct.length > 50)
+    assert(rows.exists(_._3 != 0L) && rows.exists(_._3 != (1L << 15) - 1))
+  }
+
   test("extractFeatures dispatches JPEG to header-only decode (sums -1)") {
     val ids = Tables.documents(spark, sf0001).select("doc_id")
       .filter("doc_id % 2 = 1").limit(10)
