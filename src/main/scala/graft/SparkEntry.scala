@@ -177,6 +177,8 @@ object SparkEntry {
     "dedup_dhash"       -> (PipelineQueries.dedupDhash _),
     // energy-contour audio fingerprint over real decoded PCM
     "audio_fingerprint" -> (PipelineQueries.audioFingerprintQ _),
+    // frame-contour video fingerprint over index-directed frame reads
+    "video_fingerprint" -> (PipelineQueries.videoFingerprintQ _),
     // quality-score distribution drift between snapshot halves
     "quality_drift"     -> (PipelineQueries.qualityDrift _),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),

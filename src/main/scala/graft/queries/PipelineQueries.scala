@@ -345,6 +345,31 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "n_frames", "fp", "e_total")
 
+  /** Frame-contour video fingerprint — the third modality's perceptual
+    * hash: per video the per-frame byte sums (REAL index-directed frame
+    * reads, [[graft.ops.MultimodalOps.frameFacts]] over the stsz/stco
+    * sample-table walk) reduced to frame-to-frame gradient bits, the same
+    * contour idiom as image dHash / audio contour. The facts table is
+    * materialized once (two consumers). Oracle restates frames, sums and
+    * bits from the container formula end to end. */
+  def videoFingerprintQ(spark: SparkSession, dir: String): DataFrame = {
+    val facts = graft.ops.MultimodalOps.frameFacts(
+      graft.ops.MultimodalOps.synthFrameVideos(
+        Tables.documents(spark, dir).select("doc_id"))).toDF()
+      .localCheckpoint()
+    val bits = facts.alias("a").join(facts.alias("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.frame_idx") === col("a.frame_idx") + 1)
+      .selectExpr("a.doc_id AS doc_id",
+        "CASE WHEN a.f_sum < b.f_sum THEN shiftleft(CAST(1 AS BIGINT), CAST(a.frame_idx AS INT)) ELSE CAST(0 AS BIGINT) END AS t")
+      .groupBy("doc_id").agg(sum(col("t")).as("fp"))
+    facts.groupBy("doc_id")
+      .agg((max(col("frame_idx")) + 1).as("n_frames"),
+        sum(col("f_sum")).as("s_total"))
+      .join(bits, "doc_id")
+      .select("doc_id", "n_frames", "fp", "s_total")
+  }
+
   /** Image NEAR-DUP pairs over the perceptual fingerprints — the
     * image-side member of the dedup family (byte hashes catch only exact
     * re-uploads; dHash catches re-encodes, brightness shifts, local
@@ -3214,6 +3239,20 @@ object PipelineOracles {
       |    for j in generate_series(0, sz - 1)]), 0) AS BIGINT) AS f_sum
       |FROM f""".stripMargin
 
+  /** [[PipelineQueries.videoFingerprintQ]] restatement: the frame-facts
+    * oracle as a CTE, adjacent-frame gradient bits, exact totals. */
+  val videoFingerprint: String =
+    s"""WITH ff AS ($multimodalFrames),
+       |pairs AS (SELECT a.doc_id, a.frame_idx AS i,
+       |            CASE WHEN a.f_sum < b.f_sum THEN 1 ELSE 0 END AS bit
+       |          FROM ff a JOIN ff b ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1),
+       |f AS (SELECT doc_id,
+       |        CAST(SUM(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+       |      FROM pairs GROUP BY 1),
+       |t AS (SELECT doc_id, CAST(MAX(frame_idx) + 1 AS BIGINT) AS n_frames,
+       |        CAST(SUM(f_sum) AS BIGINT) AS s_total FROM ff GROUP BY 1)
+       |SELECT t.doc_id, t.n_frames, f.fp, t.s_total FROM t JOIN f USING (doc_id)""".stripMargin
+
   val dedupNormalized: String =
     """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
       |       min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -4027,6 +4066,7 @@ object PipelineOracles {
     "image_dhash" -> imageDhash,
     "dedup_dhash" -> dedupDhash,
     "audio_fingerprint" -> audioFingerprint,
+    "video_fingerprint" -> videoFingerprint,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,
