@@ -367,6 +367,46 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perceptual hashes run statelessly on streams and equal their batch rows") {
+    // dHash / audio contour are narrow mapPartitions over (doc_id,
+    // payload): they must plan on an UNBOUNDED stream unchanged (no
+    // stateful op sneaks in) and produce the batch rows exactly — the
+    // ingest-time fingerprint shape (hash blobs as they arrive, dedup
+    // against the persisted fingerprint index downstream)
+    val batchImg = graft.queries.PipelineQueries.imageDhash(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val batchAud = graft.queries.PipelineQueries.audioFingerprintQ(spark, sf0001)
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    val ids = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](70, spark, None)
+    val q = graft.ops.MultimodalOps.dHash(
+        graft.ops.MultimodalOps.synthGradientImages(in.toDS().toDF("doc_id")))
+      .toDF()
+      .writeStream.format("memory").queryName("dhash_stream")
+      .outputMode("append").start()
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](71, spark, None)
+    val q2 = graft.ops.MultimodalOps.audioFingerprint(
+        graft.ops.MultimodalOps.synthAudio(in2.toDS().toDF("doc_id")))
+      .toDF()
+      .writeStream.format("memory").queryName("afp_stream")
+      .outputMode("append").start()
+    try {
+      ids.grouped(math.max(ids.length / 3, 1)).foreach { c =>
+        in.addData(c.toSeq); in2.addData(c.toSeq)
+        q.processAllAvailable(); q2.processAllAvailable()
+      }
+      val gotImg = spark.table("dhash_stream")
+        .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+      val gotAud = spark.table("afp_stream")
+        .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+      assert(gotImg == batchImg && batchImg.nonEmpty)
+      assert(gotAud == batchAud && batchAud.nonEmpty)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("frozen-index BM25 stream scoring equals batch scoring and the bm25_topk rows") {
     val model = graft.queries.PipelineQueries.bm25Model(spark, sf0001)
     assert(model.terms.nonEmpty && model.nDocs > 0 && model.sumDl > 0)
