@@ -39,7 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFps(child: Expression, k: Int) extends UnaryExpression
   with ExpectsInputTypes {
 
-  require(k >= 1, s"winnow_fps: k must be >= 1, got $k")
+  // k ≤ 12 is the other half of the exact-arithmetic contract: at k = 13
+  // even Latin-1 text overflows signed-64 (255·(31^13−1)/30 ≈ 2.1e20), so
+  // Java would wrap where the oracle's BIGINT errors — the same
+  // silent-divergence class the code-point guard in compute() closes.
+  require(k >= 1 && k <= 12,
+    s"winnow_fps: k must be in [1, 12] (signed-64 exact-arithmetic bound), got $k")
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -149,6 +154,9 @@ object WinnowFps {
       case n: Number => n.intValue()
       case other => bad(s"k must be an integer literal, got $other")
     }
+    if (k < 1 || k > 12)
+      bad(s"k must be in [1, 12] (the no-modulus polynomial exceeds " +
+        s"signed-64 above k = 12), got $k")
     WinnowFps(exprs.head, k)
   }
 

@@ -1780,20 +1780,24 @@ object PipelineQueries {
     * shorter document with high tf on the query's rare terms above the
     * query doc itself — the spec pins the scores against a driver-local
     * recomputation instead. */
-  def bm25TopK(spark: SparkSession, dir: String, nQ: Int = 8,
-               kTop: Int = 5): DataFrame = {
-    // the (doc, term, tf) postings table is built ONCE and materialized
-    // (localCheckpoint): four consumers derive from it (dl, df, the
-    // global stats, the query term sets), and without the checkpoint each
-    // re-runs the corpus tokenize+aggregate from the scan — the plan
-    // audit showed 4 corpus scans + 4 corpus-wide shuffles (the
-    // query-side doc_id pushdown defeats ReusedExchange). This IS the
-    // inverted-index build a lexical engine persists at 100 TB.
-    val tok = Tables.documents(spark, dir)
-      .selectExpr("doc_id",
+  /** The (doc, term, tf) postings table — ONE tokenization statement
+    * shared by [[bm25TopK]], [[bm25Model]] and [[bm25Score]] so the three
+    * surfaces cannot drift, built ONCE and materialized (localCheckpoint):
+    * its consumers (dl, df, the global stats, the query term sets) would
+    * otherwise each re-run the corpus tokenize+aggregate from the scan —
+    * the plan audit of the first cut showed 4 corpus scans + 4
+    * corpus-wide shuffles (a query-side doc_id pushdown defeats
+    * ReusedExchange). This IS the inverted-index build a lexical engine
+    * persists at 100 TB. */
+  private def bm25Postings(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
         "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+
+  def bm25TopK(spark: SparkSession, dir: String, nQ: Int = 8,
+               kTop: Int = 5): DataFrame = {
+    val tok = bm25Postings(Tables.documents(spark, dir))
     val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -1887,11 +1891,7 @@ object PipelineQueries {
   /** Train the frozen index from the batch corpus — same tokenization and
     * statistics as [[bm25TopK]]'s inline chain. */
   def bm25Model(spark: SparkSession, dir: String, nQ: Int = 8): Bm25Model = {
-    val tok = Tables.documents(spark, dir)
-      .selectExpr("doc_id",
-        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tok = bm25Postings(Tables.documents(spark, dir))
     val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val Array(st) = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl")).collect()
@@ -1918,11 +1918,7 @@ object PipelineQueries {
     val spark = docs.sparkSession
     import spark.implicits._
     val qdf = model.terms.toDF("q_id", "term", "df")
-    val tok = docs
-      .selectExpr("doc_id",
-        "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tok = bm25Postings(docs)
     val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     tok.join(broadcast(qdf), "term").join(dl, "doc_id")
       .withColumn("n_docs", lit(model.nDocs))
@@ -3807,7 +3803,7 @@ object PipelineOracles {
        |WHERE rn = 1""".stripMargin
 
   /** [[PipelineQueries.nbCalibration]] restatement: the shared scored
-    * chain, top-2 rank, exact integer margin, 2-log-unit bins. */
+    * chain, top-2 rank, exact integer margin, 4-log-unit bins. */
   val nbCalibration: String =
     s"""WITH $nbScoredCte,
        |rk AS (SELECT doc_id, lang, c, score_q,

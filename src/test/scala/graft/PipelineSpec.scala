@@ -443,9 +443,12 @@ class PipelineSpec extends SparkSpec {
     // driver-local recomputation of one query's full BM25 ranking
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").as[(Long, String)].collect()
+    // only docs with >= 1 token enter the engine's postings/statistics
+    // (an empty doc contributes no tf row, so n_docs/sum_dl exclude it) —
+    // the driver model must match or every idf/avgdl term shifts
     val toks = docs.map { case (id, t) =>
       id -> t.trim.split(" ").filter(_.nonEmpty)
-    }.toMap
+    }.toMap.filter(_._2.nonEmpty)
     val n = toks.size
     val sumDl = toks.values.map(_.length.toLong).sum
     val avgdl = sumDl.toDouble / n.toDouble

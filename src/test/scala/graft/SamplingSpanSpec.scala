@@ -225,6 +225,13 @@ class SamplingSpanSpec extends SparkSpec {
         AttributeReference("k", org.apache.spark.sql.types.IntegerType)()))
     }
     assert(e2.getMessage.contains("k-literal"))
+    // k above 12 breaches the signed-64 bound even for Latin-1 text:
+    // rejected at build time, not wrapped at eval time
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      WinnowFps.build(Seq(Literal("abc"), Literal(13)))
+    }
+    assert(e4.getMessage.contains("[1, 12]"))
+    intercept[IllegalArgumentException] { WinnowFps(Literal("abc"), 13) }
     // code points above 0xFF breach the exact no-modulus arithmetic
     // (Java would wrap where DuckDB BIGINT errors): loud rejection,
     // never a silent divergence
