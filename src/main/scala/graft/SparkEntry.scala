@@ -179,6 +179,8 @@ object SparkEntry {
     "audio_fingerprint" -> (PipelineQueries.audioFingerprintQ _),
     // frame-contour video fingerprint over index-directed frame reads
     "video_fingerprint" -> (PipelineQueries.videoFingerprintQ _),
+    // multimodal leakage check: test images hamming-near a train image
+    "contamination_image" -> (PipelineQueries.contaminationImage _),
     // quality-score distribution drift between snapshot halves
     "quality_drift"     -> (PipelineQueries.qualityDrift _),
     "chunk_topk_pq"     -> ((s, d) => PipelineQueries.chunkTopKPq(s, d)),

@@ -330,6 +330,41 @@ object PipelineQueries {
       .toDF()
       .select("doc_id", "dhash")
 
+  /** IMAGE train/test contamination — the multimodal member of the
+    * leakage-check family (text contamination catches shared shingles;
+    * re-encoded or lightly-edited images leak past byte hashes): split
+    * images 80/10/10 by the id hash (the [[trainSplit]] discipline on
+    * doc_id alone — payloads are derived from ids), then find test
+    * images with a hamming-near (≤ 8) TRAIN image through the same
+    * 4×16-bit banded candidates as [[dedupDhash]] — asymmetric by
+    * construction (test-side probes against train-side band keys only,
+    * candidates scale with the test split). Per test image: its nearest
+    * train hamming and the match count — the gate an image-bench curator
+    * runs before trusting held-out numbers. */
+  def contaminationImage(spark: SparkSession, dir: String): DataFrame = {
+    val d = imageDhash(spark, dir)
+      .selectExpr("doc_id", "dhash",
+        s"${DedupOps.md5Long("CAST(doc_id AS STRING)")} % 10 AS b")
+      .selectExpr("doc_id", "dhash",
+        "CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split")
+      .localCheckpoint()
+    def bandsOf(df: DataFrame) = df
+      .selectExpr("doc_id", "dhash", "explode(sequence(0, 3)) AS j")
+      .selectExpr("doc_id", "dhash", "j",
+        "shiftright(dhash, 16 * CAST(j AS INT)) & 65535 AS bkey")
+    val tr = bandsOf(d.filter("split = 'train'"))
+    val te = bandsOf(d.filter("split = 'test'"))
+    te.alias("a").join(tr.alias("b"),
+        col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey"))
+      .selectExpr("a.doc_id AS doc_id", "b.doc_id AS train_id",
+        "CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT) AS hamming")
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .groupBy("doc_id")
+      .agg(min(col("hamming")).as("min_hamming"),
+        count(lit(1)).as("n_near_train"))
+  }
+
   /** Energy-contour audio fingerprints over REAL decoded PCM: the synth
     * WAV corpus (actual RIFF bytes from the JDK encoder) through
     * [[graft.ops.MultimodalOps.audioFingerprint]] — 16 exact integer
@@ -3101,6 +3136,27 @@ object PipelineOracles {
        |  FROM bu a JOIN bu b ON b.j = a.j AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8""".stripMargin
 
+  /** [[PipelineQueries.contaminationImage]] restatement: the dhash
+    * oracle as a CTE, the id-hash split, the same asymmetric 4×16-bit
+    * band probe and exact hamming gate. */
+  val contaminationImage: String =
+    s"""WITH d AS ($imageDhash),
+       |spl AS (SELECT doc_id, dhash,
+       |          CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |        FROM (SELECT doc_id, dhash,
+       |                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+       |              FROM d)),
+       |tb AS (SELECT doc_id, dhash, g.j AS j, (dhash >> (16 * g.j)) & 65535 AS bkey
+       |       FROM spl CROSS JOIN generate_series(0, 3) g(j) WHERE split = 'train'),
+       |teb AS (SELECT doc_id, dhash, g.j AS j, (dhash >> (16 * g.j)) & 65535 AS bkey
+       |        FROM spl CROSS JOIN generate_series(0, 3) g(j) WHERE split = 'test'),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS train_id,
+       |        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |      FROM teb a JOIN tb b ON b.j = a.j AND b.bkey = a.bkey)
+       |SELECT doc_id, CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+       |  CAST(count(*) AS BIGINT) AS n_near_train
+       |FROM p WHERE hamming <= 8 GROUP BY 1""".stripMargin
+
   /** [[PipelineQueries.audioFingerprintQ]] restatement: the synth PCM
     * sample formula through the SAME window formula `w = i·16 // n`,
     * exact integer window energies and contour bits. */
@@ -4063,6 +4119,7 @@ object PipelineOracles {
     "dedup_dhash" -> dedupDhash,
     "audio_fingerprint" -> audioFingerprint,
     "video_fingerprint" -> videoFingerprint,
+    "contamination_image" -> contaminationImage,
     // incremental (base + delivery) composition must ALSO reproduce them:
     // splitting the band join into its three cross-parts loses no pair
     "dedup_clusters_delta" -> dedupClusters,
