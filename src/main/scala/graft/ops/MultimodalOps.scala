@@ -53,7 +53,6 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, kind: String, dim1: Long,
                            dim2: Long, n_units: Long, sum1: Long, sum2: Long)
 
-  /** Unknown-format fallback: total byte sum, no decode claim. */
   /** In-memory ImageIO decode. ImageIO's default `useCache=true` wraps an
     * InputStream in a FileCacheImageInputStream that spills to a
     * java.io.tmpdir file — one temp-file create/delete PER IMAGE, a
@@ -75,7 +74,7 @@ object MultimodalOps {
     * OutputStream overload of ImageIO.write would also route through a
     * temp-file cache; a MemoryCacheImageOutputStream keeps the encoder
     * entirely on-heap. close() flushes the cached bytes into `bos`. */
-  private[ops] def writeImageInMemory(
+  private[graft] def writeImageInMemory(
       img: java.awt.image.RenderedImage, fmt: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -83,6 +82,7 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Unknown-format fallback: total byte sum, no decode claim. */
   private def byteMathFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var s = 0L; var i = 0
     while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }

@@ -282,6 +282,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dHash round-trips arbitrary rasters through the PNG codec") {
+    // beyond the arithmetic gradient corpus: ARBITRARY deterministic
+    // rasters (hash-formula pixels, any dims >= 1x1 incl. sub-grid sizes
+    // where neighboring samples collapse onto the same pixel) must hash
+    // identically whether computed from the in-memory raster or from the
+    // PNG bytes after an ImageIO encode/decode round-trip — pinning both
+    // the codec's losslessness and the sampler's floored-position contract
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue / 4)
+    } yield (w, h, seed)
+    def px(seed: Long, x: Int, y: Int): Int = {
+      val v = seed + x.toLong * 2654435761L + y.toLong * 40503L
+      (((v % 256) & 0xff) << 16 | (((v / 256) % 256) & 0xff).toInt << 8 |
+        (((v / 65536) % 256) & 0xff).toInt).toInt
+    }
+    samples(genImg, 40).foreach { case (w, h, seed) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(seed, x, y))
+      // driver-side dHash straight from the raster formula
+      def lum(x: Int, y: Int): Int = {
+        val p = px(seed, x * w / 9, y * h / 8)
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      }
+      var exp = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (lum(x, y) < lum(x + 1, y)) exp |= 1L << (y * 8 + x)
+      // engine-side: encode to real PNG bytes, hash through the query op
+      val bytes = graft.ops.MultimodalOps.writeImageInMemory(img, "png")
+      val got = graft.ops.MultimodalOps.dHash(
+          Seq((1L, bytes)).toDF("doc_id", "payload"))
+        .collect().head.dhash
+      assert(got == exp, s"dhash diverges for ${w}x$h seed $seed")
+    }
+  }
+
   test("property: top-N count never exceeds its window total") {
     samples(genEvents, 3).foreach { evs =>
       val df = evs.toDF().withColumn("ts", timestamp_seconds(col("tsSec")))
