@@ -26,12 +26,24 @@ import org.apache.spark.unsafe.types.UTF8String
  * polynomial as generated per-term arithmetic —
  * [[graft.queries.PipelineQueries.winnowHashTerms]]): code points as the
  * oracle's `ascii()` sees them (true code points — `codePointAt`, not
- * UTF-16 code units), no modulus — exact BIGINT arithmetic, enforced by a
- * loud rejection of code points above 0xFF (the widest value for which
- * the polynomial provably fits signed-64 at k ≤ 12; Java would wrap
- * where DuckDB's BIGINT errors, so out-of-contract text fails instead of
- * silently diverging). Window order and first-occurrence dedup match
+ * UTF-16 code units), no modulus — exact BIGINT arithmetic for documents
+ * whose code points all fit in 0xFF (the widest value for which the
+ * polynomial provably fits signed-64 at k ≤ 12; Java would wrap where
+ * DuckDB's BIGINT errors). Window order and first-occurrence dedup match
  * `array_distinct`/`list_distinct` exactly.
+ *
+ * OUT-OF-CONTRACT text (any code point > 0xFF — real multilingual
+ * corpora) takes a documented MODULAR variant of the same polynomial:
+ * identical recurrence, every step reduced mod 1e9+7, over true code
+ * points up to U+10FFFF. The per-document switch keeps two guarantees:
+ * (1) in-contract documents hash bit-identically to the oracle's exact
+ * arithmetic, and (2) one wide document can never kill a corpus-wide
+ * dedup pass (it used to throw, failing the whole task — the r10 advice
+ * finding). Wide documents still satisfy the winnowing guarantee among
+ * THEMSELVES (shared ≥ k+7 substrings of wide text share a modular
+ * fingerprint); a wide/narrow cross-match is a hash-family collision,
+ * the same false-candidate class banding already tolerates — downstream
+ * verification (containment scoring in dedup_winnow) filters it.
  *
  * Returns NULL for strings shorter than k+7 chars (no full 8-hash window
  * exists; callers filter those rows out, as the SQL form did).
@@ -76,55 +88,78 @@ case class WinnowFps(child: Expression, k: Int) extends UnaryExpression
 object WinnowFps {
   private val W = 8 // the winnowing window: min of every 8 consecutive hashes
 
+  /** Modulus for the out-of-contract (wide code point) hash family. */
+  private val M = 1000000007L
+
   /** Single pass shared by interpreted eval and codegen so the paths
     * cannot diverge. Returns null when no full window exists.
     *
-    * Code-POINT semantics, enforced: the oracle contract is stated in
+    * Code-POINT semantics: the oracle contract is stated in
     * `ascii()`/`length(text)` terms (code points), and the Spark-side
     * `length(text) >= k+7` row filter counts code points too — so the
-    * hash must consume code points, not UTF-16 code units, or non-BMP
-    * text would silently diverge instead of failing. Code points above
-    * 0xFF are REJECTED loudly: the exact no-modulus polynomial stays
-    * inside signed-64 only for cp ≤ 255 at k ≤ 12 (max ≈ 255·(31^12−1)/30
-    * ≈ 6.8e18 < 2^63) — beyond that Java would wrap where DuckDB's BIGINT
-    * errors, the silent-divergence class this guard exists to close. */
+    * hash consumes code points, not UTF-16 code units. Documents whose
+    * code points all fit 0xFF take the EXACT no-modulus polynomial (it
+    * stays inside signed-64 only for cp ≤ 255 at k ≤ 12: max ≈
+    * 255·(31^12−1)/30 ≈ 6.8e18 < 2^63 — beyond that Java would wrap
+    * where DuckDB's BIGINT errors). Any wider code point switches the
+    * WHOLE document to the modular variant (same recurrence mod 1e9+7)
+    * so multilingual text is fingerprinted instead of failing the task;
+    * see the class scaladoc for the cross-family collision argument. */
   def compute(s: String, k: Int): Array[Long] = {
     // widen UTF-16 to code points up front (ASCII corpus: a plain copy)
     val cps = new Array[Int](s.codePointCount(0, s.length))
     var ci = 0
     var n = 0
+    var wide = false
     while (ci < s.length) {
       val cp = s.codePointAt(ci)
-      if (cp > 0xFF) throw new IllegalArgumentException(
-        s"winnow_fps: code point U+${cp.toHexString.toUpperCase} exceeds the " +
-          "exact-arithmetic contract (code points must be <= 0xFF; wider " +
-          "text needs a modular variant of the fingerprint polynomial)")
+      if (cp > 0xFF) wide = true
       cps(n) = cp
       n += 1
       ci += Character.charCount(cp)
     }
     val m = n - k + 1 // number of k-codepoint hashes
     if (m < W) return null
-    var bk = 1L // 31^(k-1), the roll-out factor
-    var e = 1
-    while (e < k) { bk *= 31L; e += 1 }
     val hs = new Array[Long](m)
-    var h = 0L
-    var i = 0
-    while (i < k) { h = h * 31L + cps(i); i += 1 }
-    hs(0) = h
-    var j = 1
-    while (j < m) {
-      h = (h - cps(j - 1) * bk) * 31L + cps(j + k - 1)
-      hs(j) = h
-      j += 1
+    if (!wide) {
+      var bk = 1L // 31^(k-1), the roll-out factor
+      var e = 1
+      while (e < k) { bk *= 31L; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * 31L + cps(i); i += 1 }
+      hs(0) = h
+      var j = 1
+      while (j < m) {
+        h = (h - cps(j - 1) * bk) * 31L + cps(j + k - 1)
+        hs(j) = h
+        j += 1
+      }
+    } else {
+      // modular family: same polynomial, every step reduced mod 1e9+7.
+      // Bounds: h < M (~2^30), cp ≤ 0x10FFFF (~2^21), bk < M — every
+      // intermediate product stays far inside signed-64.
+      var bk = 1L
+      var e = 1
+      while (e < k) { bk = bk * 31L % M; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = (h * 31L + cps(i)) % M; i += 1 }
+      hs(0) = h
+      var j = 1
+      while (j < m) {
+        h = java.lang.Math.floorMod(h - cps(j - 1) * bk % M, M)
+        h = (h * 31L + cps(j + k - 1)) % M
+        hs(j) = h
+        j += 1
+      }
     }
     // min per 8-window in window order, dedup keeping first occurrence
     // (matches array_distinct over the transform(...array_min(slice)) form)
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new Array[Long](m - W + 1)
     var nOut = 0
-    i = 0
+    var i = 0
     while (i <= m - W) {
       var mn = hs(i)
       var t = i + 1

@@ -338,9 +338,16 @@ object PipelineQueries {
     * images with a hamming-near (≤ 8) TRAIN image through the same
     * 4×16-bit banded candidates as [[dedupDhash]] — asymmetric by
     * construction (test-side probes against train-side band keys only,
-    * candidates scale with the test split). Per test image: its nearest
-    * train hamming and the match count — the gate an image-bench curator
-    * runs before trusting held-out numbers. */
+    * candidates scale with the test split). The train side carries the
+    * same hot-band cap as [[dedupDhash]] (≤ 20 docs per band key): a
+    * degenerate band shared by many train images — a solid-color
+    * boilerplate band — would otherwise pair every probing test image
+    * with ALL of them, quadratic in the hot key; capping the train side
+    * bounds per-probe fanout at 20 candidates per band (no ≥2 floor —
+    * a singleton train band is a perfectly good probe target here).
+    * Per test image: its nearest train hamming and the match count —
+    * the gate an image-bench curator runs before trusting held-out
+    * numbers. */
   def contaminationImage(spark: SparkSession, dir: String): DataFrame = {
     val d = imageDhash(spark, dir)
       .selectExpr("doc_id", "dhash",
@@ -352,7 +359,10 @@ object PipelineQueries {
       .selectExpr("doc_id", "dhash", "explode(sequence(0, 3)) AS j")
       .selectExpr("doc_id", "dhash", "j",
         "shiftright(dhash, 16 * CAST(j AS INT)) & 65535 AS bkey")
-    val tr = bandsOf(d.filter("split = 'train'"))
+    val trAll = bandsOf(d.filter("split = 'train'"))
+    val usable = trAll.groupBy("j", "bkey").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 20).select("j", "bkey")
+    val tr = trAll.join(usable, Seq("j", "bkey"))
     val te = bandsOf(d.filter("split = 'test'"))
     te.alias("a").join(tr.alias("b"),
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey"))
@@ -386,7 +396,15 @@ object PipelineQueries {
     * sample-table walk) reduced to frame-to-frame gradient bits, the same
     * contour idiom as image dHash / audio contour. The facts table is
     * materialized once (two consumers). Oracle restates frames, sums and
-    * bits from the container formula end to end. */
+    * bits from the container formula end to end.
+    *
+    * The fingerprint carries the FIRST 63 gradient bits only (frame
+    * transitions 0→1 … 62→63): Java's `shiftleft(1, i)` wraps the shift
+    * amount mod 64, so an uncapped term would silently alias transition
+    * 64 onto bit 0 (and bit 63 flips the sign) for any real video ≥ 64
+    * frames — the r10 advice finding. 63 transitions is the dHash-style
+    * sketch budget anyway; longer videos are summarized by their first
+    * 64 frames, stated identically in the oracle. */
   def videoFingerprintQ(spark: SparkSession, dir: String): DataFrame = {
     val facts = graft.ops.MultimodalOps.frameFacts(
       graft.ops.MultimodalOps.synthFrameVideos(
@@ -394,7 +412,8 @@ object PipelineQueries {
       .localCheckpoint()
     val bits = facts.alias("a").join(facts.alias("b"),
         col("a.doc_id") === col("b.doc_id") &&
-          col("b.frame_idx") === col("a.frame_idx") + 1)
+          col("b.frame_idx") === col("a.frame_idx") + 1 &&
+          col("a.frame_idx") < 63)
       .selectExpr("a.doc_id AS doc_id",
         "CASE WHEN a.f_sum < b.f_sum THEN shiftleft(CAST(1 AS BIGINT), CAST(a.frame_idx AS INT)) ELSE CAST(0 AS BIGINT) END AS t")
       .groupBy("doc_id").agg(sum(col("t")).as("fp"))
@@ -2199,6 +2218,12 @@ object PipelineQueries {
       .agg(max(when(col("rn") === 1,
           struct(col("score_q").as("s"), col("c").as("c")))).as("t1"),
         max(when(col("rn") === 2, col("score_q"))).as("s2"))
+      // a doc scored for exactly one class has no rn=2 row → no margin;
+      // the oracle's INNER join on r2.rn = 2 drops it, so drop it here
+      // too instead of letting a NULL-margin bin diverge the surfaces
+      // (latent today — every doc is scored against every class — but
+      // the two engines must pin the same single-class behavior)
+      .filter(col("s2").isNotNull)
       .selectExpr("lang = t1.c AS correct", "t1.s - s2 AS margin_q")
       .selectExpr("least(margin_q div 4000000, CAST(19 AS BIGINT)) AS bin",
         "correct", "margin_q")
@@ -3138,7 +3163,8 @@ object PipelineOracles {
 
   /** [[PipelineQueries.contaminationImage]] restatement: the dhash
     * oracle as a CTE, the id-hash split, the same asymmetric 4×16-bit
-    * band probe and exact hamming gate. */
+    * band probe (train side hot-band-capped at ≤ 20) and exact hamming
+    * gate. */
   val contaminationImage: String =
     s"""WITH d AS ($imageDhash),
        |spl AS (SELECT doc_id, dhash,
@@ -3146,8 +3172,11 @@ object PipelineOracles {
        |        FROM (SELECT doc_id, dhash,
        |                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
        |              FROM d)),
-       |tb AS (SELECT doc_id, dhash, g.j AS j, (dhash >> (16 * g.j)) & 65535 AS bkey
+       |tball AS (SELECT doc_id, dhash, g.j AS j, (dhash >> (16 * g.j)) & 65535 AS bkey
        |       FROM spl CROSS JOIN generate_series(0, 3) g(j) WHERE split = 'train'),
+       |tcap AS (SELECT j, bkey FROM (
+       |    SELECT j, bkey, count(*) AS nd FROM tball GROUP BY 1, 2) WHERE nd <= 20),
+       |tb AS (SELECT b.* FROM tball b JOIN tcap USING (j, bkey)),
        |teb AS (SELECT doc_id, dhash, g.j AS j, (dhash >> (16 * g.j)) & 65535 AS bkey
        |        FROM spl CROSS JOIN generate_series(0, 3) g(j) WHERE split = 'test'),
        |p AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS train_id,
@@ -3297,7 +3326,8 @@ object PipelineOracles {
     s"""WITH ff AS ($multimodalFrames),
        |pairs AS (SELECT a.doc_id, a.frame_idx AS i,
        |            CASE WHEN a.f_sum < b.f_sum THEN 1 ELSE 0 END AS bit
-       |          FROM ff a JOIN ff b ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1),
+       |          FROM ff a JOIN ff b ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1
+       |          WHERE a.frame_idx < 63),
        |f AS (SELECT doc_id,
        |        CAST(SUM(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
        |      FROM pairs GROUP BY 1),

@@ -232,21 +232,38 @@ class SamplingSpanSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("[1, 12]"))
     intercept[IllegalArgumentException] { WinnowFps(Literal("abc"), 13) }
-    // code points above 0xFF breach the exact no-modulus arithmetic
-    // (Java would wrap where DuckDB BIGINT errors): loud rejection,
-    // never a silent divergence
-    val e3 = intercept[IllegalArgumentException] {
-      WinnowFps.compute("€uro symbols €€€ breach it€", 5)
-    }
-    assert(e3.getMessage.contains("exact-arithmetic contract"))
-    // Latin-1 stays inside the contract — and hashes CODE POINTS, so the
-    // result equals hashing the equivalent char values
+    // Latin-1 stays inside the exact contract — and hashes CODE POINTS,
+    // so the result equals hashing the equivalent char values
     assert(WinnowFps.compute("café au lait et crème café", 5) != null)
-    // astral text (surrogate pairs) is likewise rejected, not hashed as
-    // two UTF-16 halves
-    intercept[IllegalArgumentException] {
-      WinnowFps.compute("😀 emoji corpus 😀 abcdefghijkl", 5)
-    }
+  }
+
+  test("winnow_fps: out-of-contract text takes the modular family, not a task failure") {
+    import graft.functions.WinnowFps
+    // code points above 0xFF used to throw (failing the whole executor
+    // task — one wide doc killed a corpus-wide pass, the r10 advice
+    // finding); now the WHOLE document switches to the same polynomial
+    // reduced mod 1e9+7: deterministic, non-null, bounded values
+    val wide = WinnowFps.compute("€uro symbols €€€ survive now!", 5)
+    assert(wide != null && wide.nonEmpty)
+    assert(wide.forall(h => h >= 0L && h < 1000000007L),
+      "modular-family fingerprints must stay inside [0, 1e9+7)")
+    assert(wide.sameElements(WinnowFps.compute("€uro symbols €€€ survive now!", 5)),
+      "modular family must be deterministic")
+    // astral text (surrogate pairs) hashes CODE POINTS too, not UTF-16
+    // halves — and likewise survives
+    assert(WinnowFps.compute("😀 emoji corpus 😀 abcdefghijkl", 5) != null)
+    // the winnowing guarantee holds WITHIN the wide family: a shared
+    // >= k+7 (= 12-char) substring of wide text shares a fingerprint
+    val shared = "héllo wörld€"
+    val a = WinnowFps.compute(s"aaaaaaa${shared}bbbbbbbbbbbb", 5).toSet
+    val b = WinnowFps.compute(s"cccccccccccccccccc${shared}dddd", 5).toSet
+    assert(a.intersect(b).nonEmpty,
+      "shared 12-char wide substring must share a modular fingerprint")
+    // and in-contract documents are untouched by the fallback: exact
+    // family values can exceed the modulus (bit-identical to the oracle)
+    val ascii = WinnowFps.compute("the exact family is untouched by the fallback", 12)
+    assert(ascii.exists(_ >= 1000000007L),
+      "exact-family hashes must be the no-modulus polynomial, not reduced")
   }
 
   test("winnow_fps native expression matches the SQL HOF formulation on the corpus") {
