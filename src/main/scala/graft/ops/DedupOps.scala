@@ -72,12 +72,18 @@ object DedupOps {
     * cap may fail spuriously. Size `maxDocsPerScope` ~5% above the largest
     * group you intend to allow. For unbounded scopes use [[minhashPairs]],
     * whose banded candidate join is the web-scale plan. */
-  def ngramJaccardPairs(sh: DataFrame, scope: String, threshold: Double,
+  def ngramJaccardPairs(shIn: DataFrame, scope: String, threshold: Double,
                         maxDocsPerScope: Long = 100000L): DataFrame = {
     // join-multiplicity formulation: common = row count of the shingle
     // self-join per pair. An array-intersect candidate/verify variant (like
     // minhashPairs) was measured SLOWER here — the scoped self-join is
     // already small and the extra per-doc set aggregation dominates.
+    //
+    // The shingle table feeds FOUR consumers (per-doc counts, the scope
+    // guard, both self-join sides); each re-runs the corpus
+    // split+explode+hash scan uncheckpointed (differing groupings defeat
+    // ReusedExchange) — materialize it once, the postings-table idiom.
+    val sh = shIn.localCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val scopeGuard = sh.groupBy(col(scope))
       // HLL estimate at 1% rsd: a guard needs magnitude, not exactness —

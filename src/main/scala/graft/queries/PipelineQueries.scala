@@ -2118,9 +2118,16 @@ object PipelineQueries {
     * and the 1e6-quantized log prior — C rows at any corpus size. */
   private def nbPriors(spark: SparkSession, dir: String): DataFrame = {
     val train = nbDocs(spark, dir).filter(col("bucket") < 8)
+    // C rows, localCheckpointed: `classes` feeds both the crossJoin left
+    // side and its own total — uncheckpointed, each branch re-runs the
+    // train-corpus tokenize scan (and every nbPriors CONSUMER — nbModel,
+    // the scorer — re-runs it again; ReusedExchange never fires across
+    // separately-built frames). One bounded materialization ends the
+    // fan-out; same discipline as the PQ codebook / postings tables.
     val classes = train
       .selectExpr("lang", s"CAST(size($nbTokExpr) AS BIGINT) AS n")
       .groupBy("lang").agg(count(lit(1)).as("d_c"), sum(col("n")).as("n_c"))
+      .localCheckpoint()
     classes.crossJoin(broadcast(classes.agg(sum(col("d_c")).as("d"))))
       .selectExpr("lang AS c", "d_c", "n_c",
         "CAST(round(1000000.0 * ln(CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT) AS prior_q")
@@ -2130,14 +2137,23 @@ object PipelineQueries {
     * every bucket, Laplace +1 — C·B rows, broadcast to the scorer so
     * test-side features never shuffle to meet the model. */
   private def nbModel(spark: SparkSession, dir: String,
-                      buckets: Int = NbBuckets): DataFrame = {
+                      buckets: Int = NbBuckets,
+                      priorsIn: DataFrame = null): DataFrame = {
     val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
+    // explode FIRST, hash the exploded column: the md5 bucket hash then
+    // runs inside whole-stage codegen; the same hash inside a
+    // `transform(w, t -> ...)` lambda is interpreted expression-tree
+    // evaluation per token
     val counts = graft.ops.Parallelism.ensureMin(
         nbDocs(spark, dir).filter(col("bucket") < 8)
           .selectExpr("lang AS c", s"$nbTokExpr AS w"))
-      .selectExpr("c", s"explode(transform(w, t -> $bExpr)) AS b")
+      .selectExpr("c", "explode(w) AS t")
+      .selectExpr("c", s"$bExpr AS b")
       .groupBy("c", "b").agg(count(lit(1)).as("cnt"))
-    nbPriors(spark, dir)
+    // callers that already built priors pass them in: a fresh nbPriors
+    // here would re-run the train-corpus class scan per consumer
+    val priors = Option(priorsIn).getOrElse(nbPriors(spark, dir))
+    priors
       .selectExpr("c", "n_c",
         s"explode(sequence(0L, ${buckets - 1}L)) AS b")
       .join(counts, Seq("c", "b"), "left")
@@ -2180,12 +2196,15 @@ object PipelineQueries {
   private def nbScoredAll(spark: SparkSession, dir: String,
                           buckets: Int): DataFrame = {
     val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
-    val priors = nbPriors(spark, dir).select("c", "prior_q")
+    val priorsFull = nbPriors(spark, dir)
+    val priors = priorsFull.select("c", "prior_q")
     val test = nbDocs(spark, dir).filter(col("bucket") === 9)
     val scoredTok = graft.ops.Parallelism.ensureMin(
         test.selectExpr("doc_id", "lang", s"$nbTokExpr AS w"))
-      .selectExpr("doc_id", "lang", s"explode(transform(w, t -> $bExpr)) AS b")
-      .join(broadcast(nbModel(spark, dir, buckets)), "b")
+      // explode-then-hash keeps the md5 bucket hash codegen'd (see nbModel)
+      .selectExpr("doc_id", "lang", "explode(w) AS t")
+      .selectExpr("doc_id", "lang", s"$bExpr AS b")
+      .join(broadcast(nbModel(spark, dir, buckets, priorsFull)), "b")
       .groupBy("doc_id", "lang", "c").agg(sum(col("llh_q")).as("s_q"))
       .join(broadcast(priors), "c")
       .selectExpr("doc_id", "lang", "c", "prior_q + s_q AS score_q")
@@ -2263,9 +2282,10 @@ object PipelineQueries {
     * bounded model params (C·B longs), the PQ-codebook collect discipline. */
   def nbModelArrays(spark: SparkSession, dir: String,
                     buckets: Int = NbBuckets): Seq[(String, Long, Array[Long])] = {
-    val pri = nbPriors(spark, dir).select("c", "prior_q").collect()
+    val priorsFull = nbPriors(spark, dir)
+    val pri = priorsFull.select("c", "prior_q").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    nbModel(spark, dir, buckets).collect()
+    nbModel(spark, dir, buckets, priorsFull).collect()
       .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (c, rows) =>

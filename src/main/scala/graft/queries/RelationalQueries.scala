@@ -89,15 +89,25 @@ object RelationalQueries {
         .as("revenue_e4"))
 
   /** Revenue by (nation, order year) with ROLLUP subtotals — grouping-set
-    * aggregation the reference lacks entirely. */
+    * aggregation the reference lacks entirely.
+    *
+    * Two-phase: aggregate at the FINEST grouping first (one pass over
+    * lineitem computing the exact decimal term once per row), then
+    * rollup over the |nations|×|years|-row frame. Rollup directly over
+    * the join would Expand every lineitem row ×3 grouping sets — the
+    * per-row exact-decimal multiply evaluated three times and 3× rows
+    * through the partial aggregate. Sound because the quantized SUM is
+    * exact-integer reassociative (sums of sums). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("n_name"), col("order_year"))
+      .agg(expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("rev_fine"))
       .rollup(col("n_name"), col("order_year"))
-      .agg(expr(s"SUM(CAST(($revenueTerm) * 10000 AS BIGINT))").as("revenue_e4"))
+      .agg(sum(col("rev_fine")).as("revenue_e4"))
       // sentinel-fill the subtotal NULLs: engine-agnostic compares (and many
       // downstream consumers) choke on mixed null/typed grouping columns
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
