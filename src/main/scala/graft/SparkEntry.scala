@@ -169,6 +169,9 @@ object SparkEntry {
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
     // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
+    "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
+    "embed_sq8"         -> (PipelineQueries.embedSq8 _),
+    "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)
     "dedup_soft"        -> (PipelineQueries.dedupSoft _),
     // perceptual image fingerprints over real decoded rasters
@@ -207,6 +210,7 @@ object SparkEntry {
     "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
     // PII injection → real regex redaction, regex-free arithmetic oracle
     "pii_scrub"         -> (PipelineQueries.piiScrub _),
+    "secret_scan"       -> (PipelineQueries.secretScan _),
     "dup_span_stats"    -> (PipelineQueries.dupSpanStats _),
     // top shared 5-token spans: the boilerplate the hot-key caps exclude
     "boilerplate_spans" -> (PipelineQueries.boilerplateSpans _),

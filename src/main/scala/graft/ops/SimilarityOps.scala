@@ -208,6 +208,72 @@ object SimilarityOps {
       .select("q_id", "c_id", "l2", "rn")
   }
 
+  /** The per-(id, pos, v) long form of the quantized corpus — the frame
+    * the SQ8 scale fit and codec audit aggregate over. */
+  private def quantLong(emb: DataFrame): DataFrame =
+    registered(emb).selectExpr("vec_id AS id", s"posexplode($qvecExpr) AS (pos, v)")
+
+  /** Per-dimension symmetric int8 scale: max |v| over the corpus (floored
+    * at 1 so an all-zero dimension cannot divide by zero) — `dim` rows,
+    * the bounded model parameter an SQ8 index persists. */
+  def sq8Scales(emb: DataFrame): DataFrame =
+    quantLong(emb).groupBy("pos")
+      .agg(greatest(max(abs(col("v"))), lit(1L)).as("maxabs"))
+
+  /** SQ8 codec audit — per dimension: the fitted scale, how many codes
+    * saturate at ±127, and the exact integer code sums (an
+    * order-independent signature of the whole code table). The report a
+    * vector-store owner reads before trusting an int8 index: a dimension
+    * with mass piled at ±127 is clipping; a near-zero sum_abs dimension
+    * carries no signal and is a pruning candidate. Two corpus passes
+    * (scale fit, then encode) — the honest scalar-quantization shape;
+    * the scale frame is dim-row bounded and broadcast back. */
+  def sq8Audit(emb: DataFrame): DataFrame =
+    quantLong(emb).join(broadcast(sq8Scales(emb)), "pos")
+      .selectExpr("pos", "maxabs",
+        "CAST(round(CAST(v AS DOUBLE) * 127.0D / CAST(maxabs AS DOUBLE)) AS BIGINT) AS code")
+      .groupBy("pos")
+      .agg(max(col("maxabs")).as("maxabs"),
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(col("code")).as("sum_code"),
+        sum(abs(col("code"))).as("sum_abs_code"))
+      .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "maxabs", "n_sat",
+        "sum_code", "sum_abs_code")
+
+  /** SQ8 approximate top-k: vectors encoded to int8 codes against the
+    * per-dim symmetric scales, candidates ranked by code-space cosine —
+    * dot and norms are EXACT integer arithmetic over the codes (`ldot`),
+    * only the final cosine division is floating point (engine-stable:
+    * IEEE sqrt/div of exact integers). The memory-bandwidth member of
+    * the ANN family (16× smaller vectors than the raw floats, no
+    * codebook training unlike PQ); same broadcast-query zero-corpus-
+    * shuffle shape as [[cosineTopK]]. The dim-row scale table is
+    * collected once and inlined as a plan literal (the IVF/PQ codebook
+    * discipline), so encoding is one narrow codegen'd pass. */
+  def sq8TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
+    val scales = sq8Scales(emb).orderBy("pos").collect()
+      .map(r => r.getLong(1))
+    require(scales.length == dim, s"sq8TopK: expected $dim dims, got ${scales.length}")
+    val scaleLit = s"array(${scales.mkString("L, ")}L)"
+    val codes = registered(emb)
+      .selectExpr("vec_id",
+        s"zip_with($qvecExpr, $scaleLit, (x, m) -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 127.0D / CAST(m AS DOUBLE)) AS BIGINT)) AS c8")
+      .selectExpr("vec_id", "c8", "ldot(c8, c8) AS n8")
+    val qs = codes.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "c8 AS q8", "n8 AS nq")
+    codes.selectExpr("vec_id AS c_id", "c8", "n8 AS nc")
+      .crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", "ldot(q8, c8) AS dot8", "nq", "nc")
+      .withColumn("cos8", col("dot8").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos8").desc, col("c_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "dot8", "cos8", "rn")
+  }
+
   /** Per-query recall@k of an approximate index against its exact ground
     * truth: both inputs carry (q_id, c_id) top-k rows; truth rows drive
     * (an index that returns fewer than k rows — LSH/IVF under-probe —

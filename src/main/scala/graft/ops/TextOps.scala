@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -41,5 +42,50 @@ object TextOps {
       .withColumn("n_ips", regexp_count(afterEmail, lit(ipv4Re)).cast("long"))
       .withColumn("n_phones", regexp_count(afterIp, lit(phoneRe)).cast("long"))
       .withColumn("text_redacted", regexp_replace(afterIp, phoneRe, "<PHONE>"))
+  }
+
+  /** Credential/secret detection — the pre-training leak gate next to
+    * [[redactPii]] (a detect-secrets-style scanner: pattern candidates,
+    * then a Shannon-entropy confirmation, so a low-entropy lookalike is
+    * reported but not flagged). Two detector families over the raw text:
+    * AWS-style access-key ids (`AKIA` + 16 upper-hex, word-bounded) and
+    * bare 32-hex blobs (API tokens, leaked digests). Each candidate gets
+    * its exact character-distribution Shannon entropy in integer
+    * micro-nats — per distinct character the term
+    * `round(1e6·(k/n)·ln(n/k))` (rounded per class, then an exact BIGINT
+    * sum: order-independent, the bm25 micro-unit idiom) — and is flagged
+    * at ≥ 2.0 nats, the standard high-entropy bar for hex alphabets.
+    *
+    * Output: one row per detected candidate (doc_id, kind, tok,
+    * token_len, n_distinct_chars, ent_micro, flagged).
+    *
+    * Scale shape: the regex extraction is a narrow codegen'd scan; only
+    * DETECTED candidates (a vanishing fraction of rows) reach the
+    * per-character entropy aggregation, so the two candidate-keyed
+    * windows touch candidate-sized data, never the corpus. */
+  def secretScan(df: DataFrame, textCol: String): DataFrame = {
+    val aws = df.selectExpr("doc_id",
+      s"explode(regexp_extract_all($textCol, '\\\\bAKIA[0-9A-F]{16}\\\\b', 0)) AS tok")
+      .withColumn("kind", lit("aws"))
+    val hex = df.selectExpr("doc_id",
+      s"explode(regexp_extract_all($textCol, '\\\\b[0-9a-f]{32}\\\\b', 0)) AS tok")
+      .withColumn("kind", lit("hex"))
+    val perTok = Window.partitionBy(col("doc_id"), col("kind"), col("tok"))
+    aws.unionByName(hex)
+      .selectExpr("doc_id", "kind", "tok", "explode(split(tok, '')) AS ch")
+      // Java split with limit -1 keeps a trailing empty element
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "kind", "tok", "ch").agg(count(lit(1)).as("k"))
+      .withColumn("n", sum(col("k")).over(perTok))
+      .withColumn("n_chars", count(lit(1)).over(perTok))
+      .selectExpr("doc_id", "kind", "tok", "n", "n_chars",
+        "CAST(round(1000000.0D * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))) AS BIGINT) AS term")
+      .groupBy("doc_id", "kind", "tok")
+      .agg(max(col("n")).as("token_len"),
+        max(col("n_chars")).as("n_distinct_chars"),
+        sum(col("term")).as("ent_micro"))
+      .selectExpr("doc_id", "kind", "tok", "token_len", "n_distinct_chars",
+        "ent_micro", "ent_micro >= 2000000L AS flagged")
   }
 }

@@ -246,6 +246,19 @@ object PipelineQueries {
   def embedTopK(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.cosineTopK(Tables.embeddings(spark, dir), 64, "vec_id < 8", 5)
 
+  /** Int8 scalar-quantization codec audit over the embedding corpus —
+    * per dimension the fitted symmetric scale, saturation count and exact
+    * code sums ([[SimilarityOps.sq8Audit]]). */
+  def embedSq8(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8Audit(Tables.embeddings(spark, dir))
+
+  /** SQ8 approximate top-5 for query vectors vec_id < 8 — int8 codes,
+    * exact integer dot, code-space cosine rank
+    * ([[SimilarityOps.sq8TopK]]); same query set as embed_topk so the
+    * two rankings are directly comparable. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8TopK(Tables.embeddings(spark, dir), 64, "vec_id < 8", 5)
+
   /** LSH-bucketed (8 hyperplanes) ANN top-3 for query vectors vec_id < 32;
     * recall-bounded by bucket collisions. */
   def embedTopKLsh(spark: SparkSession, dir: String): DataFrame =
@@ -1453,6 +1466,28 @@ object PipelineQueries {
         "md5(text_redacted) AS redacted_hash")
   }
 
+  /** Secret/credential scan, oracle-backed end-to-end via the
+    * [[piiScrub]] injection discipline: deterministic fake credentials
+    * (an AWS-style `AKIA`+16-upper-hex key into every doc_id % 7 = 0
+    * document, a bare 32-hex token into every doc_id % 11 = 0 document,
+    * both derived from md5(doc_id)) are appended to the corpus, then
+    * detected by the REAL scanner ([[graft.ops.TextOps.secretScan]]:
+    * word-bounded regex candidates + exact micro-nat Shannon-entropy
+    * confirmation). The oracle never runs the detector — it states the
+    * injected tokens and their entropy arithmetically (the base corpus
+    * contains no digits, so no natural 32-hex or AKIA run exists —
+    * verified across SFs by the compare itself: one false positive or
+    * miss breaks rows_match loudly). */
+  def secretScan(spark: SparkSession, dir: String): DataFrame = {
+    val withSecrets = Tables.documents(spark, dir).selectExpr("doc_id",
+      ("concat(text," +
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' key AKIA'," +
+        " upper(substr(md5(CAST(doc_id AS STRING)), 1, 16))) ELSE '' END," +
+        " CASE WHEN doc_id % 11 = 0 THEN concat(' token '," +
+        " substr(md5(concat('h', CAST(doc_id AS STRING))), 1, 32)) ELSE '' END) AS text"))
+    graft.ops.TextOps.secretScan(withSecrets, "text")
+  }
+
   /** Incremental delivery dedup: the corpus splits into BASE
     * (doc_id % 5 != 0 — the existing corpus) and DELIVERY (doc_id % 5 = 0
     * — the new batch); each delivery doc classifies as exact / near / new
@@ -1866,6 +1901,50 @@ object PipelineQueries {
           .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rn") <= kTop)
       .select("q_id", "doc_id", "score_micro", "rn")
+  }
+
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of the lexical BM25 ranking and the dense embedding-cosine
+    * ranking — the production RAG retrieval shape (two independent
+    * retrievers, one fused list; RRF needs no score calibration between
+    * a micro-unit BM25 integer and a cosine, only RANKS). Per query doc
+    * (doc_id < 8, the bm25_topk query set; embeddings.vec_id is the
+    * document's embedding — same id space): top-20 from each retriever,
+    * fused by `Σ 1e6 div (60 + rank)` — the standard k=60 constant,
+    * integer-exact in both engines — then the top-5 by (fused score,
+    * doc_id). Self-matches are excluded from BOTH lists (the lexical
+    * rank is recomputed over non-self candidates; taking top-21 overall
+    * first is exact — at most one self row can be dropped). Ranks a doc
+    * earns in only one list contribute that one term (standard RRF over
+    * the union); absent ranks surface as the −1 sentinel.
+    *
+    * Scale shape: the two retrieval stacks are the proven bounded plans
+    * (posting-list join; broadcast-query brute cosine); the fusion
+    * itself joins two nQ×20-row frames — nothing new touches the
+    * corpus. */
+  def hybridRrf(spark: SparkSession, dir: String, nQ: Int = 8,
+                kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    val lex = bm25TopK(spark, dir, nQ, kIn + 1)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank_lex", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank_lex") <= kIn)
+      .select("q_id", "doc_id", "rank_lex")
+    val dns = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, dir), 64, s"vec_id < $nQ", kIn)
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+    lex.join(dns, Seq("q_id", "doc_id"), "full_outer")
+      .selectExpr("q_id", "doc_id",
+        "coalesce(1000000L div (60 + rank_lex), 0L)" +
+          " + coalesce(1000000L div (60 + rank_dense), 0L) AS rrf_micro",
+        "coalesce(rank_lex, -1L) AS rank_lex",
+        "coalesce(rank_dense, -1L) AS rank_dense")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= kTop)
+      .select("q_id", "doc_id", "rank_lex", "rank_dense", "rrf_micro", "rn")
   }
 
   /** The two SoftDedup micro-unit statements, shared textually between
@@ -2529,6 +2608,42 @@ object PipelineOracles {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s
        |) WHERE rn <= 5""".stripMargin
 
+  /** Shared SQ8 CTE chain over [[quantCte]]'s long form: per-dim
+    * symmetric scales (floored at 1) and the int8 code table — the one
+    * statement both [[embedSq8]] and [[sq8TopK]] consume. */
+  private val sq8Cte: String =
+    """mx AS (SELECT pos, GREATEST(MAX(ABS(v)), 1) AS maxabs FROM qz GROUP BY 1),
+      |c8 AS (SELECT id, pos, maxabs,
+      |              CAST(round(CAST(v AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE)) AS BIGINT) AS code
+      |       FROM qz JOIN mx USING (pos))""".stripMargin
+
+  /** [[PipelineQueries.embedSq8]] restatement: the same quantized long
+    * form, scale fit, encode and per-dim audit sums. */
+  val embedSq8: String =
+    s"""WITH $quantCte,
+       |$sq8Cte
+       |SELECT CAST(pos AS BIGINT) AS dim, CAST(MAX(maxabs) AS BIGINT) AS maxabs,
+       |  CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       |  CAST(SUM(code) AS BIGINT) AS sum_code,
+       |  CAST(SUM(ABS(code)) AS BIGINT) AS sum_abs_code
+       |FROM c8 GROUP BY 1""".stripMargin
+
+  /** [[PipelineQueries.sq8TopK]] restatement: the shared code table,
+    * exact integer code dot/norms, code-space cosine rank. */
+  val sq8TopK: String =
+    s"""WITH $quantCte,
+       |$sq8Cte,
+       |n8 AS (SELECT id, SUM(code * code) AS n8 FROM c8 GROUP BY 1),
+       |d8 AS (SELECT a.id AS q_id, b.id AS c_id, CAST(SUM(a.code * b.code) AS BIGINT) AS dot8
+       |       FROM c8 a JOIN c8 b ON a.pos = b.pos AND a.id <> b.id
+       |       WHERE a.id < 8 GROUP BY 1, 2),
+       |s8 AS (SELECT q_id, c_id, dot8,
+       |              CAST(dot8 AS DOUBLE) / (sqrt(CAST(na.n8 AS DOUBLE)) * sqrt(CAST(nb.n8 AS DOUBLE))) AS cos8
+       |       FROM d8 JOIN n8 na ON na.id = q_id JOIN n8 nb ON nb.id = c_id)
+       |SELECT q_id, c_id, dot8, cos8, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos8 DESC, c_id ASC) AS rn FROM s8)
+       |WHERE rn <= 5""".stripMargin
+
   val embedTopKLsh: String =
     s"""WITH $quantCte,
        |w AS (SELECT j.j AS j, p.p AS pos,
@@ -2947,12 +3062,11 @@ object PipelineOracles {
        |SELECT family, q_id, hits, k, recall FROM r1
        |UNION ALL SELECT family, q_id, hits, k, recall FROM r2""".stripMargin
 
-  /** [[PipelineQueries.bm25TopK]] restatement: the identical single
-    * tokenization feeding tf/dl/df, the same 1-row (N, Σdl) statistics,
-    * and the SHARED micro-unit per-term arithmetic
-    * ([[PipelineQueries.bm25MicroTerm]] — one statement, two engines). */
-  val bm25TopK: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term FROM documents),
+  /** Shared BM25 CTE chain (tokenize → tf/dl/df → stats → per-(q,doc)
+    * micro-unit scores `g`) — the single statement both [[bm25TopK]] and
+    * [[hybridRrf]] rank over, so the two oracles cannot drift. */
+  private val bm25Chain: String =
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term FROM documents),
        |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
        |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfq GROUP BY 1),
        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
@@ -2962,9 +3076,51 @@ object PipelineOracles {
        |      FROM q JOIN tfq t USING (term) JOIN dft USING (term)
        |      JOIN dlt USING (doc_id) CROSS JOIN st),
        |g AS (SELECT q_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
-       |      FROM s GROUP BY 1, 2)
+       |      FROM s GROUP BY 1, 2)""".stripMargin
+
+  /** [[PipelineQueries.bm25TopK]] restatement: the identical single
+    * tokenization feeding tf/dl/df, the same 1-row (N, Σdl) statistics,
+    * and the SHARED micro-unit per-term arithmetic
+    * ([[PipelineQueries.bm25MicroTerm]] — one statement, two engines). */
+  val bm25TopK: String =
+    s"""WITH $bm25Chain
        |SELECT q_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
+       |WHERE rn <= 5""".stripMargin
+
+  /** [[PipelineQueries.hybridRrf]] restatement: the shared BM25 chain
+    * ranked over non-self candidates, the embed_topk cosine chain at
+    * k=20, full-outer fusion with the identical integer
+    * `1e6 // (60 + rank)` terms and −1 sentinels. */
+  val hybridRrf: String =
+    s"""WITH $bm25Chain,
+       |lexr AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
+       |    FROM g WHERE doc_id <> q_id)
+       |  WHERE rn <= 20),
+       |$quantCte,
+       |dd AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+       |       FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+       |       WHERE a.id < 8 GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |              CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+       |       FROM dd JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
+       |dnsr AS (SELECT q_id, c_id AS doc_id, CAST(rn AS BIGINT) AS rank_dense FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+       |  WHERE rn <= 20),
+       |f AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
+       |             coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |             l.rank_lex AS rank_lex, dn.rank_dense AS rank_dense
+       |      FROM lexr l FULL OUTER JOIN dnsr dn
+       |        ON dn.q_id = l.q_id AND dn.doc_id = l.doc_id),
+       |r AS (SELECT q_id, doc_id,
+       |        CAST(coalesce(1000000 // (60 + rank_lex), 0)
+       |           + coalesce(1000000 // (60 + rank_dense), 0) AS BIGINT) AS rrf_micro,
+       |        CAST(coalesce(rank_lex, -1) AS BIGINT) AS rank_lex,
+       |        CAST(coalesce(rank_dense, -1) AS BIGINT) AS rank_dense
+       |      FROM f)
+       |SELECT q_id, doc_id, rank_lex, rank_dense, rrf_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM r)
        |WHERE rn <= 5""".stripMargin
 
   val bpePairs: String =
@@ -4025,6 +4181,35 @@ object PipelineOracles {
       |  md5(text || ' contact <EMAIL> from <IP> call <PHONE>') AS redacted_hash
       |FROM documents""".stripMargin
 
+  /** [[PipelineQueries.secretScan]] restatement: the injected tokens
+    * stated arithmetically (never a regex), their per-character counts
+    * via generate_series+substr, and the SAME per-class micro-nat
+    * entropy term — green only if the Java scanner found exactly the
+    * injected spans and the entropy arithmetic is engine-exact. */
+  val secretScan: String =
+    """WITH toks AS (
+      |  SELECT doc_id, 'aws' AS kind,
+      |         'AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS tok
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'hex' AS kind,
+      |         substr(md5('h' || CAST(doc_id AS VARCHAR)), 1, 32) AS tok
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |ch AS (SELECT doc_id, kind, tok, substr(tok, g.i, 1) AS ch
+      |       FROM toks CROSS JOIN generate_series(1, 32) g(i)
+      |       WHERE g.i <= length(tok)),
+      |cc AS (SELECT doc_id, kind, tok, ch, count(*) AS k FROM ch GROUP BY 1, 2, 3, 4),
+      |nn AS (SELECT doc_id, kind, tok, SUM(k) AS n, count(*) AS n_chars FROM cc GROUP BY 1, 2, 3),
+      |t AS (SELECT cc.doc_id, cc.kind, cc.tok, nn.n, nn.n_chars,
+      |        CAST(round(1000000.0 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))) AS BIGINT) AS term
+      |      FROM cc JOIN nn USING (doc_id, kind, tok))
+      |SELECT doc_id, kind, tok, CAST(n AS BIGINT) AS token_len,
+      |  CAST(n_chars AS BIGINT) AS n_distinct_chars,
+      |  CAST(SUM(term) AS BIGINT) AS ent_micro,
+      |  CAST(SUM(term) AS BIGINT) >= 2000000 AS flagged
+      |FROM t GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Incremental-dedup oracle: the near tier reuses the dedup_minhash pair
     * SQL verbatim, restricted to pairs crossing the base/delivery split;
     * the exact tier is a min-combined hash join. Exact precedence matches
@@ -4086,6 +4271,7 @@ object PipelineOracles {
     "source_scorecard"  -> sourceScorecard,
     "dedup_incremental" -> dedupIncremental,
     "pii_scrub"         -> piiScrub,
+    "secret_scan"       -> secretScan,
     "sample_weighted"   -> sampleWeighted,
     "snapshot_diff"     -> snapshotDiff,
     "lm_fluency"        -> lmFluency,
@@ -4163,6 +4349,9 @@ object PipelineOracles {
     "chunk_topk" -> chunkTopK,
     "chunk_topk_pq" -> chunkTopKPq,
     "bm25_topk" -> bm25TopK,
+    "hybrid_rrf" -> hybridRrf,
+    "embed_sq8" -> embedSq8,
+    "sq8_topk" -> sq8TopK,
     "dedup_soft" -> dedupSoft,
     "quality_drift" -> qualityDrift,
     "image_dhash" -> imageDhash,

@@ -678,4 +678,99 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "synthetic sources should share at least one shingle")
   }
+
+  test("hybrid_rrf: fused ranks restate the two source lists exactly") {
+    val lexAll = PipelineQueries.bm25TopK(spark, sf0001, 8, 21)
+      .filter("doc_id <> q_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    // the non-self lexical rank the fusion should have used
+    val lexRank = lexAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(20).zipWithIndex
+        .map { case ((_, d, _), i) => (q, d) -> (i + 1).toLong }
+    }.toMap
+    val dnsRank = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, sf0001), 64, "vec_id < 8", 20)
+      .select("q_id", "c_id", "rn").as[(Long, Long, Long)].collect()
+      .map { case (q, c, rn) => (q, c) -> rn }.toMap
+    val fused = PipelineQueries.hybridRrf(spark, sf0001).collect()
+    assert(fused.map(_.getAs[Long]("q_id")).toSet == (0L until 8L).toSet)
+    fused.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val d = r.getAs[Long]("doc_id")
+      val rl = r.getAs[Long]("rank_lex"); val rd = r.getAs[Long]("rank_dense")
+      assert(d != q, "self-matches must be excluded from the fused list")
+      assert(rl == lexRank.getOrElse((q, d), -1L),
+        s"lexical rank mismatch for ($q,$d)")
+      assert(rd == dnsRank.getOrElse((q, d), -1L),
+        s"dense rank mismatch for ($q,$d)")
+      val expected = (if (rl > 0) 1000000L / (60 + rl) else 0L) +
+        (if (rd > 0) 1000000L / (60 + rd) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == expected, s"RRF term for ($q,$d)")
+      assert(rl > 0 || rd > 0, "a fused doc must come from at least one list")
+    }
+    assert(fused.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 5))
+  }
+
+  test("sq8: every dim saturates at its own max, codes bound the audit sums") {
+    val audit = PipelineQueries.embedSq8(spark, sf0001).collect()
+    assert(audit.length == 64)
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    audit.foreach { r =>
+      assert(r.getAs[Long]("maxabs") >= 1L)
+      // the max-|v| element itself encodes to exactly ±127
+      assert(r.getAs[Long]("n_sat") >= 1L,
+        s"dim ${r.getAs[Long]("dim")} has no saturated code")
+      assert(r.getAs[Long]("sum_abs_code") <= 127L * nVecs)
+      assert(math.abs(r.getAs[Long]("sum_code")) <= r.getAs[Long]("sum_abs_code"))
+    }
+    val topk = PipelineQueries.sq8TopK(spark, sf0001).collect()
+    assert(topk.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 5))
+    topk.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("c_id"))
+      val cos8 = r.getAs[Double]("cos8")
+      assert(cos8 >= -1.0000001 && cos8 <= 1.0000001)
+      assert(math.signum(cos8) == math.signum(r.getAs[Long]("dot8").toDouble))
+    }
+    // int8 quantization preserves neighborhoods: the SQ8 top-5 overlaps
+    // the exact cosine top-5 on most queries (recall collapse = a codec bug)
+    val exact = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, sf0001), 64, "vec_id < 8", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val hits = topk.count(r =>
+      exact.contains((r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))))
+    assert(hits >= 20, s"SQ8 recall collapsed: $hits/40 exact top-5 pairs kept")
+  }
+
+  test("secret_scan: detects exactly the injected tokens; entropy gates the flag") {
+    import spark.implicits._
+    val rows = PipelineQueries.secretScan(spark, sf0001).collect()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    val n = Tables.documents(spark, sf0001).count()
+    assert(byKind("aws").map(_.getAs[Long]("doc_id")).toSet ==
+      (0L until n).filter(_ % 7 == 0).toSet)
+    assert(byKind("hex").map(_.getAs[Long]("doc_id")).toSet ==
+      (0L until n).filter(_ % 11 == 0).toSet)
+    byKind("aws").foreach(r => assert(r.getAs[Long]("token_len") == 20L))
+    byKind("hex").foreach { r =>
+      assert(r.getAs[Long]("token_len") == 32L)
+      assert(r.getAs[Long]("n_distinct_chars") <= 16L)
+    }
+    // the entropy CONFIRMATION: a pattern-matching but degenerate token is
+    // reported, not flagged — the detect-secrets false-positive discipline
+    val fixture = Seq(
+      (1L, "leaked " + "a" * 32 + " blob"),            // 0 nats
+      (2L, "key AKIA" + "ABABABABABABABAB" + " end"),  // ~1.01 nats (A/B/I/K)
+      (3L, "tok " + "0123456789abcdef" * 2 + " x")     // 16 classes ≈ ln 16
+    ).toDF("doc_id", "text")
+    val det = graft.ops.TextOps.secretScan(fixture, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ent_micro"), r.getAs[Boolean]("flagged"))).toMap
+    assert(det(1L) == (0L, false), "uniform token must report 0 nats, unflagged")
+    // whole-token entropy over AKIAABAB…: A(10/20) B(8/20) I,K(1/20 each),
+    // each class rounded to micro-nats then summed exactly
+    assert(!det(2L)._2 && det(2L)._1 == 1012664L,
+      "AKIA+ABAB token entropy must be the per-class rounded sum")
+    // 16 classes × round(1e6·(2/32)·ln 16) = 16 × 173287
+    assert(det(3L)._2 && det(3L)._1 == 2772592L,
+      "uniform hex token is ln(16) nats (per-class rounded)")
+  }
 }
