@@ -250,16 +250,30 @@ object SimilarityOps {
     * shuffle shape as [[cosineTopK]]. The dim-row scale table is
     * collected once and inlined as a plan literal (the IVF/PQ codebook
     * discipline), so encoding is one narrow codegen'd pass. */
-  def sq8TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
-    val scales = sq8Scales(emb).orderBy("pos").collect()
-      .map(r => r.getLong(1))
-    require(scales.length == dim, s"sq8TopK: expected $dim dims, got ${scales.length}")
+  /** Stateless SQ8 encode of any vector frame against FROZEN per-dim
+    * scales (the dim-row model parameter, inlined as a plan literal) —
+    * one narrow per-row pass, no shuffle and no state, so the identical
+    * plan encodes a live embedding stream (the pqCodesStreaming shape;
+    * parity proven in StreamingJobsSpec). */
+  def sq8CodesWith(vecs: DataFrame, scales: Seq[Long]): DataFrame = {
     val scaleLit = s"array(${scales.mkString("L, ")}L)"
-    val codes = registered(emb)
+    registered(vecs)
       .selectExpr("vec_id",
         s"zip_with($qvecExpr, $scaleLit, (x, m) -> " +
           "CAST(round(CAST(x AS DOUBLE) * 127.0D / CAST(m AS DOUBLE)) AS BIGINT)) AS c8")
       .selectExpr("vec_id", "c8", "ldot(c8, c8) AS n8")
+  }
+
+  /** The fitted per-dim scale vector in pos order — the bounded artifact
+    * [[sq8CodesWith]] freezes. */
+  def sq8ScaleArray(emb: DataFrame, dim: Int): Seq[Long] = {
+    val scales = sq8Scales(emb).orderBy("pos").collect().map(_.getLong(1)).toSeq
+    require(scales.length == dim, s"sq8: expected $dim dims, got ${scales.length}")
+    scales
+  }
+
+  def sq8TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
+    val codes = sq8CodesWith(emb, sq8ScaleArray(emb, dim))
     val qs = codes.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
       .selectExpr("vec_id AS q_id", "c8 AS q8", "n8 AS nq")
     codes.selectExpr("vec_id AS c_id", "c8", "n8 AS nc")

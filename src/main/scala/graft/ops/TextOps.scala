@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -59,10 +58,12 @@ object TextOps {
     * Output: one row per detected candidate (doc_id, kind, tok,
     * token_len, n_distinct_chars, ent_micro, flagged).
     *
-    * Scale shape: the regex extraction is a narrow codegen'd scan; only
-    * DETECTED candidates (a vanishing fraction of rows) reach the
-    * per-character entropy aggregation, so the two candidate-keyed
-    * windows touch candidate-sized data, never the corpus. */
+    * Scale shape: entirely PER-ROW — regex extraction, candidate
+    * explode, and the entropy itself (in-row HOFs over the ≤ 36-char
+    * token, O(distinct·len) per candidate). ZERO shuffles, no state —
+    * so the same plan runs unchanged on an unbounded stream (the
+    * ingest-time leak gate: scan documents as they arrive), proven in
+    * StreamingJobsSpec. */
   def secretScan(df: DataFrame, textCol: String): DataFrame = {
     val aws = df.selectExpr("doc_id",
       s"explode(regexp_extract_all($textCol, '\\\\bAKIA[0-9A-F]{16}\\\\b', 0)) AS tok")
@@ -70,21 +71,23 @@ object TextOps {
     val hex = df.selectExpr("doc_id",
       s"explode(regexp_extract_all($textCol, '\\\\b[0-9a-f]{32}\\\\b', 0)) AS tok")
       .withColumn("kind", lit("hex"))
-    val perTok = Window.partitionBy(col("doc_id"), col("kind"), col("tok"))
+    // per distinct character the micro-nat term round(1e6·(k/n)·ln(n/k)),
+    // rounded per class then summed EXACTLY (order-independent integers —
+    // the bm25 micro-unit idiom); Java split with limit -1 keeps a
+    // trailing empty element, hence the filter
+    val entExpr =
+      "aggregate(transform(array_distinct(chs), c -> " +
+        "CAST(round(1000000.0D" +
+        " * (CAST(size(filter(chs, x -> x = c)) AS DOUBLE) / CAST(size(chs) AS DOUBLE))" +
+        " * ln(CAST(size(chs) AS DOUBLE) / CAST(size(filter(chs, x -> x = c)) AS DOUBLE))" +
+        ") AS BIGINT)), 0L, (a, x) -> a + x)"
     aws.unionByName(hex)
-      .selectExpr("doc_id", "kind", "tok", "explode(split(tok, '')) AS ch")
-      // Java split with limit -1 keeps a trailing empty element
-      .filter(col("ch") =!= "")
-      .groupBy("doc_id", "kind", "tok", "ch").agg(count(lit(1)).as("k"))
-      .withColumn("n", sum(col("k")).over(perTok))
-      .withColumn("n_chars", count(lit(1)).over(perTok))
-      .selectExpr("doc_id", "kind", "tok", "n", "n_chars",
-        "CAST(round(1000000.0D * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))" +
-          " * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))) AS BIGINT) AS term")
-      .groupBy("doc_id", "kind", "tok")
-      .agg(max(col("n")).as("token_len"),
-        max(col("n_chars")).as("n_distinct_chars"),
-        sum(col("term")).as("ent_micro"))
+      .selectExpr("doc_id", "kind", "tok",
+        "filter(split(tok, ''), c -> c <> '') AS chs")
+      .selectExpr("doc_id", "kind", "tok",
+        "CAST(size(chs) AS BIGINT) AS token_len",
+        "CAST(size(array_distinct(chs)) AS BIGINT) AS n_distinct_chars",
+        s"$entExpr AS ent_micro")
       .selectExpr("doc_id", "kind", "tok", "token_len", "n_distinct_chars",
         "ent_micro", "ent_micro >= 2000000L AS flagged")
   }

@@ -1478,15 +1478,19 @@ object PipelineQueries {
     * contains no digits, so no natural 32-hex or AKIA run exists —
     * verified across SFs by the compare itself: one false positive or
     * miss breaks rows_match loudly). */
-  def secretScan(spark: SparkSession, dir: String): DataFrame = {
-    val withSecrets = Tables.documents(spark, dir).selectExpr("doc_id",
+  def secretScan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.secretScan(injectSecrets(Tables.documents(spark, dir)), "text")
+
+  /** The deterministic credential injection behind [[secretScan]] —
+    * public so the streaming parity spec can feed the identical fixture
+    * through the stateless scanner. */
+  def injectSecrets(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
       ("concat(text," +
         " CASE WHEN doc_id % 7 = 0 THEN concat(' key AKIA'," +
         " upper(substr(md5(CAST(doc_id AS STRING)), 1, 16))) ELSE '' END," +
         " CASE WHEN doc_id % 11 = 0 THEN concat(' token '," +
         " substr(md5(concat('h', CAST(doc_id AS STRING))), 1, 32)) ELSE '' END) AS text"))
-    graft.ops.TextOps.secretScan(withSecrets, "text")
-  }
 
   /** Incremental delivery dedup: the corpus splits into BASE
     * (doc_id % 5 != 0 — the existing corpus) and DELIVERY (doc_id % 5 = 0

@@ -407,6 +407,54 @@ class StreamingJobsSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("secret scan and frozen-scale SQ8 encode run statelessly on streams") {
+    // both scorers are per-row (zero shuffles, no state): they must plan
+    // on an unbounded stream unchanged and reproduce their batch rows
+    // exactly across arbitrary micro-batching — the ingest-time shapes
+    // (scan documents for leaked credentials as they arrive; encode
+    // arriving embeddings against the frozen SQ8 scales)
+    val batchSec = graft.queries.PipelineQueries.secretScan(spark, sf0001)
+      .selectExpr("doc_id", "kind", "tok", "ent_micro")
+      .as[(Long, String, String, Long)].collect().toSet
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val scales = graft.ops.SimilarityOps.sq8ScaleArray(emb, 64)
+    val batchSq8 = graft.ops.SimilarityOps.sq8CodesWith(emb, scales)
+      .selectExpr("vec_id", "n8").as[(Long, Long)].collect().toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val vecs = emb.selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](72, spark, None)
+    val q = graft.ops.TextOps.secretScan(
+        graft.queries.PipelineQueries.injectSecrets(
+          in.toDS().toDF("doc_id", "text")), "text")
+      .writeStream.format("memory").queryName("secret_stream")
+      .outputMode("append").start()
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](73, spark, None)
+    val q2 = graft.ops.SimilarityOps.sq8CodesWith(
+        in2.toDS().toDF("vec_id", "embedding"), scales)
+      .selectExpr("vec_id", "n8")
+      .writeStream.format("memory").queryName("sq8_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { c =>
+        in.addData(c.toSeq); q.processAllAvailable()
+      }
+      vecs.grouped(math.max(vecs.length / 3, 1)).foreach { c =>
+        in2.addData(c.toSeq); q2.processAllAvailable()
+      }
+      val gotSec = spark.table("secret_stream")
+        .selectExpr("doc_id", "kind", "tok", "ent_micro")
+        .as[(Long, String, String, Long)].collect().toSet
+      val gotSq8 = spark.table("sq8_stream")
+        .as[(Long, Long)].collect().toMap
+      assert(gotSec == batchSec && batchSec.nonEmpty)
+      assert(gotSq8 == batchSq8 && batchSq8.nonEmpty)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("frozen-index BM25 stream scoring equals batch scoring and the bm25_topk rows") {
     val model = graft.queries.PipelineQueries.bm25Model(spark, sf0001)
     assert(model.terms.nonEmpty && model.nDocs > 0 && model.sumDl > 0)
