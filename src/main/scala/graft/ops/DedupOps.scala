@@ -430,6 +430,10 @@ object DedupOps {
       // contribute no spans and pass through the scrub untouched
       .selectExpr("doc_id", s"posexplode(span_hashes(w, $n)) AS (i0, h)")
       .selectExpr("doc_id", "i0 + 1 AS i", "h")
+      // materialized once: the span table feeds both sides of the
+      // df-join below (the postings-table idiom) — uncheckpointed, the
+      // corpus tokenize+span_hashes scan runs twice
+      .localCheckpoint()
     val shared = spans
       .join(spans.select(col("h"), col("doc_id").as("od")).distinct()
           .groupBy("h").agg(count(lit(1)).as("ndocs")).filter(col("ndocs") > 1),

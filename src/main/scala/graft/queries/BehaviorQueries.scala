@@ -257,13 +257,14 @@ object BehaviorQueries {
            | maxItemsPerUser')) IS NULL""".stripMargin.replace("\n", "")))
     baskets
       // ascending array → x pairs with every later y, so item_a < item_b
-      // by construction; slice clamps past the end
-      .selectExpr(
-        """explode(flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |            y -> struct(x AS item_a, y AS item_b))))) AS p"""
-          .stripMargin.replace("\n", " "))
-      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      // by construction; slice clamps past the end. Two chained
+      // GENERATORS (posexplode, then explode over a slice) instead of
+      // nested transform lambdas: generators and slice stay inside
+      // whole-stage codegen, where the lambda tree was interpreted
+      // per basket — and no per-pair struct allocation
+      .selectExpr("items", "posexplode(items) AS (i, item_a)")
+      .selectExpr("item_a",
+        "explode(slice(items, i + 2, size(items))) AS item_b")
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
       // distributed top-k (TakeOrderedAndProject), then rank only the 20
       // survivors — a global row_number window here would funnel every

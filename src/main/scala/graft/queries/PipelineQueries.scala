@@ -123,22 +123,31 @@ object PipelineQueries {
 
   /** [[gopherRepetition]] over an arbitrary (doc_id, text) frame: per-doc
     * shingle statistics only — no cross-document state, so a streaming
-    * delivery scores identically to the batch pass. */
-  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
-    val bg = DedupOps.allShingles(docs, "text", 2)
-      .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+    * delivery scores identically to the batch pass.
+    *
+    * One unioned (doc, n, shingle) frame feeds a single per-shingle
+    * count and one per-doc aggregation (2 exchanges, both doc-local
+    * keys): the distinct-trigram count is the ROW count of the shingle
+    * aggregate — the previous formulation paid five exchanges (separate
+    * bigram/trigram chains, a countDistinct expand, a doc join). Docs
+    * lacking a trigram (< 3 tokens) are dropped, matching the old inner
+    * join. */
+  def gopherRepetitionOf(docs: DataFrame): DataFrame =
+    DedupOps.allShingles(docs, "text", 2).selectExpr("doc_id", "2L AS k", "sh")
+      .unionByName(DedupOps.allShingles(docs, "text", 3)
+        .selectExpr("doc_id", "3L AS k", "sh"))
+      .groupBy("doc_id", "k", "sh").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
-      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"))
-    val tg = DedupOps.allShingles(docs, "text", 3)
-      .groupBy("doc_id")
-      .agg(countDistinct(col("sh")).as("dist3"), count(lit(1)).as("tot3"))
-    bg.join(tg, "doc_id")
+      .agg(max(when(col("k") === 2, col("cnt"))).as("mx"),
+        sum(when(col("k") === 2, col("cnt"))).as("tot"),
+        count(when(col("k") === 3, lit(1))).as("dist3"),
+        sum(when(col("k") === 3, col("cnt"))).as("tot3"))
+      .filter(col("tot").isNotNull && col("tot3").isNotNull)
       .selectExpr("doc_id",
         "CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_frac",
         "CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE) AS dup_trigram_frac")
       .selectExpr("doc_id", "top_bigram_frac", "dup_trigram_frac",
         "top_bigram_frac <= 0.08D AND dup_trigram_frac <= 0.6D AS pass")
-  }
 
   /** Train/test contamination: for each test-split document, how many of
     * its distinct 3-gram shingles appear anywhere in the train split.
