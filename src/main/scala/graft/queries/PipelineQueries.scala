@@ -1843,7 +1843,13 @@ object PipelineQueries {
     val pq = SimilarityOps.recallAtK("pq",
       SimilarityOps.l2TopK(emb, 64, "vec_id < 8", 3),
       SimilarityOps.pqTopKRerank(emb, 64, 8, 8, "vec_id < 8", 3, 48))
-    ivf.unionByName(pq)
+    // sq8 ranks by code-space cosine, so its truth is the exact cosine
+    // top-k (metric-matched, like ivf's) — the recall gate that prices
+    // the int8 codec's precision loss next to its 16× memory win
+    val sq8 = SimilarityOps.recallAtK("sq8",
+      SimilarityOps.cosineTopK(emb, 64, "vec_id < 8", 3),
+      SimilarityOps.sq8TopK(emb, 64, "vec_id < 8", 3))
+    ivf.unionByName(pq).unionByName(sq8)
   }
 
   /** The BM25 per-term partial score in exact micro-units, shared
@@ -3071,9 +3077,26 @@ object PipelineOracles {
        |r2 AS (SELECT 'pq' AS family, pt.q_id AS q_id, CAST(count(pa.c_id) AS BIGINT) AS hits,
        |              CAST(count(*) AS BIGINT) AS k,
        |              CAST(count(pa.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-       |       FROM pt LEFT JOIN pa ON pa.q_id = pt.q_id AND pa.c_id = pt.c_id GROUP BY 2)
+       |       FROM pt LEFT JOIN pa ON pa.q_id = pt.q_id AND pa.c_id = pt.c_id GROUP BY 2),
+       |$sq8Cte,
+       |n8t AS (SELECT id, SUM(code * code) AS n8 FROM c8 GROUP BY 1),
+       |d8q AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.code * b.code) AS dot8
+       |        FROM c8 a JOIN c8 b ON a.pos = b.pos AND a.id <> b.id
+       |        WHERE a.id < 8 GROUP BY 1, 2),
+       |s8q AS (SELECT q_id, c_id,
+       |          CAST(dot8 AS DOUBLE) / (sqrt(CAST(na.n8 AS DOUBLE)) * sqrt(CAST(nb.n8 AS DOUBLE))) AS cos8
+       |        FROM d8q JOIN n8t na ON na.id = q_id JOIN n8t nb ON nb.id = c_id),
+       |s8 AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos8 DESC, c_id ASC) AS rn FROM s8q)
+       |  WHERE rn <= 3),
+       |bt8 AS (SELECT q_id, c_id FROM bt WHERE q_id < 8),
+       |r3 AS (SELECT 'sq8' AS family, bt8.q_id AS q_id, CAST(count(s8.c_id) AS BIGINT) AS hits,
+       |              CAST(count(*) AS BIGINT) AS k,
+       |              CAST(count(s8.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |       FROM bt8 LEFT JOIN s8 ON s8.q_id = bt8.q_id AND s8.c_id = bt8.c_id GROUP BY 2)
        |SELECT family, q_id, hits, k, recall FROM r1
-       |UNION ALL SELECT family, q_id, hits, k, recall FROM r2""".stripMargin
+       |UNION ALL SELECT family, q_id, hits, k, recall FROM r2
+       |UNION ALL SELECT family, q_id, hits, k, recall FROM r3""".stripMargin
 
   /** Shared BM25 CTE chain (tokenize → tf/dl/df → stats → per-(q,doc)
     * micro-unit scores `g`) — the single statement both [[bm25TopK]] and
