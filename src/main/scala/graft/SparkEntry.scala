@@ -169,6 +169,7 @@ object SparkEntry {
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
     // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
+    "bm25_topk_persist" -> ((s, d) => PipelineQueries.bm25TopKPersist(s, d)),
     "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),

@@ -679,6 +679,15 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "synthetic sources should share at least one shingle")
   }
 
+  test("bm25_topk_persist converges to the from-scratch ranking through persisted state") {
+    val fromScratch = PipelineQueries.bm25TopK(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val persisted = PipelineQueries.bm25TopKPersist(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(persisted == fromScratch && fromScratch.nonEmpty,
+      "persisted-index fold must reproduce the from-scratch scores bit-exactly")
+  }
+
   test("hybrid_rrf: fused ranks restate the two source lists exactly") {
     val lexAll = PipelineQueries.bm25TopK(spark, sf0001, 8, 21)
       .filter("doc_id <> q_id").collect()
