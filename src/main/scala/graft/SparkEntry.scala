@@ -141,6 +141,7 @@ object SparkEntry {
     "nb_confusion"      -> (PipelineQueries.nbConfusion _),
     // classifier-confidence reliability bins (top1-top2 margin vs accuracy)
     "nb_calibration"    -> (PipelineQueries.nbCalibration _),
+    "nb_classify_persist" -> (PipelineQueries.nbClassifyPersist _),
     // cross-source shingle-overlap audit (pairwise shingle-set Jaccard)
     "source_overlap"    -> (PipelineQueries.sourceOverlap _),
     // index-quality gate: recall@3 of IVF vs brute cosine and of

@@ -184,4 +184,30 @@ object IndexState {
     }
     (postingsP, dlP, dfP)
   }
+
+  /** Absolute parquet paths of (priors, dense model) for the trained NB
+    * classifier — the frozen artifact
+    * [[PipelineQueries.nbClassifyPersist]] scores against (train
+    * offline, classify at ingest), computed and persisted on first
+    * use. Bucket count in the names: a model fitted at one feature
+    * geometry can never be served to a scorer hashing at another. */
+  def nbModelPaths(spark: SparkSession, dir: String,
+                   buckets: Int = PipelineQueries.NbBuckets)
+      : (String, String) = synchronized {
+    val root = ClusterState.stateRoot(dir)
+    val priorsP = new File(root, s"nb_priors_b$buckets").getAbsolutePath
+    val modelP = new File(root, s"nb_model_b$buckets").getAbsolutePath
+    val done = new File(root, s"_DONE_nb_b$buckets")
+    if (!ready.contains(done.getAbsolutePath)) {
+      if (!done.exists()) {
+        val priors = PipelineQueries.nbPriors(spark, dir).localCheckpoint()
+        priors.write.mode("overwrite").parquet(priorsP)
+        PipelineQueries.nbModel(spark, dir, buckets, priors)
+          .write.mode("overwrite").parquet(modelP)
+        done.createNewFile()
+      }
+      ready += done.getAbsolutePath
+    }
+    (priorsP, modelP)
+  }
 }

@@ -688,6 +688,15 @@ class PipelineSpec extends SparkSpec {
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
   }
 
+  test("nb_classify_persist converges to the self-contained classifier through the persisted model") {
+    val fromScratch = PipelineQueries.nbClassify(spark, sf0001)
+      .as[(Long, String, String, Long, Boolean)].collect().toSet
+    val persisted = PipelineQueries.nbClassifyPersist(spark, sf0001)
+      .as[(Long, String, String, Long, Boolean)].collect().toSet
+    assert(persisted == fromScratch && fromScratch.nonEmpty,
+      "persisted-model scoring must reproduce the self-contained predictions bit-exactly")
+  }
+
   test("hybrid_rrf: fused ranks restate the two source lists exactly") {
     val lexAll = PipelineQueries.bm25TopK(spark, sf0001, 8, 21)
       .filter("doc_id <> q_id").collect()

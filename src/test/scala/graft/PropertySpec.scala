@@ -406,4 +406,44 @@ class PropertySpec extends SparkSpec {
         s"k=$k: shared ${k + 7}-char run selected no common fingerprint")
     }
   }
+
+  test("property: winnow_fps modular family — arbitrary unicode never throws, reference-exact") {
+    // the out-of-contract path (any code point > 0xFF): same polynomial
+    // reduced mod 1e9+7 over true CODE POINTS — a multilingual doc can
+    // never fail a corpus pass, and the reference recomputation must
+    // agree exactly (including surrogate-pair handling)
+    val M = 1000000007L
+    def naiveMod(s: String, k: Int): Array[Long] = {
+      val cps = s.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m < 8) return null
+      val hs = Array.tabulate(m) { j =>
+        (0 until k).foldLeft(0L)((a, i) => (a * 31L + cps(j + i)) % M)
+      }
+      val seen = scala.collection.mutable.LinkedHashSet[Long]()
+      (0 to m - 8).foreach(i => seen += (i until i + 8).map(hs).min)
+      seen.toArray
+    }
+    val anyCp: Gen[Int] = Gen.oneOf(
+      Gen.choose(32, 126),                 // ascii
+      Gen.choose(0xA0, 0x2FFF),            // BMP beyond latin-1
+      Gen.choose(0x1F300, 0x1F64F))        // astral (surrogate pairs)
+    val genCase = for {
+      k <- Gen.choose(2, 12)
+      n <- Gen.choose(0, 80)
+      cps <- Gen.listOfN(n, anyCp)
+      // force at least one wide code point so the modular family engages
+      wide <- Gen.choose(0x100, 0x10FFF)
+    } yield (k, new String((cps :+ wide).toArray.flatMap(Character.toChars), 0,
+      (cps :+ wide).map(Character.charCount).sum))
+    samples(genCase, 200).foreach { case (k, s) =>
+      val got = graft.functions.WinnowFps.compute(s, k) // must not throw
+      val exp = naiveMod(s, k)
+      assert((got == null) == (exp == null), s"null mismatch k=$k")
+      if (exp != null) {
+        assert(got.toSeq == exp.toSeq, s"modular fps diverge k=$k")
+        assert(got.forall(h => h >= 0L && h < M))
+      }
+    }
+  }
 }
