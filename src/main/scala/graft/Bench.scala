@@ -97,6 +97,7 @@ object Bench {
       graft.queries.ClusterState.fullStatePaths(spark, sfDir)
       graft.queries.IndexState.bm25BasePaths(spark, sfDir)
       graft.queries.IndexState.nbModelPaths(spark, sfDir)
+      graft.queries.IndexState.contamIndexPaths(spark, sfDir)
       graft.ops.ClusterOps.CcStats.drain()
     } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }
     // per-(query, rep) CC fixpoint forensics: variant, round count, and

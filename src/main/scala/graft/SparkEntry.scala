@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_winnow"    -> (PipelineQueries.dedupWinnow _),
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
+    "contamination_persist" -> (PipelineQueries.contaminationPersist _),
     // near-dup decontamination: test docs with a verified train near-dup
     "contamination_near" -> (PipelineQueries.contaminationNear _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),

@@ -210,4 +210,30 @@ object IndexState {
     }
     (priorsP, modelP)
   }
+
+  /** Absolute parquet path of the TRAIN split's distinct shingle-hash
+    * set — the decontamination index
+    * [[PipelineQueries.contaminationPersist]] probes (the eval suite is
+    * fixed; every delivery checks against it), computed and persisted on
+    * first use. */
+  def contamIndexPaths(spark: SparkSession, dir: String): String =
+    synchronized {
+      val root = ClusterState.stateRoot(dir)
+      val idxP = new File(root, "contam_train_sh3").getAbsolutePath
+      val done = new File(root, "_DONE_contam_sh3")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          val train = Tables.documents(spark, dir)
+            .selectExpr("doc_id", "text",
+              s"${PipelineQueries.splitCase} AS split")
+            .filter(org.apache.spark.sql.functions.col("split") === "train")
+          DedupOps.shingleHashes(train, "text", 3)
+            .select("h").distinct()
+            .write.mode("overwrite").parquet(idxP)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      idxP
+    }
 }

@@ -153,12 +153,18 @@ object PipelineQueries {
     * its distinct 3-gram shingles appear anywhere in the train split.
     * Scale shape: ONE semi-join shuffled on the shingle hash — the
     * train-side distinct and the join co-partition; no doc×doc pairing. */
+  /** The 80/10/10 content-hash split as a SQL CASE — one statement for
+    * every split consumer (contamination, its persisted twin's index
+    * builder and prober) so the surfaces cannot disagree on membership. */
+  private[queries] val splitCase: String =
+    s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
+      s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END"
+
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     // the split is a per-row hash — compute it as a carried column inside
     // the one shingle scan instead of joining a second documents pass
     val docs = Tables.documents(spark, dir).selectExpr("doc_id", "text",
-      s"CASE WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 < 8 THEN 'train' " +
-        s"WHEN ${DedupOps.md5Long("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 10 = 8 THEN 'val' ELSE 'test' END AS split")
+      s"$splitCase AS split")
     val sh = DedupOps.shingleHashes(docs, "text", 3, "split")
     // ONE pass over the shingle set (a filtered self-join would shingle the
     // corpus twice — the split filters break subplan reuse): per shingle, a
@@ -173,6 +179,29 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         count(when(col("in_train"), lit(1))).as("n_hit"))
+      .selectExpr("doc_id", "n_sh", "n_hit",
+        "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
+  }
+
+  /** Decontamination against a PERSISTED train-shingle index — the
+    * deployed shape ([[contamination]] proves the semantics, this row
+    * prices it): at 100 TB the benchmark/eval suite is fixed and its
+    * shingle index is built once; every delivery probes it. The train
+    * side's distinct shingle hashes come from parquet
+    * ([[IndexState.contamIndexPaths]] — the ClusterState discipline);
+    * the timed work is the TEST split's shingle explode (the split
+    * filter runs before the explode, so only test docs fan out) + one
+    * semi-join against the index. Converges to [[contamination]]
+    * bit-exactly — the oracle IS contamination's SQL. */
+  def contaminationPersist(spark: SparkSession, dir: String): DataFrame = {
+    val idxP = IndexState.contamIndexPaths(spark, dir)
+    val test = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", s"$splitCase AS split")
+      .filter(col("split") === "test")
+    DedupOps.shingleHashes(test, "text", 3)
+      .join(spark.read.parquet(idxP).withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .selectExpr("doc_id", "n_sh", "n_hit",
         "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
   }
@@ -4408,6 +4437,8 @@ object PipelineOracles {
     "doc_fingerprint" -> docFingerprint,
     "gopher_repetition" -> gopherRepetition,
     "contamination"     -> contamination,
+    // converges to contamination bit-exactly through the persisted index
+    "contamination_persist" -> contamination,
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
     "embed_kmeans"      -> embedKmeans,

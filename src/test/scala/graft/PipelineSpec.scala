@@ -688,6 +688,15 @@ class PipelineSpec extends SparkSpec {
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
   }
 
+  test("contamination_persist converges to the self-contained check through the persisted index") {
+    val fromScratch = PipelineQueries.contamination(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val persisted = PipelineQueries.contaminationPersist(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(persisted == fromScratch && fromScratch.nonEmpty,
+      "persisted-index probe must reproduce the self-contained containments bit-exactly")
+  }
+
   test("nb_classify_persist converges to the self-contained classifier through the persisted model") {
     val fromScratch = PipelineQueries.nbClassify(spark, sf0001)
       .as[(Long, String, String, Long, Boolean)].collect().toSet
