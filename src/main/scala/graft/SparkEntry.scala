@@ -42,6 +42,7 @@ object SparkEntry {
     "retention_cohorts"  -> (BehaviorQueries.retentionCohorts _),
     "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
     "item_pairs"         -> ((s, d) => BehaviorQueries.itemPairs(s, d)),
+    "event_transitions"  -> (BehaviorQueries.eventTransitions _),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "big_spenders"       -> (RelationalQueries.bigSpenders _),
     "inactive_customers" -> (RelationalQueries.inactiveCustomers _),
     "max_order_per_cust" -> (RelationalQueries.maxOrderPerCustomer _),
+    "rfm_segments"      -> (RelationalQueries.rfmSegments _),
     "rollup_revenue"    -> (RelationalQueries.rollupRevenue _),
     // training-data pipeline (dedup / similarity / text analysis)
     "dedup_exact"      -> (PipelineQueries.dedupExact _),

@@ -274,7 +274,22 @@ object BehaviorOracles {
       |       CAST(cnt * 1000000 // total_rows AS BIGINT) AS share_ppm
       |FROM r CROSS JOIN t WHERE rn <= 10""".stripMargin
 
+  /** [[BehaviorQueries.eventTransitions]] restatement: same lead window
+    * ordered by (ts, event_id), same cell aggregation, totals as window
+    * sums over the |types|²-row frame. */
+  val eventTransitions: String =
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |c AS (SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM c""".stripMargin
+
   val all: Map[String, String] = Map(
+    "event_transitions"  -> eventTransitions,
     "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,
     "volume_anomalies"   -> volumeAnomalies,

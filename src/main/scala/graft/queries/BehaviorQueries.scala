@@ -275,6 +275,32 @@ object BehaviorQueries {
         col("n_users").desc, col("item_a").asc, col("item_b").asc)).cast("long"))
   }
 
+  /** Per-user event-type TRANSITION matrix — the first-order Markov view
+    * of behavior (what users do NEXT after each action; the model behind
+    * next-action prediction and funnel-drop diagnosis, complementing the
+    * fixed-sequence [[funnelSteps]]): per user, events ordered by
+    * (ts, event_id — (user, ts) is unique in this corpus, event_id pins
+    * determinism anyway), each consecutive pair counted into a
+    * |types|²-bounded cell frame with per-source totals and exact ppm
+    * transition probabilities. Totals are WINDOW sums over the cell
+    * frame (the nbConfusion discipline — a re-aggregation join would
+    * re-plan the corpus chain per branch). One corpus-sized lead window
+    * + one cell aggregation; everything after is |types|²-sized. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_from", sum(col("n")).over(
+        Window.partitionBy(col("from_type"))))
+      .selectExpr("from_type", "to_type", "n", "n_from",
+        "n * 1000000L div n_from AS p_ppm")
+  }
+
   /** Key-distribution skew profile for a join/aggregation key (user_id
     * here): the top-10 heaviest keys with their parts-per-million share,
     * plus global row/key totals — the pre-flight diagnostic that decides

@@ -155,6 +155,48 @@ object RelationalQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** RFM customer segmentation — the classic commerce cohorting
+    * (recency / frequency / monetary quartiles): per customer the days
+    * since their last order (anchored at the corpus-wide max order date —
+    * a frozen snapshot date, not wall clock), order count, and the exact
+    * cent total (the [[bigSpenders]] DECIMAL→BIGINT idiom). Quartile
+    * scores via ntile(4) with customer-key tie-breaks so both engines
+    * bucket identically (recency ordered DESC — most recent earns 4);
+    * the 'r-f-m' segment label is what a marketing pipeline joins
+    * campaigns against. One orders-keyed aggregation + three window
+    * ntiles over the |customers|-row frame + a 1-row anchor broadcast.
+    *
+    * Scale note: the fact-sized work (the orders scan + aggregation) is
+    * fully distributed; the unpartitioned ntile sorts run over the
+    * DIMENSION-sized per-customer frame (4 narrow columns). Beyond
+    * ~1e8 customers that single-task sort needs the standard two-pass
+    * distributed ranking (range-partitioned sort + per-partition offset)
+    * or approx-percentile cutoffs — the exact ntile is kept here because
+    * the oracle contract demands deterministic equal-fill buckets. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val anchor = ord.agg(max(col("o_orderdate")).as("anchor"))
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        expr("SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))")
+          .as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .selectExpr("o_custkey",
+        "CAST(datediff(anchor, last_order) AS BIGINT) AS recency_days",
+        "frequency", "monetary_cents")
+    perCust
+      .withColumn("r", ntile(4).over(
+        Window.orderBy(col("recency_days").desc, col("o_custkey").asc)).cast("long"))
+      .withColumn("f", ntile(4).over(
+        Window.orderBy(col("frequency").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("m", ntile(4).over(
+        Window.orderBy(col("monetary_cents").asc, col("o_custkey").asc)).cast("long"))
+      .selectExpr("o_custkey", "recency_days", "frequency", "monetary_cents",
+        "r", "f", "m",
+        "concat(CAST(r AS STRING), '-', CAST(f AS STRING), '-', CAST(m AS STRING)) AS segment")
+  }
+
   /** TPC-H Q5-style: revenue per nation for one region/year, customer and
     * supplier in the same nation. All dims broadcast. */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -263,6 +305,29 @@ object RelationalOracles {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY CUBE(c_mktsegment, CAST(year(o_orderdate) AS BIGINT))""".stripMargin
 
+  /** [[RelationalQueries.rfmSegments]] restatement: same anchor, same
+    * exact cent totals, same ntile(4) windows with customer-key
+    * tie-breaks (both engines implement standard SQL NTILE, so equal
+    * bucket fill + a total order ⇒ identical scores). */
+  val rfmSegments: String =
+    """WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+      |pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+      |       FROM orders GROUP BY 1),
+      |rr AS (SELECT o_custkey,
+      |         CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+      |         frequency, monetary_cents
+      |       FROM pc CROSS JOIN a),
+      |q AS (SELECT *,
+      |        CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS BIGINT) AS r,
+      |        CAST(ntile(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f,
+      |        CAST(ntile(4) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS BIGINT) AS m
+      |      FROM rr)
+      |SELECT o_custkey, recency_days, frequency, monetary_cents, r, f, m,
+      |  CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR) AS segment
+      |FROM q""".stripMargin
+
   val all: Map[String, String] = Map(
     "cube_sales"         -> cubeSales,
     "big_spenders"       -> bigSpenders,
@@ -272,6 +337,7 @@ object RelationalOracles {
     "q3_top_orders"     -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
     "q6_forecast"       -> q6Forecast,
+    "rfm_segments"      -> rfmSegments,
     "rollup_revenue"    -> rollupRevenue,
   )
 }

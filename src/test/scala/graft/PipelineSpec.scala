@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.LongHashSet
 import graft.ops.{DedupOps, SimilarityOps}
-import graft.queries.PipelineQueries
+import graft.queries.{BehaviorQueries, PipelineQueries, RelationalQueries}
 import graft.sources.Tables
 
 /** Dedup + similarity operators: unit tests for the custom aggregate's
@@ -686,6 +686,46 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(persisted == fromScratch && fromScratch.nonEmpty,
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
+  }
+
+  test("event_transitions: cells recompose the event stream exactly") {
+    val cells = BehaviorQueries.eventTransitions(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+    val totalTransitions = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(cells.map(_.getAs[Long]("n")).sum == totalTransitions,
+      "every user with k events contributes exactly k-1 transitions")
+    // per-source totals are the window sums over the cell frame
+    cells.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val nf = rows.head.getAs[Long]("n_from")
+      assert(rows.forall(_.getAs[Long]("n_from") == nf))
+      assert(rows.map(_.getAs[Long]("n")).sum == nf)
+      assert(rows.map(_.getAs[Long]("p_ppm")).sum <= 1000000L,
+        "integer-floor probabilities can undershoot but never overshoot 1e6")
+    }
+  }
+
+  test("rfm_segments: quartiles fill evenly and the label restates the scores") {
+    val rows = RelationalQueries.rfmSegments(spark, sf0001).collect()
+    val n = rows.length
+    assert(n == Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count())
+    for (colName <- Seq("r", "f", "m")) {
+      val byScore = rows.groupBy(_.getAs[Long](colName)).view.mapValues(_.length)
+      assert(byScore.keySet == Set(1L, 2L, 3L, 4L))
+      // standard NTILE: bucket sizes differ by at most one
+      assert(byScore.values.max - byScore.values.min <= 1,
+        s"$colName quartiles must fill evenly")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Long]("r")}-${r.getAs[Long]("f")}-${r.getAs[Long]("m")}")
+      assert(r.getAs[Long]("recency_days") >= 0L)
+      assert(r.getAs[Long]("frequency") >= 1L)
+    }
+    // the most recent purchasers carry the TOP recency score
+    val newest = rows.minBy(_.getAs[Long]("recency_days"))
+    assert(newest.getAs[Long]("r") == 4L)
   }
 
   test("contamination_persist converges to the self-contained check through the persisted index") {
