@@ -689,6 +689,20 @@ object StreamingJobs {
     Detectors.funnel(keyed, streaming = true)
   }
 
+  /** Event-type transition increments as a stream: one (user, from, to)
+    * row per finalized consecutive pair; the live transition matrix is
+    * `groupBy(from_type, to_type).count()` over this append stream
+    * (Detectors.transitionIncrements — the streaming twin of
+    * event_transitions). */
+  def transitionStream(spark: SparkSession, dir: String): Dataset[Detectors.TransInc] = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, dir, watermark = "1 hour")
+      .select(col("user_id").as("key"), col("event_type").as("etype"),
+        col("ts").cast("long").as("sec"), col("event_id").as("id"), col("ts"))
+      .as[Detectors.SeqTypeEvent]
+    Detectors.transitionIncrements(keyed, streaming = true)
+  }
+
   /** Retention cohort cells as a stream: each (user, cohort_week,
     * week_offset) emitted once when finalized; the cohort triangle is
     * `groupBy(cohort_week, week_offset).count()` over this append stream

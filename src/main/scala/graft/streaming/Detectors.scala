@@ -496,6 +496,57 @@ object Detectors {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
+  /** Bare typed event for the transition fold. */
+  case class SeqTypeEvent(key: Long, etype: String, sec: Long, id: Long)
+
+  /** One observed consecutive-pair increment; the transition matrix is
+    * `groupBy(from_type, to_type).count()` over the append stream. */
+  case class TransInc(user_id: Long, from_type: String, to_type: String)
+
+  /** Buffered in-horizon events + the last drained type ("" = none). */
+  case class TransState(pending: Seq[SeqTypeEvent], last: String)
+
+  /** Streaming twin of BehaviorQueries.eventTransitions, one level down:
+    * emits one (user, from, to) increment per consecutive event pair as
+    * the watermark finalizes each event, draining the in-horizon buffer
+    * in event-time order (the [[funnel]] discipline) so the pair
+    * sequence equals the batch lead-window's. Counting the increments
+    * reproduces the batch cell frame exactly.
+    *
+    * State per user: the in-horizon buffer + ONE string (the last
+    * finalized event type) — O(watermark horizon), not O(lifetime). */
+  def transitionIncrements(events: Dataset[SeqTypeEvent],
+                           streaming: Boolean): Dataset[TransInc] = {
+    implicit val outEnc = Encoders.product[TransInc]
+    implicit val stEnc = Encoders.product[TransState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[SeqTypeEvent],
+                state: GroupState[TransState]): Iterator[TransInc] = {
+      val st = state.getOption.getOrElse(TransState(Nil, ""))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.id))
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var last = st.last
+      val out = scala.collection.mutable.ArrayBuffer[TransInc]()
+      ready.foreach { e =>
+        if (last.nonEmpty) out += TransInc(key, last, e.etype)
+        last = e.etype
+      }
+      state.update(TransState(rest, last))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
   /** Bare (user, event-seconds) for retention cohort tracking. */
   case class WeekEvent(key: Long, sec: Long)
 
