@@ -89,6 +89,16 @@ object PlanCheck {
       s"pagerank round plan must be constant-size (iters=3: $pr3 lines, iters=9: $pr9)")
     println(s"OK: plan is $pr3 lines at iters=3 and iters=9")
 
+    // the secret scanner's stateless contract (streams depend on it):
+    // regex candidates + in-row entropy — no exchange anywhere
+    println("\n========== secret_scan (stateless per-row scan) ==========")
+    val ssPlan = SparkEntry.queries("secret_scan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    require(!ssPlan.contains("Exchange"),
+      "secret_scan must stay a zero-shuffle per-row scan (its streaming " +
+        "deployment plans the SAME stateless query)")
+    println("OK: no Exchange in secret_scan plan")
+
     // rate-mode sampling is a stateless filter — no exchange anywhere
     println("\n========== hashRateSample (stateless filter) ==========")
     val rsPlan = graft.ops.SamplingOps.hashRateSample(
