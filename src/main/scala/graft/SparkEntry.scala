@@ -131,6 +131,7 @@ object SparkEntry {
     "bpe_encode"        -> (PipelineQueries.bpeEncode _),
     // BPE apply x language ID: per-language fertility/compression ratios
     "tok_fertility"     -> (PipelineQueries.tokFertility _),
+    "tok_compression"   -> (PipelineQueries.tokCompression _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

@@ -2235,6 +2235,27 @@ object PipelineQueries {
         "n_tokens * 1000000L div n_words AS fertility_micro",
         "n_chars * 1000000L div n_tokens AS compression_micro")
 
+  /** Tokenizer compression by delivery SOURCE — the sourcing-side twin
+    * of [[tokFertility]] (fertility slices by language for fairness;
+    * this slices by feed for procurement): per source the corpus-summed
+    * word/subword/char counts from the BPE apply and the exact integer
+    * micro-ratios. A feed whose chars-per-token runs hot against the
+    * corpus is tokenizer-out-of-distribution — its text costs more
+    * sequence budget per byte, the signal that sends a source to
+    * re-weighting ([[domainMix]]) or tokenizer retraining before a
+    * token budget is fixed. Same cost shape as tok_fertility: the
+    * bpeEncode pass + a |sources|-row aggregation (the source column
+    * rides the documents scan — no second text pass). */
+  def tokCompression(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+      .selectExpr("source", "n_docs", "n_words", "n_tokens", "n_chars",
+        "n_tokens * 1000000L div n_words AS fertility_micro",
+        "n_chars * 1000000L div n_tokens AS compression_micro")
+
   /** Hashed-feature space of the Naive-Bayes classifier (shared with the
     * oracle and the frozen-model scorer). */
   val NbBuckets: Int = 1024
@@ -3343,6 +3364,26 @@ object PipelineOracles {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        |       CAST(SUM(length(word)) AS BIGINT) AS n_chars
        |FROM dw JOIN seg USING (word) GROUP BY 1""".stripMargin
+  }
+
+  /** [[PipelineQueries.tokCompression]] restatement: the bpeEncode chain
+    * joined to the document→source map, per-source sums and the same
+    * exact micro-ratios as tokFertility. */
+  val tokCompression: String = {
+    val rounds = PipelineQueries.BpeRounds
+    s"""WITH ${bpeChain(rounds)},
+       |seg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM s$rounds GROUP BY 1),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |               CAST(SUM(length(word)) AS BIGINT) AS n_chars
+       |        FROM dw JOIN seg USING (word) GROUP BY 1),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT) AS fertility_micro,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT) AS compression_micro
+       |FROM enc JOIN src USING (doc_id) GROUP BY 1""".stripMargin
   }
 
   val docFingerprint: String =
@@ -4456,6 +4497,7 @@ object PipelineOracles {
     "bpe_learn"         -> bpeLearn,
     "bpe_encode"        -> bpeEncode,
     "tok_fertility"     -> tokFertility,
+    "tok_compression"   -> tokCompression,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,

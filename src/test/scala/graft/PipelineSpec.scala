@@ -688,6 +688,24 @@ class PipelineSpec extends SparkSpec {
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
   }
 
+  test("tok_compression: source rows recompose the corpus encode exactly") {
+    val rows = PipelineQueries.tokCompression(spark, sf0001).collect()
+    val enc = PipelineQueries.bpeEncode(spark, sf0001)
+      .agg(sum(col("n_words")), sum(col("n_tokens")), sum(col("n_chars")))
+      .as[(Long, Long, Long)].head()
+    assert(rows.map(_.getAs[Long]("n_words")).sum == enc._1)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == enc._2)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum == enc._3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_micro") ==
+        r.getAs[Long]("n_tokens") * 1000000L / r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("compression_micro") ==
+        r.getAs[Long]("n_chars") * 1000000L / r.getAs[Long]("n_tokens"))
+      // BPE at 10 merges can only SPLIT words into >= 1 token each
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("event_transitions: cells recompose the event stream exactly") {
     val cells = BehaviorQueries.eventTransitions(spark, sf0001).collect()
     val ev = Tables.events(spark, sf0001)
