@@ -176,6 +176,7 @@ object SparkEntry {
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
     "bm25_topk_persist" -> ((s, d) => PipelineQueries.bm25TopKPersist(s, d)),
     "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
+    "hybrid_rrf_persist" -> ((s, d) => PipelineQueries.hybridRrfPersist(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)

@@ -35,20 +35,25 @@ object SimilarityOps {
     emb
   }
 
-  /** (vec_id, qvec, norm2) — the scored corpus representation. */
-  private def quantVecs(emb: DataFrame): DataFrame =
+  /** (vec_id, qvec, norm2) — the scored corpus representation, public as
+    * the SERVING form a vector store persists: the quantization is
+    * per-row deterministic, so vectors ingested offline
+    * ([[graft.queries.IndexState.denseStorePaths]]) and vectors encoded
+    * at delivery time land in the identical representation and any
+    * ranking over their union is bit-equal to a from-scratch encode. */
+  def quantStore(emb: DataFrame): DataFrame =
     registered(emb)
       .selectExpr("vec_id", s"$qvecExpr AS qvec")
       .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2")
 
-  /** Brute-force cosine top-k of `emb` for the query vectors `queryPred`
-    * selects. Output: q_id, c_id, cos, rn. */
-  def cosineTopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
-    val vecs = quantVecs(emb)
-    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
-      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
-    val cs = vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc")
-    cs.crossJoin(broadcast(qs))
+  private def quantVecs(emb: DataFrame): DataFrame = quantStore(emb)
+
+  /** The scoring+rank stage shared by [[cosineTopK]] and
+    * [[cosineTopKOfVecs]] — one body, so the from-scratch and
+    * prepared-store rankings cannot drift. `qs` carries (q_id, qq, nq). */
+  private def cosineRank(vecs: DataFrame, qs: DataFrame, k: Int): DataFrame =
+    vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc")
+      .crossJoin(broadcast(qs))
       .filter(col("q_id") =!= col("c_id"))
       .selectExpr("q_id", "c_id", "nq", "nc", "ldot(qq, qc) AS dot")
       .withColumn("cos", col("dot").cast("double") /
@@ -57,6 +62,25 @@ object SimilarityOps {
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cos", "rn")
+
+  /** Brute-force cosine top-k of `emb` for the query vectors `queryPred`
+    * selects. Output: q_id, c_id, cos, rn. */
+  def cosineTopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
+    val vecs = quantVecs(emb)
+    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
+    cosineRank(vecs, qs, k)
+  }
+
+  /** Brute cosine top-k over an ALREADY-PREPARED (vec_id, qvec, norm2)
+    * frame — the serving-path twin of [[cosineTopK]] for a persisted
+    * store folded with a delivery. `queryPred` must reference only the
+    * store columns (vec_id in practice). */
+  def cosineTopKOfVecs(vecs: DataFrame, queryPred: String, k: Int): DataFrame = {
+    graft.functions.QuantizedDot.register(vecs.sparkSession)
+    val qs = vecs.filter(expr(queryPred))
+      .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
+    cosineRank(vecs, qs, k)
   }
 
   /** Deterministic hyperplane weights for (plane j ∈ [0,nPlanes), dim

@@ -211,6 +211,34 @@ object IndexState {
     (priorsP, modelP)
   }
 
+  /** Absolute parquet path of the BASE split's quantized vector store —
+    * (vec_id, qvec, norm2), [[graft.ops.SimilarityOps.quantStore]]'s
+    * serving form for vec_id % `mod` != 0 — the dense artifact
+    * [[PipelineQueries.hybridRrfPersist]] folds a delivery into. The
+    * quantization is per-row deterministic, so store + delivery-encode
+    * reproduce a from-scratch encode bit-exactly. Same staleness
+    * contract as the rest of the state family (fingerprint-keyed root;
+    * the test corpora regenerate documents and embeddings together, so
+    * the documents fingerprint covers both). */
+  def denseStorePaths(spark: SparkSession, dir: String,
+                      mod: Int = ClusterState.PersistDeliveryMod): String =
+    synchronized {
+      val root = ClusterState.stateRoot(dir)
+      val storeP = new File(root, s"dense_store_m$mod").getAbsolutePath
+      val done = new File(root, s"_DONE_dense_m$mod")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          val base = Tables.embeddings(spark, dir)
+            .filter(org.apache.spark.sql.functions.expr(s"vec_id % $mod != 0"))
+          graft.ops.SimilarityOps.quantStore(base)
+            .write.mode("overwrite").parquet(storeP)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      storeP
+    }
+
   /** Absolute parquet path of the TRAIN split's distinct shingle-hash
     * set — the decontamination index
     * [[PipelineQueries.contaminationPersist]] probes (the eval suite is

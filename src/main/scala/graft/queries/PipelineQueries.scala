@@ -1973,6 +1973,16 @@ object PipelineQueries {
     * bm25_topk's SQL. */
   def bm25TopKPersist(spark: SparkSession, dir: String, nQ: Int = 8,
                       kTop: Int = 5): DataFrame = {
+    val (tfq, dl, dft, stats) = bm25FoldedIndex(spark, dir)
+    bm25Rank(tfq, dl, dft, stats, nQ, kTop)
+  }
+
+  /** The persisted base index folded with the delivery — the
+    * (postings, dl, df, stats) quadruple [[bm25TopKPersist]] ranks over,
+    * shared with [[hybridRrfPersist]]'s lexical side so the two
+    * serving-path rankings cannot drift. */
+  private def bm25FoldedIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (postingsP, dlP, dfP) = IndexState.bm25BasePaths(spark, dir)
     val mod = ClusterState.PersistDeliveryMod
     val dTfq = bm25Postings(Tables.documents(spark, dir)
@@ -1984,7 +1994,7 @@ object PipelineQueries {
       .unionByName(dTfq.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    bm25Rank(tfq, dl, dft, stats, nQ, kTop)
+    (tfq, dl, dft, stats)
   }
 
   /** HYBRID retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
@@ -2008,16 +2018,27 @@ object PipelineQueries {
     * corpus. */
   def hybridRrf(spark: SparkSession, dir: String, nQ: Int = 8,
                 kIn: Int = 20, kTop: Int = 5): DataFrame = {
-    val lex = bm25TopK(spark, dir, nQ, kIn + 1)
-      .filter(col("doc_id") =!= col("q_id"))
+    val lex = rrfLexRank(bm25TopK(spark, dir, nQ, kIn + 1), kIn)
+    val dns = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, dir), 64, s"vec_id < $nQ", kIn)
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+    rrfFuse(lex, dns, kTop)
+  }
+
+  /** Non-self lexical rank at `kIn` over a BM25 ranking taken at kIn+1
+    * (at most one self row can drop) — shared by [[hybridRrf]] and
+    * [[hybridRrfPersist]] so the two fusions cannot drift. */
+  private def rrfLexRank(bm25: DataFrame, kIn: Int): DataFrame =
+    bm25.filter(col("doc_id") =!= col("q_id"))
       .withColumn("rank_lex", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rank_lex") <= kIn)
       .select("q_id", "doc_id", "rank_lex")
-    val dns = SimilarityOps.cosineTopK(
-        Tables.embeddings(spark, dir), 64, s"vec_id < $nQ", kIn)
-      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+
+  /** The RRF fusion stage — full-outer rank union, integer
+    * `1e6 div (60 + rank)` terms, −1 sentinels, (score, doc_id) top-k. */
+  private def rrfFuse(lex: DataFrame, dns: DataFrame, kTop: Int): DataFrame =
     lex.join(dns, Seq("q_id", "doc_id"), "full_outer")
       .selectExpr("q_id", "doc_id",
         "coalesce(1000000L div (60 + rank_lex), 0L)" +
@@ -2029,6 +2050,32 @@ object PipelineQueries {
           .orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rn") <= kTop)
       .select("q_id", "doc_id", "rank_lex", "rank_dense", "rrf_micro", "rn")
+
+  /** Hybrid RRF retrieval over PERSISTED serving state — the production
+    * RAG shape [[hybridRrf]] proves the ranking of: the lexical side
+    * ranks over the persisted BM25 inverted index folded with the
+    * delivery ([[bm25FoldedIndex]] — the bm25_topk_persist machinery),
+    * and the dense side ranks over the persisted quantized vector store
+    * ([[IndexState.denseStorePaths]]) unioned with the delivery's
+    * vectors encoded at probe time ([[SimilarityOps.quantStore]] — the
+    * identical per-row deterministic representation, so the union IS the
+    * from-scratch encode). Timed work per run: the delivery-sized
+    * tokenize + index fold, the delivery-sized vector encode, the two
+    * bounded retrieval stacks, and the nQ×20-row fusion. Converges to
+    * the self-contained [[hybridRrf]] BIT-EXACTLY — the oracle IS
+    * hybrid_rrf's SQL. */
+  def hybridRrfPersist(spark: SparkSession, dir: String, nQ: Int = 8,
+                       kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    val (tfq, dl, dft, stats) = bm25FoldedIndex(spark, dir)
+    val lex = rrfLexRank(bm25Rank(tfq, dl, dft, stats, nQ, kIn + 1), kIn)
+    val mod = ClusterState.PersistDeliveryMod
+    val store = spark.read.parquet(IndexState.denseStorePaths(spark, dir))
+    val delivery = SimilarityOps.quantStore(
+      Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
+    val dns = SimilarityOps.cosineTopKOfVecs(
+        store.unionByName(delivery), s"vec_id < $nQ", kIn)
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+    rrfFuse(lex, dns, kTop)
   }
 
   /** The two SoftDedup micro-unit statements, shared textually between
@@ -4528,6 +4575,8 @@ object PipelineOracles {
     // converges to the from-scratch ranking bit-exactly through the
     // persisted index — the oracle IS bm25_topk's SQL
     "bm25_topk_persist" -> bm25TopK,
+    // persisted serving state — the oracle IS hybrid_rrf's SQL
+    "hybrid_rrf_persist" -> hybridRrf,
     "hybrid_rrf" -> hybridRrf,
     "embed_sq8" -> embedSq8,
     "sq8_topk" -> sq8TopK,

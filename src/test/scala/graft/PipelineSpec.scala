@@ -688,6 +688,15 @@ class PipelineSpec extends SparkSpec {
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
   }
 
+  test("hybrid_rrf_persist converges to the self-contained fusion through persisted serving state") {
+    val fromScratch = PipelineQueries.hybridRrf(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val persisted = PipelineQueries.hybridRrfPersist(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(persisted == fromScratch && fromScratch.nonEmpty,
+      "persisted-store fusion must reproduce the self-contained ranking bit-exactly")
+  }
+
   test("tok_compression: source rows recompose the corpus encode exactly") {
     val rows = PipelineQueries.tokCompression(spark, sf0001).collect()
     val enc = PipelineQueries.bpeEncode(spark, sf0001)
