@@ -43,6 +43,8 @@ object SparkEntry {
     "volume_anomalies"   -> (BehaviorQueries.volumeAnomalies _),
     "item_pairs"         -> ((s, d) => BehaviorQueries.itemPairs(s, d)),
     "event_transitions"  -> (BehaviorQueries.eventTransitions _),
+    "event_paths"        -> (BehaviorQueries.eventPaths _),
+    "transition_drift"   -> (BehaviorQueries.transitionDrift _),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),

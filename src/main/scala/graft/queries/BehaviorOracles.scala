@@ -288,7 +288,44 @@ object BehaviorOracles {
       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
       |FROM c""".stripMargin
 
+  /** [[BehaviorQueries.eventPaths]] restatement: the same (ts, event_id)
+    * order carrying both leads, the trigram cell aggregation, context
+    * totals as window sums over the |types|³ frame. */
+  val eventPaths: String =
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mid_type,
+      |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |c AS (SELECT event_type AS from_type, mid_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT from_type, mid_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type, mid_type) AS BIGINT) AS n_ctx,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type, mid_type) AS BIGINT) AS p_ppm
+      |FROM c""".stripMargin
+
+  /** [[BehaviorQueries.transitionDrift]] restatement: one lead window,
+    * conditional per-half cell sums, whole-frame totals as `OVER ()`
+    * window sums, the same integer-ppm drift arithmetic. */
+  val transitionDrift: String =
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |c AS (SELECT event_type AS from_type, to_type,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, to_type, n_ref, n_cur,
+      |        SUM(n_ref) OVER () AS t_ref, SUM(n_cur) OVER () AS t_cur
+      |      FROM c)
+      |SELECT from_type, to_type, n_ref, n_cur,
+      |  CAST(n_ref * 1000000 // t_ref AS BIGINT) AS ref_ppm,
+      |  CAST(n_cur * 1000000 // t_cur AS BIGINT) AS cur_ppm,
+      |  CAST(abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur) AS BIGINT) AS drift_ppm
+      |FROM t""".stripMargin
+
   val all: Map[String, String] = Map(
+    "event_paths"        -> eventPaths,
+    "transition_drift"   -> transitionDrift,
     "event_transitions"  -> eventTransitions,
     "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,

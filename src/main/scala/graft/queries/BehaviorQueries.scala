@@ -301,6 +301,66 @@ object BehaviorQueries {
         "n * 1000000L div n_from AS p_ppm")
   }
 
+  /** SECOND-order event-type transitions — the trigram-path view
+    * ([[eventTransitions]] is first-order): per user, events ordered by
+    * (ts, event_id); each consecutive TRIPLE (a → b → c) counted into a
+    * |types|³-bounded cell frame keyed by the (a, b) context pair, with
+    * per-context totals and exact ppm continuation probabilities. This
+    * is the next-action model conditioned on the last TWO actions — the
+    * view that separates "cart after view" from "cart after view-view"
+    * loops a first-order matrix conflates. Both leads ride ONE window
+    * sort (same partition/order spec → one Window node); totals are
+    * WINDOW sums over the cell frame (the nbConfusion discipline).
+    * Cost: one corpus lead window + one cell aggregation; everything
+    * downstream is |types|³-sized. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 2).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("mid_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_ctx", sum(col("n")).over(
+        Window.partitionBy(col("from_type"), col("mid_type"))))
+      .selectExpr("from_type", "mid_type", "to_type", "n", "n_ctx",
+        "n * 1000000L div n_ctx AS p_ppm")
+  }
+
+  /** Transition-distribution DRIFT monitor — [[eventTransitions]]'s
+    * matrix compared between the reference user half (user_id % 2 = 0 —
+    * the last-snapshot population) and the current half: per (from, to)
+    * cell, counts and exact ppm shares of each half's total transition
+    * mass with the absolute drift — the behavioral-mix gate a product
+    * team reads next to kmeans_drift/quality_drift (embedding drift,
+    * quality drift and BEHAVIOR drift catch different regressions).
+    * Splitting by USER keeps every sequence intact in exactly one half,
+    * so each half's matrix is a true transition distribution. ONE corpus
+    * lead window + one cell aggregation with conditional half sums (the
+    * qualityDrift pattern); the whole-frame totals are window sums over
+    * the |types|²-row cell frame (bounded — the documented
+    * dimension-frame sort). */
+  def transitionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(sum(expr("CASE WHEN user_id % 2 = 0 THEN 1L ELSE 0L END")).as("n_ref"),
+        sum(expr("CASE WHEN user_id % 2 = 1 THEN 1L ELSE 0L END")).as("n_cur"))
+    val tot = Window.partitionBy(lit(1))
+    cells
+      .withColumn("t_ref", sum(col("n_ref")).over(tot))
+      .withColumn("t_cur", sum(col("n_cur")).over(tot))
+      .selectExpr("from_type", "to_type", "n_ref", "n_cur",
+        "n_ref * 1000000L div t_ref AS ref_ppm",
+        "n_cur * 1000000L div t_cur AS cur_ppm",
+        "abs(n_ref * 1000000L div t_ref - n_cur * 1000000L div t_cur) AS drift_ppm")
+  }
+
   /** Key-distribution skew profile for a join/aggregation key (user_id
     * here): the top-10 heaviest keys with their parts-per-million share,
     * plus global row/key totals — the pre-flight diagnostic that decides

@@ -732,6 +732,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("event_paths: trigram cells recompose the stream and marginalize onto the bigram matrix") {
+    val tri = BehaviorQueries.eventPaths(spark, sf0001).collect()
+    val userLens = Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect().map(_.getAs[Long]("count"))
+    assert(tri.map(_.getAs[Long]("n")).sum ==
+      userLens.map(c => math.max(c - 2L, 0L)).sum,
+      "every user with k events contributes exactly k-2 trigrams")
+    // context totals are the window sums over the trigram frame
+    tri.groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("mid_type")))
+      .foreach { case (_, rows) =>
+        val nc = rows.head.getAs[Long]("n_ctx")
+        assert(rows.forall(_.getAs[Long]("n_ctx") == nc))
+        assert(rows.map(_.getAs[Long]("n")).sum == nc)
+        assert(rows.map(_.getAs[Long]("p_ppm")).sum <= 1000000L)
+      }
+    // each trigram (a,b,c) implies a bigram (a,b) that is not the user's
+    // last transition, so the context marginal never exceeds the
+    // first-order cell
+    val bi = BehaviorQueries.eventTransitions(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    tri.groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("mid_type")))
+      .foreach { case (ctx, rows) =>
+        assert(rows.map(_.getAs[Long]("n")).sum <= bi.getOrElse(ctx, 0L),
+          s"trigram context marginal for $ctx must not exceed the bigram cell")
+      }
+  }
+
+  test("transition_drift: the user halves partition the first-order transition mass exactly") {
+    val drift = BehaviorQueries.transitionDrift(spark, sf0001).collect()
+    val bi = BehaviorQueries.eventTransitions(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(drift.nonEmpty)
+    drift.foreach { r =>
+      val cell = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") == bi(cell),
+        s"halves must partition cell $cell")
+    }
+    val tRef = drift.map(_.getAs[Long]("n_ref")).sum
+    val tCur = drift.map(_.getAs[Long]("n_cur")).sum
+    drift.foreach { r =>
+      assert(r.getAs[Long]("ref_ppm") == r.getAs[Long]("n_ref") * 1000000L / tRef)
+      assert(r.getAs[Long]("cur_ppm") == r.getAs[Long]("n_cur") * 1000000L / tCur)
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("ref_ppm") - r.getAs[Long]("cur_ppm")))
+    }
+  }
+
   test("rfm_segments: quartiles fill evenly and the label restates the scores") {
     val rows = RelationalQueries.rfmSegments(spark, sf0001).collect()
     val n = rows.length
