@@ -134,6 +134,12 @@ object SparkEntry {
     // BPE apply x language ID: per-language fertility/compression ratios
     "tok_fertility"     -> (PipelineQueries.tokFertility _),
     "tok_compression"   -> (PipelineQueries.tokCompression _),
+    // unigram-LM tokenizer (Kudo 2018): seed-candidate substring ranking,
+    // hard-EM training in integer micro-nats, and the corpus apply —
+    // the likelihood-pruning complement to the BPE merge family
+    "uni_seed"          -> (PipelineQueries.uniSeed _),
+    "uni_learn"         -> (PipelineQueries.uniLearn _),
+    "uni_encode"        -> (PipelineQueries.uniEncode _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

@@ -2303,6 +2303,64 @@ object PipelineQueries {
         "n_tokens * 1000000L div n_words AS fertility_micro",
         "n_chars * 1000000L div n_tokens AS compression_micro")
 
+  /** Unigram-LM word table: corpus word frequencies, with words longer
+    * than [[graft.ops.UnigramOps.MaxWordLen]] routed around the subword
+    * model (the documented length filter, mirrored by the oracle). */
+  private def uniVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .filter(length(col("word")) <= graft.ops.UnigramOps.MaxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Unigram-LM seed-candidate statistics — the substring ranking the
+    * tokenizer's seed inventory consumes ([[graft.ops.UnigramOps]] —
+    * Kudo 2018), the single-stage twin of [[bpePairs]]: freq-weighted
+    * counts of every 2..4-char substring over the VOCABULARY (never the
+    * corpus), global top-50 by (count DESC, piece ASC) via orderBy+limit
+    * = TakeOrderedAndProject. */
+  def uniSeed(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.UnigramOps.substrings(uniVocab(spark, dir))
+      .filter(length(col("piece")) > 1)
+      .groupBy("piece")
+      .agg(sum(col("freq")).as("cnt"), count(lit(1)).as("n_forms"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(50)
+
+  /** Unigram-LM tokenizer TRAINING ([[graft.ops.UnigramOps]] — Kudo,
+    * ACL 2018): the trained piece inventory (piece, cnt, score_micro)
+    * after [[graft.ops.UnigramOps.EmRounds]] hard-EM rounds — seeded
+    * from substring counts, Viterbi-segmented, pruned and Laplace-
+    * rescored in integer micro-nats. The likelihood-pruning complement
+    * to [[bpeLearn]]'s greedy merge growth. Corpus-sized work is ONE
+    * word-count aggregation; every EM round is a vocabulary-sized
+    * narrow scan under a broadcast score map, and every collect is
+    * model-sized (bounded by |alphabet| + SeedMulti). The oracle
+    * restates each round as a position-unrolled integer DP (one CTE
+    * per position, MAX-path forward, longest-piece backtrack). */
+  def uniLearn(spark: SparkSession, dir: String): DataFrame = {
+    val (model, _) = graft.ops.UnigramOps.train(uniVocab(spark, dir))
+    spark.createDataFrame(model).toDF("piece", "cnt", "score_micro")
+  }
+
+  /** Unigram tokenizer APPLY over the corpus — [[bpeEncode]]'s twin
+    * under the trained unigram model: the vocabulary is Viterbi-
+    * segmented under the final scores ([[graft.ops.UnigramOps
+    * .segmentCounts]]), and each document's piece count is the
+    * freq-weighted sum of its words' counts via one broadcast word
+    * join — the corpus never pays the DP. Output per doc: word count,
+    * unigram piece count, char count (words ≤ MaxWordLen only, the
+    * same routing filter as training — mirrored in the oracle). */
+  def uniEncode(spark: SparkSession, dir: String): DataFrame = {
+    val seg = graft.ops.UnigramOps.segmentCounts(uniVocab(spark, dir))
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .filter(length(col("word")) <= graft.ops.UnigramOps.MaxWordLen)
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+  }
+
   /** Hashed-feature space of the Naive-Bayes classifier (shared with the
     * oracle and the frozen-model scorer). */
   val NbBuckets: Int = 1024
@@ -3433,6 +3491,122 @@ object PipelineOracles {
        |FROM enc JOIN src USING (doc_id) GROUP BY 1""".stripMargin
   }
 
+  // ---- unigram-LM tokenizer (UnigramOps — Kudo 2018) ----
+  // The oracle restates each hard-EM round as a position-unrolled
+  // INTEGER dynamic program: scores are micro-nat BIGINTs (the one
+  // round(1e6·ln(·)) per piece), so the forward MAX-path blocks and the
+  // longest-piece backtrack blocks below are exact integer arithmetic —
+  // bit-identical to UnigramOps.segment by construction. One CTE per
+  // word position, bounded by the documented MaxWordLen contract.
+  private val UniP = graft.ops.UnigramOps.MaxPieceLen
+  private val UniW = graft.ops.UnigramOps.MaxWordLen
+  private val UniK = graft.ops.UnigramOps.SeedMulti
+
+  /** Forward Viterbi blocks for DP `r` under score table `sc`:
+    * f{r}p{p}.best = max path score reaching position p. */
+  private def uniFwd(r: Int, sc: String): Seq[String] =
+    s"f${r}p0 AS (SELECT word, CAST(0 AS BIGINT) AS best FROM w0)" +:
+      (1 to UniW).map { p =>
+        val arms = (1 to math.min(UniP, p)).map { k =>
+          s"SELECT f.word AS word, f.best + s.s AS cand FROM f${r}p${p - k} f " +
+            s"JOIN $sc s ON s.piece = substr(f.word, ${p - k + 1}, $k) " +
+            s"WHERE length(f.word) >= $p"
+        }
+        s"f${r}p$p AS MATERIALIZED (SELECT word, MAX(cand) AS best " +
+          s"FROM (${arms.mkString(" UNION ALL ")}) GROUP BY word)"
+      }
+
+  /** Backtrack blocks for DP `r`: descending positions; o{r}p{p} = words
+    * whose Viterbi path visits position p (their length is p, or a later
+    * on-path position chose p as predecessor); c{r}p{p}.kp = the LONGEST
+    * piece length achieving the forward max there (the pinned tie-break).
+    * pk{r} = every (word, piece) on the path. */
+  private def uniBwd(r: Int, sc: String): Seq[String] = {
+    val blocks = (UniW to 1 by -1).flatMap { p =>
+      val on = s"SELECT word FROM w0 WHERE length(word) = $p" +:
+        (p + 1 to math.min(p + UniP, UniW)).map(q =>
+          s"SELECT word FROM c${r}p$q WHERE $q - kp = $p")
+      val arms = (1 to math.min(UniP, p)).map { k =>
+        s"SELECT o.word AS word, $k AS k FROM o${r}p$p o " +
+          s"JOIN f${r}p${p - k} fb ON fb.word = o.word " +
+          s"JOIN f${r}p$p fp ON fp.word = o.word " +
+          s"JOIN $sc s ON s.piece = substr(o.word, ${p - k + 1}, $k) " +
+          "WHERE fb.best + s.s = fp.best"
+      }
+      Seq(s"o${r}p$p AS MATERIALIZED (${on.mkString(" UNION ALL ")})",
+        s"c${r}p$p AS MATERIALIZED (SELECT word, MAX(k) AS kp " +
+          s"FROM (${arms.mkString(" UNION ALL ")}) GROUP BY word)")
+    }
+    val picks = (1 to UniW).map(p =>
+      s"SELECT word, substr(word, $p - kp + 1, kp) AS piece FROM c${r}p$p")
+    blocks :+ s"pk$r AS (SELECT word, piece FROM (${picks.mkString(" UNION ALL ")}))"
+  }
+
+  /** One hard-EM round: forward + backtrack under the previous scores,
+    * Viterbi recount, zero-count multi-char prune (chars kept), Laplace
+    * rescore — sc{r} is the round's (piece, cnt, s) model. */
+  private def uniRound(r: Int): Seq[String] = {
+    val sc = s"sc${r - 1}"
+    uniFwd(r, sc) ++ uniBwd(r, sc) ++ Seq(
+      s"ct$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM pk$r JOIN w0 USING (word) GROUP BY 1)",
+      s"v$r AS (SELECT s.piece AS piece, coalesce(c.cnt, 0) AS cnt FROM $sc s LEFT JOIN ct$r c USING (piece) " +
+        "WHERE length(s.piece) = 1 OR coalesce(c.cnt, 0) > 0)",
+      s"sc$r AS MATERIALIZED (SELECT piece, cnt, CAST(round(1000000.0 * ln(CAST(cnt + 1 AS DOUBLE) / " +
+        s"CAST((SELECT SUM(cnt) FROM v$r) + (SELECT COUNT(*) FROM v$r) AS DOUBLE))) AS BIGINT) AS s FROM v$r)")
+  }
+
+  /** Word table (the MaxWordLen routing filter) — shared prefix. */
+  private val uniW0: String =
+    s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
+       |  WHERE length(word) <= $UniW GROUP BY 1)""".stripMargin
+
+  /** Seed inventory: every single char + top-UniK multi-char substrings
+    * by (cnt DESC, piece ASC); sc0 = micro-nat seed scores. */
+  private val uniSeedChain: Seq[String] = Seq(
+    uniW0,
+    s"""sub AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT w0.freq AS freq, substr(w0.word, i.i, k.k) AS piece
+       |  FROM w0, generate_series(1, $UniP) AS k(k), generate_series(1, $UniW) AS i(i)
+       |  WHERE i.i + k.k - 1 <= length(w0.word)) GROUP BY 1)""".stripMargin,
+    s"mc AS (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniK)",
+    "sel0 AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1 UNION ALL SELECT piece, cnt FROM mc)",
+    "sc0 AS MATERIALIZED (SELECT piece, CAST(round(1000000.0 * ln(CAST(cnt AS DOUBLE) / " +
+      "CAST((SELECT SUM(cnt) FROM sel0) AS DOUBLE))) AS BIGINT) AS s FROM sel0)")
+
+  /** The trained chain through the final EM round's model sc{EmRounds}. */
+  private def uniChain: Seq[String] =
+    uniSeedChain ++ (1 to graft.ops.UnigramOps.EmRounds).flatMap(uniRound)
+
+  val uniSeed: String =
+    s"""WITH $uniW0
+       |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS n_forms FROM (
+       |  SELECT w0.freq AS freq, substr(w0.word, i.i, k.k) AS piece
+       |  FROM w0, generate_series(1, $UniP) AS k(k), generate_series(1, $UniW) AS i(i)
+       |  WHERE i.i + k.k - 1 <= length(w0.word))
+       |WHERE length(piece) > 1
+       |GROUP BY piece ORDER BY cnt DESC, piece ASC LIMIT 50""".stripMargin
+
+  val uniLearn: String = {
+    val last = graft.ops.UnigramOps.EmRounds
+    s"WITH ${uniChain.mkString(",\n")}\nSELECT piece, cnt, s AS score_micro FROM sc$last"
+  }
+
+  /** [[PipelineQueries.uniEncode]] restatement: one more DP under the
+    * final model segments the vocabulary; the corpus pays only the word
+    * join (the bpeEncode shape). */
+  val uniEncode: String = {
+    val last = graft.ops.UnigramOps.EmRounds
+    val enc = uniChain ++ uniFwd(last + 1, s"sc$last") ++ uniBwd(last + 1, s"sc$last") ++ Seq(
+      s"seg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok FROM pk${last + 1} GROUP BY 1)",
+      s"""dw AS (SELECT doc_id, word FROM (
+         |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
+         |  WHERE length(word) <= $UniW)""".stripMargin)
+    s"WITH ${enc.mkString(",\n")}\n" +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM dw JOIN seg USING (word) GROUP BY 1"
+  }
+
   val docFingerprint: String =
     """WITH h AS (
       |  SELECT doc_id, unnest([
@@ -4545,6 +4719,9 @@ object PipelineOracles {
     "bpe_encode"        -> bpeEncode,
     "tok_fertility"     -> tokFertility,
     "tok_compression"   -> tokCompression,
+    "uni_seed"          -> uniSeed,
+    "uni_learn"         -> uniLearn,
+    "uni_encode"        -> uniEncode,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,
