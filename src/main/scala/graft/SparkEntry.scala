@@ -140,6 +140,8 @@ object SparkEntry {
     "uni_seed"          -> (PipelineQueries.uniSeed _),
     "uni_learn"         -> (PipelineQueries.uniLearn _),
     "uni_encode"        -> (PipelineQueries.uniEncode _),
+    // per-word BPE vs unigram segmentation diff — the tokenizer-choice table
+    "tok_ab"            -> (PipelineQueries.tokAb _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood
     // ratios, quantized to integer sums (Xie et al., NeurIPS 2023)
     "dsir_weights"      -> ((s, d) => PipelineQueries.dsirWeights(s, d)),

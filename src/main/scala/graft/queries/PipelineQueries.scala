@@ -2361,6 +2361,63 @@ object PipelineQueries {
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
 
+  /** Tokenizer A/B at the vocabulary level — the table a pipeline reads
+    * before CHOOSING between its two trained tokenizers: per word, the
+    * BPE subword count ([[graft.ops.BpeOps.segmentCounts]] under
+    * [[bpeLearn]]'s merges) against the unigram-LM Viterbi piece count
+    * ([[graft.ops.UnigramOps.segmentCounts]] under [[uniLearn]]'s
+    * model), with the corpus frequency that weights the difference.
+    * Words where `diff` runs positive are where likelihood pruning
+    * beats greedy merging (and vice versa) — fertility deltas land on
+    * exactly these rows. The inner join pins the compared population to
+    * the MaxWordLen-filtered vocabulary (BPE trains on all words; the
+    * unigram contract routes longer words around the model). Cost: both
+    * trainings' one-corpus-aggregation each, then everything is
+    * vocabulary-sized. */
+  def tokAb(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.ops.BpeOps.segmentCounts(bpeVocab(spark, dir), BpeRounds)
+      .withColumnRenamed("n_tok", "n_bpe")
+    val uni = graft.ops.UnigramOps.segmentCounts(uniVocab(spark, dir))
+      .withColumnRenamed("n_tok", "n_uni")
+    uniVocab(spark, dir)
+      .join(bpe, "word").join(uni, "word")
+      .selectExpr("word", "freq", "CAST(length(word) AS BIGINT) AS len",
+        "n_bpe", "n_uni", "n_bpe - n_uni AS diff")
+  }
+
+  /** The frozen unigram tokenizer model: trained piece scores as a plain
+    * map — bounded by |alphabet| + SeedMulti, a model parameter in the
+    * PQ-codebook/dsirModelArray sense. */
+  def uniModel(spark: SparkSession, dir: String): Map[String, Long] =
+    graft.ops.UnigramOps.train(uniVocab(spark, dir))._2
+
+  /** STATELESS per-row unigram token counting against a frozen model —
+    * the ingest-time member of the frozen-model scorer family
+    * (dsirScore / nbScore / bm25Score): train offline, meter each
+    * arriving document's token budget with zero state and zero shuffles.
+    * Works on batch and streaming frames alike and is bit-identical to
+    * [[uniEncode]] by construction: the word extraction is the same
+    * engine fragment (split/trim/filter + the MaxWordLen routing
+    * filter), the per-word segmentation the same integer Viterbi DP.
+    * Docs with no in-contract words drop out, matching uniEncode's
+    * inner join. */
+  def uniScore(docs: DataFrame, score: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = score
+    docs.selectExpr("CAST(doc_id AS LONG) AS doc_id",
+        "filter(split(trim(text), ' '), x -> x <> '' AND length(x) <= " +
+          s"${graft.ops.UnigramOps.MaxWordLen}) AS ws")
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        (id, ws.size.toLong,
+          ws.iterator.map(w => graft.ops.UnigramOps.segment(w, m).length.toLong).sum,
+          ws.iterator.map(_.length.toLong).sum)
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars")
+      .filter(col("n_words") > 0)
+  }
+
   /** Hashed-feature space of the Naive-Bayes classifier (shared with the
     * oracle and the frozen-model scorer). */
   val NbBuckets: Int = 1024
@@ -3504,8 +3561,8 @@ object PipelineOracles {
 
   /** Forward Viterbi blocks for DP `r` under score table `sc`:
     * f{r}p{p}.best = max path score reaching position p. */
-  private def uniFwd(r: Int, sc: String): Seq[String] =
-    s"f${r}p0 AS (SELECT word, CAST(0 AS BIGINT) AS best FROM w0)" +:
+  private def uniFwd(r: Int, sc: String, w: String = "w0"): Seq[String] =
+    s"f${r}p0 AS (SELECT word, CAST(0 AS BIGINT) AS best FROM $w)" +:
       (1 to UniW).map { p =>
         val arms = (1 to math.min(UniP, p)).map { k =>
           s"SELECT f.word AS word, f.best + s.s AS cand FROM f${r}p${p - k} f " +
@@ -3521,9 +3578,9 @@ object PipelineOracles {
     * on-path position chose p as predecessor); c{r}p{p}.kp = the LONGEST
     * piece length achieving the forward max there (the pinned tie-break).
     * pk{r} = every (word, piece) on the path. */
-  private def uniBwd(r: Int, sc: String): Seq[String] = {
+  private def uniBwd(r: Int, sc: String, w: String = "w0"): Seq[String] = {
     val blocks = (UniW to 1 by -1).flatMap { p =>
-      val on = s"SELECT word FROM w0 WHERE length(word) = $p" +:
+      val on = s"SELECT word FROM $w WHERE length(word) = $p" +:
         (p + 1 to math.min(p + UniP, UniW)).map(q =>
           s"SELECT word FROM c${r}p$q WHERE $q - kp = $p")
       val arms = (1 to math.min(UniP, p)).map { k =>
@@ -3545,41 +3602,50 @@ object PipelineOracles {
   /** One hard-EM round: forward + backtrack under the previous scores,
     * Viterbi recount, zero-count multi-char prune (chars kept), Laplace
     * rescore — sc{r} is the round's (piece, cnt, s) model. */
-  private def uniRound(r: Int): Seq[String] = {
+  private def uniRound(r: Int, w: String = "w0"): Seq[String] = {
     val sc = s"sc${r - 1}"
-    uniFwd(r, sc) ++ uniBwd(r, sc) ++ Seq(
-      s"ct$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM pk$r JOIN w0 USING (word) GROUP BY 1)",
+    uniFwd(r, sc, w) ++ uniBwd(r, sc, w) ++ Seq(
+      s"ct$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM pk$r JOIN $w USING (word) GROUP BY 1)",
       s"v$r AS (SELECT s.piece AS piece, coalesce(c.cnt, 0) AS cnt FROM $sc s LEFT JOIN ct$r c USING (piece) " +
         "WHERE length(s.piece) = 1 OR coalesce(c.cnt, 0) > 0)",
       s"sc$r AS MATERIALIZED (SELECT piece, cnt, CAST(round(1000000.0 * ln(CAST(cnt + 1 AS DOUBLE) / " +
         s"CAST((SELECT SUM(cnt) FROM v$r) + (SELECT COUNT(*) FROM v$r) AS DOUBLE))) AS BIGINT) AS s FROM v$r)")
   }
 
-  /** Word table (the MaxWordLen routing filter) — shared prefix. */
-  private val uniW0: String =
-    s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+  /** Word table (the MaxWordLen routing filter) — shared prefix. The
+    * table name is a parameter so the chain can coexist with bpeChain's
+    * unfiltered `w0` inside one composed oracle (tok_ab). */
+  private def uniW0(w: String = "w0"): String =
+    s"""$w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
        |  WHERE length(word) <= $UniW GROUP BY 1)""".stripMargin
 
   /** Seed inventory: every single char + top-UniK multi-char substrings
     * by (cnt DESC, piece ASC); sc0 = micro-nat seed scores. */
-  private val uniSeedChain: Seq[String] = Seq(
-    uniW0,
+  private def uniSeedChain(w: String = "w0"): Seq[String] = Seq(
+    uniW0(w),
     s"""sub AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-       |  SELECT w0.freq AS freq, substr(w0.word, i.i, k.k) AS piece
-       |  FROM w0, generate_series(1, $UniP) AS k(k), generate_series(1, $UniW) AS i(i)
-       |  WHERE i.i + k.k - 1 <= length(w0.word)) GROUP BY 1)""".stripMargin,
+       |  SELECT $w.freq AS freq, substr($w.word, i.i, k.k) AS piece
+       |  FROM $w, generate_series(1, $UniP) AS k(k), generate_series(1, $UniW) AS i(i)
+       |  WHERE i.i + k.k - 1 <= length($w.word)) GROUP BY 1)""".stripMargin,
     s"mc AS (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniK)",
     "sel0 AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1 UNION ALL SELECT piece, cnt FROM mc)",
     "sc0 AS MATERIALIZED (SELECT piece, CAST(round(1000000.0 * ln(CAST(cnt AS DOUBLE) / " +
       "CAST((SELECT SUM(cnt) FROM sel0) AS DOUBLE))) AS BIGINT) AS s FROM sel0)")
 
   /** The trained chain through the final EM round's model sc{EmRounds}. */
-  private def uniChain: Seq[String] =
-    uniSeedChain ++ (1 to graft.ops.UnigramOps.EmRounds).flatMap(uniRound)
+  private def uniChain(w: String = "w0"): Seq[String] =
+    uniSeedChain(w) ++ (1 to graft.ops.UnigramOps.EmRounds).flatMap(r => uniRound(r, w))
+
+  /** uniChain + one more DP under the final model: pk{EmRounds+1} is the
+    * vocabulary's Viterbi path piece multiset under the trained scores. */
+  private def uniEncodeChain(w: String = "w0"): Seq[String] = {
+    val last = graft.ops.UnigramOps.EmRounds
+    uniChain(w) ++ uniFwd(last + 1, s"sc$last", w) ++ uniBwd(last + 1, s"sc$last", w)
+  }
 
   val uniSeed: String =
-    s"""WITH $uniW0
+    s"""WITH ${uniW0()}
        |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS n_forms FROM (
        |  SELECT w0.freq AS freq, substr(w0.word, i.i, k.k) AS piece
        |  FROM w0, generate_series(1, $UniP) AS k(k), generate_series(1, $UniW) AS i(i)
@@ -3589,7 +3655,7 @@ object PipelineOracles {
 
   val uniLearn: String = {
     val last = graft.ops.UnigramOps.EmRounds
-    s"WITH ${uniChain.mkString(",\n")}\nSELECT piece, cnt, s AS score_micro FROM sc$last"
+    s"WITH ${uniChain().mkString(",\n")}\nSELECT piece, cnt, s AS score_micro FROM sc$last"
   }
 
   /** [[PipelineQueries.uniEncode]] restatement: one more DP under the
@@ -3597,7 +3663,7 @@ object PipelineOracles {
     * join (the bpeEncode shape). */
   val uniEncode: String = {
     val last = graft.ops.UnigramOps.EmRounds
-    val enc = uniChain ++ uniFwd(last + 1, s"sc$last") ++ uniBwd(last + 1, s"sc$last") ++ Seq(
+    val enc = uniEncodeChain() ++ Seq(
       s"seg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok FROM pk${last + 1} GROUP BY 1)",
       s"""dw AS (SELECT doc_id, word FROM (
          |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
@@ -3605,6 +3671,23 @@ object PipelineOracles {
     s"WITH ${enc.mkString(",\n")}\n" +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
       "CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM dw JOIN seg USING (word) GROUP BY 1"
+  }
+
+  /** [[PipelineQueries.tokAb]] restatement: the full BPE chain and the
+    * full unigram chain composed in ONE statement — the unigram word
+    * table is namespaced `uw0` so it coexists with bpeChain's unfiltered
+    * `w0`; the inner join on word pins the compared population to the
+    * intersection (exactly the MaxWordLen-filtered vocabulary). */
+  val tokAb: String = {
+    val bpeRounds = PipelineQueries.BpeRounds
+    val last = graft.ops.UnigramOps.EmRounds
+    val blocks = Seq(bpeChain(bpeRounds)) ++ Seq(
+      s"bseg AS (SELECT word, CAST(count(*) AS BIGINT) AS n_bpe FROM s$bpeRounds GROUP BY 1)") ++
+      uniEncodeChain("uw0") ++ Seq(
+      s"useg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni FROM pk${last + 1} GROUP BY 1)")
+    s"WITH ${blocks.mkString(",\n")}\n" +
+      "SELECT word, freq, CAST(length(word) AS BIGINT) AS len, n_bpe, n_uni, n_bpe - n_uni AS diff " +
+      "FROM uw0 JOIN bseg USING (word) JOIN useg USING (word)"
   }
 
   val docFingerprint: String =
@@ -4722,6 +4805,7 @@ object PipelineOracles {
     "uni_seed"          -> uniSeed,
     "uni_learn"         -> uniLearn,
     "uni_encode"        -> uniEncode,
+    "tok_ab"            -> tokAb,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,
     "nb_classify"       -> nbClassify,

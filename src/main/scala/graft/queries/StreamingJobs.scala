@@ -114,6 +114,17 @@ object StreamingJobs {
     PipelineQueries.dsirScore(documentsStream(spark, dir),
       PipelineQueries.dsirModelArray(spark, dir, buckets), buckets)
 
+  /** ONLINE unigram token counting: documents arriving on a stream get
+    * their (n_words, n_tokens, n_chars) budget rows STATELESSLY from the
+    * offline-trained unigram tokenizer ([[PipelineQueries.uniModel]] — a
+    * bounded piece→micro-nat score map frozen into the closure) — the
+    * ingest-time twin of batch `uni_encode` (bit-identical; live-replay
+    * specced): the token-budget meter a delivery pays on arrival, before
+    * anything downstream is priced in sequence length. */
+  def uniScoreStream(spark: SparkSession, dir: String): DataFrame =
+    PipelineQueries.uniScore(documentsStream(spark, dir),
+      PipelineQueries.uniModel(spark, dir))
+
   /** Ingest-time BM25 scoring of a document stream against a FROZEN index
     * ([[PipelineQueries.bm25Model]]) — the retrieval member of the
     * frozen-model scorer family (nbScore / dsirScore): per micro-batch

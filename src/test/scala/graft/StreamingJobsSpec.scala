@@ -687,6 +687,27 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("online unigram token counting replays to the exact batch encode") {
+    import graft.queries.PipelineQueries
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"))
+    val batch = PipelineQueries.uniEncode(spark, sf0001).collect().map(rowKey).toSet
+    // the stateless scorer over the static table is bit-identical
+    val model = PipelineQueries.uniModel(spark, sf0001)
+    val scored = PipelineQueries.uniScore(
+      graft.sources.Tables.documents(spark, sf0001), model).collect().map(rowKey).toSet
+    assert(scored == batch && batch.nonEmpty)
+    // live replay: a stateless append stream emits EVERY row
+    val q = StreamingJobs.uniScoreStream(spark, sf0001)
+      .writeStream.format("memory").queryName("uni_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("uni_stream").collect().map(rowKey).toSet == batch)
+    } finally q.stop()
+  }
+
   test("online DSIR scoring replays to the exact batch weights") {
     import graft.queries.PipelineQueries
     def rowKey(r: org.apache.spark.sql.Row) =

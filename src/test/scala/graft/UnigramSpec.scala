@@ -77,6 +77,25 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("tok_ab: covers the filtered vocabulary and restates both tokenizers' counts") {
+    val ab = PipelineQueries.tokAb(spark, sf0001).collect()
+    val vocab = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .filter(length(col("word")) <= UnigramOps.MaxWordLen)
+      .groupBy("word").count().collect()
+    assert(ab.length == vocab.length, "one row per filtered vocabulary word")
+    // the unigram side restates a fresh segmentation under uni_learn's model
+    val model = PipelineQueries.uniLearn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("score_micro")).toMap
+    ab.foreach { r =>
+      val (w, len) = (r.getAs[String]("word"), r.getAs[Long]("len"))
+      assert(len == w.length)
+      assert(r.getAs[Long]("n_bpe") >= 1L && r.getAs[Long]("n_bpe") <= len)
+      assert(r.getAs[Long]("n_uni") == UnigramOps.segment(w, model).length.toLong)
+      assert(r.getAs[Long]("diff") == r.getAs[Long]("n_bpe") - r.getAs[Long]("n_uni"))
+    }
+  }
+
   test("uni_seed: ranking is (cnt DESC, piece ASC) over multi-char substrings only") {
     val rows = PipelineQueries.uniSeed(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 50)
