@@ -96,6 +96,7 @@ object Bench {
         graft.queries.ClusterState.PersistDeliveryMod)
       graft.queries.ClusterState.fullStatePaths(spark, sfDir)
       graft.queries.IndexState.bm25BasePaths(spark, sfDir)
+      graft.queries.IndexState.bm25FullPaths(spark, sfDir)
       graft.queries.IndexState.nbModelPaths(spark, sfDir)
       graft.queries.IndexState.contamIndexPaths(spark, sfDir)
       graft.queries.IndexState.denseStorePaths(spark, sfDir)

@@ -185,6 +185,9 @@ object SparkEntry {
     // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
     "bm25_topk_persist" -> ((s, d) => PipelineQueries.bm25TopKPersist(s, d)),
+    // takedown folded OUT of the persisted full index (df down-fold,
+    // no re-tokenize): the removal half of the lexical serving lifecycle
+    "bm25_topk_takedown" -> ((s, d) => PipelineQueries.bm25TopKTakedown(s, d)),
     "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
     "hybrid_rrf_persist" -> ((s, d) => PipelineQueries.hybridRrfPersist(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),

@@ -185,6 +185,34 @@ object IndexState {
     (postingsP, dlP, dfP)
   }
 
+  /** Absolute parquet paths of (postings, dl, df) for the FULL corpus —
+    * the deployed index [[PipelineQueries.bm25TopKTakedown]] subtracts a
+    * takedown batch from (the lexical analogue of
+    * [[ClusterState.fullStatePaths]]: deliveries fold INTO the base
+    * index, takedowns fold OUT of the full one). */
+  def bm25FullPaths(spark: SparkSession, dir: String)
+      : (String, String, String) = synchronized {
+    val root = ClusterState.stateRoot(dir)
+    val postingsP = new File(root, "bm25_postings_full").getAbsolutePath
+    val dlP = new File(root, "bm25_dl_full").getAbsolutePath
+    val dfP = new File(root, "bm25_df_full").getAbsolutePath
+    val done = new File(root, "_DONE_bm25_full")
+    if (!ready.contains(done.getAbsolutePath)) {
+      if (!done.exists()) {
+        val tfq = PipelineQueries.bm25Postings(Tables.documents(spark, dir))
+        tfq.write.mode("overwrite").parquet(postingsP)
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        tfq.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          .write.mode("overwrite").parquet(dlP)
+        tfq.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(dfP)
+        done.createNewFile()
+      }
+      ready += done.getAbsolutePath
+    }
+    (postingsP, dlP, dfP)
+  }
+
   /** Absolute parquet paths of (priors, dense model) for the trained NB
     * classifier — the frozen artifact
     * [[PipelineQueries.nbClassifyPersist]] scores against (train

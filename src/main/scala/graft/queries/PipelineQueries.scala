@@ -1951,12 +1951,60 @@ object PipelineQueries {
   }
 
   def bm25TopK(spark: SparkSession, dir: String, nQ: Int = 8,
-               kTop: Int = 5): DataFrame = {
-    val tok = bm25Postings(Tables.documents(spark, dir))
+               kTop: Int = 5): DataFrame =
+    bm25TopKOver(Tables.documents(spark, dir), nQ, kTop)
+
+  /** From-scratch BM25 ranking over an arbitrary document frame — shared
+    * by [[bm25TopK]] (the whole corpus) and the takedown convergence
+    * spec (the surviving corpus), so the reference ranking is one code
+    * path. */
+  private[graft] def bm25TopKOver(docs: DataFrame, nQ: Int = 8,
+                                  kTop: Int = 5): DataFrame = {
+    val tok = bm25Postings(docs)
     val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     bm25Rank(tok, dl, dft, stats, nQ, kTop)
+  }
+
+  /** Takedown batch modulus for the lexical index family (doc_id %
+    * [[Bm25TakedownMod]] = 0 is removed) — the dedup takedown family's
+    * 17-convention. */
+  val Bm25TakedownMod: Int = 17
+
+  /** BM25 retrieval AFTER A TAKEDOWN folded OUT of the persisted
+    * full-corpus index — the removal half of the lexical serving
+    * lifecycle ([[bm25TopKPersist]] folds deliveries IN): the deployed
+    * postings/dl/df come from parquet ([[IndexState.bm25FullPaths]]),
+    * and the timed work is what a real takedown pays — NO tokenization
+    * and NO corpus-wide re-aggregation: surviving postings and lengths
+    * are doc-keyed filters of the stored tables, document frequencies
+    * fold DOWN by the removed docs' term counts (a takedown-sized
+    * aggregation over the stored postings' removed slice), and the 1-row
+    * stats re-derive from the surviving dl. Converges BIT-EXACTLY to the
+    * from-scratch ranking over the surviving corpus (spec set-equality;
+    * the oracle is the bm25_topk SQL with the survivor filter). Terms
+    * whose postings all died drop to df=0 and are removed — they can
+    * match no surviving posting anyway. */
+  def bm25TopKTakedown(spark: SparkSession, dir: String, nQ: Int = 8,
+                       kTop: Int = 5): DataFrame = {
+    val (postingsP, dlP, dfP) = IndexState.bm25FullPaths(spark, dir)
+    val td = Bm25TakedownMod
+    val tfq = spark.read.parquet(postingsP).filter(expr(s"doc_id % $td != 0"))
+    val dl = spark.read.parquet(dlP).filter(expr(s"doc_id % $td != 0"))
+    // the removed docs' per-term counts from a TAKEDOWN-SIZED tokenize of
+    // the removal batch (identical to their stored postings by
+    // determinism) — not a second full scan of the stored postings: the
+    // doc-keyed point reads a real engine would do here are exactly what
+    // a columnar postings scan can't, and the batch is 1/td of the corpus
+    val dfT = bm25Postings(
+        Tables.documents(spark, dir).filter(expr(s"doc_id % $td = 0")))
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    val dft = spark.read.parquet(dfP).join(dfT, Seq("term"), "left")
+      .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
+      .filter(col("df") > 0)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    bm25Rank(tfq, dl, dft, stats, nQ, kTop)
   }
 
   /** BM25 retrieval over a PERSISTED inverted index folded with a
@@ -3376,10 +3424,11 @@ object PipelineOracles {
        |UNION ALL SELECT family, q_id, hits, k, recall FROM r3""".stripMargin
 
   /** Shared BM25 CTE chain (tokenize → tf/dl/df → stats → per-(q,doc)
-    * micro-unit scores `g`) — the single statement both [[bm25TopK]] and
-    * [[hybridRrf]] rank over, so the two oracles cannot drift. */
-  private val bm25Chain: String =
-    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term FROM documents),
+    * micro-unit scores `g`) — the single statement [[bm25TopK]],
+    * [[hybridRrf]] and (with the survivor filter) [[bm25TopKTakedown]]
+    * rank over, so the oracles cannot drift. */
+  private def bm25ChainOver(where: String): String =
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term FROM documents$where),
        |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
        |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfq GROUP BY 1),
        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
@@ -3395,8 +3444,19 @@ object PipelineOracles {
     * tokenization feeding tf/dl/df, the same 1-row (N, Σdl) statistics,
     * and the SHARED micro-unit per-term arithmetic
     * ([[PipelineQueries.bm25MicroTerm]] — one statement, two engines). */
+  private val bm25Chain: String = bm25ChainOver("")
+
   val bm25TopK: String =
     s"""WITH $bm25Chain
+       |SELECT q_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
+       |WHERE rn <= 5""".stripMargin
+
+  /** [[PipelineQueries.bm25TopKTakedown]] restatement: the identical
+    * chain over the SURVIVING corpus — the takedown fold must equal a
+    * from-scratch index of the survivors. */
+  val bm25TopKTakedown: String =
+    s"""WITH ${bm25ChainOver(s" WHERE doc_id % ${PipelineQueries.Bm25TakedownMod} != 0")}
        |SELECT q_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
        |WHERE rn <= 5""".stripMargin
@@ -4836,6 +4896,9 @@ object PipelineOracles {
     // converges to the from-scratch ranking bit-exactly through the
     // persisted index — the oracle IS bm25_topk's SQL
     "bm25_topk_persist" -> bm25TopK,
+    // takedown folded OUT of the persisted index must equal a
+    // from-scratch index of the survivors
+    "bm25_topk_takedown" -> bm25TopKTakedown,
     // persisted serving state — the oracle IS hybrid_rrf's SQL
     "hybrid_rrf_persist" -> hybridRrf,
     "hybrid_rrf" -> hybridRrf,

@@ -688,6 +688,26 @@ class PipelineSpec extends SparkSpec {
       "persisted-index fold must reproduce the from-scratch scores bit-exactly")
   }
 
+  test("bm25_topk_takedown converges to a from-scratch index of the survivors") {
+    val survivors = graft.sources.Tables.documents(spark, sf0001)
+      .filter(expr(s"doc_id % ${PipelineQueries.Bm25TakedownMod} != 0"))
+    val fromScratch = PipelineQueries.bm25TopKOver(survivors)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val folded = PipelineQueries.bm25TopKTakedown(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == fromScratch && fromScratch.nonEmpty,
+      "df down-fold must reproduce the survivors' from-scratch scores bit-exactly")
+    // the takedown visibly changed the ranking vs the full corpus
+    // (removed docs can no longer appear as candidates)
+    val full = PipelineQueries.bm25TopK(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded != full, "the takedown must be visible in the ranking")
+    folded.foreach { case (_, docId, _, _) =>
+      assert(docId % PipelineQueries.Bm25TakedownMod != 0,
+        "no removed doc may surface as a candidate")
+    }
+  }
+
   test("hybrid_rrf_persist converges to the self-contained fusion through persisted serving state") {
     val fromScratch = PipelineQueries.hybridRrf(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
