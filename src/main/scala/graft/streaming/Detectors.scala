@@ -547,6 +547,58 @@ object Detectors {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
+  /** One observed consecutive-TRIPLE increment; the trigram path frame
+    * is `groupBy(from_type, mid_type, to_type).count()` over the append
+    * stream. */
+  case class PathInc(user_id: Long, from_type: String, mid_type: String,
+                     to_type: String)
+
+  /** Buffered in-horizon events + the last TWO drained types ("" = none;
+    * `last2` is the older of the pair). */
+  case class PathState(pending: Seq[SeqTypeEvent], last2: String,
+                       last1: String)
+
+  /** Streaming twin of BehaviorQueries.eventPaths, one level down: emits
+    * one (user, from, mid, to) increment per consecutive event TRIPLE as
+    * the watermark finalizes each event — [[transitionIncrements]] with a
+    * two-type carry instead of one. Counting the increments reproduces
+    * the batch trigram cell frame exactly.
+    *
+    * State per user: the in-horizon buffer + TWO strings — still
+    * O(watermark horizon), not O(lifetime). */
+  def pathIncrements(events: Dataset[SeqTypeEvent],
+                     streaming: Boolean): Dataset[PathInc] = {
+    implicit val outEnc = Encoders.product[PathInc]
+    implicit val stEnc = Encoders.product[PathState]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def process(key: Long, it: Iterator[SeqTypeEvent],
+                state: GroupState[PathState]): Iterator[PathInc] = {
+      val st = state.getOption.getOrElse(PathState(Nil, "", ""))
+      val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
+      val fresh = it.filter(e => !streaming || e.sec >= wmSec)
+      val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.id))
+      val (ready, rest) = all.partition(_.sec < wmSec)
+      var (last2, last1) = (st.last2, st.last1)
+      val out = scala.collection.mutable.ArrayBuffer[PathInc]()
+      ready.foreach { e =>
+        if (last2.nonEmpty) out += PathInc(key, last2, last1, e.etype)
+        last2 = last1
+        last1 = e.etype
+      }
+      state.update(PathState(rest, last2, last1))
+      if (streaming && rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+  }
+
   /** Bare (user, event-seconds) for retention cohort tracking. */
   case class WeekEvent(key: Long, sec: Long)
 

@@ -123,6 +123,52 @@ class StreamAnalyticsParitySpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("pathIncrements batch fold aggregates to the event_paths query") {
+    val expected = BehaviorQueries.eventPaths(spark, sf0001)
+      .select("from_type", "mid_type", "to_type", "n")
+      .as[(String, String, String, Long)].collect().toSet
+    val typeEvents = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id").as("key"), col("event_type").as("etype"),
+        col("ts").cast("long").as("sec"), col("event_id").as("id"))
+      .as[SeqTypeEvent]
+    val got = Detectors.pathIncrements(typeEvents, streaming = false)
+      .groupBy("from_type", "mid_type", "to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("pathIncrements streaming under bounded disorder converges to batch") {
+    val types = Seq("view", "click", "cart", "purchase", "uninstall")
+    val evs = (0 until 400).map { i =>
+      SeqTypeEvent(rnd.nextInt(25).toLong, types(rnd.nextInt(types.length)),
+        1000L + i * 2 + rnd.nextInt(2), i.toLong)
+    }
+    val expected = Detectors.pathIncrements(evs.toDS(), streaming = false)
+      .groupBy("from_type", "mid_type", "to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, String, Long)].collect().toSet
+    val input = MemoryStream[SeqTypeEvent](37, spark, None)
+    val withWm = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "60 seconds")
+      .as[SeqTypeEvent]
+    val q = Detectors.pathIncrements(withWm, streaming = true)
+      .writeStream.format("memory").queryName("path_out")
+      .outputMode("append").start()
+    try {
+      boundedDisorder(evs, rnd, 50L)(_.sec)
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+      // flush: one far-future event per key closes every buffer (the
+      // flush event itself is never drained, so no increment ends at it)
+      input.addData(evs.map(_.key).distinct.map(k =>
+        SeqTypeEvent(k, "view", 100000L, 99000L + k)))
+      q.processAllAvailable()
+      val got = spark.table("path_out")
+        .groupBy("from_type", "mid_type", "to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, String, Long)].collect().toSet
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("transitionIncrements streaming under bounded disorder converges to batch") {
     val types = Seq("view", "click", "cart", "purchase", "uninstall")
     val evs = (0 until 400).map { i =>
