@@ -190,6 +190,9 @@ object SparkEntry {
     "bm25_topk_takedown" -> ((s, d) => PipelineQueries.bm25TopKTakedown(s, d)),
     "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
     "hybrid_rrf_persist" -> ((s, d) => PipelineQueries.hybridRrfPersist(s, d)),
+    // the right-to-be-forgotten check: a takedown flows through BOTH
+    // retrievers (lexical df down-fold + dense row drop), fused as usual
+    "hybrid_rrf_takedown" -> ((s, d) => PipelineQueries.hybridRrfTakedown(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)

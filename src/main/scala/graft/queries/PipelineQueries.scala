@@ -2073,6 +2073,30 @@ object PipelineQueries {
     rrfFuse(lex, dns, kTop)
   }
 
+  /** Hybrid RRF retrieval AFTER A TAKEDOWN — the removal flowing through
+    * the WHOLE serving stack: the lexical ranks come from the persisted
+    * full index with the takedown folded out ([[bm25TopKTakedown]] — the
+    * real df down-fold algebra), and the dense ranks from the surviving
+    * embeddings (per-row independence makes a vector-store removal
+    * exactly a row drop — no global statistics to fold). Queries in the
+    * takedown batch vanish from BOTH sides; surviving queries re-rank
+    * over survivors only. Fusion/rank stages shared with [[hybridRrf]]
+    * (rrfLexRank/rrfFuse), so the twins cannot drift; the oracle is the
+    * hybrid_rrf SQL with the survivor filters on both populations. The
+    * compliance check a production RAG stack runs after a
+    * right-to-be-forgotten batch: no removed doc may surface from either
+    * retriever. */
+  def hybridRrfTakedown(spark: SparkSession, dir: String, nQ: Int = 8,
+                        kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    val td = Bm25TakedownMod
+    val lex = rrfLexRank(bm25TopKTakedown(spark, dir, nQ, kIn + 1), kIn)
+    val dns = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, dir).filter(expr(s"vec_id % $td != 0")),
+        64, s"vec_id < $nQ", kIn)
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+    rrfFuse(lex, dns, kTop)
+  }
+
   /** Non-self lexical rank at `kIn` over a BM25 ranking taken at kIn+1
     * (at most one self row can drop) — shared by [[hybridRrf]] and
     * [[hybridRrfPersist]] so the two fusions cannot drift. */
@@ -2934,11 +2958,13 @@ object PipelineOracles {
       |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM bits GROUP BY 1""".stripMargin
 
-  private val quantCte =
-    """qz AS (SELECT vec_id AS id, p.p AS pos,
-      |              CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
-      |       FROM embeddings CROSS JOIN generate_series(1, 64) p(p)),
-      |nrm AS (SELECT id, SUM(v * v) AS norm2 FROM qz GROUP BY 1)""".stripMargin
+  private def quantCteOver(where: String): String =
+    s"""qz AS (SELECT vec_id AS id, p.p AS pos,
+       |              CAST(round(CAST(embedding[p.p] AS DOUBLE) * 10000000) AS BIGINT) AS v
+       |       FROM embeddings CROSS JOIN generate_series(1, 64) p(p)$where),
+       |nrm AS (SELECT id, SUM(v * v) AS norm2 FROM qz GROUP BY 1)""".stripMargin
+
+  private val quantCte = quantCteOver("")
 
   val embedTopK: String =
     s"""WITH $quantCte,
@@ -3464,14 +3490,17 @@ object PipelineOracles {
   /** [[PipelineQueries.hybridRrf]] restatement: the shared BM25 chain
     * ranked over non-self candidates, the embed_topk cosine chain at
     * k=20, full-outer fusion with the identical integer
-    * `1e6 // (60 + rank)` terms and −1 sentinels. */
-  val hybridRrf: String =
-    s"""WITH $bm25Chain,
+    * `1e6 // (60 + rank)` terms and −1 sentinels. The two WHERE
+    * parameters restrict the document / embedding populations — empty
+    * for the full-corpus fusion, survivor filters for the takedown
+    * twin. */
+  private def hybridRrfOver(docWhere: String, vecWhere: String): String =
+    s"""WITH ${bm25ChainOver(docWhere)},
        |lexr AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
        |    FROM g WHERE doc_id <> q_id)
        |  WHERE rn <= 20),
-       |$quantCte,
+       |${quantCteOver(vecWhere)},
        |dd AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
        |       FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
        |       WHERE a.id < 8 GROUP BY 1, 2),
@@ -3495,6 +3524,15 @@ object PipelineOracles {
        |SELECT q_id, doc_id, rank_lex, rank_dense, rrf_micro, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM r)
        |WHERE rn <= 5""".stripMargin
+
+  val hybridRrf: String = hybridRrfOver("", "")
+
+  /** [[PipelineQueries.hybridRrfTakedown]] restatement: the identical
+    * fusion over the SURVIVING corpus on both retrieval sides. */
+  val hybridRrfTakedown: String = {
+    val td = PipelineQueries.Bm25TakedownMod
+    hybridRrfOver(s" WHERE doc_id % $td != 0", s" WHERE vec_id % $td != 0")
+  }
 
   val bpePairs: String =
     """WITH t AS (SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents),
@@ -4899,6 +4937,9 @@ object PipelineOracles {
     // takedown folded OUT of the persisted index must equal a
     // from-scratch index of the survivors
     "bm25_topk_takedown" -> bm25TopKTakedown,
+    // the takedown through the whole serving stack: both retrievers
+    // restricted to survivors
+    "hybrid_rrf_takedown" -> hybridRrfTakedown,
     // persisted serving state — the oracle IS hybrid_rrf's SQL
     "hybrid_rrf_persist" -> hybridRrf,
     "hybrid_rrf" -> hybridRrf,

@@ -708,6 +708,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_rrf_takedown: no removed doc or query survives on either retrieval side") {
+    val td = PipelineQueries.Bm25TakedownMod
+    val rows = PipelineQueries.hybridRrfTakedown(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_id") % td != 0, "no removed query may rank")
+      assert(r.getAs[Long]("doc_id") % td != 0, "no removed doc may surface")
+      // the fused score restates the two rank terms exactly
+      def term(rk: Long) = if (rk > 0) 1000000L / (60L + rk) else 0L
+      assert(r.getAs[Long]("rrf_micro") ==
+        term(r.getAs[Long]("rank_lex")) + term(r.getAs[Long]("rank_dense")))
+    }
+    // the takedown visibly re-ranks vs the full-corpus fusion
+    val full = PipelineQueries.hybridRrf(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSet
+    val got = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSet
+    assert(got != full, "the takedown must be visible in the fused ranking")
+  }
+
   test("hybrid_rrf_persist converges to the self-contained fusion through persisted serving state") {
     val fromScratch = PipelineQueries.hybridRrf(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
