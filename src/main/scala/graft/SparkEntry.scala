@@ -45,6 +45,8 @@ object SparkEntry {
     "event_transitions"  -> (BehaviorQueries.eventTransitions _),
     "event_paths"        -> (BehaviorQueries.eventPaths _),
     "transition_drift"   -> (BehaviorQueries.transitionDrift _),
+    // held-out next-event accuracy: trigram-with-backoff vs bigram
+    "path_lift"          -> (BehaviorQueries.pathLift _),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),

@@ -323,9 +323,44 @@ object BehaviorOracles {
       |  CAST(abs(n_ref * 1000000 // t_ref - n_cur * 1000000 // t_cur) AS BIGINT) AS drift_ppm
       |FROM t""".stripMargin
 
+  /** [[BehaviorQueries.pathLift]] restatement: one window pass carrying
+    * both leads, train-half argmax models with the same (n DESC, type
+    * ASC) tie-break, bigram backoff via coalesce, one aggregate row
+    * unpivoted to the two model rows. */
+  val pathLift: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mid_type,
+      |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |bp AS (SELECT event_type AS f, mid_type AS t, count(*) AS n
+      |       FROM s WHERE mid_type IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2),
+      |bpred AS (SELECT f, t AS bi_pred FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY n DESC, t ASC) AS rn FROM bp)
+      |  WHERE rn = 1),
+      |tp AS (SELECT event_type AS f, mid_type AS m, to_type AS t, count(*) AS n
+      |       FROM s WHERE to_type IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2, 3),
+      |tpred AS (SELECT f, m, t AS tri_pred0 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY f, m ORDER BY n DESC, t ASC) AS rn FROM tp)
+      |  WHERE rn = 1),
+      |cases AS (SELECT event_type AS f, mid_type AS m, to_type AS t
+      |          FROM s WHERE to_type IS NOT NULL AND user_id % 2 = 1),
+      |ej AS (SELECT c.t, b.bi_pred, coalesce(tp2.tri_pred0, b.bi_pred) AS tri_pred
+      |       FROM cases c LEFT JOIN bpred b ON b.f = c.m
+      |       LEFT JOIN tpred tp2 ON tp2.f = c.f AND tp2.m = c.m),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cases,
+      |               CAST(SUM(CASE WHEN bi_pred = t THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+      |               CAST(SUM(CASE WHEN tri_pred = t THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits
+      |        FROM ej)
+      |SELECT 'bigram' AS model, n_cases, bi_hits AS n_hits,
+      |       CAST(bi_hits * 1000000 // n_cases AS BIGINT) AS acc_ppm FROM agg
+      |UNION ALL
+      |SELECT 'trigram' AS model, n_cases, tri_hits AS n_hits,
+      |       CAST(tri_hits * 1000000 // n_cases AS BIGINT) AS acc_ppm FROM agg""".stripMargin
+
   val all: Map[String, String] = Map(
     "event_paths"        -> eventPaths,
     "transition_drift"   -> transitionDrift,
+    "path_lift"          -> pathLift,
     "event_transitions"  -> eventTransitions,
     "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,

@@ -361,6 +361,60 @@ object BehaviorQueries {
         "abs(n_ref * 1000000L div t_ref - n_cur * 1000000L div t_cur) AS drift_ppm")
   }
 
+  /** Next-event prediction LIFT — the evaluation that justifies keeping
+    * the second-order model ([[eventPaths]]) next to the first-order
+    * matrix ([[eventTransitions]]): both models are trained on the even
+    * user half (argmax continuation per context, ties to the
+    * lexicographically first type) and scored on the odd half's
+    * consecutive triples — the bigram model predicts from the
+    * immediately preceding event, the trigram model from the last two
+    * with bigram BACKOFF for unseen contexts (standard n-gram backoff).
+    * Output: one row per model with exact hit counts and ppm accuracy.
+    * Splitting by USER keeps train sequences fully out of the test set
+    * (the leakage-safe-split discipline).
+    *
+    * Cost: ONE corpus window pass (both leads, checkpointed so the
+    * model and case branches read it once), two |types|²/³-bounded
+    * model aggregations broadcast back, one corpus-sized case join +
+    * one aggregation. */
+  def pathLift(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 2).over(w))
+      .localCheckpoint()
+    val bpred = base
+      .filter(col("mid_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy(col("event_type").as("bf"), col("mid_type").as("bt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bf")).orderBy(col("n").desc, col("bt").asc)))
+      .filter(col("rn") === 1).select(col("bf"), col("bt").as("bi_pred"))
+    val tpred = base
+      .filter(col("to_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy(col("event_type").as("tf"), col("mid_type").as("tm"),
+        col("to_type").as("tt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tf"), col("tm")).orderBy(col("n").desc, col("tt").asc)))
+      .filter(col("rn") === 1).select(col("tf"), col("tm"), col("tt").as("tri_pred0"))
+    val cases = base
+      .filter(col("to_type").isNotNull && expr("user_id % 2 = 1"))
+      .select(col("event_type").as("f"), col("mid_type").as("m"), col("to_type").as("t"))
+    cases
+      .join(broadcast(bpred), cases("m") === bpred("bf"), "left")
+      .join(broadcast(tpred), cases("f") === tpred("tf") && cases("m") === tpred("tm"), "left")
+      .selectExpr("t", "bi_pred", "coalesce(tri_pred0, bi_pred) AS tri_pred")
+      .agg(count(lit(1)).as("n_cases"),
+        sum(expr("CASE WHEN bi_pred = t THEN 1L ELSE 0L END")).as("bi_hits"),
+        sum(expr("CASE WHEN tri_pred = t THEN 1L ELSE 0L END")).as("tri_hits"))
+      .selectExpr("stack(2, 'bigram', n_cases, bi_hits, 'trigram', n_cases, tri_hits)" +
+        " AS (model, n_cases, n_hits)")
+      .selectExpr("model", "n_cases", "n_hits",
+        "n_hits * 1000000L div n_cases AS acc_ppm")
+  }
+
   /** Key-distribution skew profile for a join/aggregation key (user_id
     * here): the top-10 heaviest keys with their parts-per-million share,
     * plus global row/key totals — the pre-flight diagnostic that decides

@@ -821,6 +821,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("path_lift: matches a driver-local reference evaluation end to end") {
+    val rows = BehaviorQueries.pathLift(spark, sf0001).collect()
+      .map(r => r.getAs[String]("model") ->
+        (r.getAs[Long]("n_cases"), r.getAs[Long]("n_hits"), r.getAs[Long]("acc_ppm"))).toMap
+    assert(rows.keySet == Set("bigram", "trigram"))
+    // driver-local reference: same split, same argmax tie-break, same backoff
+    val seqs = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "CAST(ts AS LONG) AS sec", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("sec"), r.getAs[Long]("event_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._4)).map(_._2).toList).toMap
+    val (train, test) = (seqs.filter(_._1 % 2 == 0), seqs.filter(_._1 % 2 == 1))
+    def pairsOf(s: Map[Long, List[String]]) =
+      s.values.flatMap(l => l.zip(l.drop(1))).toList
+    def triplesOf(s: Map[Long, List[String]]) =
+      s.values.flatMap(l => l.lazyZip(l.drop(1)).lazyZip(l.drop(2)).toList).toList
+    def argmax[K](cells: List[(K, String)]): Map[K, String] =
+      cells.groupBy(identity).view.mapValues(_.size).toList
+        .groupBy(_._1._1).view.mapValues(g =>
+          g.map { case ((_, t), n) => (t, n) }.minBy { case (t, n) => (-n, t) }._1).toMap
+    val bi = argmax(pairsOf(train).map { case (a, b) => (a, b) })
+    val tri = argmax(triplesOf(train).map { case (a, b, c) => ((a, b), c) })
+    val cases = triplesOf(test)
+    val biHits = cases.count { case (_, b, c) => bi.get(b).contains(c) }
+    val triHits = cases.count { case (a, b, c) =>
+      tri.get((a, b)).orElse(bi.get(b)).contains(c) }
+    assert(rows("bigram") == ((cases.size.toLong, biHits.toLong,
+      biHits.toLong * 1000000L / cases.size)))
+    assert(rows("trigram") == ((cases.size.toLong, triHits.toLong,
+      triHits.toLong * 1000000L / cases.size)))
+  }
+
   test("rfm_segments: quartiles fill evenly and the label restates the scores") {
     val rows = RelationalQueries.rfmSegments(spark, sf0001).collect()
     val n = rows.length
