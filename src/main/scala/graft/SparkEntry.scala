@@ -47,6 +47,8 @@ object SparkEntry {
     "transition_drift"   -> (BehaviorQueries.transitionDrift _),
     // held-out next-event accuracy: trigram-with-backoff vs bigram
     "path_lift"          -> (BehaviorQueries.pathLift _),
+    // held-out log-loss in exact micro-nats (exp(mean/1e6) = perplexity)
+    "path_ppl"           -> (BehaviorQueries.pathPpl _),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
@@ -195,6 +197,9 @@ object SparkEntry {
     // the right-to-be-forgotten check: a takedown flows through BOTH
     // retrievers (lexical df down-fold + dense row drop), fused as usual
     "hybrid_rrf_takedown" -> ((s, d) => PipelineQueries.hybridRrfTakedown(s, d)),
+    // RRF diversification audit: fused top-5 classified by which
+    // single-retriever top-5 lists each row came from
+    "rrf_overlap"        -> ((s, d) => PipelineQueries.rrfOverlap(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)

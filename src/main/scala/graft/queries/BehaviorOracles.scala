@@ -357,10 +357,48 @@ object BehaviorOracles {
       |SELECT 'trigram' AS model, n_cases, tri_hits AS n_hits,
       |       CAST(tri_hits * 1000000 // n_cases AS BIGINT) AS acc_ppm FROM agg""".stripMargin
 
+  /** [[BehaviorQueries.pathPpl]] restatement: the same train counts,
+    * Laplace ratios, per-case `round(1e6·ln)` quantization and exact
+    * integer loss sums. */
+  val pathPpl: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mid_type,
+      |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |vt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM s WHERE user_id % 2 = 0),
+      |n2 AS (SELECT event_type AS b2, mid_type AS c2, CAST(count(*) AS BIGINT) AS n2
+      |       FROM s WHERE mid_type IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2),
+      |n1 AS (SELECT b2 AS b1, CAST(SUM(n2) AS BIGINT) AS n1 FROM n2 GROUP BY 1),
+      |n3 AS (SELECT event_type AS a3, mid_type AS b3, to_type AS c3, CAST(count(*) AS BIGINT) AS n3
+      |       FROM s WHERE to_type IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2, 3),
+      |nc AS (SELECT a3 AS ac, b3 AS bc, CAST(SUM(n3) AS BIGINT) AS nctx FROM n3 GROUP BY 1, 2),
+      |cases AS (SELECT event_type AS a, mid_type AS b, to_type AS c
+      |          FROM s WHERE to_type IS NOT NULL AND user_id % 2 = 1),
+      |ej AS (SELECT
+      |    -CAST(round(1000000.0 * ln(CAST(coalesce(n2.n2, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(n1.n1, 0) + vt.v AS DOUBLE))) AS BIGINT) AS bi_loss,
+      |    -CAST(round(1000000.0 * ln(CAST(coalesce(n3.n3, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(nc.nctx, 0) + vt.v AS DOUBLE))) AS BIGINT) AS tri_loss
+      |  FROM cases
+      |  LEFT JOIN n2 ON n2.b2 = cases.b AND n2.c2 = cases.c
+      |  LEFT JOIN n1 ON n1.b1 = cases.b
+      |  LEFT JOIN n3 ON n3.a3 = cases.a AND n3.b3 = cases.b AND n3.c3 = cases.c
+      |  LEFT JOIN nc ON nc.ac = cases.a AND nc.bc = cases.b
+      |  CROSS JOIN vt),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cases,
+      |               CAST(SUM(bi_loss) AS BIGINT) AS bi_total,
+      |               CAST(SUM(tri_loss) AS BIGINT) AS tri_total FROM ej)
+      |SELECT 'bigram' AS model, n_cases, bi_total AS loss_total_micro,
+      |       CAST(bi_total // n_cases AS BIGINT) AS loss_mean_micro FROM agg
+      |UNION ALL
+      |SELECT 'trigram' AS model, n_cases, tri_total AS loss_total_micro,
+      |       CAST(tri_total // n_cases AS BIGINT) AS loss_mean_micro FROM agg""".stripMargin
+
   val all: Map[String, String] = Map(
     "event_paths"        -> eventPaths,
     "transition_drift"   -> transitionDrift,
     "path_lift"          -> pathLift,
+    "path_ppl"           -> pathPpl,
     "event_transitions"  -> eventTransitions,
     "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,

@@ -415,6 +415,62 @@ object BehaviorQueries {
         "n_hits * 1000000L div n_cases AS acc_ppm")
   }
 
+  /** Held-out LOG-LOSS of the transition models in exact integer
+    * micro-nats — [[pathLift]] scores top-1 accuracy; this scores the
+    * full predictive distribution (the metric that actually orders
+    * language models): per odd-half test triple (a, b, c), the
+    * Laplace-smoothed probability the train-half model assigns the true
+    * continuation — bigram `(n(b,c)+1)/(n(b)+V)`, trigram
+    * `(n(a,b,c)+1)/(n(a,b)+V)`, V = distinct train event types —
+    * quantized per case to micro-nats (the DSIR/NB `round(1e6·ln)` idiom:
+    * exact-integer ratio in, one libm call, then EXACT BIGINT sums).
+    * Unseen contexts fall back to the uniform 1/V smoothing mass
+    * automatically (counts coalesce to 0). Lower mean loss = better
+    * model; exp(mean/1e6) is the perplexity.
+    *
+    * Cost: the [[pathLift]] shape — one corpus window pass
+    * (checkpointed), bounded model aggregations broadcast back, one
+    * case join + one aggregation. */
+  def pathPpl(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 2).over(w))
+      .localCheckpoint()
+    val vT = base.filter(expr("user_id % 2 = 0"))
+      .agg(countDistinct(col("event_type")).as("v"))
+    val n2 = base.filter(col("mid_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy(col("event_type").as("b2"), col("mid_type").as("c2"))
+      .agg(count(lit(1)).as("n2"))
+    val n1 = n2.groupBy(col("b2").as("b1")).agg(sum(col("n2")).as("n1"))
+    val n3 = base.filter(col("to_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy(col("event_type").as("a3"), col("mid_type").as("b3"),
+        col("to_type").as("c3"))
+      .agg(count(lit(1)).as("n3"))
+    val nc = n3.groupBy(col("a3").as("ac"), col("b3").as("bc"))
+      .agg(sum(col("n3")).as("nctx"))
+    val cases = base.filter(col("to_type").isNotNull && expr("user_id % 2 = 1"))
+      .select(col("event_type").as("a"), col("mid_type").as("b"), col("to_type").as("c"))
+    def qloss(n: String, ctx: String) =
+      s"-CAST(round(1000000.0 * ln(CAST(coalesce($n, 0L) + 1 AS DOUBLE)" +
+        s" / CAST(coalesce($ctx, 0L) + v AS DOUBLE))) AS BIGINT)"
+    cases
+      .join(broadcast(n2), cases("b") === n2("b2") && cases("c") === n2("c2"), "left")
+      .join(broadcast(n1), cases("b") === n1("b1"), "left")
+      .join(broadcast(n3), cases("a") === n3("a3") && cases("b") === n3("b3")
+        && cases("c") === n3("c3"), "left")
+      .join(broadcast(nc), cases("a") === nc("ac") && cases("b") === nc("bc"), "left")
+      .crossJoin(broadcast(vT))
+      .selectExpr(s"${qloss("n2", "n1")} AS bi_loss", s"${qloss("n3", "nctx")} AS tri_loss")
+      .agg(count(lit(1)).as("n_cases"), sum(col("bi_loss")).as("bi_total"),
+        sum(col("tri_loss")).as("tri_total"))
+      .selectExpr("stack(2, 'bigram', n_cases, bi_total, 'trigram', n_cases, tri_total)" +
+        " AS (model, n_cases, loss_total_micro)")
+      .selectExpr("model", "n_cases", "loss_total_micro",
+        "loss_total_micro div n_cases AS loss_mean_micro")
+  }
+
   /** Key-distribution skew profile for a join/aggregation key (user_id
     * here): the top-10 heaviest keys with their parts-per-million share,
     * plus global row/key totals — the pre-flight diagnostic that decides

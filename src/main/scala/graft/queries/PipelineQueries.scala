@@ -2097,6 +2097,25 @@ object PipelineQueries {
     rrfFuse(lex, dns, kTop)
   }
 
+  /** RRF diversification audit — the retrieval-quality gate for the
+    * hybrid stack (the ann_recall discipline applied to fusion): per
+    * query, of the fused top-5, how many rows also sit in the lexical
+    * top-5, in the dense top-5, and in NEITHER (ranks it earned only
+    * through fusion — the diversification RRF exists to buy). The
+    * single-retriever membership is read off the rank columns the
+    * fusion already carries, so the audit costs ONE aggregation over
+    * the fused nQ×5-row frame — no retrieval stack runs twice. All
+    * counts are exact integers. */
+  def rrfOverlap(spark: SparkSession, dir: String, nQ: Int = 8,
+                 kIn: Int = 20, kTop: Int = 5): DataFrame =
+    hybridRrf(spark, dir, nQ, kIn, kTop)
+      .groupBy("q_id").agg(
+        count(lit(1)).as("k"),
+        sum(expr(s"CASE WHEN rank_lex BETWEEN 1 AND $kTop THEN 1L ELSE 0L END")).as("n_lex"),
+        sum(expr(s"CASE WHEN rank_dense BETWEEN 1 AND $kTop THEN 1L ELSE 0L END")).as("n_dense"),
+        sum(expr(s"CASE WHEN NOT (rank_lex BETWEEN 1 AND $kTop)" +
+          s" AND NOT (rank_dense BETWEEN 1 AND $kTop) THEN 1L ELSE 0L END")).as("n_fused_only"))
+
   /** Non-self lexical rank at `kIn` over a BM25 ranking taken at kIn+1
     * (at most one self row can drop) — shared by [[hybridRrf]] and
     * [[hybridRrfPersist]] so the two fusions cannot drift. */
@@ -3494,8 +3513,8 @@ object PipelineOracles {
     * parameters restrict the document / embedding populations — empty
     * for the full-corpus fusion, survivor filters for the takedown
     * twin. */
-  private def hybridRrfOver(docWhere: String, vecWhere: String): String =
-    s"""WITH ${bm25ChainOver(docWhere)},
+  private def hybridRrfChain(docWhere: String, vecWhere: String): String =
+    s"""${bm25ChainOver(docWhere)},
        |lexr AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
        |    FROM g WHERE doc_id <> q_id)
@@ -3520,12 +3539,28 @@ object PipelineOracles {
        |           + coalesce(1000000 // (60 + rank_dense), 0) AS BIGINT) AS rrf_micro,
        |        CAST(coalesce(rank_lex, -1) AS BIGINT) AS rank_lex,
        |        CAST(coalesce(rank_dense, -1) AS BIGINT) AS rank_dense
-       |      FROM f)
+       |      FROM f)""".stripMargin
+
+  private def hybridRrfOver(docWhere: String, vecWhere: String): String =
+    s"""WITH ${hybridRrfChain(docWhere, vecWhere)}
        |SELECT q_id, doc_id, rank_lex, rank_dense, rrf_micro, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM r)
        |WHERE rn <= 5""".stripMargin
 
   val hybridRrf: String = hybridRrfOver("", "")
+
+  /** [[PipelineQueries.rrfOverlap]] restatement: the same fused top-5,
+    * classified by whether each row also sits in a single retriever's
+    * top-5 (its rank_lex / rank_dense carried through the fusion). */
+  val rrfOverlap: String =
+    s"""WITH ${hybridRrfChain("", "")}
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN rank_lex BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lex,
+       |  CAST(SUM(CASE WHEN rank_dense BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dense,
+       |  CAST(SUM(CASE WHEN NOT (rank_lex BETWEEN 1 AND 5) AND NOT (rank_dense BETWEEN 1 AND 5)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_fused_only
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM r)
+       |WHERE rn <= 5 GROUP BY 1""".stripMargin
 
   /** [[PipelineQueries.hybridRrfTakedown]] restatement: the identical
     * fusion over the SURVIVING corpus on both retrieval sides. */
@@ -4940,6 +4975,8 @@ object PipelineOracles {
     // the takedown through the whole serving stack: both retrievers
     // restricted to survivors
     "hybrid_rrf_takedown" -> hybridRrfTakedown,
+    // fused-list diversification audit over the carried single ranks
+    "rrf_overlap" -> rrfOverlap,
     // persisted serving state — the oracle IS hybrid_rrf's SQL
     "hybrid_rrf_persist" -> hybridRrf,
     "hybrid_rrf" -> hybridRrf,

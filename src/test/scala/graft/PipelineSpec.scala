@@ -854,6 +854,60 @@ class PipelineSpec extends SparkSpec {
       triHits.toLong * 1000000L / cases.size)))
   }
 
+  test("rrf_overlap restates the fused list's carried single-retriever ranks exactly") {
+    val fused = PipelineQueries.hybridRrf(spark, sf0001).collect()
+    val expected = fused.groupBy(_.getAs[Long]("q_id")).map { case (q, rows) =>
+      q -> (rows.length.toLong,
+        rows.count(r => { val x = r.getAs[Long]("rank_lex"); x >= 1 && x <= 5 }).toLong,
+        rows.count(r => { val x = r.getAs[Long]("rank_dense"); x >= 1 && x <= 5 }).toLong,
+        rows.count { r =>
+          val l = r.getAs[Long]("rank_lex"); val d = r.getAs[Long]("rank_dense")
+          !(l >= 1 && l <= 5) && !(d >= 1 && d <= 5)
+        }.toLong)
+    }
+    val got = PipelineQueries.rrfOverlap(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("k"), r.getAs[Long]("n_lex"),
+        r.getAs[Long]("n_dense"), r.getAs[Long]("n_fused_only"))).toMap
+    assert(got == expected && got.nonEmpty)
+    // every fused row lands in at least one of the three classes
+    got.values.foreach { case (k, nl, nd, nf) =>
+      assert(nl + nd + nf >= k && nl <= k && nd <= k && nf <= k)
+    }
+  }
+
+  test("path_ppl: matches a driver-local exact micro-nat log-loss reference") {
+    def qln(x: Double): Long =
+      java.math.BigDecimal.valueOf(1000000.0 * math.log(x))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val seqs = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "CAST(ts AS LONG) AS sec", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("sec"), r.getAs[Long]("event_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._4)).map(_._2).toList).toMap
+    val (train, test) = (seqs.filter(_._1 % 2 == 0), seqs.filter(_._1 % 2 == 1))
+    val v = train.values.flatten.toSet.size
+    val n2 = train.values.flatMap(l => l.zip(l.drop(1))).toList
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = n2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n3 = train.values.flatMap(l => l.lazyZip(l.drop(1)).lazyZip(l.drop(2)).toList).toList
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nctx = n3.groupBy(t => (t._1._1, t._1._2)).view.mapValues(_.values.sum).toMap
+    val cases = test.values.flatMap(l => l.lazyZip(l.drop(1)).lazyZip(l.drop(2)).toList).toList
+    val biTotal = cases.map { case (_, b, c) =>
+      -qln((n2.getOrElse((b, c), 0L) + 1).toDouble / (n1.getOrElse(b, 0L) + v).toDouble)
+    }.sum
+    val triTotal = cases.map { case (a, b, c) =>
+      -qln((n3.getOrElse((a, b, c), 0L) + 1).toDouble /
+        (nctx.getOrElse((a, b), 0L) + v).toDouble)
+    }.sum
+    val rows = BehaviorQueries.pathPpl(spark, sf0001).collect()
+      .map(r => r.getAs[String]("model") -> (r.getAs[Long]("n_cases"),
+        r.getAs[Long]("loss_total_micro"), r.getAs[Long]("loss_mean_micro"))).toMap
+    assert(rows("bigram") == ((cases.size.toLong, biTotal, biTotal / cases.size)))
+    assert(rows("trigram") == ((cases.size.toLong, triTotal, triTotal / cases.size)))
+  }
+
   test("rfm_segments: quartiles fill evenly and the label restates the scores") {
     val rows = RelationalQueries.rfmSegments(spark, sf0001).collect()
     val n = rows.length
