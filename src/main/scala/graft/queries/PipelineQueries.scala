@@ -1926,7 +1926,7 @@ object PipelineQueries {
     * corpus-wide shuffles (a query-side doc_id pushdown defeats
     * ReusedExchange). This IS the inverted-index build a lexical engine
     * persists at 100 TB. */
-  private[queries] def bm25Postings(docs: DataFrame): DataFrame =
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id",
         "explode(filter(split(trim(text), ' '), t -> t <> '')) AS term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

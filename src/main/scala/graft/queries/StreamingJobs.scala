@@ -380,6 +380,100 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming LEXICAL-INDEX lifecycle maintainer — the BM25 analogue of
+    * [[runClusterLifecycle]], closing the serving loop whose two halves
+    * are already oracle-green as batch queries: one tagged add/remove CDC
+    * feed (same contract: op ∈ 'add' | 'remove', optional `seq` for
+    * per-doc last-op netting with ties toward remove; without seq,
+    * adds-before-removes) maintains the deployed (postings, dl, df)
+    * triple per micro-batch. Deliveries fold IN with the
+    * bm25_topk_persist algebra (disjoint doc partitions union; df is a
+    * vocabulary-keyed sum); takedowns fold OUT with the
+    * bm25_topk_takedown algebra (doc-keyed retirement of postings and
+    * lengths; df decremented by the removed docs' term counts, read from
+    * the MAINTAINED postings — the store lookup a real engine does;
+    * zero-df terms retire). A fourth maintained table — the ingested-id
+    * set — makes adds replay-idempotent even for docs that tokenize to
+    * nothing (they never enter postings/dl, so those tables cannot serve
+    * as the ingested set; the runIncrementalClusters assignment
+    * rationale). `sink` receives the maintained triple after every
+    * batch; serving [[PipelineQueries]]'s bm25 rank stage over it plus
+    * re-derived 1-row stats equals bm25_topk over exactly the surviving
+    * corpus (spec-verified through interleaved adds and removes,
+    * including add+remove of one doc in one batch).
+    *
+    * Scale shape per batch: add cost = delivery-sized tokenize + a
+    * vocabulary-keyed df fold; remove cost = a takedown-scoped semi-join
+    * over the stored postings + the same vocab-keyed fold; never a
+    * corpus re-tokenize. State is the index itself — exactly what the
+    * batch [[IndexState.bm25FullPaths]] persists. */
+  def runBm25Lifecycle(spark: SparkSession, opsStream: DataFrame,
+      initialPostings: Option[DataFrame] = None,
+      initialIds: Option[DataFrame] = None)(
+      sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    var postings: DataFrame = initialPostings.map(_.localCheckpoint())
+      .getOrElse(empty(StructType(Seq(StructField("doc_id", LongType),
+        StructField("term", StringType), StructField("tf", LongType)))))
+    var dl: DataFrame = postings.groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl")).localCheckpoint()
+    var dft: DataFrame = postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
+    var ids: DataFrame = initialIds.map(_.localCheckpoint())
+      .getOrElse(postings.select("doc_id").distinct().localCheckpoint())
+    opsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-root + per-doc netting: same contract as runClusterLifecycle
+        val hasSeq = batch.columns.contains("seq")
+        val opSchema = StructType(docSchema ++
+          Seq(StructField("op", StringType)) ++
+          (if (hasSeq) Seq(StructField("seq", LongType)) else Nil))
+        val raw = if (hasSeq)
+          batch.select(col("doc_id"), col("text"), col("op"), col("seq").cast("long"))
+        else batch.select("doc_id", "text", "op")
+        val bRaw = spark.createDataFrame(raw.rdd, opSchema).localCheckpoint()
+        val bAll = if (hasSeq) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("seq").desc, col("op").desc)
+          bRaw.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn", "seq")
+        } else bRaw
+        // ADDS: idempotent via the ingested-id set
+        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
+          .dropDuplicates("doc_id")
+          .join(ids, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val dPost = PipelineQueries.bm25Postings(d)
+        postings = postings.union(dPost).localCheckpoint()
+        dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+          .localCheckpoint()
+        dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
+          .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
+        ids = ids.union(d.select("doc_id")).localCheckpoint()
+        // REMOVES: doc-keyed retirement + the df down-fold from the store
+        val rem = bAll.filter(col("op") === "remove")
+          .select("doc_id").distinct().localCheckpoint()
+        if (!rem.isEmpty) {
+          val dfRem = postings.join(rem, Seq("doc_id"), "left_semi")
+            .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
+          dft = dft.join(dfRem, Seq("term"), "left")
+            .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
+            .filter(col("df") > 0).localCheckpoint()
+          postings = postings.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          dl = dl.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          ids = ids.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+        }
+        sink(postings, dl, dft)
+      }
+      .start()
+  }
+
   /** The streaming CURATION PRESS — the continuously-maintained
     * [[PipelineQueries.corpusManifest]]: one tagged add/remove CDC feed
     * (same contract as [[runClusterLifecycle]]) drives the near-dup

@@ -687,6 +687,50 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming BM25 lifecycle (adds + takedowns) converges to the survivors' index") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    val takedown1 = chunks(0).map(_._1).filter(_ % 10 == 0)
+    // second takedown: earlier-delivery docs AND docs added the same batch
+    val takedown2 = chunks(1).map(_._1).filter(_ % 7 == 0) ++
+      chunks(2).map(_._1).filter(_ % 9 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](65, spark, None)
+    @volatile var lastPost: Set[(Long, String, Long)] = Set.empty
+    @volatile var lastDl: Set[(Long, Long)] = Set.empty
+    @volatile var lastDf: Set[(String, Long)] = Set.empty
+    val q = StreamingJobs.runBm25Lifecycle(
+        spark, in.toDS().toDF("doc_id", "text", "op")) { (post, dl, df) =>
+      lastPost = post.as[(Long, String, Long)].collect().toSet
+      lastDl = dl.as[(Long, Long)].collect().toSet
+      lastDf = df.as[(String, Long)].collect().toSet
+    }
+    try {
+      def adds(c: Seq[(Long, String)]) = c.map { case (i, t) => (i, t, "add") }
+      def rems(ids: Seq[Long]) = ids.map(i => (i, "", "remove"))
+      in.addData(adds(chunks(0))); q.processAllAvailable()
+      // replay-idempotency: re-adding already-ingested docs is a no-op
+      in.addData(adds(chunks(0).take(5)) ++ adds(chunks(1))); q.processAllAvailable()
+      in.addData(rems(takedown1)); q.processAllAvailable()
+      in.addData(adds(chunks(2)) ++ rems(takedown2)); q.processAllAvailable()
+      chunks.drop(3).foreach { c => in.addData(adds(c)); q.processAllAvailable() }
+
+      val removed = (takedown1 ++ takedown2).toSet
+      val sdf = docs.filterNot(d => removed(d._1)).toSeq.toDF("doc_id", "text")
+      val expPost = graft.queries.PipelineQueries.bm25Postings(sdf)
+        .as[(Long, String, Long)].collect().toSet
+      assert(lastPost == expPost && expPost.nonEmpty,
+        "maintained postings must equal a from-scratch index of the survivors")
+      // toSeq first: grouping the Set and mapping tf values would DEDUPE
+      // equal tf values before the sum
+      assert(lastDl == expPost.toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toSet)
+      assert(lastDf == expPost.toSeq.groupBy(_._2).view
+        .mapValues(_.size.toLong).toSet)
+    } finally q.stop()
+  }
+
   test("online unigram token counting replays to the exact batch encode") {
     import graft.queries.PipelineQueries
     def rowKey(r: org.apache.spark.sql.Row) =
