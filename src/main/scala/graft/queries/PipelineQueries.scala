@@ -2160,7 +2160,12 @@ object PipelineQueries {
     val (tfq, dl, dft, stats) = bm25FoldedIndex(spark, dir)
     val lex = rrfLexRank(bm25Rank(tfq, dl, dft, stats, nQ, kIn + 1), kIn)
     val mod = ClusterState.PersistDeliveryMod
-    val store = spark.read.parquet(IndexState.denseStorePaths(spark, dir))
+    // the store lands as ONE parquet file; without the one-split guard
+    // the scan feeds the brute-cosine stage — which has no exchange to
+    // re-balance it — as a SINGLE task (the documented serialization
+    // trap). No-op once a real deployment's store spans many files.
+    val store = graft.ops.Parallelism.ensureMin(
+      spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
     val delivery = SimilarityOps.quantStore(
       Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
     val dns = SimilarityOps.cosineTopKOfVecs(
