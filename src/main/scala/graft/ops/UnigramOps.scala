@@ -78,13 +78,31 @@ object UnigramOps {
          |     transform(sequence(1, length(word) - k + 1), i -> substring(word, i, k)),
          |     CAST(array() AS ARRAY<STRING>))))) AS piece""".stripMargin)
 
+  /** Score floor for characters the model never saw: far below any real
+    * piece (the worst Laplace-smoothed score at petabyte counts is
+    * ≳ −60 micro-mega-nats), yet safe against Long overflow for any
+    * MaxWordLen-bounded path sum. An unknown char segments as its own
+    * single-character piece at this floor — the <unk> convention — so
+    * the frozen-model scorer is TOTAL on real multilingual ingest (one
+    * exotic document must not kill a corpus-wide pass; the WinnowFps
+    * out-of-contract lesson). In-vocabulary text never touches the
+    * floor, so training/encode paths are bit-unchanged. */
+  private[graft] val UnkScore: Long = -10000000000L
+
   /** Viterbi segmentation of one word under integer micro-nat scores:
     * maximize the path score; break value ties toward the LONGEST piece
-    * (k DESC) at each backtrack step. Single characters are always
-    * scored, so every position is reachable. */
+    * (k DESC) at each backtrack step. Characters missing from the model
+    * traverse as single <unk> pieces at [[UnkScore]], so the function is
+    * total; for in-model text every position is reachable through real
+    * pieces and the floor is never taken. */
   private[graft] def segment(word: String, score: Map[String, Long]): List[String] = {
     val n = word.length
     val unreach = Long.MinValue
+    def pieceScore(from: Int, to: Int): Option[Long] = {
+      val piece = word.substring(from, to)
+      score.get(piece).orElse(
+        if (to - from == 1 && !score.contains(piece)) Some(UnkScore) else None)
+    }
     val best = Array.fill(n + 1)(unreach)
     best(0) = 0L
     var p = 1
@@ -93,7 +111,7 @@ object UnigramOps {
       val kMax = math.min(MaxPieceLen, p)
       while (k <= kMax) {
         if (best(p - k) != unreach) {
-          score.get(word.substring(p - k, p)) match {
+          pieceScore(p - k, p) match {
             case Some(s) => if (best(p - k) + s > best(p)) best(p) = best(p - k) + s
             case None => ()
           }
@@ -108,15 +126,14 @@ object UnigramOps {
       var k = math.min(MaxPieceLen, p)
       var done = false
       while (!done && k >= 1) {
-        val piece = word.substring(p - k, p)
         if (best(p - k) != unreach &&
-            score.get(piece).exists(s => best(p - k) + s == best(p))) {
-          out = piece :: out
+            pieceScore(p - k, p).exists(s => best(p - k) + s == best(p))) {
+          out = word.substring(p - k, p) :: out
           p -= k
           done = true
         } else k -= 1
       }
-      require(done, s"unreachable position $p in '$word' — single chars missing from model")
+      require(done, s"unreachable position $p in '$word'")
     }
     out
   }

@@ -35,6 +35,24 @@ class UnigramSpec extends SparkSpec {
     assert(UnigramOps.segment("abab", tied) == List("ab", "ab"))
   }
 
+  test("segment is total: unknown characters traverse as single <unk> pieces, never preferred") {
+    val model = Map("a" -> -5L, "b" -> -7L, "ab" -> -8L)
+    // a character the model never saw must not throw — one exotic doc
+    // cannot kill a corpus-wide frozen-model scoring pass
+    assert(UnigramOps.segment("aXb", model) == List("a", "X", "b"))
+    assert(UnigramOps.segment("XY", model) == List("X", "Y"))
+    assert(UnigramOps.segment("日本ab", model) == List("日", "本", "ab"))
+    // the floor is never taken when a real path exists: "ab" stays one piece
+    assert(UnigramOps.segment("ab", model) == List("ab"))
+    // and the scorer built on it is total too
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "ab 日本語 ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val scored = PipelineQueries.uniScore(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(scored(1L) == 1L + 3L + 1L && scored(2L) == 2L)
+  }
+
   test("uni_learn: chars kept, no zero-count multi-char piece, scores restate the Laplace formula") {
     val rows = PipelineQueries.uniLearn(spark, sf0001).collect()
     assert(rows.nonEmpty)
