@@ -144,6 +144,9 @@ object SparkEntry {
     "uni_seed"          -> (PipelineQueries.uniSeed _),
     "uni_learn"         -> (PipelineQueries.uniLearn _),
     "uni_encode"        -> (PipelineQueries.uniEncode _),
+    // per-language unigram fertility: tok_fertility's twin — the
+    // language-level tokenizer fairness A/B
+    "uni_fertility"     -> (PipelineQueries.uniFertility _),
     // per-word BPE vs unigram segmentation diff — the tokenizer-choice table
     "tok_ab"            -> (PipelineQueries.tokAb _),
     // DSIR hashed importance weights: target-vs-raw n-gram likelihood

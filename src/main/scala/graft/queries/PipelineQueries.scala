@@ -2457,6 +2457,26 @@ object PipelineQueries {
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
 
+  /** Unigram fertility by language — [[tokFertility]]'s twin under the
+    * unigram-LM tokenizer, and together with it the LANGUAGE-level
+    * tokenizer A/B ([[tokAb]] compares per word; this compares where the
+    * fairness question actually lands): per detected language the
+    * corpus-summed word/piece/char counts from the unigram apply
+    * ([[uniEncode]]) with the same exact integer micro-ratios. A
+    * language whose fertility drops under the unigram model is evidence
+    * for shipping it over BPE for that corpus mix. Same cost shape:
+    * the uniEncode pass + the langId narrow scan + a |languages|-row
+    * aggregation. */
+  def uniFertility(spark: SparkSession, dir: String): DataFrame =
+    uniEncode(spark, dir)
+      .join(langId(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+      .selectExpr("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        "n_tokens * 1000000L div n_words AS fertility_micro",
+        "n_chars * 1000000L div n_tokens AS compression_micro")
+
   /** Tokenizer A/B at the vocabulary level — the table a pipeline reads
     * before CHOOSING between its two trained tokenizers: per word, the
     * BPE subword count ([[graft.ops.BpeOps.segmentCounts]] under
@@ -3811,6 +3831,29 @@ object PipelineOracles {
       "CAST(SUM(length(word)) AS BIGINT) AS n_chars FROM dw JOIN seg USING (word) GROUP BY 1"
   }
 
+  /** [[PipelineQueries.uniFertility]] restatement: the uniEncode chain's
+    * per-doc encode joined to the langIdChain verdict, summed per
+    * language with the same BIGINT micro-ratio arithmetic. */
+  val uniFertility: String = {
+    val last = graft.ops.UnigramOps.EmRounds
+    val enc = uniEncodeChain() ++ Seq(
+      s"seg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok FROM pk${last + 1} GROUP BY 1)",
+      s"""dw AS (SELECT doc_id, word FROM (
+         |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS word FROM documents)
+         |  WHERE length(word) <= $UniW)""".stripMargin,
+      """enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |               CAST(SUM(length(word)) AS BIGINT) AS n_chars
+        |        FROM dw JOIN seg USING (word) GROUP BY 1)""".stripMargin)
+    s"""WITH ${enc.mkString(",\n")},
+       |$langIdChain
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT) AS fertility_micro,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT) AS compression_micro
+       |FROM enc JOIN lid USING (doc_id) GROUP BY 1""".stripMargin
+  }
+
   /** [[PipelineQueries.tokAb]] restatement: the full BPE chain and the
     * full unigram chain composed in ONE statement — the unigram word
     * table is namespaced `uw0` so it coexists with bpeChain's unfiltered
@@ -4943,6 +4986,7 @@ object PipelineOracles {
     "uni_seed"          -> uniSeed,
     "uni_learn"         -> uniLearn,
     "uni_encode"        -> uniEncode,
+    "uni_fertility"     -> uniFertility,
     "tok_ab"            -> tokAb,
     "dsir_weights"      -> dsirWeights,
     "dsir_select"       -> dsirSelect,

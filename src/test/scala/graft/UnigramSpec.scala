@@ -114,6 +114,22 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("uni_fertility: language rows recompose the corpus encode and restate the micro-ratios") {
+    val rows = PipelineQueries.uniFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val enc = PipelineQueries.uniEncode(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == enc.length.toLong,
+      "every encoded doc lands in exactly one language row")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      enc.map(_.getAs[Long]("n_tokens")).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_micro") ==
+        r.getAs[Long]("n_tokens") * 1000000L / r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("compression_micro") ==
+        r.getAs[Long]("n_chars") * 1000000L / r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("uni_seed: ranking is (cnt DESC, piece ASC) over multi-char substrings only") {
     val rows = PipelineQueries.uniSeed(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 50)
