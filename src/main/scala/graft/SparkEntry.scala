@@ -49,6 +49,8 @@ object SparkEntry {
     "path_lift"          -> (BehaviorQueries.pathLift _),
     // held-out log-loss in exact micro-nats (exp(mean/1e6) = perplexity)
     "path_ppl"           -> (BehaviorQueries.pathPpl _),
+    // top-50 most surprising transitions under the frozen trigram model
+    "path_anomalies"     -> (BehaviorQueries.pathAnomalies _),
     "skew_profile"       -> (BehaviorQueries.skewProfile _),
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),

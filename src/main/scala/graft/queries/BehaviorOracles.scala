@@ -394,11 +394,39 @@ object BehaviorOracles {
       |SELECT 'trigram' AS model, n_cases, tri_total AS loss_total_micro,
       |       CAST(tri_total // n_cases AS BIGINT) AS loss_mean_micro FROM agg""".stripMargin
 
+  /** [[BehaviorQueries.pathAnomalies]] restatement: the same model CTEs,
+    * the same per-case micro-nat loss, all-corpus cases, (loss DESC, full
+    * key ASC) top-50. */
+  val pathAnomalies: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mid_type,
+      |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |      FROM events),
+      |vt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM s WHERE user_id % 2 = 0),
+      |n3 AS (SELECT event_type AS a3, mid_type AS b3, to_type AS c3, CAST(count(*) AS BIGINT) AS n3
+      |       FROM s WHERE to_type IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2, 3),
+      |nc AS (SELECT a3 AS ac, b3 AS bc, CAST(SUM(n3) AS BIGINT) AS nctx FROM n3 GROUP BY 1, 2),
+      |cases AS (SELECT user_id, event_type AS f, mid_type AS m, to_type AS t
+      |          FROM s WHERE to_type IS NOT NULL),
+      |ej AS (SELECT user_id, f AS from_type, m AS mid_type, t AS to_type,
+      |    -CAST(round(1000000.0 * ln(CAST(coalesce(n3.n3, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(nc.nctx, 0) + vt.v AS DOUBLE))) AS BIGINT) AS loss_micro
+      |  FROM cases
+      |  LEFT JOIN n3 ON n3.a3 = cases.f AND n3.b3 = cases.m AND n3.c3 = cases.t
+      |  LEFT JOIN nc ON nc.ac = cases.f AND nc.bc = cases.m
+      |  CROSS JOIN vt),
+      |g AS (SELECT user_id, from_type, mid_type, to_type, loss_micro, CAST(count(*) AS BIGINT) AS n
+      |      FROM ej GROUP BY 1, 2, 3, 4, 5)
+      |SELECT user_id, from_type, mid_type, to_type, loss_micro, n FROM g
+      |ORDER BY loss_micro DESC, user_id ASC, from_type ASC, mid_type ASC, to_type ASC
+      |LIMIT 50""".stripMargin
+
   val all: Map[String, String] = Map(
     "event_paths"        -> eventPaths,
     "transition_drift"   -> transitionDrift,
     "path_lift"          -> pathLift,
     "path_ppl"           -> pathPpl,
+    "path_anomalies"     -> pathAnomalies,
     "event_transitions"  -> eventTransitions,
     "skew_profile"       -> skewProfile,
     "item_pairs"         -> itemPairs,

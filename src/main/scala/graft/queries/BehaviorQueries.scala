@@ -471,6 +471,75 @@ object BehaviorQueries {
         "loss_total_micro div n_cases AS loss_mean_micro")
   }
 
+  /** The frozen trigram model as plain maps — (n3 triple counts, nctx
+    * context totals, V distinct train types), all bounded by |types|³:
+    * the model parameter the stateless surprisal scorer
+    * ([[graft.streaming.Detectors.surprise]]) freezes into its closure
+    * (the dsirModelArray discipline). Trained on the even user half —
+    * the same split every model in the path family uses. */
+  def pathModel(spark: SparkSession, dir: String)
+      : (Map[(String, String, String), Long], Map[(String, String), Long], Long) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 2).over(w))
+      .filter(col("to_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy("event_type", "mid_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Long]("n"))
+      .toMap
+    val nctx = tri.toSeq.groupBy { case ((a, b, _), _) => (a, b) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val v = ev(spark, dir).filter(expr("user_id % 2 = 0"))
+      .select("event_type").distinct().count()
+    (tri, nctx, v)
+  }
+
+  /** Behavioral ANOMALY monitor — the top-50 most surprising observed
+    * transitions under the frozen trigram model: every consecutive
+    * triple in the corpus (BOTH halves — production scores everything
+    * that arrives) carries its Laplace log-loss in exact micro-nats
+    * ([[pathPpl]]'s trigram statement), aggregated per distinct
+    * (user, triple) with its occurrence count, ranked by (loss DESC,
+    * then the full key ascending — a total order). Sequences a user
+    * model has never seen rank first: the account-takeover /
+    * bot-behavior review queue, next to [[volumeAnomalies]]' volume
+    * gate. Cost: one corpus window pass + the broadcast model joins +
+    * one aggregation; top-50 via orderBy+limit = TakeOrderedAndProject. */
+  def pathAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_type", lead(col("event_type"), 2).over(w))
+      .localCheckpoint()
+    val vT = base.filter(expr("user_id % 2 = 0"))
+      .agg(countDistinct(col("event_type")).as("v"))
+    val n3 = base.filter(col("to_type").isNotNull && expr("user_id % 2 = 0"))
+      .groupBy(col("event_type").as("a3"), col("mid_type").as("b3"),
+        col("to_type").as("c3"))
+      .agg(count(lit(1)).as("n3"))
+    val nc = n3.groupBy(col("a3").as("ac"), col("b3").as("bc"))
+      .agg(sum(col("n3")).as("nctx"))
+    val cases = base.filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("f"), col("mid_type").as("m"),
+        col("to_type").as("t"))
+    cases
+      .join(broadcast(n3), cases("f") === n3("a3") && cases("m") === n3("b3")
+        && cases("t") === n3("c3"), "left")
+      .join(broadcast(nc), cases("f") === nc("ac") && cases("m") === nc("bc"), "left")
+      .crossJoin(broadcast(vT))
+      .selectExpr("user_id", "f AS from_type", "m AS mid_type", "t AS to_type",
+        "-CAST(round(1000000.0 * ln(CAST(coalesce(n3, 0L) + 1 AS DOUBLE)" +
+          " / CAST(coalesce(nctx, 0L) + v AS DOUBLE))) AS BIGINT) AS loss_micro")
+      .groupBy("user_id", "from_type", "mid_type", "to_type", "loss_micro")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("loss_micro").desc, col("user_id").asc, col("from_type").asc,
+        col("mid_type").asc, col("to_type").asc)
+      .limit(50)
+  }
+
   /** Key-distribution skew profile for a join/aggregation key (user_id
     * here): the top-10 heaviest keys with their parts-per-million share,
     * plus global row/key totals — the pre-flight diagnostic that decides

@@ -599,6 +599,38 @@ object Detectors {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
+  /** One transition increment with its frozen-model surprisal. */
+  case class PathScore(user_id: Long, from_type: String, mid_type: String,
+                       to_type: String, loss_micro: Long)
+
+  /** STATELESS surprisal scoring of a transition-increment stream
+    * against the frozen trigram model
+    * ([[graft.queries.BehaviorQueries.pathModel]] — bounded |types|³
+    * maps in the closure, the dsirScore discipline): each increment
+    * [[pathIncrements]] emits carries its Laplace log-loss in exact
+    * micro-nats — the same `round(1e6·ln)` quantization as the batch
+    * `path_anomalies` statement (JVM BigDecimal HALF_UP, the
+    * dsirModelArray idiom), so counting/ranking the scored stream
+    * reproduces the batch monitor exactly (parity-specced). Works on
+    * batch and streaming increment frames alike; composed after the
+    * watermark-ordered fold, the pipeline is the live
+    * account-takeover / bot-behavior review feed. */
+  def surprise(incs: Dataset[PathInc],
+               n3: Map[(String, String, String), Long],
+               nctx: Map[(String, String), Long],
+               v: Long): Dataset[PathScore] = {
+    implicit val outEnc = Encoders.product[PathScore]
+    def qln(x: Double): Long =
+      java.math.BigDecimal.valueOf(1000000.0 * math.log(x))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    incs.map { i =>
+      val key = (i.from_type, i.mid_type, i.to_type)
+      val loss = -qln((n3.getOrElse(key, 0L) + 1).toDouble /
+        (nctx.getOrElse((i.from_type, i.mid_type), 0L) + v).toDouble)
+      PathScore(i.user_id, i.from_type, i.mid_type, i.to_type, loss)
+    }
+  }
+
   /** Bare (user, event-seconds) for retention cohort tracking. */
   case class WeekEvent(key: Long, sec: Long)
 

@@ -169,6 +169,30 @@ class StreamAnalyticsParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("surprise over the increment fold reproduces the path_anomalies monitor") {
+    val (n3, nctx, v) = BehaviorQueries.pathModel(spark, sf0001)
+    val typeEvents = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id").as("key"), col("event_type").as("etype"),
+        col("ts").cast("long").as("sec"), col("event_id").as("id"))
+      .as[SeqTypeEvent]
+    val scored = Detectors.surprise(
+        Detectors.pathIncrements(typeEvents, streaming = false), n3, nctx, v)
+      .collect()
+    // recompose the batch monitor: per distinct (user, triple) count +
+    // loss, top-50 by (loss DESC, full key ASC)
+    val recomposed = scored
+      .groupBy(s => (s.user_id, s.from_type, s.mid_type, s.to_type, s.loss_micro))
+      .view.mapValues(_.length.toLong).toSeq
+      .map { case ((u, f, m, t, l), n) => (u, f, m, t, l, n) }
+      .sortBy { case (u, f, m, t, l, _) => (-l, u, f, m, t) }
+      .take(50)
+    val batch = BehaviorQueries.pathAnomalies(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("mid_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("loss_micro"), r.getAs[Long]("n"))).toSeq
+    assert(recomposed == batch && batch.nonEmpty)
+  }
+
   test("transitionIncrements streaming under bounded disorder converges to batch") {
     val types = Seq("view", "click", "cart", "purchase", "uninstall")
     val evs = (0 until 400).map { i =>
