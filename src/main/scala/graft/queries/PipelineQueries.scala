@@ -1935,7 +1935,7 @@ object PipelineQueries {
   /** The retrieval stage over prepared index tables — shared by the
     * from-scratch [[bm25TopK]] and the persisted-index
     * [[bm25TopKPersist]] so the two rankings cannot drift. */
-  private def bm25Rank(tfq: DataFrame, dl: DataFrame, dft: DataFrame,
+  private[graft] def bm25Rank(tfq: DataFrame, dl: DataFrame, dft: DataFrame,
                        stats: DataFrame, nQ: Int, kTop: Int): DataFrame = {
     val qterms = tfq.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term")
@@ -2119,7 +2119,7 @@ object PipelineQueries {
   /** Non-self lexical rank at `kIn` over a BM25 ranking taken at kIn+1
     * (at most one self row can drop) — shared by [[hybridRrf]] and
     * [[hybridRrfPersist]] so the two fusions cannot drift. */
-  private def rrfLexRank(bm25: DataFrame, kIn: Int): DataFrame =
+  private[graft] def rrfLexRank(bm25: DataFrame, kIn: Int): DataFrame =
     bm25.filter(col("doc_id") =!= col("q_id"))
       .withColumn("rank_lex", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -2129,7 +2129,7 @@ object PipelineQueries {
 
   /** The RRF fusion stage — full-outer rank union, integer
     * `1e6 div (60 + rank)` terms, −1 sentinels, (score, doc_id) top-k. */
-  private def rrfFuse(lex: DataFrame, dns: DataFrame, kTop: Int): DataFrame =
+  private[graft] def rrfFuse(lex: DataFrame, dns: DataFrame, kTop: Int): DataFrame =
     lex.join(dns, Seq("q_id", "doc_id"), "full_outer")
       .selectExpr("q_id", "doc_id",
         "coalesce(1000000L div (60 + rank_lex), 0L)" +

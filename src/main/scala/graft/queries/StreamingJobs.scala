@@ -474,6 +474,95 @@ object StreamingJobs {
       .start()
   }
 
+  /** The SERVING-STACK lifecycle — [[runBm25Lifecycle]] composed with
+    * dense-store maintenance: one tagged add/remove CDC feed keeps BOTH
+    * retrievers' deployed state current per micro-batch, so the hybrid
+    * RRF fusion can be served from maintained state that is never
+    * rebuilt. The lexical triple folds exactly as in runBm25Lifecycle;
+    * the quantized vector store ([[graft.ops.SimilarityOps.quantStore]]
+    * rows — per-row deterministic, so maintained state ≡ a from-scratch
+    * encode of the survivors) adds by encoding the batch's added ids'
+    * embeddings (`embeddings` plays the ingest-time embedder: a
+    * batch-sized semi-join, the per-delivery embed cost a real pipeline
+    * pays) and removes by doc-keyed row drops (per-row independence —
+    * no global statistics to fold on the dense side). `sink` receives
+    * (postings, dl, df, store) after every batch; fusing
+    * [[PipelineQueries]]'s rank stages over the maintained quadruple
+    * equals the oracle-green `hybrid_rrf_takedown` when the feed's
+    * survivors match its residue class (spec-verified through
+    * interleaved adds and removals). */
+  def runServingLifecycle(spark: SparkSession, opsStream: DataFrame,
+      embeddings: DataFrame)(
+      sink: (DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    var postings: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType))))
+    var dl: DataFrame = postings.groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl")).localCheckpoint()
+    var dft: DataFrame = postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
+    var ids: DataFrame = postings.select("doc_id").distinct().localCheckpoint()
+    var store: DataFrame = graft.ops.SimilarityOps
+      .quantStore(embeddings.limit(0)).localCheckpoint()
+    val embSrc = embeddings.localCheckpoint()
+    opsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-root + per-doc netting: same contract as runClusterLifecycle
+        val hasSeq = batch.columns.contains("seq")
+        val opSchema = StructType(docSchema ++
+          Seq(StructField("op", StringType)) ++
+          (if (hasSeq) Seq(StructField("seq", LongType)) else Nil))
+        val raw = if (hasSeq)
+          batch.select(col("doc_id"), col("text"), col("op"), col("seq").cast("long"))
+        else batch.select("doc_id", "text", "op")
+        val bRaw = spark.createDataFrame(raw.rdd, opSchema).localCheckpoint()
+        val bAll = if (hasSeq) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("seq").desc, col("op").desc)
+          bRaw.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn", "seq")
+        } else bRaw
+        // ADDS: lexical fold + the delivery-sized embed+encode
+        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
+          .dropDuplicates("doc_id")
+          .join(ids, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val dPost = PipelineQueries.bm25Postings(d)
+        postings = postings.union(dPost).localCheckpoint()
+        dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+          .localCheckpoint()
+        dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
+          .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
+        ids = ids.union(d.select("doc_id")).localCheckpoint()
+        store = store.unionByName(graft.ops.SimilarityOps.quantStore(
+            embSrc.join(d.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
+          .localCheckpoint()
+        // REMOVES: lexical down-fold + dense row drops
+        val rem = bAll.filter(col("op") === "remove")
+          .select("doc_id").distinct().localCheckpoint()
+        if (!rem.isEmpty) {
+          val dfRem = postings.join(rem, Seq("doc_id"), "left_semi")
+            .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
+          dft = dft.join(dfRem, Seq("term"), "left")
+            .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
+            .filter(col("df") > 0).localCheckpoint()
+          postings = postings.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          dl = dl.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          ids = ids.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          store = store.join(rem.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint()
+        }
+        sink(postings, dl, dft, store)
+      }
+      .start()
+  }
+
   /** The streaming CURATION PRESS — the continuously-maintained
     * [[PipelineQueries.corpusManifest]]: one tagged add/remove CDC feed
     * (same contract as [[runClusterLifecycle]]) drives the near-dup

@@ -731,6 +731,49 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("serving lifecycle: hybrid fusion over maintained state equals the takedown query") {
+    import graft.queries.PipelineQueries
+    val td = PipelineQueries.Bm25TakedownMod
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](66, spark, None)
+    @volatile var st: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None
+    val q = StreamingJobs.runServingLifecycle(
+        spark, in.toDS().toDF("doc_id", "text", "op"),
+        graft.sources.Tables.embeddings(spark, sf0001)) { (p, dl, df, s) =>
+      st = Some((p, dl, df, s))
+    }
+    try {
+      def adds(c: Seq[(Long, String)]) = c.map { case (i, t) => (i, t, "add") }
+      def rems(ids: Seq[Long]) = ids.map(i => (i, "", "remove"))
+      // interleave: some takedowns arrive mid-ingest, the rest at the end,
+      // so the final survivors are exactly the takedown query's residue class
+      in.addData(adds(chunks(0))); q.processAllAvailable()
+      in.addData(adds(chunks(1)) ++
+        rems(chunks(0).map(_._1).filter(_ % td == 0))); q.processAllAvailable()
+      in.addData(adds(chunks.drop(2).flatten.toSeq)); q.processAllAvailable()
+      in.addData(rems(docs.map(_._1).filter(_ % td == 0))); q.processAllAvailable()
+      val (post, dl, df, store) = st.get
+      // serve the hybrid fusion from the MAINTAINED quadruple, with the
+      // shared rank/fuse stages — it must equal the oracle-green
+      // hybrid_rrf_takedown over the same survivors
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val lex = PipelineQueries.rrfLexRank(
+        PipelineQueries.bm25Rank(post, dl, df, stats, 8, 21), 20)
+      val dns = graft.ops.SimilarityOps.cosineTopKOfVecs(store, "vec_id < 8", 20)
+        .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+      val fused = PipelineQueries.rrfFuse(lex, dns, 5)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val expected = PipelineQueries.hybridRrfTakedown(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(fused == expected && expected.nonEmpty,
+        "serving from maintained state must equal the from-scratch survivors' fusion")
+    } finally q.stop()
+  }
+
   test("online unigram token counting replays to the exact batch encode") {
     import graft.queries.PipelineQueries
     def rowKey(r: org.apache.spark.sql.Row) =
