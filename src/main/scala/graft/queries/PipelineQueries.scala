@@ -2168,6 +2168,12 @@ object PipelineQueries {
       spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
     val delivery = SimilarityOps.quantStore(
       Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
+    // NOT checkpointed: the cosine ranker reads its input twice (query +
+    // candidate side), but a one-shot materialization of the folded
+    // store A/B-measured as a wash at sf0.1 under ±25% ambient (2.93 vs
+    // the 2.81 un-checkpointed median, ratios to the self-contained twin
+    // disagreeing across runs) and was reverted — the r9
+    // incremental-facts discipline: unverifiable changes don't ship
     val dns = SimilarityOps.cosineTopKOfVecs(
         store.unionByName(delivery), s"vec_id < $nQ", kIn)
       .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
