@@ -45,6 +45,19 @@ import org.apache.spark.unsafe.types.UTF8String
  * the same false-candidate class banding already tolerates — downstream
  * verification (containment scoring in dedup_winnow) filters it.
  *
+ * The switch also has a FALSE-NEGATIVE direction, stated here so no
+ * caller assumes symmetry: a wide near-copy of a narrow document (one
+ * emoji appended to otherwise-identical ASCII text) hashes in the
+ * modular family while the original hashes exactly, so the pair shares
+ * ZERO fingerprints and winnow-based dedup can never candidate them —
+ * cross-WIDTH near-duplicates are invisible to this pass by design.
+ * Deployments that need cross-width recall should run the MinHash path
+ * (`dedup_minhash` — shingle tokens, width-agnostic) alongside, which is
+ * this engine's scale path anyway. Likewise the DuckDB oracle
+ * restatement covers only the exact family: the winnow queries are
+ * oracle-gated on in-contract (≤ 0xFF) corpora — the driver testdata —
+ * and a wide corpus would need a modular oracle arm before being gated.
+ *
  * Returns NULL for strings shorter than k+7 chars (no full 8-hash window
  * exists; callers filter those rows out, as the SQL form did).
  */

@@ -55,8 +55,15 @@ object ClusterState {
   private val ready = scala.collection.mutable.Set[String]()
 
   private[queries] def stateRoot(dir: String): File = {
-    val src = new File(dir, "documents.parquet")
-    val fp = s"${src.length()}_${src.lastModified()}"
+    // BOTH corpora fingerprint the root: the dense store
+    // ([[IndexState.denseStorePaths]]) derives from embeddings.parquet,
+    // so an embeddings regeneration without a documents change must
+    // invalidate state too — keying on documents alone would silently
+    // serve a stale quantized store to hybrid_rrf_persist (r11 advice)
+    val docs = new File(dir, "documents.parquet")
+    val emb = new File(dir, "embeddings.parquet")
+    val fp = s"${docs.length()}_${docs.lastModified()}" +
+      s"_e${emb.length()}_${emb.lastModified()}"
     new File(s"target/graft-state/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp")
   }
 

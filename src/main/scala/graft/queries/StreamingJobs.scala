@@ -255,7 +255,15 @@ object StreamingJobs {
     * trigger boundaries fall; without seq there is no intra-batch order
     * to recover, and the fallback is adds-before-removes (a doc added and
     * removed in the same batch ends removed). Adds are idempotent, not
-    * upserts: an add for a doc already in the corpus is a no-op.
+    * upserts — INSERT-ONLY is the feed contract for the whole lifecycle
+    * family (this, [[runBm25Lifecycle]], [[runServingLifecycle]]): an add
+    * for an already-ingested doc_id is a no-op EVEN IF ITS TEXT DIFFERS,
+    * so a content update must be shipped as a remove in one batch
+    * followed by an add in a LATER batch. A same-batch remove+add of one
+    * doc nets (under seq) to the add, which the idempotency anti-join
+    * then swallows — the state keeps the original content by design, not
+    * by accident; producers that need in-place updates must split the
+    * remove and the re-add across trigger boundaries.
     *
     * Three tables are maintained and handed to `sink` after every batch —
     * the assignment, the signature index, and the near-dup PAIR LIST,
@@ -385,7 +393,9 @@ object StreamingJobs {
     * are already oracle-green as batch queries: one tagged add/remove CDC
     * feed (same contract: op ∈ 'add' | 'remove', optional `seq` for
     * per-doc last-op netting with ties toward remove; without seq,
-    * adds-before-removes) maintains the deployed (postings, dl, df)
+    * adds-before-removes; adds are INSERT-ONLY — content updates ship as
+    * remove-then-add across separate batches, see
+    * [[runClusterLifecycle]]) maintains the deployed (postings, dl, df)
     * triple per micro-batch. Deliveries fold IN with the
     * bm25_topk_persist algebra (disjoint doc partitions union; df is a
     * vocabulary-keyed sum); takedowns fold OUT with the
@@ -475,10 +485,12 @@ object StreamingJobs {
   }
 
   /** The SERVING-STACK lifecycle — [[runBm25Lifecycle]] composed with
-    * dense-store maintenance: one tagged add/remove CDC feed keeps BOTH
-    * retrievers' deployed state current per micro-batch, so the hybrid
-    * RRF fusion can be served from maintained state that is never
-    * rebuilt. The lexical triple folds exactly as in runBm25Lifecycle;
+    * dense-store maintenance: one tagged add/remove CDC feed (same
+    * contract as [[runClusterLifecycle]], including INSERT-ONLY adds —
+    * content updates ship as remove-then-add across separate batches)
+    * keeps BOTH retrievers' deployed state current per micro-batch, so
+    * the hybrid RRF fusion can be served from maintained state that is
+    * never rebuilt. The lexical triple folds exactly as in runBm25Lifecycle;
     * the quantized vector store ([[graft.ops.SimilarityOps.quantStore]]
     * rows — per-row deterministic, so maintained state ≡ a from-scratch
     * encode of the survivors) adds by encoding the batch's added ids'

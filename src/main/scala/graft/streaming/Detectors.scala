@@ -514,7 +514,16 @@ object Detectors {
     * reproduces the batch cell frame exactly.
     *
     * State per user: the in-horizon buffer + ONE string (the last
-    * finalized event type) — O(watermark horizon), not O(lifetime). */
+    * finalized event type) — O(watermark horizon), not O(lifetime),
+    * PER USER. The residual (same for [[pathIncrements]]): once a
+    * user's buffer drains, the carry `TransState(Nil, last)` persists
+    * with no timeout registered, so TOTAL state is O(lifetime user
+    * cardinality) — correct by design (the carry is what links a pair
+    * across an arbitrarily long gap) but unbounded on a stream of
+    * ever-fresh users. A high-cardinality deployment should add an
+    * idle-TTL (register a timeout when `rest` is empty and drop the
+    * carry on expiry), accepting one lost transition per
+    * longer-than-TTL gap. */
   def transitionIncrements(events: Dataset[SeqTypeEvent],
                            streaming: Boolean): Dataset[TransInc] = {
     implicit val outEnc = Encoders.product[TransInc]
