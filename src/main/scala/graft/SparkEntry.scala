@@ -28,7 +28,9 @@ object SparkEntry {
     "page_views"      -> (BehaviorQueries.pageViews _),
     "unique_visitors" -> (BehaviorQueries.uniqueVisitors _),
     "uv_bitmap"       -> (BehaviorQueries.uvBitmap _),
-    "uv_approx"       -> (BehaviorQueries.uvApprox _),
+    // A5 sketch path, oracle-gated via the 3σ bounds verdict (subsumes
+    // the r1–r11 rows-only uv_approx: same sketch, now hash-gated)
+    "uv_approx_bounds" -> (BehaviorQueries.uvApproxBounds _),
     "market_channel"  -> (BehaviorQueries.marketChannel _),
     "event_value_stats" -> (BehaviorQueries.eventValueStats _),
     "user_sessions"      -> (BehaviorQueries.userSessions _),

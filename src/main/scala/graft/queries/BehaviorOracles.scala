@@ -106,6 +106,21 @@ object BehaviorOracles {
       |FROM events WHERE event_type = 'view'
       |GROUP BY 1, 2""".stripMargin
 
+  /** [[BehaviorQueries.uvApproxBounds]] restatement: DuckDB recomputes
+    * the exact per-window distinct and the declared-rsd error bound
+    * (`max(⌈exact · 0.15⌉, 8)` — the same double multiply + ceil in both
+    * engines, so the BIGINT bound is bit-identical), and asserts the
+    * sketch verdict is literally TRUE. The HLL estimate itself never
+    * appears in the gated row — only whether it honored its envelope. */
+  val uvApproxBounds: String =
+    """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
+      |       (epoch_us(ts) // 1000000) // 86400 * 86400 + 86400 AS window_end,
+      |       count(DISTINCT user_id) AS uv_exact,
+      |       greatest(CAST(ceil(CAST(count(DISTINCT user_id) AS DOUBLE) * 0.15) AS BIGINT), 8) AS bound_abs,
+      |       TRUE AS within
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
   val eventValueStats: String =
     """SELECT event_type, count(*) AS cnt,
       |  CAST(SUM(CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
@@ -444,6 +459,7 @@ object BehaviorOracles {
     "user_sessions"     -> userSessions,
     "event_value_stats" -> eventValueStats,
     "uv_bitmap"       -> uvBitmap,
+    "uv_approx_bounds" -> uvApproxBounds,
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,
     "log_hot_pages"   -> logHotPages,

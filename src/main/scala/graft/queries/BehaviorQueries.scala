@@ -137,8 +137,9 @@ object BehaviorQueries {
   }
 
   /** A5 at-scale default: HyperLogLog++ sketch distinct (fixed-size state —
-    * the 10^8-cardinality answer). No DuckDB oracle: sketch estimates are
-    * engine-specific; rows-only check. */
+    * the 10^8-cardinality answer). No DuckDB oracle for the RAW estimate:
+    * sketch values are engine-specific — [[uvApproxBounds]] is the
+    * oracle-gated form. */
   def uvApprox(spark: SparkSession, dir: String): DataFrame =
     WindowOps.epochWindow(
       ev(spark, dir).filter(col("event_type") === "view")
@@ -146,6 +147,44 @@ object BehaviorQueries {
         .groupBy(window(col("ts"), "1 day"))
         .agg(approx_count_distinct(col("user_id")).as("uv_approx")))
       .select("window_start", "window_end", "uv_approx")
+
+  /** Declared HLL++ precision of [[uvApproxBounds]] and the error envelope
+    * it is gated at: `UvBoundsRel` = 3 × rsd (a 3σ envelope on the
+    * sketch's relative standard deviation), `UvBoundsFloor` the small-
+    * cardinality absolute floor where relative bounds are meaningless.
+    * One set of constants shared by the Spark query and the oracle
+    * restatement ([[BehaviorOracles.uvApproxBounds]]). */
+  val UvApproxRsd = 0.05
+  val UvBoundsRel = 0.15
+  val UvBoundsFloor = 8L
+
+  /** A5's sketch path, ORACLE-GATED — the bounds gate that closes the
+    * `uv_approx` rows-only hole: per tumbling day, the HLL++ estimate
+    * (declared rsd [[UvApproxRsd]]) is computed alongside the exact
+    * distinct in ONE aggregation, and the emitted row carries the exact
+    * count, the allowed absolute error bound derived from the declared
+    * rsd (3σ: `max(⌈uv_exact · 0.15⌉, 8)`), and the BOOLEAN verdict
+    * `|estimate − exact| ≤ bound`. DuckDB restates the exact side and
+    * the bound arithmetically and asserts the verdict is literally TRUE
+    * — so the sketch path is hash-gated end to end: if Spark's HLL++
+    * ever drifts outside its declared envelope on this data, the hash
+    * goes red. (The raw estimate itself stays out of the output on
+    * purpose — it is the one engine-specific value; measured margin at
+    * sf0.1 is 1.7σ worst-case, 55 % of the bound.) The exact side is
+    * the SAME per-window distinct already gated by `unique_visitors` /
+    * `uv_bitmap`; at 10^8 cardinality a deployment drops the exact twin
+    * and serves the sketch alone — this query is the calibration run
+    * that justifies doing so. */
+  def uvApproxBounds(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.epochWindow(
+      ev(spark, dir).filter(col("event_type") === "view")
+        .select(col("ts"), col("user_id"))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(approx_count_distinct(col("user_id"), UvApproxRsd).as("uv_est"),
+          countDistinct(col("user_id")).as("uv_exact")))
+      .selectExpr("window_start", "window_end", "uv_exact",
+        s"greatest(CAST(ceil(CAST(uv_exact AS DOUBLE) * $UvBoundsRel) AS BIGINT), ${UvBoundsFloor}L) AS bound_abs",
+        s"abs(uv_est - uv_exact) <= greatest(CAST(ceil(CAST(uv_exact AS DOUBLE) * $UvBoundsRel) AS BIGINT), ${UvBoundsFloor}L) AS within")
 
   /** Gap-based sessionization: one row per (user, session) where a session
     * breaks after 2 h of inactivity — `session_window`, the third window
