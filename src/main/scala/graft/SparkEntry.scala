@@ -207,6 +207,12 @@ object SparkEntry {
     // RRF diversification audit: fused top-5 classified by which
     // single-retriever top-5 lists each row came from
     "rrf_overlap"        -> ((s, d) => PipelineQueries.rrfOverlap(s, d)),
+    // the dense leg served from the PQ index over the persisted store:
+    // ADC shortlist + exact re-rank replaces the brute full-store scan
+    "hybrid_rrf_pq"      -> ((s, d) => PipelineQueries.hybridRrfPq(s, d)),
+    // fused-list overlap of the PQ-served fusion vs the brute fusion —
+    // the number that licenses switching the serving leg to the index
+    "rrf_overlap_pq"     -> ((s, d) => PipelineQueries.rrfOverlapPq(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)

@@ -2180,6 +2180,104 @@ object PipelineQueries {
     rrfFuse(lex, dns, kTop)
   }
 
+  /** ADC shortlist size of the PQ-served hybrid dense leg — shared by
+    * [[hybridRrfPq]] and its oracle restatement so the two cannot drift.
+    * Sized ≥ 2× the fused-leg depth (kIn = 20): the exact re-rank then
+    * re-orders a candidate set comfortably wider than what fusion
+    * consumes, the standard shortlist/return ratio the pq_topk_rr gate
+    * already prices. */
+  val HybridPqShortlist = 48
+
+  /** Hybrid RRF served with the DENSE LEG ON THE PQ INDEX — closing the
+    * one scale-killer the r11 audit named: [[hybridRrfPersist]] proves
+    * the persisted-state algebra but its dense side still scores a brute
+    * cosine over the ENTIRE store per serve (O(corpus × nQ) at every
+    * query batch). Here the dense ranking is the production index probe:
+    * ADC over the PQ codes of the persisted quantized store (folded with
+    * the delivery's probe-time encode) shortlists [[HybridPqShortlist]]
+    * candidates per query from codes alone — `nSub` array lookups per
+    * candidate, no per-pair dot products — and ONLY the shortlist
+    * fetches true vectors for the exact quantized-L2 re-rank
+    * ([[graft.ops.SimilarityOps.pqTopKRerankQ]], the pq_topk_rr
+    * machinery). Per serve, the full-width corpus scan is replaced by a
+    * codes scan 16× narrower plus a shortlist-sized exact pass — the
+    * UV-at-10^8 design economy applied to retrieval. The codebook is
+    * the offline-trained artifact: fitted (and memoized) against the
+    * full-corpus plan, exactly the model the pq_topk family serves.
+    *
+    * The dense leg ranks by exact L2 over the shortlist (the PQ family's
+    * metric) where [[hybridRrf]]'s brute leg ranks by cosine — a
+    * DIFFERENT dense retriever by design, priced against the brute
+    * fusion by [[rrfOverlapPq]]. The oracle restates this exact chain
+    * (shared pqChain CTEs + the shared BM25 chain + the shared fusion
+    * arithmetic), so the index-served fusion is hash-gated end to end. */
+  def hybridRrfPq(spark: SparkSession, dir: String, nQ: Int = 8,
+                  kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    val (tfq, dl, dft, stats) = bm25FoldedIndex(spark, dir)
+    val lex = rrfLexRank(bm25Rank(tfq, dl, dft, stats, nQ, kIn + 1), kIn)
+    val mod = ClusterState.PersistDeliveryMod
+    // one-split store guard: same rationale as hybridRrfPersist
+    val store = graft.ops.Parallelism.ensureMin(
+      spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
+    val delivery = SimilarityOps.quantStore(
+      Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
+    // fitOn = the full-corpus plan: the codebook is MODEL state (trained
+    // offline, memo-shared with the pq_topk family); the probe passes
+    // run over the persisted store ∪ the delivery's probe-time encode.
+    // The folded store is checkpointed ONCE: the probe side references
+    // it four times (codes scan, query LUTs, both re-rank sides), and
+    // each reference would re-run the store read + delivery encode —
+    // exactly the corpus-scale re-evaluation the pqTopKRerankQ contract
+    // says to truncate (the fitOn/vecs split exists for this)
+    val dns = pqDenseLeg(spark, dir, nQ, kIn,
+      store.unionByName(delivery).localCheckpoint())
+    rrfFuse(lex, dns, kTop)
+  }
+
+  /** The PQ-served dense rank leg over an already-folded (vec_id, qvec)
+    * store — shared by [[hybridRrfPq]] and [[rrfOverlapPq]] so the two
+    * cannot drift. The codebook fit is pinned to the full-corpus plan
+    * (MODEL state, memo-shared with the pq_topk family). */
+  private def pqDenseLeg(spark: SparkSession, dir: String, nQ: Int,
+                         kIn: Int, vecs: DataFrame): DataFrame =
+    SimilarityOps.pqTopKRerankQ(vecs, 8, 8, s"vec_id < $nQ", kIn,
+        HybridPqShortlist,
+        fitOn = Some(SimilarityOps.quantStore(Tables.embeddings(spark, dir))))
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+
+  /** Fused-list drift audit of the PQ-served fusion against the brute
+    * one — the recall-gate discipline ([[SimilarityOps.recallAtK]],
+    * `rrf_overlap`) applied to the END PRODUCT of the serving stack: per
+    * query, how many of [[hybridRrfPq]]'s fused top-5 also sit in
+    * [[hybridRrf]]'s brute fused top-5. This is the number a deployment
+    * reads before switching the dense leg to the index: the fused-list
+    * overlap bounds how much the index approximation (ADC shortlist +
+    * L2-vs-cosine metric swap) can change what retrieval actually
+    * returns. Cost: the two fusion stacks (each bounded) + one join of
+    * two nQ×5-row frames. */
+  def rrfOverlapPq(spark: SparkSession, dir: String, nQ: Int = 8,
+                   kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    // ONE lexical rank feeds BOTH fusions (the lexical leg is identical
+    // row-for-row between the brute and PQ-served stacks — the drift
+    // this audit prices is all dense-leg, so paying the BM25 chain
+    // twice would measure nothing; the shared subplan also lets the
+    // fusion joins reuse its exchange). The dense legs are the two
+    // actually-competing retrievers: the brute cosine ranker and the
+    // PQ probe over the identical quantized rows.
+    val lex = rrfLexRank(bm25TopK(spark, dir, nQ, kIn + 1), kIn)
+    val brute = SimilarityOps.cosineTopK(
+        Tables.embeddings(spark, dir), 64, s"vec_id < $nQ", kIn)
+      .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+    val pq = pqDenseLeg(spark, dir, nQ, kIn,
+      SimilarityOps.quantStore(Tables.embeddings(spark, dir)).localCheckpoint())
+    rrfFuse(lex, pq, kTop).select("q_id", "doc_id")
+      .join(rrfFuse(lex, brute, kTop)
+          .select(col("q_id"), col("doc_id"), lit(1).as("hit")),
+        Seq("q_id", "doc_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_common"))
+  }
+
   /** The two SoftDedup micro-unit statements, shared textually between
     * the Spark plan and the DuckDB oracle (one arithmetic statement, two
     * engines): per-shingle ln(df) in exact micro-nats, and the
@@ -3544,33 +3642,74 @@ object PipelineOracles {
     * parameters restrict the document / embedding populations — empty
     * for the full-corpus fusion, survivor filters for the takedown
     * twin. */
-  private def hybridRrfChain(docWhere: String, vecWhere: String): String =
-    s"""${bm25ChainOver(docWhere)},
-       |lexr AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
-       |    FROM g WHERE doc_id <> q_id)
-       |  WHERE rn <= 20),
-       |${quantCteOver(vecWhere)},
-       |dd AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
-       |       FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
-       |       WHERE a.id < 8 GROUP BY 1, 2),
-       |sc AS (SELECT q_id, c_id,
-       |              CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
-       |       FROM dd JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
-       |dnsr AS (SELECT q_id, c_id AS doc_id, CAST(rn AS BIGINT) AS rank_dense FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
-       |  WHERE rn <= 20),
-       |f AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
+  /** The non-self lexical rank CTE over the shared BM25 chain's `g` —
+    * one statement for every fusion oracle. */
+  private val lexrCte: String =
+    """lexr AS (SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
+      |    FROM g WHERE doc_id <> q_id)
+      |  WHERE rn <= 20)""".stripMargin
+
+  /** The RRF fusion pair of CTEs (`fName` = full-outer rank union,
+    * `rName` = integer fusion terms + −1 sentinels) over any lexical /
+    * dense rank CTEs — one arithmetic statement for the brute AND the
+    * PQ-served fusions, so the restatements cannot drift. */
+  private def rrfFusePair(fName: String, rName: String,
+                          lexName: String, dnsName: String): String =
+    s"""$fName AS (SELECT coalesce(l.q_id, dn.q_id) AS q_id,
        |             coalesce(l.doc_id, dn.doc_id) AS doc_id,
        |             l.rank_lex AS rank_lex, dn.rank_dense AS rank_dense
-       |      FROM lexr l FULL OUTER JOIN dnsr dn
+       |      FROM $lexName l FULL OUTER JOIN $dnsName dn
        |        ON dn.q_id = l.q_id AND dn.doc_id = l.doc_id),
-       |r AS (SELECT q_id, doc_id,
+       |$rName AS (SELECT q_id, doc_id,
        |        CAST(coalesce(1000000 // (60 + rank_lex), 0)
        |           + coalesce(1000000 // (60 + rank_dense), 0) AS BIGINT) AS rrf_micro,
        |        CAST(coalesce(rank_lex, -1) AS BIGINT) AS rank_lex,
        |        CAST(coalesce(rank_dense, -1) AS BIGINT) AS rank_dense
-       |      FROM f)""".stripMargin
+       |      FROM $fName)""".stripMargin
+
+  /** The BRUTE dense rank leg (non-self cosine top-20 over `qz`/`nrm`). */
+  private val bruteDenseCtes: String =
+    """dd AS (SELECT a.id AS q_id, b.id AS c_id, SUM(a.v * b.v) AS dot
+      |       FROM qz a JOIN qz b ON a.pos = b.pos AND a.id <> b.id
+      |       WHERE a.id < 8 GROUP BY 1, 2),
+      |sc AS (SELECT q_id, c_id,
+      |              CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos
+      |       FROM dd JOIN nrm na ON na.id = q_id JOIN nrm nb ON nb.id = c_id),
+      |dnsr AS (SELECT q_id, c_id AS doc_id, CAST(rn AS BIGINT) AS rank_dense FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM sc)
+      |  WHERE rn <= 20)""".stripMargin
+
+  /** The PQ-SERVED dense rank leg ([[PipelineQueries.hybridRrfPq]]'s
+    * restatement): the shared [[pqChain]] fit over the full corpus, ADC
+    * shortlist of [[PipelineQueries.HybridPqShortlist]] per query, exact
+    * quantized-L2 re-rank of the shortlist, top-20 as `dnsp` — the
+    * chunk_topk_pq discipline over the embeddings table. */
+  private val pqDenseCtes: String =
+    s"""v AS (SELECT id, pos, v FROM qz),
+       |${pqChain(8, 8)},
+       |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE id < 8),
+       |adc AS (SELECT qd.q_id, k.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+       |        FROM codes k JOIN qd ON qd.m = k.m AND qd.code = k.code AND k.id <> qd.q_id
+       |        GROUP BY 1, 2),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
+       |    FROM adc) WHERE rn <= ${PipelineQueries.HybridPqShortlist}),
+       |ex AS (SELECT sh.q_id, sh.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
+       |       FROM short sh JOIN v a ON a.id = sh.q_id
+       |       JOIN v b ON b.id = sh.c_id AND b.pos = a.pos
+       |       GROUP BY 1, 2),
+       |dnsp AS (SELECT q_id, c_id AS doc_id, CAST(rn AS BIGINT) AS rank_dense FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS rn
+       |    FROM ex) WHERE rn <= 20)""".stripMargin
+
+  private def hybridRrfChain(docWhere: String, vecWhere: String): String =
+    s"""${bm25ChainOver(docWhere)},
+       |$lexrCte,
+       |${quantCteOver(vecWhere)},
+       |$bruteDenseCtes,
+       |${rrfFusePair("f", "r", "lexr", "dnsr")}""".stripMargin
 
   private def hybridRrfOver(docWhere: String, vecWhere: String): String =
     s"""WITH ${hybridRrfChain(docWhere, vecWhere)}
@@ -3599,6 +3738,43 @@ object PipelineOracles {
     val td = PipelineQueries.Bm25TakedownMod
     hybridRrfOver(s" WHERE doc_id % $td != 0", s" WHERE vec_id % $td != 0")
   }
+
+  /** [[PipelineQueries.hybridRrfPq]] restatement: the shared BM25 chain
+    * and lexical rank, the shared PQ chain (fit → codes → ADC shortlist
+    * → exact re-rank) as the dense rank, and the shared fusion
+    * arithmetic — every stage a CTE already proven by another green
+    * oracle (bm25_topk, pq_topk_rr, hybrid_rrf). */
+  val hybridRrfPq: String =
+    s"""WITH ${bm25ChainOver("")},
+       |$lexrCte,
+       |${quantCteOver("")},
+       |$pqDenseCtes,
+       |${rrfFusePair("f", "r", "lexr", "dnsp")}
+       |SELECT q_id, doc_id, rank_lex, rank_dense, rrf_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn FROM r)
+       |WHERE rn <= 5""".stripMargin
+
+  /** [[PipelineQueries.rrfOverlapPq]] restatement: BOTH fusions — brute
+    * dense leg and PQ-served dense leg — from the same shared chains,
+    * their top-5s compared per query. */
+  val rrfOverlapPq: String =
+    s"""WITH ${bm25ChainOver("")},
+       |$lexrCte,
+       |${quantCteOver("")},
+       |$bruteDenseCtes,
+       |${rrfFusePair("fb", "rb", "lexr", "dnsr")},
+       |$pqDenseCtes,
+       |${rrfFusePair("fp", "rp", "lexr", "dnsp")},
+       |b5 AS (SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+       |    FROM rb) WHERE rn <= 5),
+       |p5 AS (SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+       |    FROM rp) WHERE rn <= 5)
+       |SELECT p5.q_id, CAST(count(*) AS BIGINT) AS k,
+       |       CAST(count(b5.doc_id) AS BIGINT) AS n_common
+       |FROM p5 LEFT JOIN b5 ON b5.q_id = p5.q_id AND b5.doc_id = p5.doc_id
+       |GROUP BY 1""".stripMargin
 
   val bpePairs: String =
     """WITH t AS (SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents),
@@ -5035,6 +5211,10 @@ object PipelineOracles {
     // persisted serving state — the oracle IS hybrid_rrf's SQL
     "hybrid_rrf_persist" -> hybridRrf,
     "hybrid_rrf" -> hybridRrf,
+    // the dense leg served from the PQ index (ADC shortlist + re-rank)
+    "hybrid_rrf_pq" -> hybridRrfPq,
+    // fused-list overlap of the PQ-served fusion vs the brute fusion
+    "rrf_overlap_pq" -> rrfOverlapPq,
     "embed_sq8" -> embedSq8,
     "sq8_topk" -> sq8TopK,
     "dedup_soft" -> dedupSoft,
