@@ -419,7 +419,8 @@ object StreamingJobs {
     * batch [[IndexState.bm25FullPaths]] persists. */
   def runBm25Lifecycle(spark: SparkSession, opsStream: DataFrame,
       initialPostings: Option[DataFrame] = None,
-      initialIds: Option[DataFrame] = None)(
+      initialIds: Option[DataFrame] = None,
+      checkpoint: Option[String] = None)(
       sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -435,8 +436,9 @@ object StreamingJobs {
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
     var ids: DataFrame = initialIds.map(_.localCheckpoint())
       .getOrElse(postings.select("doc_id").distinct().localCheckpoint())
-    opsStream.writeStream
-      .outputMode("append")
+    val writer = opsStream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // re-root + per-doc netting: same contract as runClusterLifecycle
         val hasSeq = batch.columns.contains("seq")
@@ -504,7 +506,7 @@ object StreamingJobs {
     * survivors match its residue class (spec-verified through
     * interleaved adds and removals). */
   def runServingLifecycle(spark: SparkSession, opsStream: DataFrame,
-      embeddings: DataFrame)(
+      embeddings: DataFrame, checkpoint: Option[String] = None)(
       sink: (DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -521,8 +523,9 @@ object StreamingJobs {
     var store: DataFrame = graft.ops.SimilarityOps
       .quantStore(embeddings.limit(0)).localCheckpoint()
     val embSrc = embeddings.localCheckpoint()
-    opsStream.writeStream
-      .outputMode("append")
+    val writer = opsStream.writeStream.outputMode("append")
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // re-root + per-doc netting: same contract as runClusterLifecycle
         val hasSeq = batch.columns.contains("seq")

@@ -1,0 +1,294 @@
+package graft.sources.cdc
+
+import java.io.{BufferedReader, File, FileInputStream, FileOutputStream, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `format("graft-cdc")` — a REAL DataSourceV2 streaming source for the
+ * tagged add/remove CDC feed the lifecycle maintainers consume
+ * ([[graft.queries.StreamingJobs.runBm25Lifecycle]] /
+ * `runServingLifecycle` / `runCurationPress`), closing the pluggable-
+ * source capability gap the Kafka contract leaves open (SURVEY §2.1
+ * S2/S4 — the reference's feed utility `KafkaProducerUtil.java:22-47`
+ * replays a file into a topic; this source IS that replay channel,
+ * executed through Spark's own source API instead of an external
+ * broker the sandbox cannot run).
+ *
+ * Feed layout: a directory of append-only batch files
+ * `batch-<n>.cdc`, one micro-batch delivery per file, lexicographic
+ * name order = feed order. Each line is one event,
+ * `op TAB seq TAB doc_id TAB ts_sec TAB base64(text)` — pure-ASCII
+ * lines by construction (the payload rides base64), so byte offsets
+ * and character offsets coincide and a reader can be handed an exact
+ * byte range. Files are written ATOMICALLY (tmp + rename,
+ * [[CdcFeed.writeBatch]]) so a live stream never observes a partial
+ * delivery.
+ *
+ * Schema: (op STRING, seq LONG, doc_id LONG, ts TIMESTAMP,
+ * text STRING) — `seq` is the per-doc netting order the lifecycle
+ * contract consumes; `ts` is the event time (seconds since epoch in
+ * the file), so watermark-driven consumers compose too.
+ *
+ * Exactly-once replay: the streaming OFFSET is the count of feed
+ * files fully consumed (`{"files":N}` — checkpoint-serialized JSON).
+ * `planInputPartitions(start, end)` re-derives the same partitions
+ * for the same offset range deterministically from the on-disk files,
+ * which is all Structured Streaming needs to re-deliver the last
+ * uncommitted batch after a restart. Admission control
+ * ([[SupportsAdmissionControl]]) paces the stream at
+ * `filesPerTrigger` deliveries per micro-batch (default 1: one
+ * delivery per trigger, the boundary every lifecycle maintainer
+ * treats as the delivery boundary).
+ *
+ * Scale shape: each file is split into up to `maxSlicesPerFile`
+ * line-aligned BYTE RANGES at planning time and every slice is read
+ * ON THE EXECUTOR (open at `startByte`, read to `endByte`) — the
+ * driver touches only line boundaries, never row payloads. Planning
+ * scans the file once on the driver to find slice boundaries; a
+ * production feed would persist a line index next to each batch file
+ * (the parquet-footer discipline) to make planning O(slices) — noted
+ * here because deliveries are batch-sized, not corpus-sized, so the
+ * one driver pass is bounded by the same argument as the lifecycle
+ * folds themselves.
+ */
+class CdcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcFeed.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new CdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[cdc] class CdcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-cdc: option 'path' is required")
+    p
+  }
+  private val filesPerTrigger = options.getInt("filesPerTrigger", 1)
+  private val maxSlices = options.getInt("maxSlicesPerFile", 4)
+
+  override def name(): String = s"graft-cdc(`$path`)"
+  override def schema(): StructType = CdcFeed.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CdcScan(path, filesPerTrigger, maxSlices)
+    }
+}
+
+private[cdc] class CdcScan(path: String, filesPerTrigger: Int, maxSlices: Int)
+    extends Scan {
+  override def readSchema(): StructType = CdcFeed.schema
+  override def toBatch: Batch = new CdcBatch(path, maxSlices)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, filesPerTrigger, maxSlices)
+}
+
+/** Offset = number of feed files fully consumed. */
+private[cdc] case class CdcOffset(files: Int) extends Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+private[cdc] object CdcOffset {
+  private val Re = """\{\s*"files"\s*:\s*(\d+)\s*\}""".r
+  def fromJson(json: String): CdcOffset = json match {
+    case Re(n) => CdcOffset(n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"graft-cdc: unreadable offset '$other'")
+  }
+}
+
+private[cdc] class CdcMicroBatchStream(path: String, filesPerTrigger: Int,
+                                       maxSlices: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = CdcOffset(0)
+
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+
+  // plain latestOffset is never called once SupportsAdmissionControl is
+  // implemented (the rate-per-micro-batch source sets the precedent)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-cdc paces via SupportsAdmissionControl.latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[CdcOffset].files
+    val avail = CdcFeed.listBatchFiles(path).length
+    CdcOffset(math.min(avail, done + math.max(filesPerTrigger, 1)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    CdcOffset(CdcFeed.listBatchFiles(path).length)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].files
+    val e = end.asInstanceOf[CdcOffset].files
+    CdcFeed.listBatchFiles(path).slice(s, e)
+      .flatMap(f => CdcFeed.slicesOf(f, maxSlices)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
+
+  override def commit(end: Offset): Unit = () // files are immutable; nothing to ack
+  override def stop(): Unit = ()
+}
+
+private[cdc] class CdcBatch(path: String, maxSlices: Int) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcFeed.listBatchFiles(path).flatMap(f => CdcFeed.slicesOf(f, maxSlices)).toArray
+  override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
+}
+
+/** One line-aligned byte range of one feed file — the executor-side
+  * work unit (serialized to the task). */
+private[cdc] case class CdcSlice(file: String, startByte: Long, endByte: Long)
+  extends InputPartition
+
+private[cdc] object CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcSliceReader(partition.asInstanceOf[CdcSlice])
+}
+
+/** Executor-side reader: opens the file at `startByte` and reads whole
+  * ASCII lines until `endByte` — no driver involvement per row. */
+private[cdc] class CdcSliceReader(slice: CdcSlice)
+    extends PartitionReader[InternalRow] {
+  private val in = new FileInputStream(slice.file)
+  locally {
+    var toSkip = slice.startByte
+    while (toSkip > 0) { val n = in.skip(toSkip); require(n > 0); toSkip -= n }
+  }
+  // lines are pure ASCII by the feed contract (payload rides base64), so
+  // consumed characters == consumed bytes and the range check is exact
+  private val reader = new BufferedReader(
+    new InputStreamReader(in, StandardCharsets.US_ASCII))
+  private var pos = slice.startByte
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (pos >= slice.endByte) return false
+    val line = reader.readLine()
+    if (line == null) return false
+    pos += line.length + 1 // trailing '\n'
+    row = CdcFeed.parseLine(line)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+/** Feed-format contract: schema, the atomic batch writer the producer
+  * side uses, and the line codec + planning helpers the source shares
+  * with it (one codec, both directions — a drifted writer could
+  * otherwise produce files the reader mis-parses with no error). */
+object CdcFeed {
+
+  val schema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** One CDC event: op ∈ 'add' | 'remove', `seq` the per-doc netting
+    * order, `tsSec` the event time in epoch seconds. */
+  case class CdcEvent(op: String, seq: Long, docId: Long, tsSec: Long,
+                      text: String)
+
+  private[cdc] def listBatchFiles(path: String): Seq[String] = {
+    val files = new File(path).listFiles()
+    if (files == null) Seq.empty
+    else files.filter(f => f.isFile && f.getName.startsWith("batch-") &&
+        f.getName.endsWith(".cdc"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** Append the next batch file ATOMICALLY (tmp + rename): a live
+    * stream lists whole files only. Returns the file written. */
+  def writeBatch(dir: String, index: Int, events: Seq[CdcEvent]): File = {
+    val d = new File(dir)
+    if (!d.exists()) d.mkdirs()
+    val tmp = new File(d, f".batch-$index%05d.cdc.tmp")
+    val out = new OutputStreamWriter(new FileOutputStream(tmp),
+      StandardCharsets.US_ASCII)
+    try events.foreach { e =>
+      val b64 = Base64.getEncoder.encodeToString(
+        e.text.getBytes(StandardCharsets.UTF_8))
+      out.write(s"${e.op}\t${e.seq}\t${e.docId}\t${e.tsSec}\t$b64\n")
+    } finally out.close()
+    val dst = new File(d, f"batch-$index%05d.cdc")
+    require(tmp.renameTo(dst), s"graft-cdc: atomic rename failed for $dst")
+    dst
+  }
+
+  private[cdc] def parseLine(line: String): InternalRow = {
+    // limit -1: a remove's empty payload is a trailing empty field, which
+    // the limit-less split would silently DROP
+    val p = line.split("\t", -1)
+    require(p.length == 5, s"graft-cdc: malformed feed line '$line'")
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p(0)), p(1).toLong, p(2).toLong,
+      p(3).toLong * 1000000L, // epoch seconds → TimestampType micros
+      UTF8String.fromString(new String(
+        Base64.getDecoder.decode(p(4)), StandardCharsets.UTF_8))))
+  }
+
+  /** Split one feed file into ≤ `maxSlices` line-aligned byte ranges of
+    * near-equal line counts (one driver pass over line boundaries). */
+  private[cdc] def slicesOf(file: String, maxSlices: Int): Seq[CdcSlice] = {
+    val f = new File(file)
+    val total = f.length()
+    if (total == 0) return Seq.empty
+    // line-start offsets via a buffered newline scan
+    val starts = scala.collection.mutable.ArrayBuffer(0L)
+    val in = new FileInputStream(f)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var base = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') starts += base + i + 1
+          i += 1
+        }
+        base += n
+        n = in.read(buf)
+      }
+    } finally in.close()
+    if (starts.last >= total) starts.dropRightInPlace(1) // trailing newline
+    val nLines = starts.length
+    val nSlices = math.max(1, math.min(maxSlices, nLines))
+    val per = (nLines + nSlices - 1) / nSlices
+    (0 until nSlices).map { s =>
+      val from = starts(s * per)
+      val to = if ((s + 1) * per >= nLines) total else starts((s + 1) * per)
+      CdcSlice(file, from, to)
+    }.filter(sl => sl.endByte > sl.startByte)
+  }
+}
