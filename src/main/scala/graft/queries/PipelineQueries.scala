@@ -399,8 +399,15 @@ object PipelineQueries {
     * Per test image: its nearest train hamming and the match count —
     * the gate an image-bench curator runs before trusting held-out
     * numbers. */
-  def contaminationImage(spark: SparkSession, dir: String): DataFrame = {
-    val d = imageDhash(spark, dir)
+  def contaminationImage(spark: SparkSession, dir: String): DataFrame =
+    contaminationImageOf(imageDhash(spark, dir))
+
+  /** [[contaminationImage]] over any (doc_id, dhash) frame — factored so
+    * the hot-band cap is testable against a degenerate corpus
+    * (GuardrailSpec trips it with a solid-color boilerplate band; the
+    * dir entry point never exercises it on the driver testdata). */
+  private[graft] def contaminationImageOf(hashed: DataFrame): DataFrame = {
+    val d = hashed
       .selectExpr("doc_id", "dhash",
         s"${DedupOps.md5Long("CAST(doc_id AS STRING)")} % 10 AS b")
       .selectExpr("doc_id", "dhash",
@@ -1715,14 +1722,20 @@ object PipelineQueries {
     * discriminate (61 distinct at sf0.01, nearly all over the hot cap).
     * Character-level where the shingle family is token-level: catches
     * shared runs that whitespace tokenization splits differently. */
-  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    dedupWinnowOf(Tables.documents(spark, dir))
+
+  /** [[dedupWinnow]] over any (doc_id, text) frame — factored so the
+    * hot-fingerprint cap is testable against a degenerate boilerplate
+    * corpus (GuardrailSpec). */
+  private[graft] def dedupWinnowOf(docs: DataFrame): DataFrame = {
     // The fingerprint table MUST be materialized before the self-join:
     // otherwise the join's pushed-down null filters re-inline the
     // O(len²) transform chain under the explode and evaluate it
     // interpreted once per exploded row (thread-dump verified). This is
     // also the production shape — the fingerprint index is built once,
     // then joined on.
-    val w = winnowFps(Tables.documents(spark, dir), k = 12).localCheckpoint()
+    val w = winnowFps(docs, k = 12).localCheckpoint()
     val f = w.selectExpr("doc_id", "explode(fps) AS fp")
     val nf = w.selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n")
     val usable = f.groupBy("fp").agg(count(lit(1)).as("nd"))

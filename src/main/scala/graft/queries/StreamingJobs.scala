@@ -620,7 +620,20 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None)(
-      sink: PressState => Unit): StreamingQuery = {
+      sink: PressState => Unit): StreamingQuery =
+    runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
+      threshold, initial)((st, _, _) => sink(st))
+
+  /** [[runCurationPress]] with the per-batch DELTAS handed to the sink
+    * alongside the press state ([[runClusterLifecycleDelta]]'s `added` /
+    * `removed`, post netting and idempotency) — the hook a co-maintained
+    * consumer ([[runCorpusPipeline]]'s serving folds) composes on
+    * without re-deriving the feed semantics. */
+  def runCurationPressDelta(spark: SparkSession, opsStream: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      initial: Option[PressState] = None)(
+      sink: (PressState, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -683,7 +696,76 @@ object StreamingJobs {
         .unionByName(rebuilt)
         .localCheckpoint()
       prevAssign = assign // already lineage-truncated by the lifecycle
-      sink(PressState(assign, sets, pairs, scores, manifest))
+      sink(PressState(assign, sets, pairs, scores, manifest), added, removed)
+    }
+  }
+
+  /** The WHOLE training-data plant on ONE CDC feed — [[runCurationPress]]
+    * composed with [[runServingLifecycle]]'s retriever maintenance, the
+    * "never rebuilt" end state the r11 verdict asked to close: each
+    * micro-batch delivery/takedown simultaneously maintains (1) the
+    * near-dup cluster state + the keep/split manifest (the press half,
+    * verbatim — same folds, same convergence contract) and (2) BOTH
+    * deployed retrievers — the BM25 (postings, dl, df) triple and the
+    * quantized dense store. The serving folds consume the press's
+    * per-batch DELTAS ([[runCurationPressDelta]]): `added` is already
+    * netted and idempotency-filtered against the maintained corpus, so
+    * the two halves cannot disagree about what was ingested, and the
+    * ingested-id set needs no second copy. `sink` receives the press
+    * state plus the serving quadruple after every batch; serving the
+    * hybrid fusion over the quadruple equals the from-scratch survivors'
+    * fusion, and the manifest equals batch corpus_manifest over the same
+    * survivors — one feed, one truth (spec-verified through interleaved
+    * adds and takedowns arriving via the graft-cdc source).
+    *
+    * Scale shape per batch: the press pays delivery- or touched-cluster-
+    * sized work (its documented contract); the serving folds add the
+    * delivery-sized tokenize + vocab-keyed df fold and the
+    * delivery-sized embed+encode — nothing corpus-sized anywhere. */
+  def runCorpusPipeline(spark: SparkSession, opsStream: DataFrame,
+      embeddings: DataFrame,
+      k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      initial: Option[PressState] = None)(
+      sink: (PressState, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def empty(schema: StructType): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    var postings: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType))))
+    var dl: DataFrame = postings.groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl")).localCheckpoint()
+    var dft: DataFrame = postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
+    var store: DataFrame = graft.ops.SimilarityOps
+      .quantStore(embeddings.limit(0)).localCheckpoint()
+    val embSrc = embeddings.localCheckpoint()
+    runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
+      threshold, initial) { (press, added, removed) =>
+      // ADDS: lexical fold + delivery-sized embed+encode (the
+      // runServingLifecycle algebra over the press's netted delta)
+      val dPost = PipelineQueries.bm25Postings(added)
+      postings = postings.union(dPost).localCheckpoint()
+      dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+        .localCheckpoint()
+      dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
+        .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
+      store = store.unionByName(graft.ops.SimilarityOps.quantStore(
+          embSrc.join(added.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
+        .localCheckpoint()
+      // REMOVES: lexical down-fold from the store + dense row drops
+      if (!removed.isEmpty) {
+        val dfRem = postings.join(removed, Seq("doc_id"), "left_semi")
+          .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
+        dft = dft.join(dfRem, Seq("term"), "left")
+          .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
+          .filter(col("df") > 0).localCheckpoint()
+        postings = postings.join(removed, Seq("doc_id"), "left_anti").localCheckpoint()
+        dl = dl.join(removed, Seq("doc_id"), "left_anti").localCheckpoint()
+        store = store.join(removed.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+      }
+      sink(press, postings, dl, dft, store)
     }
   }
 

@@ -157,6 +157,57 @@ class CdcSourceSpec extends SparkSpec {
       "stop + restart through the checkpoint must converge to the uninterrupted result")
   }
 
+  test("the full corpus pipeline on one CDC feed: manifest + both retrievers converge") {
+    // ONE graft-cdc feed drives runCorpusPipeline: per delivery the
+    // press maintains clusters + the keep/split manifest while the
+    // serving folds maintain the BM25 triple + the dense store. Final
+    // survivors are the takedown query's residue class, so BOTH truths
+    // are checkable: manifest == batch corpus_manifest over survivors,
+    // fusion over the maintained quadruple == hybrid_rrf_takedown.
+    val td = PipelineQueries.Bm25TakedownMod
+    val dd = docs()
+    val chunks = dd.grouped(math.max(dd.length / 3, 1)).toSeq
+    val dir = tmpDir("plant")
+    feedOf(dir, Seq(
+      addsOf(chunks(0), 0),
+      addsOf(chunks(1), 1000) ++
+        remsOf(chunks(0).map(_._1).filter(_ % td == 0), 2000),
+      addsOf(chunks.drop(2).flatten.toSeq, 3000),
+      remsOf(dd.map(_._1).filter(_ % td == 0), 5000)))
+    @volatile var press: Option[StreamingJobs.PressState] = None
+    @volatile var serve: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None
+    val q = StreamingJobs.runCorpusPipeline(spark, stream(dir),
+        graft.sources.Tables.embeddings(spark, sf0001)) { (st, p, dl, df, s) =>
+      press = Some(st); serve = Some((p, dl, df, s))
+    }
+    try {
+      q.processAllAvailable()
+      val surviving = dd.filter(_._1 % td != 0).toSeq
+      val man = press.get.manifest
+        .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+          "keep", "split")
+        .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect().toSet
+      val expMan = PipelineQueries.corpusManifestOf(surviving.toDF("doc_id", "text"))
+        .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+          "keep", "split")
+        .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect().toSet
+      assert(man == expMan && expMan.nonEmpty,
+        "the plant's manifest must equal the batch manifest of the survivors")
+      val (post, dl, df, store) = serve.get
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val lex = PipelineQueries.rrfLexRank(
+        PipelineQueries.bm25Rank(post, dl, df, stats, 8, 21), 20)
+      val dns = graft.ops.SimilarityOps.cosineTopKOfVecs(store, "vec_id < 8", 20)
+        .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+      val fused = PipelineQueries.rrfFuse(lex, dns, 5)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val expected = PipelineQueries.hybridRrfTakedown(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(fused == expected && expected.nonEmpty,
+        "the plant's maintained retrievers must serve the survivors' fusion")
+    } finally q.stop()
+  }
+
   test("serving lifecycle through the real source equals the takedown fusion") {
     val td = PipelineQueries.Bm25TakedownMod
     val dd = docs()
