@@ -601,8 +601,21 @@ object SimilarityOps {
                          codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                          nSub: Int, subDim: Int,
                          queryPred: String, k: Int,
-                         excludeExpr: String = "q_id <> c_id"): DataFrame = {
-    graft.functions.PqDists.register(vecs.sparkSession, centArray(codebook), subDim)
+                         excludeExpr: String = "q_id <> c_id"): DataFrame =
+    pqShortlistWith(pqCodesWith(vecs, codebook, subDim), vecs, codebook,
+      nSub, subDim, queryPred, k, excludeExpr)
+
+  /** The ADC scoring half of [[pqTopKWith]] over an ALREADY-ENCODED
+    * codes frame (vec_id, code_0..code_{nSub-1}) — factored so a
+    * persisted codes table ([[graft.queries.IndexState]]) can be probed
+    * without re-encoding the corpus; `queryVecs` supplies the query
+    * vectors' qvec for the per-query distance LUTs. */
+  private def pqShortlistWith(codes: DataFrame, queryVecs: DataFrame,
+                              codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
+                              nSub: Int, subDim: Int,
+                              queryPred: String, k: Int,
+                              excludeExpr: String): DataFrame = {
+    graft.functions.PqDists.register(codes.sparkSession, centArray(codebook), subDim)
     val lutCols = codebook.map { case (m, _) =>
       s"element_at(pd, ${m + 1}) AS lut_$m"
     }
@@ -616,12 +629,12 @@ object SimilarityOps {
         .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
       s"CASE code_$m $whens END"
     }
-    val queries = vecs.filter(expr(queryPred))
+    val queries = registered(queryVecs).filter(expr(queryPred))
       .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
       .selectExpr(Seq("q_id") ++ lutCols: _*)
     val adc = (0 until nSub)
       .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
-    pqCodesWith(vecs, codebook, subDim).crossJoin(broadcast(queries))
+    codes.crossJoin(broadcast(queries))
       .selectExpr("q_id", "vec_id AS c_id", s"$adc AS adc")
       .filter(expr(excludeExpr))
       .withColumn("rn", row_number().over(
@@ -679,10 +692,15 @@ object SimilarityOps {
                                codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                                nSub: Int, subDim: Int, queryPred: String,
                                k: Int, shortlist: Int,
-                               excludeExpr: String = "q_id <> c_id"): DataFrame = {
-    val short = pqTopKWith(vecs, codebook, nSub, subDim, queryPred, shortlist,
-        excludeExpr)
-      .select("q_id", "c_id")
+                               excludeExpr: String = "q_id <> c_id"): DataFrame =
+    exactRerank(
+      pqTopKWith(vecs, codebook, nSub, subDim, queryPred, shortlist,
+        excludeExpr).select("q_id", "c_id"),
+      vecs, k)
+
+  /** The exact quantized-L2 re-rank of a (q_id, c_id) shortlist against
+    * the true vectors — only shortlist rows ever see a dot product. */
+  private def exactRerank(short: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val nv = registered(vecs)
       .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2")
     short
@@ -693,6 +711,34 @@ object SimilarityOps {
         Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "l2", "rn")
+  }
+
+  /** Stateless PQ encode of `vecs` against the codebook fitted (and
+    * memoized) on `fitOn` — the INDEX-BUILD half a deployment persists
+    * ([[graft.queries.IndexState.pqCodesPaths]]): codes are 16× narrower
+    * than the quantized vectors, so a probe that reads stored codes
+    * never pays the per-row distance folds of a fresh encode. */
+  def pqEncode(vecs: DataFrame, nSub: Int, subDim: Int,
+               fitOn: DataFrame): DataFrame =
+    pqCodesWith(vecs, pqCodebookQ(fitOn, nSub, subDim), subDim)
+
+  /** [[pqTopKRerankQ]] probing an ALREADY-ENCODED codes table: the ADC
+    * shortlist scans `codes` (vec_id, code_0..) — the persisted index —
+    * while `vecs` supplies query vectors for the distance LUTs and the
+    * true vectors of shortlist rows for the exact re-rank. The codebook
+    * comes from `fitOn` (the train job's plan, memo-shared), which MUST
+    * be the same fit the codes were encoded against — the geometry is in
+    * the persisted path name for the same reason the banded indexes
+    * carry theirs. */
+  def pqTopKRerankCodes(codes: DataFrame, vecs: DataFrame, nSub: Int,
+                        subDim: Int, queryPred: String, k: Int,
+                        shortlist: Int, fitOn: DataFrame,
+                        excludeExpr: String = "q_id <> c_id"): DataFrame = {
+    val codebook = pqCodebookQ(fitOn, nSub, subDim)
+    exactRerank(
+      pqShortlistWith(codes, vecs, codebook, nSub, subDim, queryPred,
+        shortlist, excludeExpr).select("q_id", "c_id"),
+      vecs, k)
   }
 
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.

@@ -274,6 +274,37 @@ object IndexState {
       storeP
     }
 
+  /** Absolute parquet path of the BASE split's PQ CODES table —
+    * (vec_id, code_0..code_7), [[graft.ops.SimilarityOps.pqEncode]]
+    * against the codebook fitted on the FULL corpus (the train job's
+    * model, memo-shared with the pq_topk family) — the 16×-narrower
+    * serving artifact [[PipelineQueries.hybridRrfPq]] probes: ADC reads
+    * stored codes, so a serve never re-runs the per-row distance folds
+    * over the store. Geometry in the name (8×8) for the usual reason: a
+    * codes table encoded at one geometry can never be probed by a
+    * ranker fitted at another. */
+  def pqCodesPaths(spark: SparkSession, dir: String,
+                   mod: Int = ClusterState.PersistDeliveryMod): String =
+    synchronized {
+      val root = ClusterState.stateRoot(dir)
+      val codesP = new File(root, s"pq_codes_8x8_m$mod").getAbsolutePath
+      val done = new File(root, s"_DONE_pqcodes_8x8_m$mod")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          val emb = Tables.embeddings(spark, dir)
+          val base = emb
+            .filter(org.apache.spark.sql.functions.expr(s"vec_id % $mod != 0"))
+          graft.ops.SimilarityOps.pqEncode(
+              graft.ops.SimilarityOps.quantStore(base), 8, 8,
+              fitOn = graft.ops.SimilarityOps.quantStore(emb))
+            .write.mode("overwrite").parquet(codesP)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      codesP
+    }
+
   /** Absolute parquet path of the TRAIN split's distinct shingle-hash
     * set — the decontamination index
     * [[PipelineQueries.contaminationPersist]] probes (the eval suite is

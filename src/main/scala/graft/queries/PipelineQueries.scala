@@ -2206,17 +2206,20 @@ object PipelineQueries {
     * the persisted-state algebra but its dense side still scores a brute
     * cosine over the ENTIRE store per serve (O(corpus × nQ) at every
     * query batch). Here the dense ranking is the production index probe:
-    * ADC over the PQ codes of the persisted quantized store (folded with
-    * the delivery's probe-time encode) shortlists [[HybridPqShortlist]]
+    * ADC over the PERSISTED PQ codes table
+    * ([[IndexState.pqCodesPaths]] — stored (vec_id, code_0..7) rows, 16×
+    * narrower than the quantized vectors; the delivery's codes encode at
+    * probe time and fold in) shortlists [[HybridPqShortlist]]
     * candidates per query from codes alone — `nSub` array lookups per
     * candidate, no per-pair dot products — and ONLY the shortlist
     * fetches true vectors for the exact quantized-L2 re-rank
-    * ([[graft.ops.SimilarityOps.pqTopKRerankQ]], the pq_topk_rr
-    * machinery). Per serve, the full-width corpus scan is replaced by a
-    * codes scan 16× narrower plus a shortlist-sized exact pass — the
-    * UV-at-10^8 design economy applied to retrieval. The codebook is
-    * the offline-trained artifact: fitted (and memoized) against the
-    * full-corpus plan, exactly the model the pq_topk family serves.
+    * ([[graft.ops.SimilarityOps.pqTopKRerankCodes]], the pq_topk_rr
+    * machinery probing stored codes). Per serve, the full-width corpus
+    * scan AND the per-row corpus encode are replaced by a narrow codes
+    * read plus a shortlist-sized exact pass — the UV-at-10^8 design
+    * economy applied to retrieval. The codebook is the offline-trained
+    * artifact: fitted (and memoized) against the full-corpus plan,
+    * exactly the model the pq_topk family and the stored codes serve.
     *
     * The dense leg ranks by exact L2 over the shortlist (the PQ family's
     * metric) where [[hybridRrf]]'s brute leg ranks by cosine — a
@@ -2228,35 +2231,40 @@ object PipelineQueries {
                   kIn: Int = 20, kTop: Int = 5): DataFrame = {
     val (tfq, dl, dft, stats) = bm25FoldedIndex(spark, dir)
     val lex = rrfLexRank(bm25Rank(tfq, dl, dft, stats, nQ, kIn + 1), kIn)
-    val mod = ClusterState.PersistDeliveryMod
-    // one-split store guard: same rationale as hybridRrfPersist
-    val store = graft.ops.Parallelism.ensureMin(
-      spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
-    val delivery = SimilarityOps.quantStore(
-      Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
-    // fitOn = the full-corpus plan: the codebook is MODEL state (trained
-    // offline, memo-shared with the pq_topk family); the probe passes
-    // run over the persisted store ∪ the delivery's probe-time encode.
-    // The folded store is checkpointed ONCE: the probe side references
-    // it four times (codes scan, query LUTs, both re-rank sides), and
-    // each reference would re-run the store read + delivery encode —
-    // exactly the corpus-scale re-evaluation the pqTopKRerankQ contract
-    // says to truncate (the fitOn/vecs split exists for this)
-    val dns = pqDenseLeg(spark, dir, nQ, kIn,
-      store.unionByName(delivery).localCheckpoint())
-    rrfFuse(lex, dns, kTop)
+    rrfFuse(lex, pqDenseLeg(spark, dir, nQ, kIn), kTop)
   }
 
-  /** The PQ-served dense rank leg over an already-folded (vec_id, qvec)
-    * store — shared by [[hybridRrfPq]] and [[rrfOverlapPq]] so the two
-    * cannot drift. The codebook fit is pinned to the full-corpus plan
-    * (MODEL state, memo-shared with the pq_topk family). */
+  /** The PQ-served dense rank leg — shared by [[hybridRrfPq]] and
+    * [[rrfOverlapPq]] so the fusion and its audit price the SAME
+    * serving path. The ADC scan reads the PERSISTED codes table
+    * ([[IndexState.pqCodesPaths]] — 16× narrower than the quantized
+    * vectors) folded with the delivery's probe-time encode, so a serve
+    * never re-runs the per-row distance folds over the store; the
+    * quantized vector store supplies only the query LUTs and the
+    * shortlist rows' exact re-rank. The codebook fit is pinned to the
+    * full-corpus plan (MODEL state, memo-shared with the pq_topk
+    * family — the same fit the persisted codes were encoded against,
+    * geometry in the artifact name). */
   private def pqDenseLeg(spark: SparkSession, dir: String, nQ: Int,
-                         kIn: Int, vecs: DataFrame): DataFrame =
-    SimilarityOps.pqTopKRerankQ(vecs, 8, 8, s"vec_id < $nQ", kIn,
-        HybridPqShortlist,
-        fitOn = Some(SimilarityOps.quantStore(Tables.embeddings(spark, dir))))
+                         kIn: Int): DataFrame = {
+    val mod = ClusterState.PersistDeliveryMod
+    val fitOn = SimilarityOps.quantStore(Tables.embeddings(spark, dir))
+    val delivery = SimilarityOps.quantStore(
+      Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
+    // one-split guards: both persisted artifacts land as single files
+    val store = graft.ops.Parallelism.ensureMin(
+      spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
+    val codes = graft.ops.Parallelism.ensureMin(
+      spark.read.parquet(IndexState.pqCodesPaths(spark, dir)))
+    // the folded vector store is checkpointed ONCE: it feeds the query
+    // LUTs and both re-rank sides, and each reference would re-run the
+    // store read + delivery encode otherwise
+    val vecs = store.unionByName(delivery).localCheckpoint()
+    SimilarityOps.pqTopKRerankCodes(
+        codes.unionByName(SimilarityOps.pqEncode(delivery, 8, 8, fitOn)),
+        vecs, 8, 8, s"vec_id < $nQ", kIn, HybridPqShortlist, fitOn)
       .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
+  }
 
   /** Fused-list drift audit of the PQ-served fusion against the brute
     * one — the recall-gate discipline ([[SimilarityOps.recallAtK]],
@@ -2281,9 +2289,7 @@ object PipelineQueries {
     val brute = SimilarityOps.cosineTopK(
         Tables.embeddings(spark, dir), 64, s"vec_id < $nQ", kIn)
       .selectExpr("q_id", "c_id AS doc_id", "rn AS rank_dense")
-    val pq = pqDenseLeg(spark, dir, nQ, kIn,
-      SimilarityOps.quantStore(Tables.embeddings(spark, dir)).localCheckpoint())
-    rrfFuse(lex, pq, kTop).select("q_id", "doc_id")
+    rrfFuse(lex, pqDenseLeg(spark, dir, nQ, kIn), kTop).select("q_id", "doc_id")
       .join(rrfFuse(lex, brute, kTop)
           .select(col("q_id"), col("doc_id"), lit(1).as("hit")),
         Seq("q_id", "doc_id"), "left")
