@@ -77,7 +77,8 @@ class CdcSource extends TableProvider with DataSourceRegister {
 }
 
 private[cdc] class CdcTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val path = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-cdc: option 'path' is required")
@@ -86,15 +87,21 @@ private[cdc] class CdcTable(options: CaseInsensitiveStringMap)
   private val filesPerTrigger = options.getInt("filesPerTrigger", 1)
   private val maxSlices = options.getInt("maxSlicesPerFile", 4)
 
-  override def name(): String = s"graft-cdc(`$path`)"
+  override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcFeed.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new CdcScan(path, filesPerTrigger, maxSlices)
     }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CdcWriteBuilder(path, info)
 }
 
 private[cdc] class CdcScan(path: String, filesPerTrigger: Int, maxSlices: Int)
@@ -220,7 +227,9 @@ object CdcFeed {
   case class CdcEvent(op: String, seq: Long, docId: Long, tsSec: Long,
                       text: String)
 
-  private[cdc] def listBatchFiles(path: String): Seq[String] = {
+  /** The on-disk feed listing (sorted = feed order) — public so specs
+    * and ops tooling can observe published deliveries. */
+  def listBatchFiles(path: String): Seq[String] = {
     val files = new File(path).listFiles()
     if (files == null) Seq.empty
     else files.filter(f => f.isFile && f.getName.startsWith("batch-") &&
@@ -236,14 +245,21 @@ object CdcFeed {
     val tmp = new File(d, f".batch-$index%05d.cdc.tmp")
     val out = new OutputStreamWriter(new FileOutputStream(tmp),
       StandardCharsets.US_ASCII)
-    try events.foreach { e =>
-      val b64 = Base64.getEncoder.encodeToString(
-        e.text.getBytes(StandardCharsets.UTF_8))
-      out.write(s"${e.op}\t${e.seq}\t${e.docId}\t${e.tsSec}\t$b64\n")
-    } finally out.close()
+    try events.foreach(e =>
+      out.write(formatLine(e.op, e.seq, e.docId, e.tsSec, e.text)))
+    finally out.close()
     val dst = new File(d, f"batch-$index%05d.cdc")
     require(tmp.renameTo(dst), s"graft-cdc: atomic rename failed for $dst")
     dst
+  }
+
+  /** The one line codec, shared by every producer ([[writeBatch]], the
+    * [[CdcDataWriter]] sink) and the reader's [[parseLine]]. */
+  private[cdc] def formatLine(op: String, seq: Long, docId: Long,
+                              tsSec: Long, text: String): String = {
+    val b64 = Base64.getEncoder.encodeToString(
+      text.getBytes(StandardCharsets.UTF_8))
+    s"$op\t$seq\t$docId\t$tsSec\t$b64\n"
   }
 
   private[cdc] def parseLine(line: String): InternalRow = {
