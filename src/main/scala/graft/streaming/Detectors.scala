@@ -520,12 +520,16 @@ object Detectors {
     * with no timeout registered, so TOTAL state is O(lifetime user
     * cardinality) — correct by design (the carry is what links a pair
     * across an arbitrarily long gap) but unbounded on a stream of
-    * ever-fresh users. A high-cardinality deployment should add an
-    * idle-TTL (register a timeout when `rest` is empty and drop the
-    * carry on expiry), accepting one lost transition per
-    * longer-than-TTL gap. */
+    * ever-fresh users. `idleTtlSec` is the opt-in mitigation for
+    * high-cardinality deployments: once a user's buffer drains, a
+    * timeout at watermark + TTL drops the carry, bounding total state
+    * by the users active within one TTL window — at the DOCUMENTED
+    * price of one lost transition per longer-than-TTL gap (the default
+    * None keeps the exact-parity behavior; the loss trade is
+    * spec-pinned either way). */
   def transitionIncrements(events: Dataset[SeqTypeEvent],
-                           streaming: Boolean): Dataset[TransInc] = {
+                           streaming: Boolean,
+                           idleTtlSec: Option[Long] = None): Dataset[TransInc] = {
     implicit val outEnc = Encoders.product[TransInc]
     implicit val stEnc = Encoders.product[TransState]
     implicit val keyEnc = Encoders.scalaLong
@@ -539,6 +543,12 @@ object Detectors {
       val fresh = it.filter(e => !streaming || e.sec >= wmSec)
       val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.id))
       val (ready, rest) = all.partition(_.sec < wmSec)
+      // idle-TTL expiry: the buffer is empty and no fresh events arrived
+      // — drop the carry entirely (the accepted one-lost-transition cost)
+      if (state.hasTimedOut && all.isEmpty) {
+        state.remove()
+        return Iterator.empty
+      }
       var last = st.last
       val out = scala.collection.mutable.ArrayBuffer[TransInc]()
       ready.foreach { e =>
@@ -549,6 +559,9 @@ object Detectors {
       if (streaming && rest.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      else if (streaming && idleTtlSec.isDefined)
+        state.setTimeoutTimestamp(
+          state.getCurrentWatermarkMs() + idleTtlSec.get * 1000)
       out.iterator
     }
 
@@ -574,9 +587,12 @@ object Detectors {
     * the batch trigram cell frame exactly.
     *
     * State per user: the in-horizon buffer + TWO strings — still
-    * O(watermark horizon), not O(lifetime). */
+    * O(watermark horizon), not O(lifetime), per user; total-state
+    * residual and the opt-in `idleTtlSec` mitigation exactly as
+    * documented on [[transitionIncrements]]. */
   def pathIncrements(events: Dataset[SeqTypeEvent],
-                     streaming: Boolean): Dataset[PathInc] = {
+                     streaming: Boolean,
+                     idleTtlSec: Option[Long] = None): Dataset[PathInc] = {
     implicit val outEnc = Encoders.product[PathInc]
     implicit val stEnc = Encoders.product[PathState]
     implicit val keyEnc = Encoders.scalaLong
@@ -590,6 +606,10 @@ object Detectors {
       val fresh = it.filter(e => !streaming || e.sec >= wmSec)
       val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.id))
       val (ready, rest) = all.partition(_.sec < wmSec)
+      if (state.hasTimedOut && all.isEmpty) {
+        state.remove()
+        return Iterator.empty
+      }
       var (last2, last1) = (st.last2, st.last1)
       val out = scala.collection.mutable.ArrayBuffer[PathInc]()
       ready.foreach { e =>
@@ -601,6 +621,9 @@ object Detectors {
       if (streaming && rest.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      else if (streaming && idleTtlSec.isDefined)
+        state.setTimeoutTimestamp(
+          state.getCurrentWatermarkMs() + idleTtlSec.get * 1000)
       out.iterator
     }
 

@@ -224,6 +224,46 @@ class StreamAnalyticsParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle-TTL drops a drained carry: one gap transition lost, exactly as documented") {
+    // identical feeds through the fold WITH and WITHOUT the opt-in TTL:
+    // user 1 emits view→click, goes idle far past the TTL while other
+    // traffic advances the watermark, then returns with a purchase. The
+    // TTL run must drop the drained carry (state removed — the
+    // gap-spanning click→purchase is LOST), the default run must keep
+    // it (the carry exists precisely to link across gaps).
+    def run(streamId: Int, ttl: Option[Long], name: String): Set[(String, String)] = {
+      val input = MemoryStream[SeqTypeEvent](streamId, spark, None)
+      val withWm = input.toDS()
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "10 seconds")
+        .as[SeqTypeEvent]
+      val q = Detectors.transitionIncrements(withWm, streaming = true,
+          idleTtlSec = ttl)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        Seq(
+          Seq(SeqTypeEvent(1L, "view", 100L, 0L), SeqTypeEvent(1L, "click", 102L, 1L)),
+          Seq(SeqTypeEvent(2L, "view", 1200L, 2L)),  // wm → ~1190: user 1 drains
+          Seq(SeqTypeEvent(2L, "click", 1400L, 3L)), // wm → ~1390: TTL timer armed at drain fires next
+          Seq(SeqTypeEvent(2L, "view", 2000L, 4L)),  // user-1 timeout fires here (no data for key 1)
+          Seq(SeqTypeEvent(1L, "purchase", 5000L, 5L)), // the return after the gap
+          Seq(SeqTypeEvent(1L, "view", 100000L, 6L),    // flush: drain the purchase
+            SeqTypeEvent(2L, "view", 100000L, 7L))
+        ).foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name).filter(col("user_id") === 1L)
+          .select("from_type", "to_type")
+          .as[(String, String)].collect().toSet
+      } finally q.stop()
+    }
+    val withTtl = run(38, Some(60L), "trans_ttl_on")
+    val without = run(39, None, "trans_ttl_off")
+    assert(without == Set(("view", "click"), ("click", "purchase")),
+      s"the default carry must link across the gap, got $without")
+    assert(withTtl == Set(("view", "click")),
+      s"the TTL run must lose EXACTLY the gap transition, got $withTtl")
+  }
+
   test("itemPairIncrements aggregate to the item_pairs query") {
     val expected = BehaviorQueries.itemPairs(spark, sf0001)
       .select("item_a", "item_b", "n_users", "rn")
