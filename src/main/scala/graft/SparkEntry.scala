@@ -57,6 +57,8 @@ object SparkEntry {
     "cube_sales"         -> (RelationalQueries.cubeSales _),
     "props_parsed"       -> (BehaviorQueries.propsParsed _),
     "value_percentiles"  -> (BehaviorQueries.valuePercentiles _),
+    // percentile sketch hash-gated against its declared rank envelope
+    "value_percentile_bounds" -> (BehaviorQueries.valuePercentileBounds _),
     "market_total"    -> (BehaviorQueries.marketTotal _),
     "ad_province"     -> (BehaviorQueries.adProvince _),
     // §2.3/2.7/2.8 detectors, CEP-lite, two-stream joins (F6, J1-J2, C1-C5)

@@ -156,6 +156,17 @@ object BehaviorOracles {
       |SELECT e.event_id, e.user_id, e.sec, s.signup_id, s.signup_sec
       |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND s.ts <= e.ts""".stripMargin
 
+  /** [[BehaviorQueries.valuePercentileBounds]] restatement: DuckDB
+    * recomputes (event_type, n, p, bound) arithmetically and asserts
+    * the rank-envelope verdict is literally TRUE — the uv_approx_bounds
+    * discipline for the percentile sketch. */
+  val valuePercentileBounds: String =
+    """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+      |SELECT event_type, n, p,
+      |  CAST(ceil(CAST(2 * n AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT) + 1 AS bound_rank,
+      |  TRUE AS within
+      |FROM g CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p)""".stripMargin
+
   val valuePercentiles: String =
     """WITH r AS (
       |  SELECT event_type, "value",
@@ -460,6 +471,7 @@ object BehaviorOracles {
     "event_value_stats" -> eventValueStats,
     "uv_bitmap"       -> uvBitmap,
     "uv_approx_bounds" -> uvApproxBounds,
+    "value_percentile_bounds" -> valuePercentileBounds,
     "hot_items_topn"  -> hotItemsTopN,
     "hot_pages_topn"  -> hotPagesTopN,
     "log_hot_pages"   -> logHotPages,

@@ -727,6 +727,51 @@ object BehaviorQueries {
           expr("approx_percentile(value, 0.99, 10000)").as("p99"))
   }
 
+  /** Declared GK accuracy of [[valuePercentileBounds]] (rank error
+    * ≤ n/accuracy) and the probed percentiles — shared with the oracle
+    * restatement. 100 is the honest AT-SCALE setting (the fixed-size
+    * sketch an aggregation server actually runs); `value_percentiles`'
+    * 10000 happens to be exact on this data, which gates the VALUES but
+    * says nothing about the sketch's operating envelope. */
+  val PctAccuracy = 100
+  val PctPs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** The percentile-sketch BOUNDS gate — the [[uvApproxBounds]] pattern
+    * applied to the second sketch family: per event_type and percentile
+    * p, `approx_percentile` (Greenwald–Khanna, declared accuracy
+    * [[PctAccuracy]]) returns an actual data element v; the gated row
+    * asserts v's RANK RANGE honors the declared envelope. Rank range,
+    * not point rank, because ties matter: with r_lt = |values < v| and
+    * r_le = |values ≤ v| (exact integer counts over cents), v is a
+    * valid answer iff [r_lt+1, r_le] intersects
+    * [⌈p·n⌉ − bound, ⌈p·n⌉ + bound], with bound = ⌈2n/accuracy⌉ + 1 —
+    * 2× the nominal GK guarantee εn plus one, the same operating-
+    * envelope discipline as the UV gate (measured margin asserted
+    * tighter in the spec). DuckDB restates (event_type, n, p, bound)
+    * arithmetically and asserts `within` is literally TRUE; the sketch
+    * value itself stays out of the gated row (engine-specific). Values
+    * ride as exact DECIMAL(12,2) cents so the rank counts are integer-
+    * exact in both engines. Cost: one corpus agg for the sketches + one
+    * broadcast-join rank pass — no sort, no window over the corpus. */
+  def valuePercentileBounds(spark: SparkSession, dir: String): DataFrame = {
+    val psArr = PctPs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val cents = ev(spark, dir).selectExpr("event_type",
+      "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+    val appx = cents.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(cents, $psArr, $PctAccuracy)").as("vs"))
+      .selectExpr("event_type", "n", "posexplode(vs) AS (i, v)")
+      .selectExpr("event_type", "n", s"element_at($psArr, i + 1) AS p", "v")
+    val bound = s"CAST(ceil(CAST(2 * n AS DOUBLE) / CAST($PctAccuracy AS DOUBLE)) AS BIGINT) + 1L"
+    val target = "CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)"
+    appx.join(cents, "event_type")
+      .groupBy("event_type", "n", "p", "v")
+      .agg(sum(when(col("cents") < col("v"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("cents") <= col("v"), 1L).otherwise(0L)).as("r_le"))
+      .selectExpr("event_type", "n", "p", s"$bound AS bound_rank",
+        s"r_lt + 1L <= $target + ($bound) AND r_le >= $target - ($bound) AS within")
+  }
+
   /** A6 AppMarketingByChannel: sliding 1h/15m count per (channel, behavior),
     * uninstall-filter analogue (F4) = drop errors; windowEnd also formatted
     * as 'yyyy-MM-dd HH:mm:ss' (P6, AppMarketingByChannel.java:136-137). */

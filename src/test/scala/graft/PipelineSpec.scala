@@ -1043,4 +1043,32 @@ class PipelineSpec extends SparkSpec {
     assert(det(3L)._2 && det(3L)._1 == 2772592L,
       "uniform hex token is ln(16) nats (per-class rounded)")
   }
+
+  test("percentile-sketch bounds: observed rank error sits inside the NOMINAL envelope") {
+    // the gated query allows 2*eps*n + 1; here the tighter nominal GK
+    // guarantee (eps*n = n/accuracy, +1 for ties/rounding) must already
+    // hold on the driver corpus — the measured-margin discipline behind
+    // the operating envelope (the uv_approx_bounds 1.7-sigma argument)
+    import org.apache.spark.sql.functions._
+    val cents = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+    val rows = BehaviorQueries.valuePercentileBounds(spark, sf0001).collect()
+    assert(rows.length == 15 && rows.forall(_.getAs[Boolean]("within")),
+      "every (type, p) row must be inside the declared envelope")
+    val byType = cents.collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    for ((etype, vals) <- byType; p <- BehaviorQueries.PctPs) {
+      val n = vals.length
+      val v = cents.filter(col("event_type") === etype)
+        .agg(expr(s"approx_percentile(cents, ${p}D, ${BehaviorQueries.PctAccuracy})"))
+        .collect()(0).getLong(0)
+      val rLt = vals.count(_ < v); val rLe = vals.count(_ <= v)
+      val target = math.ceil(p * n).toLong
+      val nominal = n / BehaviorQueries.PctAccuracy + 1
+      assert(rLt + 1 <= target + nominal && rLe >= target - nominal,
+        s"$etype p=$p: rank range [${rLt + 1}, $rLe] vs target $target (nominal +-$nominal)")
+    }
+  }
 }
