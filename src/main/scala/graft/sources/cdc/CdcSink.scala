@@ -2,7 +2,7 @@ package graft.sources.cdc
 
 import java.io.{File, FileOutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -80,7 +80,8 @@ private[cdc] object CdcCommit {
       out.flush()
     } finally out.close()
     val dst = new File(d, f"batch-$next%05d.cdc")
-    Files.move(tmp.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // index first, then the atomic data publish — CdcFeed's contract
+    CdcFeed.publishWithIndex(tmp, dst)
     msgs.foreach(m => new File(m.tempPath).delete())
     dst
   }

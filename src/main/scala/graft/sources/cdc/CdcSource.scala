@@ -186,8 +186,19 @@ private[cdc] class CdcSliceReader(slice: CdcSlice)
     extends PartitionReader[InternalRow] {
   private val in = new FileInputStream(slice.file)
   locally {
+    // skip() may legally return 0 without reaching EOF; fall back to a
+    // single-byte read to make progress, and fail loudly only on true
+    // EOF (a slice always starts inside the file it was planned from)
     var toSkip = slice.startByte
-    while (toSkip > 0) { val n = in.skip(toSkip); require(n > 0); toSkip -= n }
+    while (toSkip > 0) {
+      val n = in.skip(toSkip)
+      if (n > 0) toSkip -= n
+      else {
+        require(in.read() >= 0,
+          s"graft-cdc: EOF before slice start ${slice.startByte} in ${slice.file}")
+        toSkip -= 1
+      }
+    }
   }
   // lines are pure ASCII by the feed contract (payload rides base64), so
   // consumed characters == consumed bytes and the range check is exact
@@ -238,7 +249,12 @@ object CdcFeed {
   }
 
   /** Append the next batch file ATOMICALLY (tmp + rename): a live
-    * stream lists whole files only. Returns the file written. */
+    * stream lists whole files only. The line-index sidecar is written
+    * BEFORE the rename publishes the data file, so a published delivery
+    * always has a complete index (a stray index without its data file —
+    * a crash between the two steps — is inert: listBatchFiles ignores
+    * it and the next write of that slot overwrites it). Returns the
+    * file written. */
   def writeBatch(dir: String, index: Int, events: Seq[CdcEvent]): File = {
     val d = new File(dir)
     if (!d.exists()) d.mkdirs()
@@ -249,8 +265,50 @@ object CdcFeed {
       out.write(formatLine(e.op, e.seq, e.docId, e.tsSec, e.text)))
     finally out.close()
     val dst = new File(d, f"batch-$index%05d.cdc")
-    require(tmp.renameTo(dst), s"graft-cdc: atomic rename failed for $dst")
+    publishWithIndex(tmp, dst)
     dst
+  }
+
+  /** Publish a staged data file: derive + write its line index (named
+    * for the FINAL file), then atomically rename the data into place —
+    * shared by [[writeBatch]] and the sink's [[CdcCommit]]. */
+  private[cdc] def publishWithIndex(tmp: File, dst: File): Unit = {
+    writeIndex(tmp, indexFileOf(dst))
+    require(tmp.renameTo(dst), s"graft-cdc: atomic rename failed for $dst")
+  }
+
+  private[cdc] def indexFileOf(cdc: File): File =
+    new File(cdc.getParentFile, cdc.getName + ".idx")
+
+  /** Write the sidecar: line 0 = total byte length (the staleness
+    * guard), then one line-start offset per line — derived from the
+    * staged bytes in the same single pass the planner would otherwise
+    * pay per plan. */
+  private def writeIndex(data: File, idx: File): Unit = {
+    val starts = lineStarts(data)
+    val tmp = new File(idx.getParentFile, "." + idx.getName + ".tmp")
+    val out = new OutputStreamWriter(new FileOutputStream(tmp),
+      StandardCharsets.US_ASCII)
+    try {
+      out.write(s"${data.length()}\n")
+      starts.foreach(o => out.write(s"$o\n"))
+    } finally out.close()
+    require(tmp.renameTo(idx), s"graft-cdc: atomic rename failed for $idx")
+  }
+
+  /** Line-start byte offsets of a published index, IF one exists and its
+    * recorded total length matches the file (a mismatched index — a
+    * hand-edited feed — is ignored, falling back to the scan). */
+  private def readIndex(f: File): Option[Seq[Long]] = {
+    val idx = indexFileOf(f)
+    if (!idx.isFile) return None
+    val lines = scala.io.Source.fromFile(idx, "US-ASCII")
+    try {
+      val it = lines.getLines()
+      if (!it.hasNext || it.next().toLong != f.length()) None
+      else Some(it.map(_.toLong).toVector)
+    } catch { case _: NumberFormatException => None }
+    finally lines.close()
   }
 
   /** The one line codec, shared by every producer ([[writeBatch]], the
@@ -274,13 +332,11 @@ object CdcFeed {
         Base64.getDecoder.decode(p(4)), StandardCharsets.UTF_8))))
   }
 
-  /** Split one feed file into ≤ `maxSlices` line-aligned byte ranges of
-    * near-equal line counts (one driver pass over line boundaries). */
-  private[cdc] def slicesOf(file: String, maxSlices: Int): Seq[CdcSlice] = {
-    val f = new File(file)
+  /** Line-start byte offsets of a data file via one buffered newline
+    * scan — the publish-time index derivation, and the planner's
+    * fallback for index-less feeds. */
+  private def lineStarts(f: File): Seq[Long] = {
     val total = f.length()
-    if (total == 0) return Seq.empty
-    // line-start offsets via a buffered newline scan
     val starts = scala.collection.mutable.ArrayBuffer(0L)
     val in = new FileInputStream(f)
     try {
@@ -298,6 +354,20 @@ object CdcFeed {
       }
     } finally in.close()
     if (starts.last >= total) starts.dropRightInPlace(1) // trailing newline
+    starts.toSeq
+  }
+
+  /** Split one feed file into ≤ `maxSlices` line-aligned byte ranges of
+    * near-equal line counts. Planning reads the PUBLISHED LINE INDEX
+    * when one exists (O(lines) read of a sidecar the producer paid for
+    * once — the parquet-footer discipline); an index-less or stale-index
+    * file falls back to the one-pass scan, so hand-written feeds keep
+    * working and the two paths provably slice identically (spec). */
+  private[cdc] def slicesOf(file: String, maxSlices: Int): Seq[CdcSlice] = {
+    val f = new File(file)
+    val total = f.length()
+    if (total == 0) return Seq.empty
+    val starts = readIndex(f).getOrElse(lineStarts(f))
     val nLines = starts.length
     val nSlices = math.max(1, math.min(maxSlices, nLines))
     val per = (nLines + nSlices - 1) / nSlices

@@ -81,6 +81,9 @@ class CdcSourceSpec extends SparkSpec {
       "each batch write commit must publish exactly one new feed file")
     assert(new java.io.File(dir, ".staging").listFiles().forall(_ => false),
       "committed staging temps must be deleted")
+    assert(Seq("batch-00000.cdc.idx", "batch-00001.cdc.idx")
+        .forall(n => new java.io.File(dir, n).isFile),
+      "sink commits must publish the line-index sidecar too")
     val got = spark.read.format("graft-cdc").load(dir)
       .selectExpr("op", "seq", "doc_id", "CAST(ts AS LONG) AS sec", "text")
       .as[(String, Long, Long, Long, String)].collect().toSet
@@ -94,6 +97,25 @@ class CdcSourceSpec extends SparkSpec {
       Seq(("add", 1L)).toDF("op", "seq").write
         .format("graft-cdc").mode("append").save(dir)
     }
+  }
+
+  test("line-index planning slices exactly like the scan fallback") {
+    // a published delivery carries its sidecar index (the planner's
+    // O(lines) path); deleting it must not change ONE byte of any
+    // slice — hand-written or legacy feeds keep working, and the two
+    // planning paths can never diverge silently
+    val dir = tmpDir("idx")
+    CdcFeed.writeBatch(dir, 0,
+      (0L until 10L).map(i => CdcEvent("add", i, i, i, s"payload number $i")))
+    val idx = new java.io.File(dir, "batch-00000.cdc.idx")
+    assert(idx.isFile, "writeBatch must publish the line index")
+    def partitions(): Seq[Seq[Long]] = spark.read.format("graft-cdc").load(dir)
+      .select("seq").rdd.glom().collect()
+      .map(_.map(_.getLong(0)).toSeq).toSeq
+    val viaIndex = partitions()
+    assert(idx.delete())
+    assert(partitions() == viaIndex && viaIndex.flatten.size == 10,
+      "index-planned and scan-planned slices must be identical")
   }
 
   test("streaming write forwards a feed delivery-for-delivery") {
