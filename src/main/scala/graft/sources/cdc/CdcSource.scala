@@ -312,9 +312,15 @@ object CdcFeed {
   }
 
   /** The one line codec, shared by every producer ([[writeBatch]], the
-    * [[CdcDataWriter]] sink) and the reader's [[parseLine]]. */
+    * [[CdcDataWriter]] sink) and the reader's [[parseLine]]. `op` is the
+    * only raw (un-base64'd) string field, so it is validated against the
+    * feed contract here — an arbitrary op would otherwise corrupt the
+    * TAB framing silently at write time and surface as a reader error
+    * an arbitrary time later. */
   private[cdc] def formatLine(op: String, seq: Long, docId: Long,
                               tsSec: Long, text: String): String = {
+    require(op == "add" || op == "remove",
+      s"graft-cdc: op must be 'add' or 'remove', got '$op'")
     val b64 = Base64.getEncoder.encodeToString(
       text.getBytes(StandardCharsets.UTF_8))
     s"$op\t$seq\t$docId\t$tsSec\t$b64\n"
