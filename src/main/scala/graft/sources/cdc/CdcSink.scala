@@ -64,14 +64,24 @@ private[cdc] case class CdcTaskCommit(tempPath: String, partitionId: Int,
 
 private[cdc] object CdcCommit {
   /** Concatenate the task temps (partition order) into the next feed
-    * file and publish atomically; delete the temps. */
-  def publish(path: String, messages: Array[WriterCommitMessage]): File = {
+    * file and publish atomically; delete the temps and sweep the staging
+    * directory. With `epochId` set (streaming), the publish is
+    * IDEMPOTENT per epoch: an epoch re-executed after a driver failure
+    * between the sink publish and Spark's own commit-log write finds its
+    * marker already on disk and no-ops instead of double-publishing the
+    * delivery — downstream lifecycle consumers would otherwise
+    * double-ingest it. */
+  def publish(path: String, messages: Array[WriterCommitMessage],
+              epochId: Option[Long] = None): Option[File] = {
+    if (epochId.exists(e => CdcFeed.epochPublished(path, e))) {
+      discard(messages); sweepStaging(path); return None
+    }
     val msgs = messages.collect { case m: CdcTaskCommit => m }
       .sortBy(_.partitionId)
     val d = new File(path)
     if (!d.exists()) d.mkdirs()
     val next = CdcFeed.listBatchFiles(path)
-      .map(f => new File(f).getName.stripPrefix("batch-").stripSuffix(".cdc").toInt)
+      .flatMap(f => CdcFeed.batchIndexOf(new File(f).getName))
       .foldLeft(-1)(math.max) + 1
     val tmp = new File(d, f".batch-$next%05d.cdc.tmp")
     val out = new FileOutputStream(tmp)
@@ -80,10 +90,23 @@ private[cdc] object CdcCommit {
       out.flush()
     } finally out.close()
     val dst = new File(d, f"batch-$next%05d.cdc")
-    // index first, then the atomic data publish — CdcFeed's contract
-    CdcFeed.publishWithIndex(tmp, dst)
+    // index (and epoch marker) first, then the atomic data publish
+    CdcFeed.publishWithIndex(tmp, dst, epochId)
     msgs.foreach(m => new File(m.tempPath).delete())
-    dst
+    sweepStaging(path)
+    Some(dst)
+  }
+
+  /** Clear leftover staging temps — attempts that died without commit or
+    * abort (killed executor, speculative duplicate) never delete their
+    * file, so `.staging` would grow without bound. Safe to clear wholesale
+    * at this point: the feed contract is single-producer, commit runs
+    * only after every needed task committed, and a zombie writer still
+    * holding an unlinked file writes to a dead inode harmlessly. */
+  private def sweepStaging(path: String): Unit = {
+    val st = new File(path, ".staging")
+    val leftovers = st.listFiles()
+    if (leftovers != null) leftovers.foreach(_.delete())
   }
 
   def discard(messages: Array[WriterCommitMessage]): Unit =
@@ -104,9 +127,10 @@ private[cdc] class CdcBatchWrite(path: String) extends BatchWrite {
 private[cdc] class CdcStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new CdcWriterFactory(path)
-  // one feed file per epoch: the epoch boundary IS the delivery boundary
+  // one feed file per epoch: the epoch boundary IS the delivery boundary;
+  // the epoch marker makes a re-executed epoch a no-op (exactly-once publish)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    CdcCommit.publish(path, messages); ()
+    CdcCommit.publish(path, messages, Some(epochId)); ()
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcCommit.discard(messages)

@@ -1,6 +1,6 @@
 package graft.sources.cdc
 
-import java.io.{BufferedReader, File, FileInputStream, FileOutputStream, InputStreamReader, OutputStreamWriter}
+import java.io.{BufferedInputStream, File, FileInputStream, FileOutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.util.Base64
 
@@ -181,10 +181,14 @@ private[cdc] object CdcReaderFactory extends PartitionReaderFactory {
 }
 
 /** Executor-side reader: opens the file at `startByte` and reads whole
-  * ASCII lines until `endByte` — no driver involvement per row. */
+  * ASCII lines until `endByte` — no driver involvement per row. Byte
+  * accounting counts the terminator bytes ACTUALLY consumed (readLine
+  * would hide whether a line ended in `\n` or `\r\n`, undercounting a
+  * hand-written CRLF feed by one byte per line and letting a slice run
+  * past `endByte` into its neighbor's rows — duplicates, not an error). */
 private[cdc] class CdcSliceReader(slice: CdcSlice)
     extends PartitionReader[InternalRow] {
-  private val in = new FileInputStream(slice.file)
+  private val in = new BufferedInputStream(new FileInputStream(slice.file))
   locally {
     // skip() may legally return 0 without reaching EOF; fall back to a
     // single-byte read to make progress, and fail loudly only on true
@@ -201,23 +205,27 @@ private[cdc] class CdcSliceReader(slice: CdcSlice)
     }
   }
   // lines are pure ASCII by the feed contract (payload rides base64), so
-  // consumed characters == consumed bytes and the range check is exact
-  private val reader = new BufferedReader(
-    new InputStreamReader(in, StandardCharsets.US_ASCII))
+  // one char == one byte and the range check below is exact
+  private val sb = new java.lang.StringBuilder(128)
   private var pos = slice.startByte
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (pos >= slice.endByte) return false
-    val line = reader.readLine()
-    if (line == null) return false
-    pos += line.length + 1 // trailing '\n'
-    row = CdcFeed.parseLine(line)
+    sb.setLength(0)
+    var c = in.read()
+    if (c < 0) return false
+    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+    // consumed = content chars (incl. a CR we strip below) + the LF if present
+    pos += sb.length() + (if (c == '\n') 1 else 0)
+    if (sb.length() > 0 && sb.charAt(sb.length() - 1) == '\r')
+      sb.setLength(sb.length() - 1) // tolerate CRLF framing in hand-written feeds
+    row = CdcFeed.parseLine(sb.toString)
     true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }
 
 /** Feed-format contract: schema, the atomic batch writer the producer
@@ -238,15 +246,28 @@ object CdcFeed {
   case class CdcEvent(op: String, seq: Long, docId: Long, tsSec: Long,
                       text: String)
 
-  /** The on-disk feed listing (sorted = feed order) — public so specs
-    * and ops tooling can observe published deliveries. */
+  /** The on-disk feed listing (sorted NUMERICALLY on the batch index =
+    * feed order — lexicographic name order breaks when the index outgrows
+    * its padding: `batch-100000.cdc` < `batch-99999.cdc` as strings) —
+    * public so specs and ops tooling can observe published deliveries. */
   def listBatchFiles(path: String): Seq[String] = {
     val files = new File(path).listFiles()
     if (files == null) Seq.empty
-    else files.filter(f => f.isFile && f.getName.startsWith("batch-") &&
-        f.getName.endsWith(".cdc"))
-      .map(_.getAbsolutePath).sorted.toSeq
+    else files.filter(_.isFile)
+      .flatMap(f => batchIndexOf(f.getName).map(i => (i, f.getAbsolutePath)))
+      .sortBy(_._1).map(_._2).toSeq
   }
+
+  /** The batch index a feed file name carries, or None for anything that
+    * is not a `batch-<digits>.cdc` data file — the ONE name parse shared
+    * by the listing and the sink's next-index derivation. */
+  private[cdc] def batchIndexOf(name: String): Option[Int] =
+    if (name.startsWith("batch-") && name.endsWith(".cdc")) {
+      val mid = name.stripPrefix("batch-").stripSuffix(".cdc")
+      if (mid.nonEmpty && mid.length <= 9 && mid.forall(_.isDigit))
+        Some(mid.toInt)
+      else None
+    } else None
 
   /** Append the next batch file ATOMICALLY (tmp + rename): a live
     * stream lists whole files only. The line-index sidecar is written
@@ -270,15 +291,45 @@ object CdcFeed {
   }
 
   /** Publish a staged data file: derive + write its line index (named
-    * for the FINAL file), then atomically rename the data into place —
-    * shared by [[writeBatch]] and the sink's [[CdcCommit]]. */
-  private[cdc] def publishWithIndex(tmp: File, dst: File): Unit = {
+    * for the FINAL file) and, for a streaming epoch, the epoch marker,
+    * then atomically rename the data into place — shared by
+    * [[writeBatch]] and the sink's [[CdcCommit]]. Sidecars land BEFORE
+    * the data rename, so a published delivery always carries complete
+    * sidecars; a crash between the steps leaves stray sidecars without a
+    * data file, which every reader of them ignores and the retry of that
+    * slot overwrites. */
+  private[cdc] def publishWithIndex(tmp: File, dst: File,
+                                    epochId: Option[Long] = None): Unit = {
     writeIndex(tmp, indexFileOf(dst))
+    epochId.foreach { e =>
+      val ef = epochFileOf(dst)
+      val etmp = new File(ef.getParentFile, "." + ef.getName + ".tmp")
+      val out = new OutputStreamWriter(new FileOutputStream(etmp),
+        StandardCharsets.US_ASCII)
+      try out.write(s"$e\n") finally out.close()
+      require(etmp.renameTo(ef), s"graft-cdc: atomic rename failed for $ef")
+    }
     require(tmp.renameTo(dst), s"graft-cdc: atomic rename failed for $dst")
   }
 
   private[cdc] def indexFileOf(cdc: File): File =
     new File(cdc.getParentFile, cdc.getName + ".idx")
+
+  private[cdc] def epochFileOf(cdc: File): File =
+    new File(cdc.getParentFile, cdc.getName + ".epoch")
+
+  /** True iff some PUBLISHED delivery (data file on disk — a stray
+    * marker from a crashed publish does not count) carries this epoch's
+    * marker: the streaming sink's re-execution guard. */
+  private[cdc] def epochPublished(path: String, epochId: Long): Boolean =
+    listBatchFiles(path).exists { f =>
+      val ef = epochFileOf(new File(f))
+      ef.isFile && {
+        val src = scala.io.Source.fromFile(ef, "US-ASCII")
+        try src.getLines().nextOption().contains(epochId.toString)
+        finally src.close()
+      }
+    }
 
   /** Write the sidecar: line 0 = total byte length (the staleness
     * guard), then one line-start offset per line — derived from the
@@ -377,10 +428,18 @@ object CdcFeed {
     val nLines = starts.length
     val nSlices = math.max(1, math.min(maxSlices, nLines))
     val per = (nLines + nSlices - 1) / nSlices
-    (0 until nSlices).map { s =>
-      val from = starts(s * per)
-      val to = if ((s + 1) * per >= nLines) total else starts((s + 1) * per)
-      CdcSlice(file, from, to)
-    }.filter(sl => sl.endByte > sl.startByte)
+    // ceil-division can leave trailing slice indices past the last line
+    // (5 lines / 4 slices → per=2 → slice 3 would index starts(6)): such
+    // slices hold no lines and must simply not exist
+    (0 until nSlices).flatMap { s =>
+      val lo = s * per
+      if (lo >= nLines) None
+      else {
+        val hi = (s + 1) * per
+        val from = starts(lo)
+        val to = if (hi >= nLines) total else starts(hi)
+        if (to > from) Some(CdcSlice(file, from, to)) else None
+      }
+    }
   }
 }

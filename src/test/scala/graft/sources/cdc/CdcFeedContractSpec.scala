@@ -1,0 +1,142 @@
+package graft.sources.cdc
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.cdc.CdcFeed.CdcEvent
+
+/**
+ * Feed-format contract hardening (r13 advisory closures), tested at the
+ * codec/commit layer the package exposes to itself:
+ *
+ *  - slice planning must cover every line for ANY line count (ceil
+ *    division used to index past the line-start table for 5/6/9-line
+ *    files at maxSlicesPerFile=4 — an IndexOutOfBounds that killed the
+ *    plan);
+ *  - hand-written CRLF feeds must read each row exactly once (readLine
+ *    hid the terminator width, letting a slice overrun into its
+ *    neighbor);
+ *  - feed order must be numeric on the batch index, not lexicographic
+ *    on the padded name (batch-100000 sorts before batch-99999 as a
+ *    string);
+ *  - a re-executed streaming epoch must publish its delivery ONCE
+ *    (driver failure between sink publish and Spark's commit-log write
+ *    re-runs the epoch);
+ *  - staging temps orphaned by attempts that die without commit/abort
+ *    must be swept at the next successful commit.
+ */
+class CdcFeedContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cdcfeed-$tag").toFile.getAbsolutePath
+
+  private def events(n: Int): Seq[CdcEvent] =
+    (0 until n).map(i => CdcEvent("add", i.toLong, i.toLong, 1000L + i, s"line $i"))
+
+  test("slice planning covers every line for every small line count") {
+    // 5, 6 and 9 lines at the default maxSlicesPerFile=4 used to crash
+    // planInputPartitions (slice start index past the line table); sweep
+    // all counts 1..12 and assert full, duplicate-free coverage
+    (1 to 12).foreach { n =>
+      val dir = tmpDir(s"lines$n")
+      CdcFeed.writeBatch(dir, 0, events(n))
+      val got = spark.read.format("graft-cdc").load(dir)
+        .select("seq").as[Long].collect().sorted.toSeq
+      assert(got == (0L until n.toLong),
+        s"$n-line delivery must read back exactly once per line, got $got")
+      val slices = CdcFeed.slicesOf(CdcFeed.listBatchFiles(dir).head, 4)
+      assert(slices.forall(s => s.endByte > s.startByte),
+        s"no empty slices may be planned for $n lines")
+    }
+  }
+
+  test("hand-written CRLF feed reads each row exactly once across slices") {
+    val dir = tmpDir("crlf")
+    new File(dir).mkdirs()
+    val evs = events(10)
+    val crlf = evs.map(e =>
+        CdcFeed.formatLine(e.op, e.seq, e.docId, e.tsSec, e.text))
+      .mkString.replace("\n", "\r\n")
+    val f = new File(dir, "batch-00000.cdc")
+    val out = new FileOutputStream(f)
+    try out.write(crlf.getBytes(StandardCharsets.US_ASCII)) finally out.close()
+    // no sidecar: this is the hand-written path, planner scan fallback
+    val df = spark.read.format("graft-cdc").load(dir)
+    assert(df.rdd.getNumPartitions >= 2,
+      "a 10-line file must still plan as multiple slices")
+    val got = df.selectExpr("seq", "text").as[(Long, String)].collect().toSeq.sorted
+    assert(got == evs.map(e => (e.seq, e.text)).sorted,
+      "CRLF terminators must not duplicate or drop rows at slice boundaries")
+  }
+
+  test("feed order is numeric on the batch index beyond the name padding") {
+    val dir = tmpDir("order")
+    CdcFeed.writeBatch(dir, 100000, events(1).map(_.copy(docId = 100000L)))
+    CdcFeed.writeBatch(dir, 99999, events(1).map(_.copy(docId = 99999L)))
+    CdcFeed.writeBatch(dir, 7, events(1).map(_.copy(docId = 7L)))
+    assert(CdcFeed.listBatchFiles(dir).map(f => new File(f).getName) ==
+      Seq("batch-00007.cdc", "batch-99999.cdc", "batch-100000.cdc"),
+      "feed order must follow the parsed batch index, not the padded name")
+    // stray non-feed names never enter the listing (or the sink's
+    // next-index derivation, which shares the same parse)
+    new File(dir, "batch-notes.cdc").createNewFile()
+    assert(CdcFeed.listBatchFiles(dir).length == 3)
+  }
+
+  /** Stage one task temp holding `evs` and return its commit message —
+    * what a completed [[CdcDataWriter]] hands the driver. */
+  private def stagedCommit(dir: String, evs: Seq[CdcEvent]): CdcTaskCommit = {
+    val staging = new File(dir, ".staging")
+    staging.mkdirs()
+    val t = File.createTempFile("part-0-", ".tmp", staging)
+    val out = new FileOutputStream(t)
+    try evs.foreach(e => out.write(
+      CdcFeed.formatLine(e.op, e.seq, e.docId, e.tsSec, e.text)
+        .getBytes(StandardCharsets.US_ASCII)))
+    finally out.close()
+    CdcTaskCommit(t.getAbsolutePath, 0, evs.length.toLong)
+  }
+
+  test("a re-executed streaming epoch publishes its delivery exactly once") {
+    val dir = tmpDir("epoch")
+    val w = new CdcStreamingWrite(dir)
+    w.commit(41L, Array(stagedCommit(dir, events(3))))
+    // driver dies AFTER the sink published but BEFORE Spark's commit log
+    // recorded epoch 42 → the restarted query re-executes epoch 42
+    w.commit(42L, Array(stagedCommit(dir, events(4).map(e => e.copy(seq = 100 + e.seq)))))
+    w.commit(42L, Array(stagedCommit(dir, events(4).map(e => e.copy(seq = 100 + e.seq)))))
+    w.commit(43L, Array(stagedCommit(dir, events(2).map(e => e.copy(seq = 200 + e.seq)))))
+    val files = CdcFeed.listBatchFiles(dir)
+    assert(files.length == 3,
+      s"re-executed epoch must no-op, got ${files.map(new File(_).getName)}")
+    val seqs = spark.read.format("graft-cdc").load(dir)
+      .select("seq").as[Long].collect().toSeq.sorted
+    assert(seqs == (Seq(0L, 1L, 2L) ++ (100L to 103L) ++ Seq(200L, 201L)),
+      "the delivery must exist once, with no rows double-published")
+    assert(files.forall(f => CdcFeed.epochFileOf(new File(f)).isFile),
+      "every streaming delivery must carry its epoch marker")
+    assert(CdcFeed.epochPublished(dir, 42L) && !CdcFeed.epochPublished(dir, 44L))
+  }
+
+  test("orphaned staging temps are swept at the next successful commit") {
+    val dir = tmpDir("sweep")
+    val staging = new File(dir, ".staging")
+    staging.mkdirs()
+    // an attempt that died without commit or abort leaves its temp behind
+    val orphan = new File(staging, "part-3-deadbeef.tmp")
+    val out = new FileOutputStream(orphan)
+    try out.write("add\t0\t0\t0\t\n".getBytes(StandardCharsets.US_ASCII))
+    finally out.close()
+    Seq(("add", 0L, 1L, 100L, "x"))
+      .toDF("op", "seq", "doc_id", "sec", "text")
+      .selectExpr("op", "seq", "doc_id", "timestamp_seconds(sec) AS ts", "text")
+      .write.format("graft-cdc").mode("append").save(dir)
+    val left = staging.listFiles()
+    assert(left == null || left.isEmpty,
+      s"commit must sweep orphaned temps, found ${Option(left).toSeq.flatten.map(_.getName)}")
+    assert(CdcFeed.listBatchFiles(dir).length == 1)
+  }
+}
