@@ -101,6 +101,7 @@ object Bench {
       graft.queries.IndexState.contamIndexPaths(spark, sfDir)
       graft.queries.IndexState.denseStorePaths(spark, sfDir)
       graft.queries.IndexState.pqCodesPaths(spark, sfDir)
+      graft.queries.IndexState.rrfBruteFusedPaths(spark, sfDir)
       graft.ops.ClusterOps.CcStats.drain()
     } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }
     // per-(query, rep) CC fixpoint forensics: variant, round count, and

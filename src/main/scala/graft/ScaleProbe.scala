@@ -1,0 +1,265 @@
+package graft
+
+import java.io.File
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.StreamingJobs
+import graft.sources.cdc.CdcFeed
+import graft.sources.cdc.CdcFeed.CdcEvent
+
+/**
+ * Empirical scaling-exponent probe for the heaviest operator families —
+ * `runMain graft.ScaleProbe [baseDir] [scales] [families]`.
+ *
+ * The engine's 100 TB posture rests on plan SHAPE at sf0.1 (banded
+ * candidates, delivery-sized folds, bounded collects) plus cap guards
+ * that specs trip; this main converts the central claim from argued to
+ * MEASURED: it generates a deterministic synthetic corpus at 1× and 10×
+ * the sf0.1 scale (builder-local, under /tmp — never touching the
+ * read-only driver testdata) and times the five heaviest families at
+ * both, printing one JSON line per (family, scale) so t(10×)/t(1×) can
+ * be read off per family (SCALE.md records the analysis).
+ *
+ * Families probed:
+ *  - `dedup_minhash` — banded near-dup candidates (expected ~linear:
+ *    candidates come from band-bucket equi-joins, never all-pairs);
+ *  - `dedup_clusters` — MinHash banding + star-contraction connected
+ *    components (expected ~linear × the O(log² n) round count, which is
+ *    printed per rep from the CC instrumentation);
+ *  - `hybrid_rrf_pq` — the production serve path (expected ~linear in
+ *    the stored codes scan with a large constant floor: the shortlist
+ *    re-rank and fusion are bounded by construction);
+ *  - `bm25_fold` — [[StreamingJobs.runBm25Lifecycle]] over a CDC feed
+ *    10× longer at the same delivery size (per-delivery times printed:
+ *    the fold itself is delivery-sized, but the maintained state is
+ *    re-checkpointed per batch, an O(corpus-so-far) rewrite whose sum
+ *    is quadratic in feed length — exactly the term this probe exists
+ *    to surface or absolve);
+ *  - `corpus_pipeline` — [[StreamingJobs.runCorpusPipeline]] (press +
+ *    both retrievers) over a 10×-longer feed, same per-delivery
+ *    breakdown.
+ *
+ * The corpus mirrors the driver testdata's statistics (≈300-char docs
+ * over a small common vocabulary + a 2 000-word tail, 25 % of docs
+ * near-duplicate mutations of a recent base doc so cluster sizes stay
+ * BOUNDED as the corpus grows — the density assumption every banded
+ * path documents; 64-dim label-clustered embeddings). Generation is
+ * seeded and distributed (`spark.range → map`); only feed construction
+ * collects, bounded by the probed corpus itself (a probe tool, not an
+ * operator). Numbers printed here are builder-local and quotable only
+ * against each other within one run (ambient swings ±25 % across
+ * sessions — BENCH protocol note).
+ */
+object ScaleProbe {
+
+  /** splitmix64 — one stateless mix so every generated value is a pure
+    * function of (seed, id) and reruns are byte-deterministic. */
+  private def mix(seed: Long, id: Long): Long = {
+    var z = seed + id * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val Vocab: Array[String] =
+    ("spark batch part line column order small sort fast value scan hash " +
+      "slow group query table stream key window join filter customer the a " +
+      "vector agg shuffle stage task codegen merge union limit count read " +
+      "write plan rows cache disk memory skew broadcast exchange").split(" ")
+
+  private def wordsOf(seed: Long, id: Long): Array[String] = {
+    val r = new scala.util.Random(mix(seed, id))
+    val n = 40 + r.nextInt(60)
+    Array.fill(n)(
+      if (r.nextInt(10) == 0) "w" + r.nextInt(2000)
+      else Vocab(r.nextInt(Vocab.length)))
+  }
+
+  /** Doc text: 75 % fresh, 25 % a ~8 %-mutated copy of a base doc drawn
+    * from a BOUNDED trailing window — duplicate clusters stay small at
+    * every corpus size (the banded paths' density contract), instead of
+    * band buckets growing with the corpus. */
+  private[graft] def docText(seed: Long, id: Long): String =
+    if (id >= 20 && id % 4 == 3) {
+      val r = new scala.util.Random(mix(seed, id) ^ 0x5DEECE66DL)
+      var base = id - 1 - r.nextInt(20)
+      if (base % 4 == 3) base -= 1 // bases are originals: no dup chains
+      wordsOf(seed, base).map(w =>
+        if (r.nextInt(12) == 0) Vocab(r.nextInt(Vocab.length)) else w)
+        .mkString(" ")
+    } else wordsOf(seed, id).mkString(" ")
+
+  private def center(label: Int): Array[Float] = {
+    val r = new scala.util.Random(mix(0xC0FFEEL, label.toLong))
+    Array.fill(64)((r.nextFloat() - 0.5f) * 2f)
+  }
+
+  /** Deterministic synthetic corpus at `dir` — documents + embeddings in
+    * the testdata layout, generated distributed and skipped when the
+    * marker for this exact size is already on disk. */
+  private def genCorpus(spark: SparkSession, dir: String,
+                        nDocs: Long, nVecs: Long): Unit = {
+    val marker = new File(dir, s"_GEN_DONE_${nDocs}_$nVecs")
+    if (marker.isFile) return
+    import spark.implicits._
+    val seed = 20260815L
+    val langs = Array("en", "en", "en", "en", "en", "zh", "zh", "fr", "es", "de")
+    spark.range(nDocs).as[Long].map { id =>
+      val r = new scala.util.Random(mix(seed, id) ^ 0xABCDL)
+      val text = docText(seed, id)
+      (id, text, langs(r.nextInt(langs.length)), "src" + r.nextInt(20),
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val centers = Array.tabulate(10)(center)
+    spark.range(nVecs).as[Long].map { id =>
+      val r = new scala.util.Random(mix(seed, id) ^ 0xEEL)
+      val lb = r.nextInt(10)
+      val c = centers(lb)
+      (id, Array.tabulate(64)(j => c(j) + (r.nextFloat() - 0.5f) * 0.4f), lb)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    marker.createNewFile()
+    ()
+  }
+
+  /** CDC feed over the corpus' first `nDocs` docs: adds in fixed-size
+    * deliveries, each delivery also removing 5 % of its predecessor —
+    * the interleaved add/takedown shape the lifecycle specs use. */
+  private def genFeed(spark: SparkSession, corpusDir: String, feedDir: String,
+                      nDocs: Long, deliverySize: Int): Int = {
+    import spark.implicits._
+    val done = new File(feedDir, "_FEED_DONE")
+    if (done.isFile) return CdcFeed.listBatchFiles(feedDir).length
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter(col("doc_id") < nDocs)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1) // probe tool: bounded by the probed corpus
+    var seq = 0L
+    def nextSeq(): Long = { val s = seq; seq += 1; s }
+    val deliveries = docs.grouped(deliverySize).toVector
+    deliveries.zipWithIndex.foreach { case (d, i) =>
+      val adds = d.map { case (id, t) =>
+        CdcEvent("add", nextSeq(), id, 1000L + seq, t) }.toSeq
+      val rems =
+        if (i == 0) Seq.empty
+        else deliveries(i - 1).map(_._1).filter(_ % 20 == 0)
+          .map(id => CdcEvent("remove", nextSeq(), id, 1000L + seq, "")).toSeq
+      CdcFeed.writeBatch(feedDir, i, adds ++ rems)
+    }
+    done.createNewFile()
+    deliveries.length
+  }
+
+  private def cdcStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("graft-cdc")
+      .option("path", dir).option("filesPerTrigger", "1").load()
+      .selectExpr("doc_id", "text", "op", "seq")
+
+  /** Bench-protocol batch timing: one untimed warmup (plans + persisted
+    * state prime), then `reps` timed noop-sink runs with state reset. */
+  private def timeBatch(spark: SparkSession, fn: () => DataFrame,
+                        reps: Int): Seq[Double] = {
+    try fn().write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[scale] warmup: $e") }
+    (0 until reps).map { _ =>
+      Bench.resetState(spark)
+      val t0 = System.nanoTime()
+      fn().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Run a feed-consuming stream to completion, returning (total sec,
+    * per-delivery sec) — the per-delivery curve is the evidence for or
+    * against growth of the fold cost with maintained-state size. */
+  private def timeStream(start: ArrayBuffer[Long] => StreamingQuery)
+      : (Double, Seq[Double]) = {
+    val marks = ArrayBuffer[Long]()
+    val t0 = System.nanoTime()
+    marks += t0
+    val q = start(marks)
+    try q.processAllAvailable() finally q.stop()
+    val total = (System.nanoTime() - t0) / 1e9
+    val per = marks.toSeq.sliding(2).collect { case Seq(a, b) => (b - a) / 1e9 }.toSeq
+    (total, per)
+  }
+
+  private def fmt(xs: Seq[Double]): String =
+    xs.map(t => f"$t%.2f").mkString("[", ",", "]")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_scale")
+    val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+      else Seq(1, 10)
+    val only: Set[String] = if (args.length > 2) args(2).split(",").toSet
+      else Set.empty
+    def want(f: String): Boolean = only.isEmpty || only(f)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder("graft-scale-probe", cpus)
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try spark.range(16).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[scale] session warmup: $e") }
+
+    scales.foreach { s =>
+      val dir = s"$base/x$s"
+      genCorpus(spark, dir, 5000L * s, 2000L * s)
+
+      Seq("dedup_minhash", "dedup_clusters", "hybrid_rrf_pq")
+        .filter(want).foreach { name =>
+          graft.ops.ClusterOps.CcStats.drain()
+          val times = timeBatch(spark, () => SparkEntry.queries(name)(spark, dir), 3)
+          val cc = graft.ops.ClusterOps.CcStats.drain()
+          val rounds = if (cc.isEmpty) "" else
+            s""","cc_rounds":${cc.map(_.rounds).max}"""
+          println(s"""{"family":"$name","scale":$s,"reps":${fmt(times)},""" +
+            s""""median":${f"${times.sorted.apply(times.length / 2)}%.3f"}$rounds}""")
+        }
+
+      if (want("bm25_fold")) {
+        val feed = s"$base/feed_bm25_x$s"
+        val n = genFeed(spark, dir, feed, 5000L * s, 1250)
+        val reps = if (s >= 10) 1 else 2
+        val runs = (0 until reps).map { _ =>
+          Bench.resetState(spark)
+          timeStream { marks =>
+            StreamingJobs.runBm25Lifecycle(spark, cdcStream(spark, feed)) {
+              (_, _, _) => marks += System.nanoTime() }
+          }
+        }
+        val bestIdx = runs.map(_._1).zipWithIndex.min._2
+        println(s"""{"family":"bm25_fold","scale":$s,"deliveries":$n,""" +
+          s""""total":${f"${runs(bestIdx)._1}%.2f"},"per_delivery":${fmt(runs(bestIdx)._2)}}""")
+      }
+
+      if (want("corpus_pipeline")) {
+        val feed = s"$base/feed_cp_x$s"
+        val n = genFeed(spark, dir, feed, 2000L * s, 500)
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 2000L * s)
+        val reps = if (s >= 10) 1 else 2
+        val runs = (0 until reps).map { _ =>
+          Bench.resetState(spark)
+          timeStream { marks =>
+            StreamingJobs.runCorpusPipeline(spark, cdcStream(spark, feed), emb) {
+              (_, _, _, _, _) => marks += System.nanoTime() }
+          }
+        }
+        val bestIdx = runs.map(_._1).zipWithIndex.min._2
+        println(s"""{"family":"corpus_pipeline","scale":$s,"deliveries":$n,""" +
+          s""""total":${f"${runs(bestIdx)._1}%.2f"},"per_delivery":${fmt(runs(bestIdx)._2)}}""")
+      }
+    }
+    spark.stop()
+  }
+}

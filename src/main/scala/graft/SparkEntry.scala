@@ -215,6 +215,7 @@ object SparkEntry {
     // fused-list overlap of the PQ-served fusion vs the brute fusion —
     // the number that licenses switching the serving leg to the index
     "rrf_overlap_pq"     -> ((s, d) => PipelineQueries.rrfOverlapPq(s, d)),
+    "rrf_overlap_pq_persist" -> ((s, d) => PipelineQueries.rrfOverlapPqPersist(s, d)),
     "embed_sq8"         -> (PipelineQueries.embedSq8 _),
     "sq8_topk"          -> (PipelineQueries.sq8TopK _),
     // SoftDedup commonness reweighting (down-weight, don't drop)

@@ -2297,6 +2297,29 @@ object PipelineQueries {
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_common"))
   }
 
+  /** [[rrfOverlapPq]] as a deployment actually runs it: the brute fused
+    * top-5 is PERSISTED once per corpus fingerprint
+    * ([[IndexState.rrfBruteFusedPaths]] — the IndexState discipline, so
+    * a regenerated corpus re-derives the baseline) and the recurring
+    * audit is the PQ-served fusion ([[hybridRrfPq]] — persisted postings
+    * + persisted codes, both delivery-sized probes) joined against the
+    * stored nQ×5 frame. The brute stack is absent from this plan
+    * entirely; [[rrfOverlapPq]] survives as the from-scratch twin that
+    * re-derives both sides (the audit OF the baseline), same oracle.
+    * Cost: the serving stack + one broadcast join against ≤ nQ·kTop
+    * stored rows — the audit is now priced like any other `_persist`
+    * probe instead of re-running the widest plan in the suite. */
+  def rrfOverlapPqPersist(spark: SparkSession, dir: String, nQ: Int = 8,
+                          kIn: Int = 20, kTop: Int = 5): DataFrame = {
+    val baseline = spark.read.parquet(
+      IndexState.rrfBruteFusedPaths(spark, dir, nQ, kIn, kTop))
+    hybridRrfPq(spark, dir, nQ, kIn, kTop).select("q_id", "doc_id")
+      .join(baseline.select(col("q_id"), col("doc_id"), lit(1).as("hit")),
+        Seq("q_id", "doc_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_common"))
+  }
+
   /** The two SoftDedup micro-unit statements, shared textually between
     * the Spark plan and the DuckDB oracle (one arithmetic statement, two
     * engines): per-shingle ln(df) in exact micro-nats, and the
@@ -5234,6 +5257,9 @@ object PipelineOracles {
     "hybrid_rrf_pq" -> hybridRrfPq,
     // fused-list overlap of the PQ-served fusion vs the brute fusion
     "rrf_overlap_pq" -> rrfOverlapPq,
+    // the _persist twin serves the SAME relation: the stored baseline is
+    // the brute fusion by construction, so the restatement is identical
+    "rrf_overlap_pq_persist" -> rrfOverlapPq,
     "embed_sq8" -> embedSq8,
     "sq8_topk" -> sq8TopK,
     "dedup_soft" -> dedupSoft,
