@@ -184,6 +184,127 @@ object UnigramOps {
     (model, score)
   }
 
+  /** Forward-backward EXPECTED piece counts of one word under a real
+    * log-prob model — the E-step of SOFT EM (Kudo, ACL 2018 §3.2, the
+    * published forward-backward variant; [[train]] above is the "viterbi
+    * mode" hard-EM twin). alpha(j) = Σ_k alpha(j−k)·p(piece(j−k, j)),
+    * beta mirrored, E[piece used at (i, j)] = alpha(i)·p·beta(j)/alpha(n),
+    * summed per distinct piece string. Probability space without
+    * rescaling is safe at this model's bounds: path products are at
+    * worst ≈ e^(−25·MaxWordLen) ≫ Double.MinPositiveValue. Returns empty
+    * for a word the model cannot segment (never the case for the seeds,
+    * which keep every single character). */
+  private[graft] def expectedCounts(word: String,
+      logp: Map[String, Double]): Seq[(String, Double)] = {
+    val n = word.length
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var k = 1
+      val kMax = math.min(MaxPieceLen, j)
+      while (k <= kMax) {
+        logp.get(word.substring(j - k, j))
+          .foreach(lp => alpha(j) += alpha(j - k) * math.exp(lp))
+        k += 1
+      }
+      j += 1
+    }
+    beta(n) = 1.0
+    var i = n - 1
+    while (i >= 0) {
+      var k = 1
+      val kMax = math.min(MaxPieceLen, n - i)
+      while (k <= kMax) {
+        logp.get(word.substring(i, i + k))
+          .foreach(lp => beta(i) += math.exp(lp) * beta(i + k))
+        k += 1
+      }
+      i -= 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return Seq.empty
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      var k = 1
+      val kMax = math.min(MaxPieceLen, n - i)
+      while (k <= kMax) {
+        val piece = word.substring(i, i + k)
+        logp.get(piece).foreach { lp =>
+          val e = alpha(i) * math.exp(lp) * beta(i + k) / z
+          if (e > 0.0) acc.update(piece, acc.getOrElse(piece, 0.0) + e)
+        }
+        k += 1
+      }
+      i += 1
+    }
+    acc.toSeq.sortBy(_._1)
+  }
+
+  /** One SOFT-EM round over the (word, freq) vocabulary: distributed
+    * expected counts (each word's forward-backward runs in the same
+    * narrow vocab scan the hard E-step uses; the counts collect is
+    * model-bounded) followed by the Laplace-smoothed M-step in doubles.
+    * Returns (expected counts, re-estimated log-prob model).
+    *
+    * SPEC-PARITY feature, deliberately NOT oracle-gated: SURVEY §14
+    * adjudicated soft-EM non-hash-gateable under the suite's exactness
+    * contract (chained libm exp/÷/Σ breaks the ≤2-ulp margin argument;
+    * exact rationals overflow HUGEINT at length-12 words), so this ships
+    * in the adjudication's own recommended form — UnigramSpec compares
+    * the distributed round against an INDEPENDENT driver-local reference
+    * (brute-force enumeration of every segmentation path, probability-
+    * weighted) at a stated tolerance of **1e-9 relative per count**
+    * (covers the two float divergence channels: partition-order summation
+    * in the groupBy and DP-vs-enumeration association order). Hard-EM
+    * [[train]] is unchanged as the oracle-gated default. */
+  private[graft] def softEmRound(vocab: DataFrame,
+      score: Map[String, Double]): (Map[String, Double], Map[String, Double]) = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val sc = score
+    val exp = vocab.select(col("word"), col("freq").cast("long").as("freq"))
+      .as[(String, Long)]
+      .flatMap { case (w, f) =>
+        expectedCounts(w, sc).map { case (pc, e) => (pc, e * f) } }
+      .toDF("piece", "c")
+      .groupBy("piece").agg(sum("c").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // M-step mirrors the hard path: multi-char pieces with (numerically)
+    // zero expectation drop, single characters always survive
+    val kept = score.keysIterator
+      .filter(pc => pc.length == 1 || exp.getOrElse(pc, 0.0) > 0.0)
+      .toSeq.sorted
+    val tot = kept.iterator.map(pc => exp.getOrElse(pc, 0.0)).sum
+    val v = kept.size
+    val model = kept.map(pc =>
+      pc -> math.log((exp.getOrElse(pc, 0.0) + 1.0) / (tot + v))).toMap
+    (exp, model)
+  }
+
+  /** Soft-EM training entry: the hard path's seed inventory (every
+    * single character + top-[[SeedMulti]] substrings) with real-log
+    * seed scores, then `rounds` [[softEmRound]]s. Same scale shape as
+    * [[train]]: one corpus word-count upstream, vocab-sized scans per
+    * round, model-sized collects. */
+  private[graft] def softEm(vocab: DataFrame, rounds: Int = EmRounds)
+      : Map[String, Double] = {
+    val counts = substrings(vocab.select(col("word"),
+        col("freq").cast("long").as("freq")))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val chars = counts.filter(length(col("piece")) === 1).collect()
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(SeedMulti).collect()
+    val sel = (chars ++ multi).map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tot = sel.map(_._2).sum
+    var score: Map[String, Double] =
+      sel.map { case (pc, c) => pc -> math.log(c.toDouble / tot.toDouble) }.toMap
+    (1 to rounds).foreach { _ => score = softEmRound(vocab, score)._2 }
+    score
+  }
+
   /** Tokenizer APPLY at the vocabulary level: train, then emit each
     * word's Viterbi piece count under the FINAL scores as (word, n_tok)
     * — the model-sized table a corpus token-count pass joins against

@@ -794,12 +794,19 @@ object Detectors {
     * each decision is emitted exactly once (Append mode), which is what an
     * ingest pipeline acts on (write the keeper, skip the dup).
     *
-    * State per hash: the in-horizon buffer plus one long — permanent,
-    * because exact dedup is all-time by definition. A 100 TB deployment
-    * bounds it the way production dedup does: key state by corpus
-    * snapshot/epoch so hashes expire with their snapshot, or front the
-    * detector with a batch-compacted seen-hash table. */
-  def onlineDedup(events: Dataset[DocEvent], streaming: Boolean): Dataset[DedupDecision] = {
+    * State per hash: the in-horizon buffer plus one long — permanent by
+    * default, because exact dedup is all-time by definition. `epochSec`
+    * is the opt-in production bound (the [[transitionIncrements]]
+    * idle-TTL pattern applied to the corpus-snapshot discipline): state
+    * is keyed by (hash, ⌊sec/epochSec⌋) and REMOVED once the watermark
+    * passes the epoch end, so total state is bounded by the hashes seen
+    * within one epoch — at the DOCUMENTED price that a duplicate whose
+    * keeper lives in an EARLIER epoch is re-kept (one extra keeper per
+    * hash per epoch, the exact loss a snapshot-keyed dedup accepts; the
+    * default None keeps all-time exactness, and the trade is spec-pinned
+    * in both directions on identical feeds). */
+  def onlineDedup(events: Dataset[DocEvent], streaming: Boolean,
+                  epochSec: Option[Long] = None): Dataset[DedupDecision] = {
     implicit val outEnc = Encoders.product[DedupDecision]
     implicit val stEnc = Encoders.product[DedupState]
     implicit val keyEnc = Encoders.STRING
@@ -812,26 +819,46 @@ object Detectors {
       val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
       val fresh = it.filter(e => !streaming || e.sec >= wmSec)
       val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.doc_id))
+      // epoch expiry: buffer drained, watermark past the epoch end — the
+      // keeper dies with its snapshot (only reachable in epoch mode; the
+      // all-time mode arms timeouts only while a buffer is pending)
+      if (state.hasTimedOut && all.isEmpty) {
+        state.remove()
+        return Iterator.empty
+      }
       val (ready, rest) = all.partition(_.sec < wmSec)
       var keeper = st.keeper
       val out = Seq.newBuilder[DedupDecision]
       ready.foreach { e =>
         if (keeper < 0) {
           keeper = e.doc_id
-          out += DedupDecision(e.doc_id, key, keep = true, -1L)
+          out += DedupDecision(e.doc_id, e.h, keep = true, -1L)
         } else {
-          out += DedupDecision(e.doc_id, key, keep = false, keeper)
+          out += DedupDecision(e.doc_id, e.h, keep = false, keeper)
         }
       }
       state.update(DedupState(rest, keeper))
       if (streaming && rest.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))
+      else if (streaming && epochSec.isDefined) {
+        // arm the death timer at the epoch boundary (clamped above the
+        // watermark — Spark rejects timestamps at or below it)
+        val epochIdx = key.substring(key.lastIndexOf('#') + 1).toLong
+        state.setTimeoutTimestamp(math.max(
+          (epochIdx + 1) * epochSec.get * 1000,
+          state.getCurrentWatermarkMs() + 1))
+      }
       out.result().iterator
     }
 
-    events.groupByKey(_.h)
-      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
+    val keyed = epochSec match {
+      // '#' cannot occur in a content hash, so the composite key is
+      // unambiguous; decisions still carry the bare hash (e.h)
+      case Some(es) => events.groupByKey(e => s"${e.h}#${e.sec / es}")
+      case None => events.groupByKey(_.h)
+    }
+    keyed.flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
   /** One embedding on the ingest feed, already coarse-assigned (cid =
@@ -841,7 +868,8 @@ object Detectors {
   case class VecEvent(cid: Long, vec_id: Long, qvec: Seq[Long], norm2: Long,
                       sec: Long)
   case class SemDecision(vec_id: Long, cid: Long, n_near: Long, kept: Boolean)
-  case class SemState(pending: Seq[VecEvent], members: Seq[VecEvent])
+  case class SemState(pending: Seq[VecEvent], members: Seq[VecEvent],
+                      overflow: Long)
 
   /** ONLINE SemDeDup twin of the batch `semdedup` query: per-cluster state
     * holds every member seen so far (kept AND dropped — the batch relation
@@ -853,9 +881,18 @@ object Detectors {
     * until the watermark passes and process in (sec, vec_id) order, so
     * replay order cannot change a decision. State is bounded by cluster
     * membership — the quantity SemDeDup's k-grows-with-corpus centroid
-    * sizing keeps constant. */
+    * sizing keeps constant by DESIGN; `maxMembers` is the opt-in HARD
+    * bound for deployments that cannot re-train centroids on schedule
+    * (the [[graft.cep.PatternDetector]] cap-plus-counter idiom): once a
+    * cluster holds `maxMembers`, later arrivals are still SCORED against
+    * the held membership but no longer appended, and the overflow count
+    * is carried in state — at the DOCUMENTED recall price that an
+    * arrival near only unappended members is wrongly kept (suppression
+    * recall loss, never a wrong drop; default None = exact batch
+    * parity, the trade spec-pinned in both directions). */
   def onlineSemDedup(events: Dataset[VecEvent], threshold: Double,
-                     streaming: Boolean): Dataset[SemDecision] = {
+                     streaming: Boolean,
+                     maxMembers: Option[Int] = None): Dataset[SemDecision] = {
     implicit val outEnc = Encoders.product[SemDecision]
     implicit val stEnc = Encoders.product[SemState]
     implicit val keyEnc = Encoders.scalaLong
@@ -871,19 +908,21 @@ object Detectors {
 
     def process(key: Long, it: Iterator[VecEvent],
                 state: GroupState[SemState]): Iterator[SemDecision] = {
-      val st = state.getOption.getOrElse(SemState(Nil, Nil))
+      val st = state.getOption.getOrElse(SemState(Nil, Nil, 0L))
       val wmSec = if (streaming) state.getCurrentWatermarkMs() / 1000 else Long.MaxValue
       val fresh = it.filter(e => !streaming || e.sec >= wmSec)
       val all = (st.pending ++ fresh).sortBy(e => (e.sec, e.vec_id))
       val (ready, rest) = all.partition(_.sec < wmSec)
       var members = st.members
+      var overflow = st.overflow
       val out = Seq.newBuilder[SemDecision]
       ready.foreach { e =>
         val n = members.count(m => cos(m, e) >= threshold).toLong
         out += SemDecision(e.vec_id, key, n, n == 0L)
-        members = members :+ e
+        if (maxMembers.forall(members.length < _)) members = members :+ e
+        else overflow += 1L
       }
-      state.update(SemState(rest, members))
+      state.update(SemState(rest, members, overflow))
       if (streaming && rest.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           rest.map(_.sec).min * 1000 + 1000, state.getCurrentWatermarkMs() + 1))

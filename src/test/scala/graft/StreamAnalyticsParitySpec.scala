@@ -402,4 +402,79 @@ class StreamAnalyticsParitySpec extends SparkSpec {
       assert(got == expected && got.nonEmpty)
     } finally q.stop()
   }
+
+  test("epoch-scoped onlineDedup: cross-epoch duplicates re-keep, state dies with its epoch") {
+    // identical feeds through the detector WITH and WITHOUT the opt-in
+    // epoch key (epochSec=1000): hash "ha" keeps in epoch 0; its epoch-1
+    // re-arrival must DROP in all-time mode (the keeper is permanent)
+    // and KEEP in epoch mode (the keeper died with its snapshot — the
+    // documented price); the within-epoch duplicate must drop in BOTH,
+    // pointing at its own epoch's keeper. And the point of the trade:
+    // epoch-mode state is bounded by one epoch's hashes, not all-time.
+    def run(streamId: Int, epoch: Option[Long], name: String)
+        : (Map[Long, (Boolean, Long)], Long) = {
+      val input = MemoryStream[DocEvent](streamId, spark, None)
+      val withWm = input.toDS()
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "10 seconds")
+        .as[DocEvent]
+      val q = Detectors.onlineDedup(withWm, streaming = true, epochSec = epoch)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        Seq(
+          // epoch 0: the keeper + 30 one-off hashes (state ballast)
+          DocEvent("ha", 1L, 100L) +: (0 until 30).map(i =>
+            DocEvent(s"pad$i", 100L + i, 110L)),
+          Seq(DocEvent("hb", 200L, 1200L)), // wm → ~1190: epoch 0 over
+          Seq(DocEvent("hb", 201L, 1450L)), // epoch-0 death timers fire
+          Seq(DocEvent("ha", 2L, 1500L),    // the cross-epoch re-arrival
+            DocEvent("ha", 3L, 1600L)),     // the within-epoch duplicate
+          Seq(DocEvent("hz", 999L, 99999L)), // flush every buffer
+          Seq(DocEvent("hz", 998L, 199999L)) // fire remaining death timers
+        ).foreach { b => input.addData(b); q.processAllAvailable() }
+        val rows = spark.table(name).as[DedupDecision].collect()
+          .filter(_.h == "ha").map(d => d.doc_id -> (d.keep, d.dup_of)).toMap
+        val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+        (rows, stateRows)
+      } finally q.stop()
+    }
+    val (allTime, allRows) = run(72, None, "dedup_epoch_off")
+    val (epochal, epochRows) = run(73, Some(1000L), "dedup_epoch_on")
+    assert(allTime(1L) == ((true, -1L)) && epochal(1L) == ((true, -1L)))
+    assert(allTime(2L) == ((false, 1L)),
+      "all-time mode must drop the cross-epoch duplicate against the permanent keeper")
+    assert(epochal(2L) == ((true, -1L)),
+      "epoch mode must RE-KEEP the cross-epoch duplicate — the documented price")
+    assert(allTime(3L) == ((false, 1L)) && epochal(3L) == ((false, 2L)),
+      "within-epoch duplicates drop in both modes, against their own epoch's keeper")
+    assert(epochRows < allRows && epochRows <= 4L,
+      s"epoch state must die with its epoch: $epochRows rows vs all-time $allRows")
+  }
+
+  test("onlineSemDedup cap: arrivals past maxMembers are scored but not appended — suppression recall loss only") {
+    // cluster 7: a, b along u (identical direction), c along w, e along w.
+    // Uncapped: c keeps (orthogonal to a,b), e drops (near c). Capped at
+    // 2: c is scored identically (n=0, keeps) but NOT appended, so e is
+    // wrongly KEPT — the stated recall price; no decision ever flips from
+    // keep to drop (suppression loss only).
+    val u = Seq(1000L, 0L); val w = Seq(0L, 1000L); val n2 = 1000000L
+    val evs = Seq(
+      Detectors.VecEvent(7L, 1L, u, n2, 10L),
+      Detectors.VecEvent(7L, 2L, u, n2, 11L),
+      Detectors.VecEvent(7L, 3L, w, n2, 12L),
+      Detectors.VecEvent(7L, 4L, w, n2, 13L)).toDS()
+    def decisions(cap: Option[Int]): Map[Long, (Long, Boolean)] =
+      Detectors.onlineSemDedup(evs, 0.9, streaming = false, maxMembers = cap)
+        .collect().map(d => d.vec_id -> (d.n_near, d.kept)).toMap
+    val exact = decisions(None)
+    val capped = decisions(Some(2))
+    assert(exact == Map(1L -> (0L, true), 2L -> (1L, false),
+      3L -> (0L, true), 4L -> (1L, false)))
+    assert(capped == Map(1L -> (0L, true), 2L -> (1L, false),
+      3L -> (0L, true), 4L -> (0L, true)),
+      "the capped run keeps vec 4 — near only the unappended member: recall loss, not a wrong drop")
+    assert(capped.forall { case (id, (_, kept)) => kept || !exact(id)._2 },
+      "capping can only ADD keeps, never drop something the exact run kept")
+  }
 }
