@@ -416,7 +416,11 @@ object StreamingJobs {
     * vocabulary-keyed df fold; remove cost = a takedown-scoped semi-join
     * over the stored postings + the same vocab-keyed fold; never a
     * corpus re-tokenize. State is the index itself — exactly what the
-    * batch [[IndexState.bm25FullPaths]] persists. */
+    * batch [[IndexState.bm25FullPaths]] persists — held in
+    * [[graft.streaming.SegmentedState]] (delivery-sized segment
+    * checkpoints + geometric compaction), the r13 fix for the measured
+    * quadratic term: re-materializing the whole index per batch made
+    * per-delivery cost grow linearly with corpus-so-far (SCALE.md). */
   def runBm25Lifecycle(spark: SparkSession, opsStream: DataFrame,
       initialPostings: Option[DataFrame] = None,
       initialIds: Option[DataFrame] = None,
@@ -427,15 +431,16 @@ object StreamingJobs {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    var postings: DataFrame = initialPostings.map(_.localCheckpoint())
+    val post0: DataFrame = initialPostings
       .getOrElse(empty(StructType(Seq(StructField("doc_id", LongType),
         StructField("term", StringType), StructField("tf", LongType)))))
-    var dl: DataFrame = postings.groupBy("doc_id")
-      .agg(sum(col("tf")).as("dl")).localCheckpoint()
-    var dft: DataFrame = postings.groupBy("term")
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    val dl = new graft.streaming.SegmentedState(
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+    var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
-    var ids: DataFrame = initialIds.map(_.localCheckpoint())
-      .getOrElse(postings.select("doc_id").distinct().localCheckpoint())
+    val ids = new graft.streaming.SegmentedState(
+      initialIds.getOrElse(post0.select("doc_id").distinct()), Seq("doc_id"))
     val writer = opsStream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer
@@ -459,29 +464,28 @@ object StreamingJobs {
         // ADDS: idempotent via the ingested-id set
         val d = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-          .join(ids, Seq("doc_id"), "left_anti")
+          .join(ids.view, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        val dPost = PipelineQueries.bm25Postings(d)
-        postings = postings.union(dPost).localCheckpoint()
-        dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
-          .localCheckpoint()
+        val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
+        postings.append(dPost)
+        dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
         dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
           .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
-        ids = ids.union(d.select("doc_id")).localCheckpoint()
+        ids.append(d.select("doc_id"))
         // REMOVES: doc-keyed retirement + the df down-fold from the store
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.join(rem, Seq("doc_id"), "left_semi")
+          val dfRem = postings.view.join(rem, Seq("doc_id"), "left_semi")
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
           dft = dft.join(dfRem, Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
             .filter(col("df") > 0).localCheckpoint()
-          postings = postings.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
-          dl = dl.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
-          ids = ids.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          postings.remove(rem)
+          dl.remove(rem)
+          ids.remove(rem)
         }
-        sink(postings, dl, dft)
+        sink(postings.view, dl.view, dft)
       }
       .start()
   }
@@ -513,15 +517,20 @@ object StreamingJobs {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    var postings: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
+    val post0: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
       StructField("term", StringType), StructField("tf", LongType))))
-    var dl: DataFrame = postings.groupBy("doc_id")
-      .agg(sum(col("tf")).as("dl")).localCheckpoint()
-    var dft: DataFrame = postings.groupBy("term")
+    // the maintained quadruple lives in SegmentedState (delivery-sized
+    // segment checkpoints + geometric compaction) — the r13 fix for the
+    // measured per-batch O(corpus) state rewrite (SCALE.md)
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    val dl = new graft.streaming.SegmentedState(
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+    var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
-    var ids: DataFrame = postings.select("doc_id").distinct().localCheckpoint()
-    var store: DataFrame = graft.ops.SimilarityOps
-      .quantStore(embeddings.limit(0)).localCheckpoint()
+    val ids = new graft.streaming.SegmentedState(
+      post0.select("doc_id").distinct(), Seq("doc_id"))
+    val store = new graft.streaming.SegmentedState(
+      graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
     val writer = opsStream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
@@ -546,34 +555,31 @@ object StreamingJobs {
         // ADDS: lexical fold + the delivery-sized embed+encode
         val d = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-          .join(ids, Seq("doc_id"), "left_anti")
+          .join(ids.view, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        val dPost = PipelineQueries.bm25Postings(d)
-        postings = postings.union(dPost).localCheckpoint()
-        dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
-          .localCheckpoint()
+        val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
+        postings.append(dPost)
+        dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
         dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
           .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
-        ids = ids.union(d.select("doc_id")).localCheckpoint()
-        store = store.unionByName(graft.ops.SimilarityOps.quantStore(
-            embSrc.join(d.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
-          .localCheckpoint()
+        ids.append(d.select("doc_id"))
+        store.append(graft.ops.SimilarityOps.quantStore(
+          embSrc.join(d.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
         // REMOVES: lexical down-fold + dense row drops
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.join(rem, Seq("doc_id"), "left_semi")
+          val dfRem = postings.view.join(rem, Seq("doc_id"), "left_semi")
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
           dft = dft.join(dfRem, Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
             .filter(col("df") > 0).localCheckpoint()
-          postings = postings.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
-          dl = dl.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
-          ids = ids.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
-          store = store.join(rem.withColumnRenamed("doc_id", "vec_id"),
-            Seq("vec_id"), "left_anti").localCheckpoint()
+          postings.remove(rem)
+          dl.remove(rem)
+          ids.remove(rem)
+          store.remove(rem.withColumnRenamed("doc_id", "vec_id"))
         }
-        sink(postings, dl, dft, store)
+        sink(postings.view, dl.view, dft, store.view)
       }
       .start()
   }
@@ -731,41 +737,41 @@ object StreamingJobs {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    var postings: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
+    val post0: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
       StructField("term", StringType), StructField("tf", LongType))))
-    var dl: DataFrame = postings.groupBy("doc_id")
-      .agg(sum(col("tf")).as("dl")).localCheckpoint()
-    var dft: DataFrame = postings.groupBy("term")
+    // SegmentedState for the serving quadruple (r13: the per-batch
+    // O(corpus) state rewrite was the pipeline's measured growth term)
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    val dl = new graft.streaming.SegmentedState(
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+    var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
-    var store: DataFrame = graft.ops.SimilarityOps
-      .quantStore(embeddings.limit(0)).localCheckpoint()
+    val store = new graft.streaming.SegmentedState(
+      graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
       threshold, initial) { (press, added, removed) =>
       // ADDS: lexical fold + delivery-sized embed+encode (the
       // runServingLifecycle algebra over the press's netted delta)
-      val dPost = PipelineQueries.bm25Postings(added)
-      postings = postings.union(dPost).localCheckpoint()
-      dl = dl.union(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
-        .localCheckpoint()
+      val dPost = PipelineQueries.bm25Postings(added).localCheckpoint()
+      postings.append(dPost)
+      dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
       dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
         .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
-      store = store.unionByName(graft.ops.SimilarityOps.quantStore(
-          embSrc.join(added.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
-        .localCheckpoint()
+      store.append(graft.ops.SimilarityOps.quantStore(
+        embSrc.join(added.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
       // REMOVES: lexical down-fold from the store + dense row drops
       if (!removed.isEmpty) {
-        val dfRem = postings.join(removed, Seq("doc_id"), "left_semi")
+        val dfRem = postings.view.join(removed, Seq("doc_id"), "left_semi")
           .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
         dft = dft.join(dfRem, Seq("term"), "left")
           .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
           .filter(col("df") > 0).localCheckpoint()
-        postings = postings.join(removed, Seq("doc_id"), "left_anti").localCheckpoint()
-        dl = dl.join(removed, Seq("doc_id"), "left_anti").localCheckpoint()
-        store = store.join(removed.withColumnRenamed("doc_id", "vec_id"),
-          Seq("vec_id"), "left_anti").localCheckpoint()
+        postings.remove(removed)
+        dl.remove(removed)
+        store.remove(removed.withColumnRenamed("doc_id", "vec_id"))
       }
-      sink(press, postings, dl, dft, store)
+      sink(press, postings.view, dl.view, dft, store.view)
     }
   }
 
@@ -834,6 +840,38 @@ object StreamingJobs {
       eventsStreamRaw(spark, dir).filter(col("event_type") === "view")
         .select(col("user_id"), col("ts")),
       "ts", "1 hour", "1 day", col("user_id"))
+
+  /** The sketch-bounds gate ON THE LIVE PATH — [[uvStream]] emits the
+    * HLL estimate unasserted; this twin runs `uv_approx_bounds`'s
+    * 3σ-envelope verdict per event-time day INSIDE the stream, so a
+    * drifting sketch alerts while it happens, not at the next batch
+    * calibration. Streaming cannot run countDistinct in a windowed agg,
+    * so exactness rides the standard dedup cascade: an in-watermark
+    * (user, day) dropDuplicates first (a same-day duplicate is < 24 h
+    * from its first sighting, inside the 1-day delay, so the dedup is
+    * exact for day windows), after which a plain count IS the exact UV
+    * and the HLL estimate computes over the same deduplicated rows —
+    * estimate, exact, bound and verdict in ONE aggregation, the batch
+    * gate's row shape ([[BehaviorQueries.uvApproxBounds]]: same
+    * [[BehaviorQueries.UvApproxRsd]] sketch, same
+    * `max(⌈exact·rel⌉, floor)` envelope). Windows emit on close (append
+    * mode); the parity spec asserts the verdict TRUE for every emitted
+    * window on the replay corpus. */
+  def uvBoundsStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.BehaviorQueries.{UvApproxRsd, UvBoundsFloor, UvBoundsRel}
+    eventsStreamRaw(spark, dir).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), UvApproxRsd).as("uv_est"),
+        count(lit(1)).as("uv_exact"))
+      .selectExpr("window.start AS window_start", "window.end AS window_end",
+        "uv_exact",
+        s"greatest(CAST(ceil(CAST(uv_exact AS DOUBLE) * $UvBoundsRel) AS BIGINT), ${UvBoundsFloor}L) AS bound_abs",
+        s"abs(uv_est - uv_exact) <= greatest(CAST(ceil(CAST(uv_exact AS DOUBLE) * $UvBoundsRel) AS BIGINT), ${UvBoundsFloor}L) AS within")
+  }
 
   /** User sessionization as a stream: gap-closed sessions per user —
     * sessions emit when the watermark passes last-event + gap, state

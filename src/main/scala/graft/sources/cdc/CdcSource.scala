@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * broker the sandbox cannot run).
  *
  * Feed layout: a directory of append-only batch files
- * `batch-<n>.cdc`, one micro-batch delivery per file, lexicographic
- * name order = feed order. Each line is one event,
+ * `batch-<n>.cdc`, one micro-batch delivery per file, numeric batch-
+ * index order = feed order (retention: [[CdcFeed.compact]] folds a
+ * prefix of deliveries into one base snapshot). Each line is one event,
  * `op TAB seq TAB doc_id TAB ts_sec TAB base64(text)` — pure-ASCII
  * lines by construction (the payload rides base64), so byte offsets
  * and character offsets coincide and a reader can be handed an exact
@@ -112,7 +113,13 @@ private[cdc] class CdcScan(path: String, filesPerTrigger: Int, maxSlices: Int)
     new CdcMicroBatchStream(path, filesPerTrigger, maxSlices)
 }
 
-/** Offset = number of feed files fully consumed. */
+/** Offset = upper bound on consumed batch INDICES: every delivery with
+  * index < `files` has been fully consumed. For the writer's contiguous-
+  * from-0 feeds this equals the consumed-file COUNT (the original
+  * semantics, so pre-existing checkpoints keep their meaning), and it
+  * stays valid across [[CdcFeed.compact]] — folding indices < N into one
+  * base file leaves every index ≥ N untouched, so a consumer
+  * checkpointed at or past N resumes exactly. */
 private[cdc] case class CdcOffset(files: Int) extends Offset {
   override def json(): String = s"""{"files":$files}"""
 }
@@ -142,20 +149,21 @@ private[cdc] class CdcMicroBatchStream(path: String, filesPerTrigger: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val done = start.asInstanceOf[CdcOffset].files
-    val avail = CdcFeed.listBatchFiles(path).length
-    CdcOffset(math.min(avail, done + math.max(filesPerTrigger, 1)))
+    val pending = CdcFeed.listIndexed(path).filter(_._1 >= done)
+    val take = pending.take(math.max(filesPerTrigger, 1))
+    if (take.isEmpty) CdcOffset(done) else CdcOffset(take.last._1 + 1)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def reportLatestOffset(): Offset =
-    CdcOffset(CdcFeed.listBatchFiles(path).length)
+    CdcOffset(CdcFeed.listIndexed(path).lastOption.map(_._1 + 1).getOrElse(0))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset].files
     val e = end.asInstanceOf[CdcOffset].files
-    CdcFeed.listBatchFiles(path).slice(s, e)
-      .flatMap(f => CdcFeed.slicesOf(f, maxSlices)).toArray
+    CdcFeed.listIndexed(path).filter(fi => fi._1 >= s && fi._1 < e)
+      .flatMap(fi => CdcFeed.slicesOf(fi._2, maxSlices)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
@@ -250,12 +258,75 @@ object CdcFeed {
     * feed order — lexicographic name order breaks when the index outgrows
     * its padding: `batch-100000.cdc` < `batch-99999.cdc` as strings) —
     * public so specs and ops tooling can observe published deliveries. */
-  def listBatchFiles(path: String): Seq[String] = {
+  def listBatchFiles(path: String): Seq[String] = listIndexed(path).map(_._2)
+
+  /** The feed listing with parsed batch indices — what the streaming
+    * offset math keys on ([[CdcOffset]]: indices, not positions, so a
+    * compacted feed's surviving checkpoints stay valid). */
+  private[cdc] def listIndexed(path: String): Seq[(Int, String)] = {
     val files = new File(path).listFiles()
     if (files == null) Seq.empty
     else files.filter(_.isFile)
       .flatMap(f => batchIndexOf(f.getName).map(i => (i, f.getAbsolutePath)))
-      .sortBy(_._1).map(_._2).toSeq
+      .sortBy(_._1).toSeq
+  }
+
+  /** RETENTION: fold every published delivery with index < `upTo` into
+    * ONE base snapshot named for the highest folded index — mirroring
+    * the lifecycle consumers' own persisted-state discipline (base +
+    * tail instead of an ever-growing file-per-delivery history). The
+    * folded feed is byte-identical end-to-end (deliveries concatenate in
+    * feed order), so a FRESH consumer reads exactly the events the full
+    * history held; a checkpointed consumer at offset ≥ `upTo` resumes
+    * exactly (indices ≥ `upTo` are untouched); a checkpoint INSIDE the
+    * folded prefix is irrecoverable by construction — the retention
+    * trade-off, stated here. Historical delivery boundaries within the
+    * base collapse into one (a fresh paced consumer sees the base as its
+    * first delivery).
+    *
+    * Single-producer OFFLINE maintenance op (run it from the producer,
+    * not under a live reader's listing). Crash-safe in the writeBatch
+    * style: the merged bytes build invisibly, flip atomically to a
+    * `.ready` journal file, and only then do the folded inputs retire
+    * and the base publish — a re-run of [[compact]] after a crash at any
+    * point resumes from the journal and converges; re-running on an
+    * already-compacted feed is a no-op. */
+  def compact(dir: String, upTo: Int): Unit = {
+    val d = new File(dir)
+    require(d.isDirectory, s"graft-cdc: no feed directory at $dir")
+    // resume an interrupted compaction first: the .ready journal only
+    // ever exists fully written (its own atomic rename)
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("""\.compact-\d+\.cdc\.ready"""))
+      .foreach(r => finishCompact(d, r))
+    val prefix = listIndexed(dir).filter(_._1 < upTo)
+    if (prefix.length <= 1) return // already a single base (or empty)
+    val n = prefix.last._1
+    val building = new File(d, f".compact-$n%05d.cdc.building")
+    val out = new FileOutputStream(building)
+    try prefix.foreach { case (_, p) =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(p), out)
+    } finally out.close()
+    val ready = new File(d, f".compact-$n%05d.cdc.ready")
+    require(building.renameTo(ready),
+      s"graft-cdc: atomic rename failed for $ready")
+    finishCompact(d, ready)
+  }
+
+  /** Complete a journaled compaction: retire the folded inputs, then
+    * publish the merged base (with a fresh line index; any stale epoch
+    * marker of the reused slot is dropped — the base is not any single
+    * epoch's delivery). Idempotent per journal file. */
+  private def finishCompact(d: File, ready: File): Unit = {
+    val n = ready.getName.stripPrefix(".compact-").stripSuffix(".cdc.ready").toInt
+    listIndexed(d.getAbsolutePath).filter(_._1 < n).foreach { case (_, p) =>
+      val f = new File(p)
+      f.delete(); indexFileOf(f).delete(); epochFileOf(f).delete()
+      ()
+    }
+    val dst = new File(d, f"batch-$n%05d.cdc")
+    epochFileOf(dst).delete()
+    publishWithIndex(ready, dst)
   }
 
   /** The batch index a feed file name carries, or None for anything that

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/**
+ * LSM-style maintained table for streaming lifecycle folds — the fix for
+ * the one superlinear term the r13 scale probe measured (SCALE.md): the
+ * `state.union(delta).localCheckpoint()` idiom re-materializes the WHOLE
+ * maintained table every micro-batch, an O(corpus-so-far) rewrite whose
+ * sum over a feed is quadratic in feed length (measured: the BM25 fold's
+ * per-delivery cost grew 1.96 → 3.3 s across a 40-delivery feed, total
+ * 16.3× for a 10× feed).
+ *
+ * Here a delivery folds in as its own checkpointed SEGMENT (O(delta)
+ * write), removals fold as generation-tagged TOMBSTONES applied lazily
+ * at read, and segments compact into the base geometrically — when the
+ * accumulated segment+tombstone rows reach the base size (so every row
+ * participates in O(log n) compactions; total write amplification
+ * O(n log n), the LSM bound) or when the segment count would make read
+ * plans wide. Reads ([[view]]) stay O(corpus) SCANS of checkpointed
+ * columnar blocks — the term a keyed store would index away, several
+ * orders cheaper than the re-serialization this class eliminates.
+ *
+ * Generations make remove-then-re-add correct in both orders the
+ * lifecycle contract produces (content updates ship as remove-then-add
+ * across batches; the press rebuilds a touched cluster as remove +
+ * append within one batch): a tombstone masks exactly the rows whose
+ * segment was appended BEFORE it, never a later re-add — and a
+ * compaction applies all masks physically and resets.
+ *
+ * Not thread-safe; foreachBatch bodies run serially per query, which is
+ * the only intended call site.
+ */
+final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
+  private var base: DataFrame = base0.localCheckpoint()
+  private var baseRows: Long = base.count()
+  // TIERED segments (LSM levels): level-0 entries are deliveries,
+  // level-(k+1) entries are merges of MaxSegments level-k entries — so a
+  // level-k merge costs MaxSegments^k deliveries and happens every
+  // MaxSegments^(k+1) batches: every row is copied O(log n) times total
+  // and NO per-batch term grows with the corpus (a single-list cap would
+  // re-fold the whole history every MaxSegments batches — a linear
+  // per-delivery term at 1/MaxSegments weight, measured in the r13
+  // probe's compaction spikes before this tiering landed).
+  private var levels = Vector.empty[Vector[(DataFrame, Long, Long)]] // (rows, gen, count)
+  private var segmentRows = 0L
+  private var tombs: Option[DataFrame] = None // keyCols :+ _tomb_gen
+  private var tombRows = 0L
+  private var gen = 0L
+
+  /** `df` masked by the tombstones STRICTLY NEWER than its generation. */
+  private def masked(df: DataFrame, g: Long): DataFrame = tombs match {
+    case None => df
+    case Some(t) => df.join(
+      t.filter(col("_tomb_gen") > g).select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+  }
+
+  /** Current logical content: base + every level's segments, each masked
+    * by the tombstones newer than it. Lazy — a returned view is an
+    * immutable snapshot plan, unaffected by later appends/removes. */
+  def view: DataFrame =
+    levels.flatten.foldLeft(masked(base, 0L)) {
+      case (acc, (s, g, _)) => acc.unionByName(masked(s, g))
+    }
+
+  /** Fold a delivery IN: checkpoint cost is O(delta), never O(corpus).
+    * The segment coalesces to [[SegmentedState.DeltaParts]] partitions
+    * first — a delivery is delivery-sized by the lifecycle contract, and
+    * without the coalesce each segment would keep its producing shuffle's
+    * partition count, exploding the per-batch TASK count of every view
+    * scan (the first cut of this class measured slower than the rewrite
+    * it replaced for exactly that reason). Empty deltas (heartbeats) add
+    * no segment. */
+  def append(delta: DataFrame): Unit = {
+    gen += 1
+    val d = delta.coalesce(SegmentedState.DeltaParts).localCheckpoint()
+    val n = d.count()
+    if (n > 0) {
+      addAt(0, (d, gen, n))
+      segmentRows += n
+    }
+    maybeCompact()
+  }
+
+  /** Tiered promotion: a level holding more than MaxSegments entries
+    * merges them into ONE entry of the next level. Current tombstones
+    * are applied during the merge (safe: generations are monotonic, so
+    * every future tombstone is newer than the merged generation and
+    * still masks the merged rows; every existing one is already
+    * applied). */
+  private def addAt(level: Int, entry: (DataFrame, Long, Long)): Unit = {
+    while (levels.length <= level) levels :+= Vector.empty
+    levels = levels.updated(level, levels(level) :+ entry)
+    if (levels(level).length > SegmentedState.MaxSegments) {
+      val entries = levels(level)
+      levels = levels.updated(level, Vector.empty)
+      val estRows = entries.map(_._3).sum
+      val merged = entries.map(e => masked(e._1, e._2))
+        .reduce(_ unionByName _)
+        .coalesce(SegmentedState.partsFor(estRows)).localCheckpoint()
+      val n = merged.count()
+      segmentRows += n - estRows // masked-away rows leave the estimate
+      addAt(level + 1, (merged, entries.map(_._2).max, n))
+    }
+  }
+
+  /** Fold removed keys OUT: tombstones mask at read time and are applied
+    * physically at the next compaction. Removing a key that was never
+    * appended is a harmless no-op mask. Removal batches are
+    * takedown-sized by contract — the accumulated set coalesces to one
+    * partition. */
+  def remove(keys: DataFrame): Unit = {
+    gen += 1
+    val k = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn("_tomb_gen", lit(gen))
+    val t = tombs.fold(k)(_.unionByName(k)).coalesce(1).localCheckpoint()
+    tombs = Some(t)
+    tombRows = t.count()
+    maybeCompact()
+  }
+
+  /** Apply every mask physically and re-root: one O(corpus) write, paid
+    * geometrically — it fires only when the accumulated segment +
+    * tombstone rows reach the base size (the doubling rule; the tiered
+    * promotions keep everything below that threshold sub-corpus-sized).
+    * The base re-partitions to ~64k rows per partition so view scans
+    * stay task-count-proportional to DATA, not to history. Public so a
+    * maintainer can force a compaction at a persistence boundary. */
+  def compact(): Unit = {
+    val est = math.max(1L, baseRows + segmentRows - tombRows)
+    base = view.coalesce(SegmentedState.partsFor(est)).localCheckpoint()
+    baseRows = base.count()
+    levels = Vector.empty
+    segmentRows = 0L
+    tombs = None
+    tombRows = 0L
+    gen = 0L
+  }
+
+  private def maybeCompact(): Unit =
+    if ((segmentRows + tombRows) >= baseRows) compact()
+}
+
+object SegmentedState {
+  /** Per-level segment cap: a level holding more than this many entries
+    * promotes them as one merged entry of the next level — bounds both
+    * plan complexity (≤ MaxSegments × levels branches per view) and the
+    * per-scan task count. */
+  val MaxSegments: Int = 8
+
+  /** Partitions per delivery segment (deliveries are delivery-sized by
+    * the lifecycle contract; a handful of tasks covers them). */
+  val DeltaParts: Int = 4
+
+  /** ~64k rows per partition, 1..64 partitions. */
+  private[streaming] def partsFor(rows: Long): Int =
+    math.max(1, math.min(64, ((math.max(rows, 1L) - 1L) / 65536L).toInt + 1))
+}

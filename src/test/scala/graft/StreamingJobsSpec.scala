@@ -174,6 +174,33 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming uv bounds gate: every closed window's verdict is TRUE and restates the batch gate") {
+    // the r13 twin of uv_approx_bounds on the LIVE path: per closed day
+    // window the stream emits (exact, bound, verdict) from one
+    // aggregation; verdicts must be TRUE throughout the replay, and the
+    // exact counts + bounds must equal the batch calibration query's
+    val q = StreamingJobs.uvBoundsStream(spark, sf0001)
+      .select(col("window_start").cast("long").as("ws"), col("uv_exact"),
+        col("bound_abs"), col("within"))
+      .writeStream.format("memory").queryName("uv_bounds_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("uv_bounds_stream")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(got.nonEmpty, "at least one daily window should close")
+      assert(got.forall(_._4),
+        s"the 3σ verdict must hold for every emitted window: $got")
+      val batch = graft.queries.BehaviorQueries.uvApproxBounds(spark, sf0001)
+        .select(col("window_start"), col("uv_exact"), col("bound_abs"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (ws, ex, b) => ws -> ((ex, b)) }.toMap
+      got.foreach { case (ws, ex, b, _) =>
+        assert(batch(ws) == ((ex, b)),
+          s"window $ws: streaming (exact=$ex, bound=$b) must restate the batch gate") }
+    } finally q.stop()
+  }
+
   test("streaming sessions equal the batch session_window on closed sessions") {
     val batch = graft.sources.Tables.events(spark, sf0001)
       .groupBy(session_window(col("ts"), "2 hours").as("session"), col("user_id"))
