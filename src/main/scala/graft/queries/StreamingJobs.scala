@@ -316,6 +316,20 @@ object StreamingJobs {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // NOTE (r13): the press tables deliberately KEEP the simple
+    // union+re-checkpoint fold. Converting them to SegmentedState — and
+    // even maintaining the banded signature index incrementally
+    // (crossNearPairsFromIndex over maintained band keys) — was BUILT and
+    // MEASURED in the r13 scale probe and came out consistently SLOWER at
+    // both 1× and 10× (249 → 297 → 312 s for the 10× pipeline feed): the
+    // press maintains many small tables, so the segmented form's extra
+    // per-batch jobs (segment checkpoints, tombstone folds, counts)
+    // dominate everything the segmentation saves, and the pipeline's real
+    // growth lives in the assign/pairs quotient folds, which segmentation
+    // cannot express (merges rewrite arbitrary rows; pair removal masks
+    // on either endpoint). The serving folds, where one large table
+    // dominates, DID win and use SegmentedState. Full numbers and the
+    // adjudication in SCALE.md.
     var sets: DataFrame = initialSets.map(_.localCheckpoint())
       .getOrElse(graft.ops.DedupOps.setsOfShingles(
         graft.ops.DedupOps.allShingles(empty(docSchema), "text", k)).localCheckpoint())
@@ -646,6 +660,8 @@ object StreamingJobs {
     var prevAssign: DataFrame = initial.map(_.assign.localCheckpoint())
       .getOrElse(empty(StructType(Seq(
         StructField("doc_id", LongType), StructField("cluster_id", LongType)))))
+    // scores/manifest keep the simple fold for the same measured reason
+    // as the lifecycle's press tables (see runClusterLifecycleDelta)
     var scores: DataFrame = initial.map(_.scores.localCheckpoint())
       .getOrElse(empty(StructType(Seq(
         StructField("doc_id", LongType), StructField("quality", DoubleType),

@@ -114,8 +114,9 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
   def remove(keys: DataFrame): Unit = {
     gen += 1
     val k = keys.select(keyCols.map(col): _*).distinct()
-      .withColumn("_tomb_gen", lit(gen))
-    val t = tombs.fold(k)(_.unionByName(k)).coalesce(1).localCheckpoint()
+      .withColumn("_tomb_gen", lit(gen)).coalesce(1).localCheckpoint()
+    if (k.count() == 0L) return // no empty masks — views stay anti-join-free
+    val t = tombs.fold(k)(_.unionByName(k).coalesce(1).localCheckpoint())
     tombs = Some(t)
     tombRows = t.count()
     maybeCompact()
