@@ -142,6 +142,18 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
 
   private def maybeCompact(): Unit =
     if ((segmentRows + tombRows) >= baseRows) compact()
+
+  /** Compact, then persist the base to `path` (parquet, overwrite) —
+    * the natural persistence boundary: after a compaction the base IS
+    * the full logical content, so the written table is exactly what a
+    * restarted maintainer boots from ([[SegmentedState.fromParquet]]),
+    * replacing the collect-and-rebootstrap frames the lifecycle restart
+    * contract otherwise needs. Returns `path`. */
+  def compactTo(path: String): String = {
+    compact()
+    base.write.mode("overwrite").parquet(path)
+    path
+  }
 }
 
 object SegmentedState {
@@ -158,4 +170,13 @@ object SegmentedState {
   /** ~64k rows per partition, 1..64 partitions. */
   private[streaming] def partsFor(rows: Long): Int =
     math.max(1, math.min(64, ((math.max(rows, 1L) - 1L) / 65536L).toInt + 1))
+
+  /** Restart from a base persisted by [[SegmentedState#compactTo]]. The
+    * read rides [[graft.ops.Parallelism.ensureMin]] — a persisted base
+    * lands as few files, and an exchange-free consumer would otherwise
+    * serialize on one task (the one-split-scan trap). */
+  def fromParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keyCols: Seq[String]): SegmentedState =
+    new SegmentedState(
+      graft.ops.Parallelism.ensureMin(spark.read.parquet(path)), keyCols)
 }

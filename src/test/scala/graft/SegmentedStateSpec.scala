@@ -81,4 +81,23 @@ class SegmentedStateSpec extends SparkSpec {
     assert(rows(st.view) == reference.toSet.map((kv: (Long, String)) => kv),
       "a forced compaction must be a logical no-op")
   }
+
+  test("compactTo/fromParquet round-trips the maintained state across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-segstate")
+      .toFile.getAbsolutePath + "/base"
+    val st = new SegmentedState(frame(1L -> "a", 2L -> "b"), Seq("doc_id"))
+    st.append(frame(3L -> "c"))
+    st.remove(Seq(2L).toDF("doc_id"))
+    val logical = rows(st.view)
+    st.compactTo(dir)
+    // a persisted base IS the full logical content
+    assert(rows(spark.read.parquet(dir)) == logical)
+    // the restarted maintainer resumes from it and keeps folding
+    val st2 = SegmentedState.fromParquet(spark, dir, Seq("doc_id"))
+    assert(rows(st2.view) == logical)
+    st2.append(frame(4L -> "d"))
+    st2.remove(Seq(1L).toDF("doc_id"))
+    assert(rows(st2.view) == Set(3L -> "c", 4L -> "d"),
+      "post-restart folds must compose with the persisted base")
+  }
 }
