@@ -226,6 +226,30 @@ object ScaleProbe {
             s""""median":${f"${times.sorted.apply(times.length / 2)}%.3f"}$rounds}""")
         }
 
+      if (want("dedup_clusters_dist")) {
+        // the DISTRIBUTED star-contraction path, forced past the
+        // small-graph driver-local guard (localMaxEdges = 0): the plain
+        // dedup_clusters row runs the bounded-collect fast path at both
+        // probe scales, so the O(log² n) round-count claim needs its own
+        // measurement — rounds and per-round wall are printed from the
+        // CC instrumentation
+        graft.ops.ClusterOps.CcStats.drain()
+        val fn = () => {
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")
+          val pairs = graft.ops.DedupOps.minhashPairs(
+            graft.ops.DedupOps.allShingles(docs, "text", 3), 16, 4, 0.5)
+          graft.ops.ClusterOps.connectedComponentsStar(
+            pairs, "doc_a", "doc_b", localMaxEdges = 0L)
+        }
+        val times = timeBatch(spark, fn, 3)
+        val cc = graft.ops.ClusterOps.CcStats.drain()
+        val rounds = if (cc.isEmpty) -1 else cc.map(_.rounds).max
+        println(s"""{"family":"dedup_clusters_dist","scale":$s,""" +
+          s""""reps":${fmt(times)},"median":${f"${times.sorted.apply(times.length / 2)}%.3f"},""" +
+          s""""cc_rounds":$rounds}""")
+      }
+
       if (want("bm25_fold")) {
         val feed = s"$base/feed_bm25_x$s"
         val n = genFeed(spark, dir, feed, 5000L * s, 1250)
