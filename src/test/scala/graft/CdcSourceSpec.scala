@@ -196,32 +196,37 @@ class CdcSourceSpec extends SparkSpec {
     // phase 1: two deliveries on disk
     CdcFeed.writeBatch(dir, 0, addsOf(chunks(0), 0))
     CdcFeed.writeBatch(dir, 1, addsOf(chunks(1), 1000))
-    @volatile var st: Option[(Set[(Long, String, Long)], Set[Long])] = None
+    @volatile var st: Option[Set[(Long, String, Long)]] = None
     val run1Batches = new AtomicInteger(0)
+    // production persistence: after each delivery the maintained views
+    // land in parquet — EXACTLY what a restarted maintainer boots from
+    // (no driver collect anywhere on the restart path)
+    val postP = tmpDir("restart-post"); val idsP = tmpDir("restart-ids")
     val q1 = StreamingJobs.runBm25Lifecycle(spark, stream(dir),
         checkpoint = Some(cp)) { (post, _, _) =>
       run1Batches.incrementAndGet()
-      st = Some((post.as[(Long, String, Long)].collect().toSet,
-        post.select("doc_id").distinct().as[Long].collect().toSet))
+      post.write.mode("overwrite").parquet(postP)
+      post.select("doc_id").distinct().write.mode("overwrite").parquet(idsP)
+      st = Some(post.as[(Long, String, Long)].collect().toSet)
     }
     try { q1.processAllAvailable() } finally q1.stop()
     assert(run1Batches.get() == 2)
-    val (post1, ids1) = st.get
 
     // phase 2: the feed grows while the job is DOWN
     CdcFeed.writeBatch(dir, 2,
       addsOf(chunks.drop(2).flatten.toSeq, 2000) ++ remsOf(takedown, 3000))
     val run2Batches = new AtomicInteger(0)
     // restart: same checkpoint (source offset resumes — committed files
-    // are NOT re-read), maintained state bootstrapped from what the
-    // previous run persisted (the production restart contract)
+    // are NOT re-read), maintained state bootstrapped from the PERSISTED
+    // parquet (through the one-split-scan guard)
     val q2 = StreamingJobs.runBm25Lifecycle(spark, stream(dir),
-        initialPostings = Some(post1.toSeq.toDF("doc_id", "term", "tf")),
-        initialIds = Some(ids1.toSeq.toDF("doc_id")),
+        initialPostings = Some(graft.ops.Parallelism.ensureMin(
+          spark.read.parquet(postP))),
+        initialIds = Some(graft.ops.Parallelism.ensureMin(
+          spark.read.parquet(idsP))),
         checkpoint = Some(cp)) { (post, _, _) =>
       run2Batches.incrementAndGet()
-      st = Some((post.as[(Long, String, Long)].collect().toSet,
-        post.select("doc_id").distinct().as[Long].collect().toSet))
+      st = Some(post.as[(Long, String, Long)].collect().toSet)
     }
     try { q2.processAllAvailable() } finally q2.stop()
     assert(run2Batches.get() == 1,
@@ -229,7 +234,7 @@ class CdcSourceSpec extends SparkSpec {
     val surv = dd.filterNot(d => takedown.contains(d._1)).toSeq.toDF("doc_id", "text")
     val exp = PipelineQueries.bm25Postings(surv)
       .as[(Long, String, Long)].collect().toSet
-    assert(st.get._1 == exp && exp.nonEmpty,
+    assert(st.get == exp && exp.nonEmpty,
       "stop + restart through the checkpoint must converge to the uninterrupted result")
   }
 
