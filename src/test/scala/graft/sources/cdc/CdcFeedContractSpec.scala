@@ -150,6 +150,54 @@ class CdcFeedContractSpec extends SparkSpec {
       "compacting over an existing base must fold it forward")
   }
 
+  test("interrupted compactions recover from the journal at every crash point") {
+    def feed(tag: String): String = {
+      val dir = tmpDir(tag)
+      (0 until 4).foreach(i => CdcFeed.writeBatch(dir, i,
+        events(2).map(e => e.copy(seq = i * 10L + e.seq))))
+      dir
+    }
+    val want = catBytes(feed("crash-ref")) // the byte truth, from any copy
+
+    // crash point A: .ready journal written (fully — its rename is
+    // atomic), inputs NOT yet retired, base NOT yet published
+    val a = feed("crash-a")
+    val readyA = new File(a, ".compact-00002.cdc.ready")
+    val outA = new FileOutputStream(readyA)
+    try CdcFeed.listBatchFiles(a).take(3).foreach(p =>
+      outA.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    finally outA.close()
+    CdcFeed.compact(a, 3)
+    assert(CdcFeed.listBatchFiles(a).map(new File(_).getName) ==
+      Seq("batch-00002.cdc", "batch-00003.cdc") && catBytes(a) == want,
+      "a re-run must finish the journaled fold, byte-identically")
+
+    // crash point B: journal written AND some inputs already retired
+    val b = feed("crash-b")
+    val readyB = new File(b, ".compact-00002.cdc.ready")
+    val outB = new FileOutputStream(readyB)
+    try CdcFeed.listBatchFiles(b).take(3).foreach(p =>
+      outB.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    finally outB.close()
+    Seq("batch-00000.cdc", "batch-00000.cdc.idx", "batch-00001.cdc")
+      .foreach(n => new File(b, n).delete())
+    CdcFeed.compact(b, 3)
+    assert(catBytes(b) == want,
+      "recovery must not lose the retired inputs' bytes — they live in the journal")
+
+    // crash point C: interrupted mid-BUILD — a partial .building file is
+    // garbage by construction and must simply be rebuilt, never published
+    val c = feed("crash-c")
+    val partial = new FileOutputStream(new File(c, ".compact-00002.cdc.building"))
+    try partial.write("add\t0\t".getBytes(StandardCharsets.US_ASCII))
+    finally partial.close()
+    CdcFeed.compact(c, 3)
+    assert(catBytes(c) == want,
+      "a partial build must be rebuilt from the intact inputs")
+    assert(spark.read.format("graft-cdc").load(c).count() == 8,
+      "every original event must survive the rebuilt fold exactly once")
+  }
+
   test("index-based offsets survive compaction: a checkpointed consumer resumes past the base") {
     val dir = tmpDir("cpt-feed"); val cp = tmpDir("cpt-cp")
     (0 until 5).foreach(i => CdcFeed.writeBatch(dir, i,
