@@ -250,6 +250,28 @@ object ScaleProbe {
           s""""cc_rounds":$rounds}""")
       }
 
+      if (want("cc_chain")) {
+        // the star-contraction WORST CASE: a single path graph of
+        // 5000·s nodes (diameter = n, the shape min-label propagation
+        // cannot finish and the O(log² n) bound is ABOUT) — measures the
+        // round count's growth with diameter directly; near-dup corpora
+        // (bounded clusters) never produce this, which is why the
+        // dedup_clusters rows converge in 2 rounds
+        import spark.implicits._
+        graft.ops.ClusterOps.CcStats.drain()
+        val n = 5000L * s
+        val fn = () => graft.ops.ClusterOps.connectedComponentsStar(
+          spark.range(n - 1).select(col("id").as("doc_a"),
+            (col("id") + 1L).as("doc_b")),
+          "doc_a", "doc_b", localMaxEdges = 0L)
+        val times = timeBatch(spark, fn, 3)
+        val cc = graft.ops.ClusterOps.CcStats.drain()
+        val rounds = if (cc.isEmpty) -1 else cc.map(_.rounds).max
+        println(s"""{"family":"cc_chain","scale":$s,"nodes":$n,""" +
+          s""""reps":${fmt(times)},"median":${f"${times.sorted.apply(times.length / 2)}%.3f"},""" +
+          s""""cc_rounds":$rounds}""")
+      }
+
       if (want("bm25_fold")) {
         val feed = s"$base/feed_bm25_x$s"
         val n = genFeed(spark, dir, feed, 5000L * s, 1250)
