@@ -313,19 +313,31 @@ object CdcFeed {
     finishCompact(d, ready)
   }
 
-  /** Complete a journaled compaction: retire the folded inputs, then
-    * publish the merged base (with a fresh line index; any stale epoch
-    * marker of the reused slot is dropped — the base is not any single
-    * epoch's delivery). Idempotent per journal file. */
+  /** Complete a journaled compaction: carry the folded deliveries'
+    * epoch markers onto the merged base (so a re-executed epoch still
+    * no-ops after retention), retire the folded inputs, then publish the
+    * merged base with a fresh line index. Idempotent per journal file. */
   private def finishCompact(d: File, ready: File): Unit = {
     val n = ready.getName.stripPrefix(".compact-").stripSuffix(".cdc.ready").toInt
-    listIndexed(d.getAbsolutePath).filter(_._1 < n).foreach { case (_, p) =>
-      val f = new File(p)
+    val dst = new File(d, f"batch-$n%05d.cdc")
+    // union of every folded (and previously-merged) epoch, collected
+    // BEFORE any input retires — a crash after this write re-collects a
+    // subset and the union re-derives identically
+    val inputs = listIndexed(d.getAbsolutePath).filter(_._1 < n)
+      .map(p => new File(p._2)) :+ dst
+    val epochs = inputs.flatMap(epochLinesOf).distinct
+    val ef = epochFileOf(dst)
+    if (epochs.nonEmpty) {
+      val etmp = new File(d, "." + ef.getName + ".tmp")
+      val out = new OutputStreamWriter(new FileOutputStream(etmp),
+        StandardCharsets.US_ASCII)
+      try epochs.foreach(e => out.write(s"$e\n")) finally out.close()
+      require(etmp.renameTo(ef), s"graft-cdc: atomic rename failed for $ef")
+    }
+    inputs.init.foreach { f =>
       f.delete(); indexFileOf(f).delete(); epochFileOf(f).delete()
       ()
     }
-    val dst = new File(d, f"batch-$n%05d.cdc")
-    epochFileOf(dst).delete()
     publishWithIndex(ready, dst)
   }
 
@@ -391,16 +403,21 @@ object CdcFeed {
 
   /** True iff some PUBLISHED delivery (data file on disk — a stray
     * marker from a crashed publish does not count) carries this epoch's
-    * marker: the streaming sink's re-execution guard. */
+    * marker: the streaming sink's re-execution guard. A compacted base's
+    * marker carries EVERY folded epoch (one per line), so idempotency
+    * survives retention. */
   private[cdc] def epochPublished(path: String, epochId: Long): Boolean =
-    listBatchFiles(path).exists { f =>
-      val ef = epochFileOf(new File(f))
-      ef.isFile && {
-        val src = scala.io.Source.fromFile(ef, "US-ASCII")
-        try src.getLines().nextOption().contains(epochId.toString)
-        finally src.close()
-      }
+    listBatchFiles(path).exists(f => epochLinesOf(new File(f))
+      .contains(epochId.toString))
+
+  private def epochLinesOf(cdc: File): Seq[String] = {
+    val ef = epochFileOf(cdc)
+    if (!ef.isFile) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(ef, "US-ASCII")
+      try src.getLines().filter(_.nonEmpty).toVector finally src.close()
     }
+  }
 
   /** Write the sidecar: line 0 = total byte length (the staleness
     * guard), then one line-start offset per line — derived from the

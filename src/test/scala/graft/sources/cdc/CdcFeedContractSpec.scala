@@ -119,6 +119,16 @@ class CdcFeedContractSpec extends SparkSpec {
     assert(files.forall(f => CdcFeed.epochFileOf(new File(f)).isFile),
       "every streaming delivery must carry its epoch marker")
     assert(CdcFeed.epochPublished(dir, 42L) && !CdcFeed.epochPublished(dir, 44L))
+    // retention preserves idempotency: the folded deliveries' epoch
+    // markers carry onto the merged base, so a re-executed old epoch
+    // still no-ops after compaction
+    CdcFeed.compact(dir, 3)
+    assert(CdcFeed.listBatchFiles(dir).length == 1)
+    assert(Seq(41L, 42L, 43L).forall(CdcFeed.epochPublished(dir, _)) &&
+      !CdcFeed.epochPublished(dir, 44L))
+    w.commit(42L, Array(stagedCommit(dir, events(4))))
+    assert(CdcFeed.listBatchFiles(dir).length == 1,
+      "a re-executed epoch must still no-op after retention folded its delivery")
   }
 
   private def catBytes(dir: String): Seq[Byte] =
