@@ -445,7 +445,10 @@ object StreamingJobs {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val post0: DataFrame = initialPostings
+    // checkpoint the restart input ONCE: four derivations read it
+    // (postings base, dl, dft, ids) and each would otherwise re-evaluate
+    // the caller's corpus-sized plan from scratch
+    val post0: DataFrame = initialPostings.map(_.localCheckpoint())
       .getOrElse(empty(StructType(Seq(StructField("doc_id", LongType),
         StructField("term", StringType), StructField("tf", LongType)))))
     val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
@@ -877,7 +880,12 @@ object StreamingJobs {
     import graft.queries.BehaviorQueries.{UvApproxRsd, UvBoundsFloor, UvBoundsRel}
     eventsStreamRaw(spark, dir).filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"))
-      .withColumn("day", date_trunc("DAY", col("ts")))
+      // epoch-aligned day bucket — the SAME bucketing window(ts, '1 day')
+      // uses downstream (date_trunc would bucket by SESSION-TIMEZONE days
+      // and silently diverge from the window under any non-UTC session,
+      // double-counting users whose views straddle the local midnight)
+      .withColumn("day",
+        col("ts").cast("long") - pmod(col("ts").cast("long"), lit(86400L)))
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("user_id", "day")
       .groupBy(window(col("ts"), "1 day"))

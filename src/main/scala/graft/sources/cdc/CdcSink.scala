@@ -73,6 +73,7 @@ private[cdc] object CdcCommit {
     * double-ingest it. */
   def publish(path: String, messages: Array[WriterCommitMessage],
               epochId: Option[Long] = None): Option[File] = {
+    CdcFeed.recoverPendingCompactions(path) // producer self-heal
     if (epochId.exists(e => CdcFeed.epochPublished(path, e))) {
       discard(messages); sweepStaging(path); return None
     }

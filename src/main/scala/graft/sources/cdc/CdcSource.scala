@@ -148,9 +148,20 @@ private[cdc] class CdcMicroBatchStream(path: String, filesPerTrigger: Int,
       "graft-cdc paces via SupportsAdmissionControl.latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    CdcFeed.requireNoPendingCompaction(path)
     val done = start.asInstanceOf[CdcOffset].files
-    val pending = CdcFeed.listIndexed(path).filter(_._1 >= done)
-    val take = pending.take(math.max(filesPerTrigger, 1))
+    val listed = CdcFeed.listIndexed(path)
+    // a checkpoint INSIDE a compacted prefix cannot resume: the base
+    // holds the checkpointed position's deliveries merged with earlier
+    // ones, so continuing would re-ingest them as duplicates — fail
+    // loudly instead (fresh consumers, done == 0, legally read the base)
+    listed.headOption.foreach { case (minIdx, _) =>
+      require(done == 0 || done > minIdx,
+        s"graft-cdc: offset $done lies inside the compacted prefix " +
+          s"(base index $minIdx) — this checkpoint cannot resume without " +
+          "re-ingesting folded deliveries; start a fresh consumer")
+    }
+    val take = listed.filter(_._1 >= done).take(math.max(filesPerTrigger, 1))
     if (take.isEmpty) CdcOffset(done) else CdcOffset(take.last._1 + 1)
   }
 
@@ -173,8 +184,10 @@ private[cdc] class CdcMicroBatchStream(path: String, filesPerTrigger: Int,
 }
 
 private[cdc] class CdcBatch(path: String, maxSlices: Int) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    CdcFeed.requireNoPendingCompaction(path)
     CdcFeed.listBatchFiles(path).flatMap(f => CdcFeed.slicesOf(f, maxSlices)).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
 }
 
@@ -294,11 +307,7 @@ object CdcFeed {
   def compact(dir: String, upTo: Int): Unit = {
     val d = new File(dir)
     require(d.isDirectory, s"graft-cdc: no feed directory at $dir")
-    // resume an interrupted compaction first: the .ready journal only
-    // ever exists fully written (its own atomic rename)
-    Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches("""\.compact-\d+\.cdc\.ready"""))
-      .foreach(r => finishCompact(d, r))
+    recoverPendingCompactions(dir)
     val prefix = listIndexed(dir).filter(_._1 < upTo)
     if (prefix.length <= 1) return // already a single base (or empty)
     val n = prefix.last._1
@@ -311,6 +320,38 @@ object CdcFeed {
     require(building.renameTo(ready),
       s"graft-cdc: atomic rename failed for $ready")
     finishCompact(d, ready)
+  }
+
+  /** Resume any interrupted compaction — the `.ready` journal only ever
+    * exists fully written (its own atomic rename), and it holds every
+    * folded byte, so finishing is always safe. Called by [[compact]]
+    * itself AND by every PRODUCER publish path ([[writeBatch]], the
+    * sink's [[CdcCommit.publish]]): a producer crash between the
+    * journal's input retirement and the base publish would otherwise
+    * leave the folded prefix unreadable until an operator re-ran
+    * compact by hand — with this sweep the single producer self-heals on
+    * its next delivery. Readers never run it (they must not mutate the
+    * feed); they fail loudly instead ([[requireNoPendingCompaction]]). */
+  private[cdc] def recoverPendingCompactions(dir: String): Unit = {
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("""\.compact-\d+\.cdc\.ready"""))
+      .foreach(r => finishCompact(d, r))
+  }
+
+  /** Reader-side guard: a pending compaction journal means the listing
+    * may be missing the folded prefix (compaction is an OFFLINE op by
+    * contract — a live reader observing one is either mid-crash state or
+    * a contract violation, and silently serving the partial feed would
+    * look exactly like a legitimately compacted one). */
+  private[cdc] def requireNoPendingCompaction(dir: String): Unit = {
+    val pending = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.matches("""\.compact-\d+\.cdc\.ready"""))
+    require(pending.isEmpty,
+      s"graft-cdc: interrupted compaction at $dir (${pending.head.getName}) — " +
+        "the feed is missing its folded prefix; run CdcFeed.compact (or any " +
+        "producer publish) to recover before reading")
   }
 
   /** Complete a journaled compaction: carry the folded deliveries'
@@ -362,6 +403,7 @@ object CdcFeed {
   def writeBatch(dir: String, index: Int, events: Seq[CdcEvent]): File = {
     val d = new File(dir)
     if (!d.exists()) d.mkdirs()
+    recoverPendingCompactions(dir) // producer self-heal (see the method doc)
     val tmp = new File(d, f".batch-$index%05d.cdc.tmp")
     val out = new OutputStreamWriter(new FileOutputStream(tmp),
       StandardCharsets.US_ASCII)
@@ -401,14 +443,21 @@ object CdcFeed {
   private[cdc] def epochFileOf(cdc: File): File =
     new File(cdc.getParentFile, cdc.getName + ".epoch")
 
-  /** True iff some PUBLISHED delivery (data file on disk — a stray
-    * marker from a crashed publish does not count) carries this epoch's
-    * marker: the streaming sink's re-execution guard. A compacted base's
-    * marker carries EVERY folded epoch (one per line), so idempotency
-    * survives retention. */
-  private[cdc] def epochPublished(path: String, epochId: Long): Boolean =
-    listBatchFiles(path).exists(f => epochLinesOf(new File(f))
-      .contains(epochId.toString))
+  /** True iff a delivery that could legally RE-EXECUTE carries this
+    * epoch's marker — the streaming sink's re-execution guard. Spark
+    * re-executes only the LATEST uncommitted epoch, so the epoch can
+    * only be on the NEWEST published file (the normal crash window) or,
+    * if retention folded it meanwhile, in the base's merged marker (the
+    * OLDEST file — a compacted base carries every folded epoch, one per
+    * line). Checking exactly those two sidecars keeps the guard O(1) per
+    * commit instead of O(feed length) small-file reads (which would make
+    * total commit overhead quadratic in feed age). Only data files on
+    * disk count — a stray marker from a crashed publish is ignored. */
+  private[cdc] def epochPublished(path: String, epochId: Long): Boolean = {
+    val listed = listBatchFiles(path)
+    (listed.lastOption.toSeq ++ listed.headOption.toSeq).distinct
+      .exists(f => epochLinesOf(new File(f)).contains(epochId.toString))
+  }
 
   private def epochLinesOf(cdc: File): Seq[String] = {
     val ef = epochFileOf(cdc)

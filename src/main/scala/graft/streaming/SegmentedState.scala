@@ -45,17 +45,23 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
   // probe's compaction spikes before this tiering landed).
   private var levels = Vector.empty[Vector[(DataFrame, Long, Long)]] // (rows, gen, count)
   private var segmentRows = 0L
-  private var tombs: Option[DataFrame] = None // keyCols :+ _tomb_gen
+  // tombstone BATCHES (each keyCols :+ per-row _tomb_gen): a removal
+  // appends one checkpointed batch — accumulating into a single frame
+  // re-materialized per removal would grow per-batch cost linearly with
+  // takedowns-so-far, the exact term this class exists to kill; batches
+  // merge (per-row gens preserved, so masking semantics are unchanged)
+  // only when the list would widen read plans
+  private var tombs = Vector.empty[DataFrame]
   private var tombRows = 0L
   private var gen = 0L
 
   /** `df` masked by the tombstones STRICTLY NEWER than its generation. */
-  private def masked(df: DataFrame, g: Long): DataFrame = tombs match {
-    case None => df
-    case Some(t) => df.join(
-      t.filter(col("_tomb_gen") > g).select(keyCols.map(col): _*),
+  private def masked(df: DataFrame, g: Long): DataFrame =
+    if (tombs.isEmpty) df
+    else df.join(
+      tombs.reduce(_ unionByName _)
+        .filter(col("_tomb_gen") > g).select(keyCols.map(col): _*),
       keyCols, "left_anti")
-  }
 
   /** Current logical content: base + every level's segments, each masked
     * by the tombstones newer than it. Lazy — a returned view is an
@@ -115,10 +121,15 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
     gen += 1
     val k = keys.select(keyCols.map(col): _*).distinct()
       .withColumn("_tomb_gen", lit(gen)).coalesce(1).localCheckpoint()
-    if (k.count() == 0L) return // no empty masks — views stay anti-join-free
-    val t = tombs.fold(k)(_.unionByName(k).coalesce(1).localCheckpoint())
-    tombs = Some(t)
-    tombRows = t.count()
+    val n = k.count()
+    if (n == 0L) return // no empty masks — views stay anti-join-free
+    tombs :+= k
+    tombRows += n
+    if (tombs.length > SegmentedState.MaxSegments) {
+      // fold the batch list into one frame; per-row _tomb_gen survives,
+      // so which segments each tombstone masks is unchanged
+      tombs = Vector(tombs.reduce(_ unionByName _).coalesce(1).localCheckpoint())
+    }
     maybeCompact()
   }
 
@@ -135,7 +146,7 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
     baseRows = base.count()
     levels = Vector.empty
     segmentRows = 0L
-    tombs = None
+    tombs = Vector.empty
     tombRows = 0L
     gen = 0L
   }

@@ -73,7 +73,7 @@ class SegmentedStateSpec extends SparkSpec {
         victims.foreach(reference.remove)
         st.remove(victims.toDF("doc_id"))
       }
-      // 24 appends at MaxSegments=16 forces at least one geometric pass
+      // 24 appends at MaxSegments=8 forces promotions and geometric passes
       assert(rows(st.view) == reference.toSet.map((kv: (Long, String)) => kv),
         s"after batch $i the view must equal the reference fold")
     }

@@ -118,7 +118,10 @@ class CdcFeedContractSpec extends SparkSpec {
       "the delivery must exist once, with no rows double-published")
     assert(files.forall(f => CdcFeed.epochFileOf(new File(f)).isFile),
       "every streaming delivery must carry its epoch marker")
-    assert(CdcFeed.epochPublished(dir, 42L) && !CdcFeed.epochPublished(dir, 44L))
+    // the guard is O(1) on purpose: only the LATEST published epoch can
+    // legally re-execute (Spark re-runs only the last uncommitted epoch),
+    // so it reads the newest file's marker (plus the base's merged one)
+    assert(CdcFeed.epochPublished(dir, 43L) && !CdcFeed.epochPublished(dir, 44L))
     // retention preserves idempotency: the folded deliveries' epoch
     // markers carry onto the merged base, so a re-executed old epoch
     // still no-ops after compaction
@@ -206,6 +209,54 @@ class CdcFeedContractSpec extends SparkSpec {
       "a partial build must be rebuilt from the intact inputs")
     assert(spark.read.format("graft-cdc").load(c).count() == 8,
       "every original event must survive the rebuilt fold exactly once")
+  }
+
+  test("readers fail loudly on a pending compaction journal; producers self-heal") {
+    val dir = tmpDir("guard")
+    (0 until 3).foreach(i => CdcFeed.writeBatch(dir, i,
+      events(2).map(e => e.copy(seq = i * 10L + e.seq))))
+    // a compaction died after journaling: the listing may be missing the
+    // folded prefix — indistinguishable from a legit compacted feed, so
+    // reading must FAIL, not silently serve a partial history
+    val ready = new File(dir, ".compact-00001.cdc.ready")
+    val out = new FileOutputStream(ready)
+    try CdcFeed.listBatchFiles(dir).take(2).foreach(p =>
+      out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    finally out.close()
+    val ex = intercept[Exception] {
+      spark.read.format("graft-cdc").load(dir).count()
+    }
+    assert(ex.getMessage != null)
+    // any producer publish self-heals the journal, after which reads work
+    CdcFeed.writeBatch(dir, 3, events(1).map(e => e.copy(seq = 99L)))
+    assert(!ready.exists(), "the producer publish must resume the journal")
+    assert(spark.read.format("graft-cdc").load(dir).count() == 7)
+  }
+
+  test("a checkpoint inside the compacted prefix fails loudly instead of re-ingesting") {
+    val dir = tmpDir("inprefix"); val cp = tmpDir("inprefix-cp")
+    (0 until 3).foreach(i => CdcFeed.writeBatch(dir, i,
+      events(2).map(e => e.copy(seq = i * 10L + e.seq))))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).option("filesPerTrigger", "1").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // offset now 3
+    CdcFeed.writeBatch(dir, 3, events(1).map(e => e.copy(seq = 90L)))
+    CdcFeed.writeBatch(dir, 4, events(1).map(e => e.copy(seq = 91L)))
+    CdcFeed.compact(dir, 5) // base index 4 — offset 3 is INSIDE the fold
+    val ex = intercept[Exception] { run() }
+    // the guard's message survives Spark's streaming-exception wrapping
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("compacted prefix")),
+      s"expected the in-prefix guard, got: ${messages(ex)}")
   }
 
   test("index-based offsets survive compaction: a checkpointed consumer resumes past the base") {
