@@ -45,23 +45,29 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
   // probe's compaction spikes before this tiering landed).
   private var levels = Vector.empty[Vector[(DataFrame, Long, Long)]] // (rows, gen, count)
   private var segmentRows = 0L
-  // tombstone BATCHES (each keyCols :+ per-row _tomb_gen): a removal
-  // appends one checkpointed batch — accumulating into a single frame
-  // re-materialized per removal would grow per-batch cost linearly with
-  // takedowns-so-far, the exact term this class exists to kill; batches
-  // merge (per-row gens preserved, so masking semantics are unchanged)
-  // only when the list would widen read plans
-  private var tombs = Vector.empty[DataFrame]
+  // tombstones (keyCols :+ per-row _tomb_gen) in two tiers: a compacted
+  // MAIN frame plus a short PENDING list of per-removal batches. A
+  // removal appends one checkpointed batch (O(batch)); pending folds
+  // into main only every TombPendingMax removals, so the
+  // O(accumulated-tombstones) rewrite is amortized ×TombPendingMax and
+  // cleared entirely at each base compaction — while view plans carry at
+  // most 1 + TombPendingMax tombstone branches (a one-batch-per-removal
+  // list was measured to blow up view PLANS faster than the rewrite it
+  // saved: every segment mask re-scans every batch).
+  private var tombMain: Option[DataFrame] = None
+  private var tombPending = Vector.empty[DataFrame]
   private var tombRows = 0L
   private var gen = 0L
 
   /** `df` masked by the tombstones STRICTLY NEWER than its generation. */
-  private def masked(df: DataFrame, g: Long): DataFrame =
-    if (tombs.isEmpty) df
+  private def masked(df: DataFrame, g: Long): DataFrame = {
+    val parts = tombMain.toVector ++ tombPending
+    if (parts.isEmpty) df
     else df.join(
-      tombs.reduce(_ unionByName _)
+      parts.reduce(_ unionByName _)
         .filter(col("_tomb_gen") > g).select(keyCols.map(col): _*),
       keyCols, "left_anti")
+  }
 
   /** Current logical content: base + every level's segments, each masked
     * by the tombstones newer than it. Lazy — a returned view is an
@@ -123,12 +129,14 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
       .withColumn("_tomb_gen", lit(gen)).coalesce(1).localCheckpoint()
     val n = k.count()
     if (n == 0L) return // no empty masks — views stay anti-join-free
-    tombs :+= k
+    tombPending :+= k
     tombRows += n
-    if (tombs.length > SegmentedState.MaxSegments) {
-      // fold the batch list into one frame; per-row _tomb_gen survives,
-      // so which segments each tombstone masks is unchanged
-      tombs = Vector(tombs.reduce(_ unionByName _).coalesce(1).localCheckpoint())
+    if (tombPending.length > SegmentedState.TombPendingMax) {
+      // fold pending into main; per-row _tomb_gen survives, so which
+      // segments each tombstone masks is unchanged
+      tombMain = Some((tombMain.toVector ++ tombPending)
+        .reduce(_ unionByName _).coalesce(1).localCheckpoint())
+      tombPending = Vector.empty
     }
     maybeCompact()
   }
@@ -146,7 +154,8 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
     baseRows = base.count()
     levels = Vector.empty
     segmentRows = 0L
-    tombs = Vector.empty
+    tombMain = None
+    tombPending = Vector.empty
     tombRows = 0L
     gen = 0L
   }
@@ -177,6 +186,11 @@ object SegmentedState {
   /** Partitions per delivery segment (deliveries are delivery-sized by
     * the lifecycle contract; a handful of tasks covers them). */
   val DeltaParts: Int = 4
+
+  /** Pending tombstone batches held before folding into the main frame —
+    * bounds view-plan width (≤ 1 + TombPendingMax tombstone branches)
+    * while amortizing the accumulated-tombstone rewrite. */
+  val TombPendingMax: Int = 4
 
   /** ~64k rows per partition, 1..64 partitions. */
   private[streaming] def partsFor(rows: Long): Int =
