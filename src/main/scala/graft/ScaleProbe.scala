@@ -146,12 +146,15 @@ object ScaleProbe {
     def nextSeq(): Long = { val s = seq; seq += 1; s }
     val deliveries = docs.grouped(deliverySize).toVector
     deliveries.zipWithIndex.foreach { case (d, i) =>
+      // capture the seq ONCE per event: ts is keyed to the event's own
+      // seq, not whatever the mutable counter reads after later events
       val adds = d.map { case (id, t) =>
-        CdcEvent("add", nextSeq(), id, 1000L + seq, t) }.toSeq
+        val s = nextSeq(); CdcEvent("add", s, id, 1000L + s, t) }.toSeq
       val rems =
         if (i == 0) Seq.empty
         else deliveries(i - 1).map(_._1).filter(_ % 20 == 0)
-          .map(id => CdcEvent("remove", nextSeq(), id, 1000L + seq, "")).toSeq
+          .map { id =>
+            val s = nextSeq(); CdcEvent("remove", s, id, 1000L + s, "") }.toSeq
       CdcFeed.writeBatch(feedDir, i, adds ++ rems)
     }
     done.createNewFile()

@@ -47,13 +47,13 @@ private[cdc] class CdcWriteBuilder(path: String, info: LogicalWriteInfo)
     require(s.fieldNames.toSeq == exp.fieldNames.toSeq &&
         exp.fieldNames.forall(n => s(n).dataType == exp(n).dataType),
       s"graft-cdc: write schema must be ${exp.simpleString}, got ${s.simpleString}")
-    new CdcWrite(path)
+    new CdcWrite(path, info.queryId())
   }
 }
 
-private[cdc] class CdcWrite(path: String) extends Write {
+private[cdc] class CdcWrite(path: String, queryId: String) extends Write {
   override def toBatch: BatchWrite = new CdcBatchWrite(path)
-  override def toStreaming: StreamingWrite = new CdcStreamingWrite(path)
+  override def toStreaming: StreamingWrite = new CdcStreamingWrite(path, queryId)
   override def description(): String = s"graft-cdc(`$path`)"
 }
 
@@ -65,16 +65,23 @@ private[cdc] case class CdcTaskCommit(tempPath: String, partitionId: Int,
 private[cdc] object CdcCommit {
   /** Concatenate the task temps (partition order) into the next feed
     * file and publish atomically; delete the temps and sweep the staging
-    * directory. With `epochId` set (streaming), the publish is
+    * directory. With `epochToken` set (streaming), the publish is
     * IDEMPOTENT per epoch: an epoch re-executed after a driver failure
     * between the sink publish and Spark's own commit-log write finds its
     * marker already on disk and no-ops instead of double-publishing the
     * delivery — downstream lifecycle consumers would otherwise
-    * double-ingest it. */
+    * double-ingest it. The token is `<queryId>/<epochId>` — NAMESPACED
+    * by the streaming query, because bare epoch ids collide: a producer
+    * restarted with a FRESH checkpoint restarts epochs at 0, and
+    * batch-00000 already carries marker 0, so its first deliveries would
+    * silently no-op (data loss from a supported ops action). The query
+    * id is stable across restarts of the SAME checkpoint (the legal
+    * re-execution window) and fresh for a new checkpoint or a second
+    * query, so exactly the re-executions no-op and nothing else. */
   def publish(path: String, messages: Array[WriterCommitMessage],
-              epochId: Option[Long] = None): Option[File] = {
+              epochToken: Option[String] = None): Option[File] = {
     CdcFeed.recoverPendingCompactions(path) // producer self-heal
-    if (epochId.exists(e => CdcFeed.epochPublished(path, e))) {
+    if (epochToken.exists(t => CdcFeed.epochPublished(path, t))) {
       discard(messages); sweepStaging(path); return None
     }
     val msgs = messages.collect { case m: CdcTaskCommit => m }
@@ -92,22 +99,36 @@ private[cdc] object CdcCommit {
     } finally out.close()
     val dst = new File(d, f"batch-$next%05d.cdc")
     // index (and epoch marker) first, then the atomic data publish
-    CdcFeed.publishWithIndex(tmp, dst, epochId)
+    CdcFeed.publishWithIndex(tmp, dst, epochToken)
     msgs.foreach(m => new File(m.tempPath).delete())
     sweepStaging(path)
     Some(dst)
   }
 
-  /** Clear leftover staging temps — attempts that died without commit or
+  /** Grace window before a leftover staging temp is swept: young temps
+    * may belong to a still-running speculative/zombie attempt of the
+    * NEXT epoch, and unlink-mid-write is only harmless on POSIX
+    * filesystems (dead inode); on object-store-backed or Windows
+    * filesystems the delete can fail or corrupt the attempt. Temps of
+    * the committing epoch are deleted explicitly (by temp path) before
+    * the sweep, so the sweep only ever targets orphans. */
+  private[cdc] val StagingSweepGraceMs: Long = 10L * 60 * 1000
+
+  /** Clear ORPHANED staging temps — attempts that died without commit or
     * abort (killed executor, speculative duplicate) never delete their
-    * file, so `.staging` would grow without bound. Safe to clear wholesale
-    * at this point: the feed contract is single-producer, commit runs
-    * only after every needed task committed, and a zombie writer still
-    * holding an unlinked file writes to a dead inode harmlessly. */
+    * file, so `.staging` would grow without bound. Scoped to temps older
+    * than [[StagingSweepGraceMs]]: a live attempt's temp has a recent
+    * mtime (it is being written) and is spared, so the sweep never
+    * unlinks a file another writer still holds open — the feed directory
+    * therefore needs no POSIX unlink-while-open semantics for
+    * correctness, only atomic same-directory rename (the publish path's
+    * documented requirement). */
   private def sweepStaging(path: String): Unit = {
     val st = new File(path, ".staging")
     val leftovers = st.listFiles()
-    if (leftovers != null) leftovers.foreach(_.delete())
+    val cutoff = System.currentTimeMillis() - StagingSweepGraceMs
+    if (leftovers != null)
+      leftovers.filter(_.lastModified() < cutoff).foreach(_.delete())
   }
 
   def discard(messages: Array[WriterCommitMessage]): Unit =
@@ -125,13 +146,16 @@ private[cdc] class CdcBatchWrite(path: String) extends BatchWrite {
     CdcCommit.discard(messages)
 }
 
-private[cdc] class CdcStreamingWrite(path: String) extends StreamingWrite {
+private[cdc] class CdcStreamingWrite(path: String, queryId: String)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new CdcWriterFactory(path)
   // one feed file per epoch: the epoch boundary IS the delivery boundary;
-  // the epoch marker makes a re-executed epoch a no-op (exactly-once publish)
+  // the queryId-namespaced epoch marker makes a re-executed epoch a no-op
+  // (exactly-once publish) WITHOUT colliding with a fresh-checkpoint
+  // restart or a second query whose epoch ids restart at 0
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    CdcCommit.publish(path, messages, Some(epochId)); ()
+    CdcCommit.publish(path, messages, Some(s"$queryId/$epochId")); ()
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CdcCommit.discard(messages)

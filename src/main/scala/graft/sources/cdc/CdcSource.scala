@@ -424,9 +424,9 @@ object CdcFeed {
     * data file, which every reader of them ignores and the retry of that
     * slot overwrites. */
   private[cdc] def publishWithIndex(tmp: File, dst: File,
-                                    epochId: Option[Long] = None): Unit = {
+                                    epochToken: Option[String] = None): Unit = {
     writeIndex(tmp, indexFileOf(dst))
-    epochId.foreach { e =>
+    epochToken.foreach { e =>
       val ef = epochFileOf(dst)
       val etmp = new File(ef.getParentFile, "." + ef.getName + ".tmp")
       val out = new OutputStreamWriter(new FileOutputStream(etmp),
@@ -444,7 +444,11 @@ object CdcFeed {
     new File(cdc.getParentFile, cdc.getName + ".epoch")
 
   /** True iff a delivery that could legally RE-EXECUTE carries this
-    * epoch's marker — the streaming sink's re-execution guard. Spark
+    * epoch's marker — the streaming sink's re-execution guard. The token
+    * is `<queryId>/<epochId>` (see [[CdcCommit.publish]]): namespacing
+    * by query id keeps a fresh-checkpoint restart (epoch ids restart at
+    * 0) or a second query from matching an older query's markers — a
+    * bare-id match there silently DROPPED the delivery. Spark
     * re-executes only the LATEST uncommitted epoch, so the epoch can
     * only be on the NEWEST published file (the normal crash window) or,
     * if retention folded it meanwhile, in the base's merged marker (the
@@ -453,10 +457,10 @@ object CdcFeed {
     * commit instead of O(feed length) small-file reads (which would make
     * total commit overhead quadratic in feed age). Only data files on
     * disk count — a stray marker from a crashed publish is ignored. */
-  private[cdc] def epochPublished(path: String, epochId: Long): Boolean = {
+  private[cdc] def epochPublished(path: String, epochToken: String): Boolean = {
     val listed = listBatchFiles(path)
     (listed.lastOption.toSeq ++ listed.headOption.toSeq).distinct
-      .exists(f => epochLinesOf(new File(f)).contains(epochId.toString))
+      .exists(f => epochLinesOf(new File(f)).contains(epochToken))
   }
 
   private def epochLinesOf(cdc: File): Seq[String] = {

@@ -804,7 +804,16 @@ object Detectors {
     * keeper lives in an EARLIER epoch is re-kept (one extra keeper per
     * hash per epoch, the exact loss a snapshot-keyed dedup accepts; the
     * default None keeps all-time exactness, and the trade is spec-pinned
-    * in both directions on identical feeds). */
+    * in both directions on identical feeds).
+    *
+    * State-compat note: epoch mode changes the flatMapGroupsWithState
+    * GROUP KEY to the composite `hash#epoch` string (and r13 added
+    * [[SemState]]'s `overflow` field on the sibling detector) — a
+    * streaming checkpoint written by the pre-r13 shape, or by the other
+    * epoch setting, does NOT restore (Spark state-store schema/keying
+    * mismatch). Switching modes or upgrading across r13 means a fresh
+    * checkpoint; acceptable for a new framework, recorded here so the
+    * failure is diagnosable. */
   def onlineDedup(events: Dataset[DocEvent], streaming: Boolean,
                   epochSec: Option[Long] = None): Dataset[DedupDecision] = {
     implicit val outEnc = Encoders.product[DedupDecision]
@@ -889,7 +898,13 @@ object Detectors {
     * is carried in state — at the DOCUMENTED recall price that an
     * arrival near only unappended members is wrongly kept (suppression
     * recall loss, never a wrong drop; default None = exact batch
-    * parity, the trade spec-pinned in both directions). */
+    * parity, the trade spec-pinned in both directions).
+    *
+    * State-compat note: the `overflow` field was ADDED to [[SemState]]
+    * in r13 — a streaming checkpoint written before it does not restore
+    * (state-encoder schema mismatch); upgrade means a fresh checkpoint
+    * (see [[onlineDedup]]'s matching note for the epoch-mode keying
+    * break). */
   def onlineSemDedup(events: Dataset[VecEvent], threshold: Double,
                      streaming: Boolean,
                      maxMembers: Option[Int] = None): Dataset[SemDecision] = {

@@ -102,7 +102,7 @@ class CdcFeedContractSpec extends SparkSpec {
 
   test("a re-executed streaming epoch publishes its delivery exactly once") {
     val dir = tmpDir("epoch")
-    val w = new CdcStreamingWrite(dir)
+    val w = new CdcStreamingWrite(dir, "q1")
     w.commit(41L, Array(stagedCommit(dir, events(3))))
     // driver dies AFTER the sink published but BEFORE Spark's commit log
     // recorded epoch 42 → the restarted query re-executes epoch 42
@@ -121,17 +121,44 @@ class CdcFeedContractSpec extends SparkSpec {
     // the guard is O(1) on purpose: only the LATEST published epoch can
     // legally re-execute (Spark re-runs only the last uncommitted epoch),
     // so it reads the newest file's marker (plus the base's merged one)
-    assert(CdcFeed.epochPublished(dir, 43L) && !CdcFeed.epochPublished(dir, 44L))
+    assert(CdcFeed.epochPublished(dir, "q1/43") && !CdcFeed.epochPublished(dir, "q1/44"))
     // retention preserves idempotency: the folded deliveries' epoch
     // markers carry onto the merged base, so a re-executed old epoch
     // still no-ops after compaction
     CdcFeed.compact(dir, 3)
     assert(CdcFeed.listBatchFiles(dir).length == 1)
-    assert(Seq(41L, 42L, 43L).forall(CdcFeed.epochPublished(dir, _)) &&
-      !CdcFeed.epochPublished(dir, 44L))
+    assert(Seq("q1/41", "q1/42", "q1/43").forall(CdcFeed.epochPublished(dir, _)) &&
+      !CdcFeed.epochPublished(dir, "q1/44"))
     w.commit(42L, Array(stagedCommit(dir, events(4))))
     assert(CdcFeed.listBatchFiles(dir).length == 1,
       "a re-executed epoch must still no-op after retention folded its delivery")
+  }
+
+  test("a fresh-checkpoint restart (or second query) restarting epochs at 0 " +
+      "does NOT collide with existing markers — its deliveries publish") {
+    val dir = tmpDir("epoch_ns")
+    // first producer run: epochs 0..1 under query q1
+    val w1 = new CdcStreamingWrite(dir, "q1")
+    w1.commit(0L, Array(stagedCommit(dir, events(3))))
+    w1.commit(1L, Array(stagedCommit(dir, events(2).map(e => e.copy(seq = 10 + e.seq)))))
+    assert(CdcFeed.listBatchFiles(dir).length == 2)
+    // the ops action the source side explicitly supports: restart the
+    // producer with a FRESH checkpoint (new query id, epoch ids restart
+    // at 0 — batch-00000 already carries epoch marker 0). A bare-id
+    // guard silently no-opped these deliveries: data loss.
+    val w2 = new CdcStreamingWrite(dir, "q2")
+    w2.commit(0L, Array(stagedCommit(dir, events(4).map(e => e.copy(seq = 20 + e.seq)))))
+    w2.commit(1L, Array(stagedCommit(dir, events(1).map(e => e.copy(seq = 30 + e.seq)))))
+    assert(CdcFeed.listBatchFiles(dir).length == 4,
+      "fresh-checkpoint deliveries must publish, not silently no-op on a bare epoch-id match")
+    // while the SAME query's re-executed epoch still no-ops
+    w2.commit(1L, Array(stagedCommit(dir, events(1).map(e => e.copy(seq = 30 + e.seq)))))
+    assert(CdcFeed.listBatchFiles(dir).length == 4,
+      "the same query's re-executed epoch must still no-op")
+    val seqs = spark.read.format("graft-cdc").load(dir)
+      .select("seq").as[Long].collect().toSeq.sorted
+    assert(seqs == (Seq(0L, 1L, 2L) ++ Seq(10L, 11L) ++ (20L to 23L) ++ Seq(30L)),
+      "every distinct delivery exactly once across both query incarnations")
   }
 
   private def catBytes(dir: String): Seq[Byte] =
@@ -284,22 +311,35 @@ class CdcFeedContractSpec extends SparkSpec {
       "the restarted consumer must read ONLY the new delivery — never re-read the base")
   }
 
-  test("orphaned staging temps are swept at the next successful commit") {
+  test("orphaned staging temps are swept at the next successful commit — " +
+      "but only past the grace window (a live attempt's temp is spared)") {
     val dir = tmpDir("sweep")
     val staging = new File(dir, ".staging")
     staging.mkdirs()
-    // an attempt that died without commit or abort leaves its temp behind
+    // an attempt that died without commit or abort leaves its temp behind;
+    // age it past the grace window (a real orphan's mtime stops moving)
     val orphan = new File(staging, "part-3-deadbeef.tmp")
     val out = new FileOutputStream(orphan)
     try out.write("add\t0\t0\t0\t\n".getBytes(StandardCharsets.US_ASCII))
     finally out.close()
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - CdcCommit.StagingSweepGraceMs - 60000))
+    // a STILL-RUNNING attempt (recent mtime — e.g. a speculative writer
+    // of the next epoch) must NOT be unlinked mid-write: the sweep would
+    // otherwise need POSIX unlink-while-open semantics to be harmless
+    val live = new File(staging, "part-7-cafebabe.tmp")
+    val out2 = new FileOutputStream(live)
+    try out2.write("add\t9\t9\t9\t\n".getBytes(StandardCharsets.US_ASCII))
+    finally out2.close()
     Seq(("add", 0L, 1L, 100L, "x"))
       .toDF("op", "seq", "doc_id", "sec", "text")
       .selectExpr("op", "seq", "doc_id", "timestamp_seconds(sec) AS ts", "text")
       .write.format("graft-cdc").mode("append").save(dir)
-    val left = staging.listFiles()
-    assert(left == null || left.isEmpty,
-      s"commit must sweep orphaned temps, found ${Option(left).toSeq.flatten.map(_.getName)}")
+    val left = Option(staging.listFiles()).toSeq.flatten.map(_.getName)
+    assert(!left.contains(orphan.getName),
+      s"commit must sweep aged orphaned temps, found $left")
+    assert(left.contains(live.getName),
+      "a young (possibly live) temp must survive the sweep")
     assert(CdcFeed.listBatchFiles(dir).length == 1)
   }
 }
