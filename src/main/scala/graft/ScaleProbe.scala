@@ -297,6 +297,27 @@ object ScaleProbe {
           s""""total":${f"${runs(bestIdx)._1}%.2f"},"per_delivery":${fmt(runs(bestIdx)._2)}}""")
       }
 
+      // the r14 press adjudication (VERDICT #1): the press alone — no
+      // retrievers — at 100+-delivery feeds (scale 25 → 100 deliveries
+      // of 500 docs), simple folds vs the ONE tagged SegmentedState.
+      // SCALE.md's r13 crossover extrapolation (simple fold's linear
+      // per-delivery term overtakes the segmented constant past
+      // ~delivery 100) is what these rows test directly.
+      if (want("press_fold") || want("press_fold_tagged")) {
+        val feed = s"$base/feed_cp_x$s" // same shape as corpus_pipeline
+        val n = genFeed(spark, dir, feed, 2000L * s, 500)
+        Seq(("press_fold", false), ("press_fold_tagged", true))
+          .filter(t => want(t._1)).foreach { case (nm, seg) =>
+            Bench.resetState(spark)
+            val run = timeStream { marks =>
+              StreamingJobs.runCurationPress(spark, cdcStream(spark, feed),
+                segmented = seg) { _ => marks += System.nanoTime() }
+            }
+            println(s"""{"family":"$nm","scale":$s,"deliveries":$n,""" +
+              s""""total":${f"${run._1}%.2f"},"per_delivery":${fmt(run._2)}}""")
+          }
+      }
+
       if (want("corpus_pipeline")) {
         val feed = s"$base/feed_cp_x$s"
         val n = genFeed(spark, dir, feed, 2000L * s, 500)

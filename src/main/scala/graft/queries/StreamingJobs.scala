@@ -309,7 +309,8 @@ object StreamingJobs {
       threshold: Double = 0.5,
       initialAssign: Option[DataFrame] = None,
       initialSets: Option[DataFrame] = None,
-      initialPairs: Option[DataFrame] = None)(
+      initialPairs: Option[DataFrame] = None,
+      pressStore: Option[TaggedPressStore] = None)(
       sink: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -330,14 +331,27 @@ object StreamingJobs {
     // on either endpoint). The serving folds, where one large table
     // dominates, DID win and use SegmentedState. Full numbers and the
     // adjudication in SCALE.md.
-    var sets: DataFrame = initialSets.map(_.localCheckpoint())
-      .getOrElse(graft.ops.DedupOps.setsOfShingles(
-        graft.ops.DedupOps.allShingles(empty(docSchema), "text", k)).localCheckpoint())
+    // in tagged-store mode ([[TaggedPressStore]]) the signature sets live
+    // in the store (the press seeds it from the same initial state), so
+    // the local fold variable stays untouched
+    var sets: DataFrame =
+      if (pressStore.isDefined) null
+      else initialSets.map(_.localCheckpoint())
+        .getOrElse(graft.ops.DedupOps.setsOfShingles(
+          graft.ops.DedupOps.allShingles(empty(docSchema), "text", k)).localCheckpoint())
+    def setsCur: DataFrame = pressStore.map(_.setsView).getOrElse(sets)
     var assign: DataFrame = initialAssign.map(_.localCheckpoint())
       .getOrElse(empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id"))
     var pairs: DataFrame = initialPairs.map(_.localCheckpoint())
       .getOrElse(empty(StructType(Seq(
         StructField("doc_a", LongType), StructField("doc_b", LongType)))))
+    // bloom route for the per-batch add-idempotency probe of the
+    // corpus-sized assignment (see IngestBloom): fresh docs admit
+    // without scanning it; maybes fall back to the exact probe
+    val ingBloom = new graft.streaming.IngestBloom(
+      assign.select("doc_id"), "doc_id",
+      graft.streaming.IngestBloom.DefaultExpected,
+      graft.streaming.IngestBloom.DefaultFpp)
     opsStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -367,19 +381,23 @@ object StreamingJobs {
         // runIncrementalClusters (anti-join against the ASSIGNMENT — the
         // complete ingested-id set, which the signature index is not:
         // sub-shingle-width docs never enter it), plus pair-list accretion
-        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
-          .dropDuplicates("doc_id")
-          .join(assign.select("doc_id"), Seq("doc_id"), "left_anti")
+        val d = ingBloom.admitFresh(
+            bAll.filter(col("op") === "add").select("doc_id", "text")
+              .dropDuplicates("doc_id"),
+            assign.select("doc_id"))
           .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
         val dd = graft.ops.DedupOps.minhashPairsOfSets(
           dSets, nPerms, rowsPerBand, threshold)
         val db = graft.ops.DedupOps.crossNearPairsOfSets(
-          sets, dSets, nPerms, rowsPerBand, threshold)
+          setsCur, dSets, nPerms, rowsPerBand, threshold)
         assign = graft.ops.ClusterOps.incrementalClusters(
           assign, d.select("doc_id"), dd, db).localCheckpoint()
-        sets = sets.union(dSets).localCheckpoint()
+        pressStore match {
+          case Some(stq) => stq.queueSetsAppend(dSets)
+          case None => sets = sets.union(dSets).localCheckpoint()
+        }
         pairs = pairs
           .union(dd.select("doc_a", "doc_b"))
           .union(db.selectExpr("doc_id AS doc_a", "base_id AS doc_b"))
@@ -390,14 +408,24 @@ object StreamingJobs {
         if (!rem.isEmpty) {
           assign = graft.ops.ClusterOps.removeFromClusters(
             assign, pairs, "doc_a", "doc_b", rem).localCheckpoint()
-          sets = sets.join(rem, Seq("doc_id"), "left_anti").localCheckpoint()
+          // takedown batches are bounded by contract: broadcast them
+          // into the corpus-sized retirement folds (scan-only rewrites,
+          // no corpus-side exchange from the stat-less checkpoints)
+          pressStore match {
+            case Some(stq) => stq.queueSetsRemove(rem)
+            case None => sets = sets
+              .join(broadcast(rem), Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+          }
           pairs = pairs
-            .join(rem.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-            .join(rem.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+            .join(broadcast(rem.withColumnRenamed("doc_id", "doc_a")),
+              Seq("doc_a"), "left_anti")
+            .join(broadcast(rem.withColumnRenamed("doc_id", "doc_b")),
+              Seq("doc_b"), "left_anti")
             .select("doc_a", "doc_b")
             .localCheckpoint()
         }
-        sink(assign, sets, pairs, d, rem)
+        sink(assign, setsCur, pairs, d, rem)
       }
       .start()
   }
@@ -456,8 +484,16 @@ object StreamingJobs {
       post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
     var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
-    val ids = new graft.streaming.SegmentedState(
-      initialIds.getOrElse(post0.select("doc_id").distinct()), Seq("doc_id"))
+    val ids0 = initialIds.getOrElse(post0.select("doc_id").distinct())
+      .localCheckpoint()
+    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"))
+    // the r14 fix for the stated per-batch O(corpus) add-idempotency
+    // term: fresh keys admit without probing the maintained id set at
+    // all; only bloom-maybes (re-deliveries, remove-then-re-add, fpp
+    // noise) pay one broadcast-probe scan of it
+    val idsBloom = new graft.streaming.IngestBloom(ids0, "doc_id",
+      graft.streaming.IngestBloom.DefaultExpected,
+      graft.streaming.IngestBloom.DefaultFpp)
     val writer = opsStream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer
@@ -478,24 +514,29 @@ object StreamingJobs {
           bRaw.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn", "seq")
         } else bRaw
-        // ADDS: idempotent via the ingested-id set
-        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
+        // ADDS: idempotent via the bloom-routed ingested-id set (see
+        // IngestBloom: fresh keys skip the corpus-sized membership probe)
+        val cand = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-          .join(ids.view, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+        val d = idsBloom.admitFresh(cand, ids.view).localCheckpoint()
         val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
         postings.append(dPost)
         dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
         dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
           .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
         ids.append(d.select("doc_id"))
-        // REMOVES: doc-keyed retirement + the df down-fold from the store
+        // REMOVES: doc-keyed retirement + the df down-fold from the
+        // store — the takedown batch is bounded by contract, so it
+        // BROADCASTS into the probe of the stored postings (scan-only;
+        // without the hint the stat-less checkpointed store plans a
+        // corpus-side shuffle write before AQE can rescue the join)
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.view.join(rem, Seq("doc_id"), "left_semi")
+          val dfRem = postings.view
+            .join(broadcast(rem), Seq("doc_id"), "left_semi")
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
-          dft = dft.join(dfRem, Seq("term"), "left")
+          dft = dft.join(broadcast(dfRem), Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
             .filter(col("df") > 0).localCheckpoint()
           postings.remove(rem)
@@ -544,8 +585,11 @@ object StreamingJobs {
       post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
     var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
-    val ids = new graft.streaming.SegmentedState(
-      post0.select("doc_id").distinct(), Seq("doc_id"))
+    val ids0 = post0.select("doc_id").distinct().localCheckpoint()
+    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"))
+    val idsBloom = new graft.streaming.IngestBloom(ids0, "doc_id",
+      graft.streaming.IngestBloom.DefaultExpected,
+      graft.streaming.IngestBloom.DefaultFpp)
     val store = new graft.streaming.SegmentedState(
       graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
@@ -569,11 +613,11 @@ object StreamingJobs {
           bRaw.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn", "seq")
         } else bRaw
-        // ADDS: lexical fold + the delivery-sized embed+encode
-        val d = bAll.filter(col("op") === "add").select("doc_id", "text")
+        // ADDS: lexical fold + the delivery-sized embed+encode, admitted
+        // through the bloom route (see runBm25Lifecycle)
+        val cand = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-          .join(ids.view, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+        val d = idsBloom.admitFresh(cand, ids.view).localCheckpoint()
         val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
         postings.append(dPost)
         dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
@@ -581,14 +625,17 @@ object StreamingJobs {
           .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
         ids.append(d.select("doc_id"))
         store.append(graft.ops.SimilarityOps.quantStore(
-          embSrc.join(d.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
-        // REMOVES: lexical down-fold + dense row drops
+          embSrc.join(broadcast(d.selectExpr("doc_id AS vec_id")),
+            Seq("vec_id"), "left_semi")))
+        // REMOVES: lexical down-fold + dense row drops (bounded takedown
+        // batch broadcasts into the store probe)
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.view.join(rem, Seq("doc_id"), "left_semi")
+          val dfRem = postings.view
+            .join(broadcast(rem), Seq("doc_id"), "left_semi")
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
-          dft = dft.join(dfRem, Seq("term"), "left")
+          dft = dft.join(broadcast(dfRem), Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
             .filter(col("df") > 0).localCheckpoint()
           postings.remove(rem)
@@ -642,10 +689,11 @@ object StreamingJobs {
   def runCurationPress(spark: SparkSession, opsStream: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      initial: Option[PressState] = None)(
+      initial: Option[PressState] = None,
+      segmented: Boolean = false)(
       sink: PressState => Unit): StreamingQuery =
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
-      threshold, initial)((st, _, _) => sink(st))
+      threshold, initial, segmented)((st, _, _) => sink(st))
 
   /** [[runCurationPress]] with the per-batch DELTAS handed to the sink
     * alongside the press state ([[runClusterLifecycleDelta]]'s `added` /
@@ -655,31 +703,49 @@ object StreamingJobs {
   def runCurationPressDelta(spark: SparkSession, opsStream: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      initial: Option[PressState] = None)(
+      initial: Option[PressState] = None,
+      segmented: Boolean = false)(
       sink: (PressState, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val scoresSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality", DoubleType),
+      StructField("rep_pass", BooleanType)))
+    val manifestSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("cluster_id", LongType),
+      StructField("quality", DoubleType), StructField("rep_pass", BooleanType),
+      StructField("canonical", BooleanType), StructField("keep", BooleanType),
+      StructField("split", StringType)))
     var prevAssign: DataFrame = initial.map(_.assign.localCheckpoint())
       .getOrElse(empty(StructType(Seq(
         StructField("doc_id", LongType), StructField("cluster_id", LongType)))))
-    // scores/manifest keep the simple fold for the same measured reason
-    // as the lifecycle's press tables (see runClusterLifecycleDelta)
-    var scores: DataFrame = initial.map(_.scores.localCheckpoint())
-      .getOrElse(empty(StructType(Seq(
-        StructField("doc_id", LongType), StructField("quality", DoubleType),
-        StructField("rep_pass", BooleanType)))))
-    var manifest: DataFrame = initial.map(_.manifest.localCheckpoint())
-      .getOrElse(empty(StructType(Seq(
-        StructField("doc_id", LongType), StructField("cluster_id", LongType),
-        StructField("quality", DoubleType), StructField("rep_pass", BooleanType),
-        StructField("canonical", BooleanType), StructField("keep", BooleanType),
-        StructField("split", StringType)))))
+    // `segmented = false` (the shipped default, r13-measured): the press
+    // tables keep the simple fold. `segmented = true`: sets/scores/
+    // manifest live in ONE TaggedPressStore — one queued append + one
+    // tombstone batch per micro-batch (the r14 adjudication; SCALE.md
+    // press rows carry the measured comparison at 100+-delivery feeds).
+    val store: Option[TaggedPressStore] =
+      if (!segmented) None
+      else Some(new TaggedPressStore(
+        initial.map(_.sets).getOrElse(graft.ops.DedupOps.setsOfShingles(
+          graft.ops.DedupOps.allShingles(empty(docSchema), "text", k))),
+        initial.map(_.scores).getOrElse(empty(scoresSchema)),
+        initial.map(_.manifest).getOrElse(empty(manifestSchema))))
+    var scores: DataFrame =
+      if (segmented) null
+      else initial.map(_.scores.localCheckpoint()).getOrElse(empty(scoresSchema))
+    var manifest: DataFrame =
+      if (segmented) null
+      else initial.map(_.manifest.localCheckpoint()).getOrElse(empty(manifestSchema))
     runClusterLifecycleDelta(spark, opsStream, k, nPerms, rowsPerBand,
       threshold,
       initialAssign = initial.map(_.assign),
       initialSets = initial.map(_.sets),
-      initialPairs = initial.map(_.pairs)) { (assign, sets, pairs, added, removed) =>
+      initialPairs = initial.map(_.pairs),
+      pressStore = store) { (assign, sets, pairs, added, removed) =>
       // 1. frozen-model scoring of exactly this delivery; inner join =
       //    the batch trigram gate. The scorers are per-doc pure functions,
       //    so delivery scoring ≡ batch scoring doc-for-doc.
@@ -687,9 +753,21 @@ object StreamingJobs {
         .join(graft.queries.PipelineQueries.gopherRepetitionOf(added)
           .select(col("doc_id"), col("pass").as("rep_pass")), "doc_id")
         .select("doc_id", "quality", "rep_pass")
-      scores = scores.unionByName(newScores)
-        .join(removed, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      // the CURRENT score table this batch ranks over (old - removed +
+      // new); in store mode it is a lazy view + delta, queued for the
+      // single flush instead of re-checkpointed
+      val scoresCur = store match {
+        case Some(stq) =>
+          stq.queueScoresAppend(newScores)
+          stq.queueScoresRemove(removed)
+          stq.scoresView.join(broadcast(removed), Seq("doc_id"), "left_anti")
+            .unionByName(newScores)
+        case None =>
+          scores = scores.unionByName(newScores)
+            .join(broadcast(removed), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          scores
+      }
       // 2. touched clusters: every cluster (previous or current) of any
       //    doc whose assignment row changed this batch — covers adds,
       //    merges (members' cluster_id changes), and takedown splits
@@ -700,10 +778,13 @@ object StreamingJobs {
       val touched = changed.selectExpr("old_cid AS cluster_id")
         .union(changed.selectExpr("new_cid AS cluster_id"))
         .filter("cluster_id IS NOT NULL").distinct().localCheckpoint()
-      // 3. re-rank ONLY the touched clusters over the maintained scores
-      val rebuilt = assign.select("doc_id", "cluster_id")
-        .join(touched, Seq("cluster_id"), "left_semi")
-        .join(scores, "doc_id")
+      // 3. re-rank ONLY the touched clusters over the maintained scores —
+      // touched is a bounded cluster-id set and the touched MEMBERSHIP is
+      // touched-cluster-sized, so both sides of the probe broadcast: the
+      // corpus-sized assign/scores tables are scanned, never shuffled
+      val rebuilt = broadcast(assign.select("doc_id", "cluster_id")
+          .join(broadcast(touched), Seq("cluster_id"), "left_semi"))
+        .join(scoresCur, "doc_id")
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster_id"))
@@ -715,13 +796,29 @@ object StreamingJobs {
         .selectExpr("doc_id", "cluster_id", "quality", "rep_pass",
           "canonical", "keep",
           "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split")
-      manifest = manifest.join(touched, Seq("cluster_id"), "left_anti")
-        .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
-          "keep", "split")
-        .unionByName(rebuilt)
-        .localCheckpoint()
+      store match {
+        case Some(stq) =>
+          stq.queueManifestRemove(touched)
+          stq.queueManifestAppend(rebuilt)
+          // ONE tombstone batch + ONE segment append for the whole
+          // press's per-batch bookkeeping, tombstones first (same-batch
+          // retire-then-rebuild resolves by generation)
+          stq.flush()
+        case None =>
+          manifest = manifest
+            .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+            .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+              "keep", "split")
+            .unionByName(rebuilt)
+            .localCheckpoint()
+      }
       prevAssign = assign // already lineage-truncated by the lifecycle
-      sink(PressState(assign, sets, pairs, scores, manifest), added, removed)
+      val st = store match {
+        case Some(stq) =>
+          PressState(assign, stq.setsView, pairs, stq.scoresView, stq.manifestView)
+        case None => PressState(assign, sets, pairs, scores, manifest)
+      }
+      sink(st, added, removed)
     }
   }
 
@@ -751,7 +848,8 @@ object StreamingJobs {
       embeddings: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      initial: Option[PressState] = None)(
+      initial: Option[PressState] = None,
+      segmented: Boolean = false)(
       sink: (PressState, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -769,7 +867,7 @@ object StreamingJobs {
       graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
-      threshold, initial) { (press, added, removed) =>
+      threshold, initial, segmented) { (press, added, removed) =>
       // ADDS: lexical fold + delivery-sized embed+encode (the
       // runServingLifecycle algebra over the press's netted delta)
       val dPost = PipelineQueries.bm25Postings(added).localCheckpoint()
@@ -778,12 +876,15 @@ object StreamingJobs {
       dft = dft.union(dPost.groupBy("term").agg(count(lit(1)).cast("long").as("df")))
         .groupBy("term").agg(sum(col("df")).as("df")).localCheckpoint()
       store.append(graft.ops.SimilarityOps.quantStore(
-        embSrc.join(added.selectExpr("doc_id AS vec_id"), Seq("vec_id"), "left_semi")))
+        embSrc.join(broadcast(added.selectExpr("doc_id AS vec_id")),
+          Seq("vec_id"), "left_semi")))
       // REMOVES: lexical down-fold from the store + dense row drops
+      // (bounded takedown batch broadcasts into the store probe)
       if (!removed.isEmpty) {
-        val dfRem = postings.view.join(removed, Seq("doc_id"), "left_semi")
+        val dfRem = postings.view
+          .join(broadcast(removed), Seq("doc_id"), "left_semi")
           .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
-        dft = dft.join(dfRem, Seq("term"), "left")
+        dft = dft.join(broadcast(dfRem), Seq("term"), "left")
           .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
           .filter(col("df") > 0).localCheckpoint()
         postings.remove(removed)
@@ -798,6 +899,98 @@ object StreamingJobs {
     * the lifecycle triple plus the press's score table and manifest. */
   case class PressState(assign: DataFrame, sets: DataFrame, pairs: DataFrame,
                         scores: DataFrame, manifest: DataFrame)
+
+  /** ONE tagged [[graft.streaming.SegmentedState]] holding the press's
+    * three add/remove-maintained tables (signature sets / scores /
+    * manifest) under a `tbl` discriminator, keyed (tbl, k) with k the
+    * table's natural retirement key (doc_id for sets/scores, cluster_id
+    * for the manifest — a touched cluster retires ALL its rows with one
+    * tombstone key).
+    *
+    * Why one store instead of three: the r13 probe measured the
+    * per-table segmented form SLOWER than the simple union+re-checkpoint
+    * folds (SCALE.md: 246 → 298 s at the 10× pipeline feed) because the
+    * press maintains MANY SMALL tables and the segmented bookkeeping —
+    * per-table segment checkpoint + tombstone fold + count, tens of
+    * small Spark jobs per micro-batch — dominates what segmentation
+    * saves. Tagging collapses that to ONE queued append and ONE queued
+    * tombstone batch per micro-batch regardless of table count
+    * ([[flush]]), keeping the LSM economics (O(delta) per-batch state
+    * writes, geometric compaction) at a single table's bookkeeping
+    * price. The cost moved TO the read side: each table's view scans
+    * the mixed store (sets' signature arrays dominate its width), which
+    * is why this shape is a measured adjudication, not a default —
+    * see SCALE.md's r14 press rows.
+    *
+    * Mutations QUEUE (lazy, delivery-sized frames) and fold at
+    * [[flush]], tombstones before appends, so a remove-then-re-add
+    * within one batch resolves by generation exactly like the direct
+    * SegmentedState contract. Views read the CURRENT store — pre-flush
+    * reads see the previous batch's state, the snapshot the press's
+    * fold algebra expects. */
+  private[queries] final class TaggedPressStore(sets0: DataFrame,
+      scores0: DataFrame, manifest0: DataFrame) {
+    import TaggedPressStore._
+
+    private val st = new graft.streaming.SegmentedState(
+      tagSets(sets0).unionByName(tagScores(scores0))
+        .unionByName(tagManifest(manifest0)),
+      Seq("tbl", "k"))
+
+    private var pendApp = Vector.empty[DataFrame]
+    private var pendRem = Vector.empty[DataFrame]
+
+    def setsView: DataFrame = st.view.filter(col("tbl") === "sets")
+      .select("doc_id", "hs", "n_sh")
+    def scoresView: DataFrame = st.view.filter(col("tbl") === "scores")
+      .select("doc_id", "quality", "rep_pass")
+    def manifestView: DataFrame = st.view.filter(col("tbl") === "manifest")
+      .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
+        "keep", "split")
+
+    def queueSetsAppend(dSets: DataFrame): Unit = pendApp :+= tagSets(dSets)
+    def queueScoresAppend(dScores: DataFrame): Unit =
+      pendApp :+= tagScores(dScores)
+    def queueManifestAppend(dMan: DataFrame): Unit =
+      pendApp :+= tagManifest(dMan)
+    def queueSetsRemove(ids: DataFrame): Unit =
+      pendRem :+= keyOf("sets", ids, "doc_id")
+    def queueScoresRemove(ids: DataFrame): Unit =
+      pendRem :+= keyOf("scores", ids, "doc_id")
+    def queueManifestRemove(clusterIds: DataFrame): Unit =
+      pendRem :+= keyOf("manifest", clusterIds, "cluster_id")
+
+    /** Fold every queued mutation: ONE tombstone batch, then ONE segment
+      * append — the whole press's per-batch state bookkeeping. */
+    def flush(): Unit = {
+      if (pendRem.nonEmpty) {
+        st.remove(pendRem.reduce(_ unionByName _)); pendRem = Vector.empty
+      }
+      if (pendApp.nonEmpty) {
+        st.append(pendApp.reduce(_ unionByName _)); pendApp = Vector.empty
+      }
+    }
+  }
+
+  private[queries] object TaggedPressStore {
+    private def tagSets(df: DataFrame): DataFrame = df.selectExpr(
+      "'sets' AS tbl", "doc_id AS k", "doc_id", "hs", "n_sh",
+      "CAST(NULL AS BIGINT) AS cluster_id", "CAST(NULL AS DOUBLE) AS quality",
+      "CAST(NULL AS BOOLEAN) AS rep_pass", "CAST(NULL AS BOOLEAN) AS canonical",
+      "CAST(NULL AS BOOLEAN) AS keep", "CAST(NULL AS STRING) AS split")
+    private def tagScores(df: DataFrame): DataFrame = df.selectExpr(
+      "'scores' AS tbl", "doc_id AS k", "doc_id",
+      "CAST(NULL AS ARRAY<BIGINT>) AS hs", "CAST(NULL AS BIGINT) AS n_sh",
+      "CAST(NULL AS BIGINT) AS cluster_id", "quality", "rep_pass",
+      "CAST(NULL AS BOOLEAN) AS canonical", "CAST(NULL AS BOOLEAN) AS keep",
+      "CAST(NULL AS STRING) AS split")
+    private def tagManifest(df: DataFrame): DataFrame = df.selectExpr(
+      "'manifest' AS tbl", "cluster_id AS k", "doc_id",
+      "CAST(NULL AS ARRAY<BIGINT>) AS hs", "CAST(NULL AS BIGINT) AS n_sh",
+      "cluster_id", "quality", "rep_pass", "canonical", "keep", "split")
+    private def keyOf(tbl: String, ids: DataFrame, c: String): DataFrame =
+      ids.selectExpr(s"'$tbl' AS tbl", s"$c AS k")
+  }
 
   /** events.parquet as a streaming source (ts: TimestampType, watermarked). */
   def eventsStream(spark: SparkSession, dir: String, watermark: String = "1 hour"): DataFrame =

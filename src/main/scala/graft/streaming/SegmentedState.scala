@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /**
  * LSM-style maintained table for streaming lifecycle folds — the fix for
@@ -59,14 +59,27 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
   private var tombRows = 0L
   private var gen = 0L
 
-  /** `df` masked by the tombstones STRICTLY NEWER than its generation. */
+  /** `df` masked by the tombstones STRICTLY NEWER than its generation.
+    * The tombstone side carries an explicit broadcast hint while the
+    * accumulated set is bounded ([[SegmentedState.BroadcastTombMax]]):
+    * checkpointed frames have no size stats, so without the hint the
+    * anti-join plans as a sort-merge that SHUFFLES the corpus-sized
+    * masked side on every view scan (AQE can re-plan the join at
+    * runtime, but the masked side's shuffle WRITE has already been
+    * scheduled) — with it, a view scan is scan + broadcast probe, no
+    * exchange. Removals are takedown-sized by the lifecycle contract,
+    * so the cap only disengages on takedown-everything feeds, where the
+    * shuffle is the right plan anyway. */
   private def masked(df: DataFrame, g: Long): DataFrame = {
     val parts = tombMain.toVector ++ tombPending
     if (parts.isEmpty) df
-    else df.join(
-      parts.reduce(_ unionByName _)
-        .filter(col("_tomb_gen") > g).select(keyCols.map(col): _*),
-      keyCols, "left_anti")
+    else {
+      val t = parts.reduce(_ unionByName _)
+        .filter(col("_tomb_gen") > g).select(keyCols.map(col): _*)
+      df.join(
+        if (tombRows <= SegmentedState.BroadcastTombMax) broadcast(t) else t,
+        keyCols, "left_anti")
+    }
   }
 
   /** Current logical content: base + every level's segments, each masked
@@ -191,6 +204,11 @@ object SegmentedState {
     * bounds view-plan width (≤ 1 + TombPendingMax tombstone branches)
     * while amortizing the accumulated-tombstone rewrite. */
   val TombPendingMax: Int = 4
+
+  /** Accumulated-tombstone row cap below which the mask's anti-join
+    * broadcasts the tombstone side (≤ ~24 MB of keys — executor-safe);
+    * past it the join falls back to the exchange plan. */
+  val BroadcastTombMax: Long = 1L << 20
 
   /** ~64k rows per partition, 1..64 partitions. */
   private[streaming] def partsFor(rows: Long): Int =

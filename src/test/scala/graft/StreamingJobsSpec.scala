@@ -518,13 +518,14 @@ class StreamingJobsSpec extends SparkSpec {
       }
   }
 
-  test("streaming curation press converges to the batch manifest, through a takedown") {
+  private def pressConvergenceScenario(segmented: Boolean, streamId: Int): Unit = {
     // the composed "ship to training continuously" maintainer: deliveries
     // and takedowns on one CDC feed; after every batch the press's
     // manifest must equal batch corpus_manifest over exactly the
     // SURVIVING corpus — canonical promotion, keep bits, and splits
     // included. Checked at an intermediate point AND at the end, so the
-    // convergence is maintained, not merely terminal.
+    // convergence is maintained, not merely terminal. Runs identically
+    // in both press-table modes (simple folds / one TaggedPressStore).
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").as[(Long, String)].collect()
     val chunks = docs.grouped(math.max(docs.length / 3, 1)).toSeq
@@ -532,11 +533,12 @@ class StreamingJobsSpec extends SparkSpec {
     val takedown2 = chunks(1).map(_._1).filter(_ % 7 == 0) ++
       chunks(2).map(_._1).filter(_ % 9 == 0)
     val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, String)](66, spark, None)
+      .MemoryStream[(Long, String, String)](streamId, spark, None)
     type ManRow = (Long, Long, Double, Boolean, Boolean, Boolean, String)
     @volatile var last: Array[ManRow] = Array.empty
     val q = StreamingJobs.runCurationPress(
-        spark, in.toDS().toDF("doc_id", "text", "op")) { st =>
+        spark, in.toDS().toDF("doc_id", "text", "op"),
+        segmented = segmented) { st =>
       last = st.manifest.select("doc_id", "cluster_id", "quality", "rep_pass",
         "canonical", "keep", "split")
         .as[(Long, Long, Double, Boolean, Boolean, Boolean, String)].collect()
@@ -576,6 +578,14 @@ class StreamingJobsSpec extends SparkSpec {
         assert(keep == (qv >= 0.5 && rep && canon), s"doc $id keep bit")
       }
     } finally q.stop()
+  }
+
+  test("streaming curation press converges to the batch manifest, through a takedown") {
+    pressConvergenceScenario(segmented = false, streamId = 66)
+  }
+
+  test("segmented (tagged single-store) press converges identically") {
+    pressConvergenceScenario(segmented = true, streamId = 77)
   }
 
   test("curation press survives a stop/restart through persisted state, then a takedown") {
