@@ -64,6 +64,26 @@ object PlanCheck {
     println(defPlan.linesIterator.take(6).mkString("\n"))
     println("OK: no Window/per-group global sort in default percentile plan")
 
+    // the forward-store probe must PRUNE at plan time: a bounded takedown
+    // batch's bucket set becomes PartitionFilters on the store's _kb
+    // partition column (directories never listed into the scan), with the
+    // id In-filter pushed into the surviving files — the PushedFilters
+    // discipline applied to persisted state (r13 verdict item #4)
+    println("\n========== bm25_downfold_probe (partition-pruned store probe) ==========")
+    val dfPlan = SparkEntry.queries("bm25_downfold_probe")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // literal In lists print as INSET once past the In→InSet threshold
+    require(dfPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("_kb") &&
+          (l.contains("INSET") || l.contains(" IN "))),
+      "forward-store probe must carry a non-empty _kb partition filter")
+    require(dfPlan.linesIterator.exists(l =>
+        l.contains("doc_id") &&
+          (l.contains("PushedFilters: [In(doc_id") ||
+            l.contains("DataFilters: [doc_id") && l.contains("INSET"))),
+      "forward-store probe must push the id In-filter into the parquet scan")
+    println("OK: PartitionFilters[_kb INSET ...] + pushed In(doc_id ...) present")
+
     // PQ encode must be a narrow pass: the codebook is plan literals, so
     // assigning codes to the whole corpus cannot justify any exchange
     println("\n========== pq_codes (encode must not shuffle) ==========")

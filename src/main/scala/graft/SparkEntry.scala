@@ -201,6 +201,10 @@ object SparkEntry {
     // takedown folded OUT of the persisted full index (df down-fold,
     // no re-tokenize): the removal half of the lexical serving lifecycle
     "bm25_topk_takedown" -> ((s, d) => PipelineQueries.bm25TopKTakedown(s, d)),
+    // the removal half's STORE PROBE: the df down-fold of a bounded
+    // takedown batch read from the partition-bucketed forward index with
+    // plan-time pruning (PartitionFilters on _kb — PlanCheck asserts it)
+    "bm25_downfold_probe" -> ((s, d) => PipelineQueries.bm25DownfoldProbe(s, d)),
     "hybrid_rrf"        -> ((s, d) => PipelineQueries.hybridRrf(s, d)),
     "hybrid_rrf_persist" -> ((s, d) => PipelineQueries.hybridRrfPersist(s, d)),
     // the right-to-be-forgotten check: a takedown flows through BOTH

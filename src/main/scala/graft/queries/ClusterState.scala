@@ -335,6 +335,43 @@ object IndexState {
       p
     }
 
+  /** Key-hash bucket count for the partitioned FORWARD index
+    * ([[bm25ForwardPaths]]): a deploy knob sized so one bucket holds a
+    * point-lookup-friendly slice (here ~1k postings rows at sf0.1; a
+    * plant sizes buckets ∝ corpus so the pruned probe cost stays
+    * delivery-proportional as the corpus grows). */
+  val ForwardBuckets: Int = 256
+
+  /** Absolute parquet path of the full corpus' FORWARD index — the
+    * doc-keyed postings table written PARTITIONED by a stable key-hash
+    * bucket (`_kb = pmod(hash(doc_id), ForwardBuckets)`), the store a
+    * real engine point-reads for deletes: a takedown-sized probe filters
+    * on its ids' buckets and the scan PRUNES to those partition
+    * directories at PLAN time (`PartitionFilters` in the plan — the
+    * PushedFilters discipline applied to the store, r13 verdict item
+    * #4). The inverted consumers ([[bm25FullPaths]]) keep their own
+    * layout; this is the removal side's access path. One file per
+    * bucket: the writer repartitions by `_kb` before partitionBy, so
+    * the file count is `buckets`, not `buckets × tasks`. */
+  def bm25ForwardPaths(spark: SparkSession, dir: String,
+                       buckets: Int = ForwardBuckets): String = synchronized {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val root = ClusterState.stateRoot(dir)
+    val p = new File(root, s"bm25_forward_b$buckets").getAbsolutePath
+    val done = new File(root, s"_DONE_bm25_fwd_b$buckets")
+    if (!ready.contains(done.getAbsolutePath)) {
+      if (!done.exists()) {
+        PipelineQueries.bm25Postings(Tables.documents(spark, dir))
+          .withColumn("_kb", pmod(hash(col("doc_id")), lit(buckets)))
+          .repartition(col("_kb"))
+          .write.mode("overwrite").partitionBy("_kb").parquet(p)
+        done.createNewFile()
+      }
+      ready += done.getAbsolutePath
+    }
+    p
+  }
+
   /** Absolute parquet path of the TRAIN split's distinct shingle-hash
     * set — the decontamination index
     * [[PipelineQueries.contaminationPersist]] probes (the eval suite is

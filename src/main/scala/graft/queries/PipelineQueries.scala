@@ -2020,6 +2020,37 @@ object PipelineQueries {
     bm25Rank(tfq, dl, dft, stats, nQ, kTop)
   }
 
+  /** The df DOWN-FOLD of a bounded takedown batch, read from the
+    * PERSISTED partition-bucketed forward index
+    * ([[IndexState.bm25ForwardPaths]]) with PLAN-TIME pruning — the
+    * store-probe shape of the removal half at 100 TB: a takedown batch
+    * is delivery-sized, so its key-hash buckets name a small fraction
+    * of the store's partition directories, and the scan reads ONLY
+    * those (`PartitionFilters` on `_kb`, plus `PushedFilters` In on
+    * doc_id inside them — both literal, both derived from the bounded
+    * batch via a witness collect of ≤ |takedown| ids). Converges
+    * bit-exactly to tokenizing the removal batch from scratch
+    * (determinism of [[bm25Postings]]) — the oracle tokenizes. The
+    * takedown batch here is the Bm25TakedownMod residue RESTRICTED to a
+    * fixed id window, so it stays the same bounded batch at every SF
+    * (the lifecycle contract's takedown size class); the unbounded
+    * residue class belongs to [[bm25TopKTakedown]], whose whole-corpus
+    * semantics a pruned probe deliberately does not serve. */
+  def bm25DownfoldProbe(spark: SparkSession, dir: String): DataFrame = {
+    val fwdP = IndexState.bm25ForwardPaths(spark, dir)
+    val td = Bm25TakedownMod
+    val ids = Tables.documents(spark, dir)
+      .filter(expr(s"doc_id % $td = 0 AND doc_id < 340"))
+      .select("doc_id")
+    val idVals = ids.collect().map(_.getLong(0)).sorted.toSeq
+    val buckets = ids
+      .select(pmod(hash(col("doc_id")), lit(IndexState.ForwardBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    spark.read.parquet(fwdP)
+      .filter(col("_kb").isin(buckets: _*) && col("doc_id").isin(idVals: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
+  }
+
   /** BM25 retrieval over a PERSISTED inverted index folded with a
     * delivery — the production shape of a lexical engine ([[bm25TopK]]
     * proves the ranking; this row prices it): the base split's postings,
@@ -3677,6 +3708,16 @@ object PipelineOracles {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
        |WHERE rn <= 5""".stripMargin
 
+  /** [[PipelineQueries.bm25DownfoldProbe]] restatement: per term, the
+    * count of bounded-takedown-batch docs containing it — the pruned
+    * forward-store probe must equal a from-scratch tokenize of exactly
+    * the removal batch. */
+  val bm25DownfoldProbe: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+       |             FROM documents WHERE doc_id % ${PipelineQueries.Bm25TakedownMod} = 0 AND doc_id < 340),
+       |tfq AS (SELECT doc_id, term FROM tok GROUP BY 1, 2)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tfq GROUP BY 1""".stripMargin
+
   /** [[PipelineQueries.hybridRrf]] restatement: the shared BM25 chain
     * ranked over non-self candidates, the embed_topk cosine chain at
     * k=20, full-outer fusion with the identical integer
@@ -5245,6 +5286,9 @@ object PipelineOracles {
     // takedown folded OUT of the persisted index must equal a
     // from-scratch index of the survivors
     "bm25_topk_takedown" -> bm25TopKTakedown,
+    // the partition-pruned forward-store probe must equal tokenizing
+    // the bounded removal batch from scratch
+    "bm25_downfold_probe" -> bm25DownfoldProbe,
     // the takedown through the whole serving stack: both retrievers
     // restricted to survivors
     "hybrid_rrf_takedown" -> hybridRrfTakedown,
