@@ -176,15 +176,45 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
   private def maybeCompact(): Unit =
     if ((segmentRows + tombRows) >= baseRows) compact()
 
-  /** Compact, then persist the base to `path` (parquet, overwrite) —
-    * the natural persistence boundary: after a compaction the base IS
-    * the full logical content, so the written table is exactly what a
-    * restarted maintainer boots from ([[SegmentedState.fromParquet]]),
-    * replacing the collect-and-rebootstrap frames the lifecycle restart
-    * contract otherwise needs. Returns `path`. */
+  /** Compact, then persist the base under `path` — the natural
+    * persistence boundary: after a compaction the base IS the full
+    * logical content, so the written table is exactly what a restarted
+    * maintainer boots from ([[SegmentedState.fromParquet]]), replacing
+    * the collect-and-rebootstrap frames the lifecycle restart contract
+    * otherwise needs.
+    *
+    * CRASH-SAFE in the CdcFeed journal style (every interruption point
+    * leaves a readable state): the new base writes into a FRESH
+    * versioned directory (`base-<n+1>`), and only a complete write
+    * publishes by atomically renaming the `CURRENT` pointer file onto
+    * the new version — a crash mid-write leaves `CURRENT` at the
+    * previous complete base (the half-written directory is inert and
+    * overwritten by the next attempt, which re-derives the same
+    * version number); a crash between publish and sweep leaves both
+    * versions on disk with `CURRENT` already at the new one, and the
+    * superseded directory retires on the next compactTo. Requires
+    * atomic same-directory rename (POSIX / HDFS-style semantics —
+    * the same assumption as the CDC feed's publishes). Returns `path`. */
   def compactTo(path: String): String = {
     compact()
-    base.write.mode("overwrite").parquet(path)
+    val d = new java.io.File(path)
+    if (!d.isDirectory) d.mkdirs()
+    val next = SegmentedState.currentVersion(path) + 1
+    val dataDir = new java.io.File(d, f"base-$next%06d")
+    base.write.mode("overwrite").parquet(dataDir.getAbsolutePath)
+    val tmp = new java.io.File(d, ".CURRENT.tmp")
+    val out = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    try out.write(f"base-$next%06d\n") finally out.close()
+    val cur = new java.io.File(d, "CURRENT")
+    require(tmp.renameTo(cur) || { cur.delete(); tmp.renameTo(cur) },
+      s"graft: atomic publish failed for $cur")
+    // retire superseded versions (safe: CURRENT already points past them)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("base-") &&
+        f.getName != f"base-$next%06d")
+      .foreach(old => SegmentedState.deleteRecursively(old))
     path
   }
 }
@@ -214,12 +244,42 @@ object SegmentedState {
   private[streaming] def partsFor(rows: Long): Int =
     math.max(1, math.min(64, ((math.max(rows, 1L) - 1L) / 65536L).toInt + 1))
 
-  /** Restart from a base persisted by [[SegmentedState#compactTo]]. The
-    * read rides [[graft.ops.Parallelism.ensureMin]] — a persisted base
-    * lands as few files, and an exchange-free consumer would otherwise
-    * serialize on one task (the one-split-scan trap). */
+  /** The version number `CURRENT` points at, or 0 when nothing has been
+    * published (fresh root, or a root where only data writes — never a
+    * publish — happened). A stray `.CURRENT.tmp` from a crashed publish
+    * is ignored: only the atomically-renamed pointer counts. */
+  private[graft] def currentVersion(path: String): Int = {
+    val cur = new java.io.File(path, "CURRENT")
+    if (!cur.isFile) 0
+    else {
+      val src = scala.io.Source.fromFile(cur, "US-ASCII")
+      try src.getLines().find(_.nonEmpty)
+        .map(_.trim.stripPrefix("base-").toInt).getOrElse(0)
+      finally src.close()
+    }
+  }
+
+  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Restart from a base persisted by [[SegmentedState#compactTo]]:
+    * reads the version `CURRENT` points at — by construction a COMPLETE
+    * write, whatever the producer was doing when it died (half-written
+    * newer versions are inert until their publish). A root with no
+    * `CURRENT` falls back to reading `path` directly, the pre-versioned
+    * layout. The read rides [[graft.ops.Parallelism.ensureMin]] — a
+    * persisted base lands as few files, and an exchange-free consumer
+    * would otherwise serialize on one task (the one-split-scan trap). */
   def fromParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-                  keyCols: Seq[String]): SegmentedState =
+                  keyCols: Seq[String]): SegmentedState = {
+    val v = currentVersion(path)
+    val dataPath =
+      if (v == 0) path
+      else new java.io.File(path, f"base-$v%06d").getAbsolutePath
     new SegmentedState(
-      graft.ops.Parallelism.ensureMin(spark.read.parquet(path)), keyCols)
+      graft.ops.Parallelism.ensureMin(spark.read.parquet(dataPath)), keyCols)
+  }
 }

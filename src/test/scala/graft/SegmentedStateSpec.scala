@@ -90,8 +90,9 @@ class SegmentedStateSpec extends SparkSpec {
     st.remove(Seq(2L).toDF("doc_id"))
     val logical = rows(st.view)
     st.compactTo(dir)
-    // a persisted base IS the full logical content
-    assert(rows(spark.read.parquet(dir)) == logical)
+    // a persisted base IS the full logical content (the published
+    // version CURRENT points at)
+    assert(rows(spark.read.parquet(s"$dir/base-000001")) == logical)
     // the restarted maintainer resumes from it and keeps folding
     val st2 = SegmentedState.fromParquet(spark, dir, Seq("doc_id"))
     assert(rows(st2.view) == logical)
@@ -99,5 +100,72 @@ class SegmentedStateSpec extends SparkSpec {
     st2.remove(Seq(1L).toDF("doc_id"))
     assert(rows(st2.view) == Set(3L -> "c", 4L -> "d"),
       "post-restart folds must compose with the persisted base")
+    // a second persistence boundary bumps the version and retires the
+    // superseded directory
+    st2.compactTo(dir)
+    assert(SegmentedState.currentVersion(dir) == 2)
+    assert(!new java.io.File(dir, "base-000001").exists(),
+      "superseded base versions retire at the next publish")
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
+      Set(3L -> "c", 4L -> "d"))
+  }
+
+  test("compactTo interruption matrix: every crash point leaves a bootable state") {
+    // mirrors CdcFeedContractSpec's journal sweep: the publish protocol is
+    // write-new-version → atomic CURRENT rename → sweep, so a crash at any
+    // point must leave fromParquet reading a COMPLETE base
+    val dir = java.nio.file.Files.createTempDirectory("graft-segcrash")
+      .toFile.getAbsolutePath + "/base"
+    val st = new SegmentedState(frame(1L -> "a", 2L -> "b"), Seq("doc_id"))
+    st.compactTo(dir)
+    val v1 = rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view)
+    assert(v1 == Set(1L -> "a", 2L -> "b"))
+
+    // CRASH 1: died mid-write of the NEXT version (partial directory, no
+    // publish) — the half-written version is inert, restart reads v1
+    val partial = new java.io.File(dir, "base-000002")
+    partial.mkdirs()
+    val junk = new java.io.FileOutputStream(new java.io.File(partial, "part-00000.parquet"))
+    try junk.write("not parquet".getBytes) finally junk.close()
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) == v1,
+      "a half-written unpublished version must be invisible to restart")
+
+    // CRASH 2: died between staging the pointer and renaming it — the
+    // stray .CURRENT.tmp is ignored
+    val tmp = new java.io.FileOutputStream(new java.io.File(dir, ".CURRENT.tmp"))
+    try tmp.write("base-000002\n".getBytes) finally tmp.close()
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) == v1,
+      "a staged-but-unrenamed pointer must not publish")
+
+    // the next real publish OVERWRITES the junk version dir, publishes
+    // atomically, and sweeps the old one — the producer self-heals
+    val st2 = SegmentedState.fromParquet(spark, dir, Seq("doc_id"))
+    st2.append(frame(3L -> "c"))
+    st2.compactTo(dir)
+    assert(SegmentedState.currentVersion(dir) == 2)
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "a re-run publish must converge over any crash residue")
+
+    // CRASH 3: died AFTER the pointer rename but BEFORE the sweep — both
+    // versions on disk, CURRENT already at the new one; restart reads the
+    // new version and the next publish retires the leftover
+    val resurrected = new java.io.File(dir, "base-000001")
+    resurrected.mkdirs() // simulate the unswept superseded dir
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "an unswept superseded version must not shadow the published one")
+    val st3 = SegmentedState.fromParquet(spark, dir, Seq("doc_id"))
+    st3.compactTo(dir)
+    assert(!resurrected.exists() && SegmentedState.currentVersion(dir) == 3,
+      "the next publish must sweep crash leftovers")
+  }
+
+  test("fromParquet boots the pre-versioned (bare parquet) layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seglegacy")
+      .toFile.getAbsolutePath + "/base"
+    frame(7L -> "x", 8L -> "y").write.parquet(dir) // r13-style layout
+    assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
+      Set(7L -> "x", 8L -> "y"))
   }
 }
