@@ -118,7 +118,46 @@ object Bench {
     // makes such windows directly visible across query boundaries instead
     // of inferred from adjacency.
     val benchT0 = System.nanoTime()
-    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // AUDIT-TWIN CADENCE (r13 verdict #6): rrf_overlap_pq exists only to
+    // audit the PERSISTED brute-fusion baseline against the PQ serving
+    // stack — it is the widest plan in the suite BY CONSTRUCTION (both
+    // fusion stacks under one shared rank) and its verdict cannot change
+    // unless the persisted state it audits changes. So it re-times only
+    // when the fingerprint-keyed state root moved (corpus regenerated)
+    // or GRAFT_AUDIT_FORCE=1; otherwise the previous BENCH_LAST value is
+    // carried forward and the line marks it in "audit_cached". Its
+    // CORRECTNESS row is untouched — Verify still runs it every round;
+    // only the redundant re-TIMING is tiered. The per-round serving-path
+    // gate row is the delivery-sized rrf_overlap_pq_persist.
+    val auditTwins = Set("rrf_overlap_pq")
+    val stateToken = graft.queries.ClusterState.stateRootToken(sfDir)
+    def readIfExists(p: String): Option[String] =
+      try {
+        val f = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.isRegularFile(f))
+          Some(new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      } catch { case _: Throwable => None }
+    val stampOf: Map[String, String] = readIfExists("AUDIT_STAMP.json")
+      .map(_.linesIterator.flatMap { l =>
+        l.split("\t", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }.toMap).getOrElse(Map.empty)
+    val lastVal: Map[String, Double] = readIfExists("BENCH_LAST.json")
+      .map { s =>
+        auditTwins.flatMap { t =>
+          ("\"" + java.util.regex.Pattern.quote(t) + "\":([0-9.]+)").r
+            .findFirstMatchIn(s).map(m => t -> m.group(1).toDouble)
+        }.toMap
+      }.getOrElse(Map.empty)
+    val auditForce = sys.env.get("GRAFT_AUDIT_FORCE").map(_.trim).contains("1")
+    val auditCached: Map[String, Double] = auditTwins.flatMap { t =>
+      if (!auditForce && stampOf.get(t).contains(stateToken))
+        lastVal.get(t).filter(_ >= 0).map(t -> _)
+      else None
+    }.toMap
+    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => auditCached.contains(q._1)).map { case (name, fn) =>
       // untimed: compiles/loads this query's whole codepath (codegen
       // classes, expression JIT, parquet footers) so rep 1 measures the
       // plan, not the first-touch costs
@@ -155,7 +194,14 @@ object Bench {
     val results = allRuns.map { case (name, times) =>
       val secs = times.map(_._1)
       name -> secs.find(_ < 0).getOrElse(secs.sorted.apply(secs.length / 2))
-    }.toMap
+    }.toMap ++ auditCached
+    // stamp the state token for every audit twin now in sync (just timed,
+    // or carried forward against an unchanged root)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("AUDIT_STAMP.json"),
+      auditTwins.toSeq.sorted.map(t => s"$t\t$stateToken\n").mkString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] stamp: $e") }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // millisecond precision keeps the artifact line short: the round-3
     // capture lost 11 of 78 per-query times because the full-precision
@@ -167,8 +213,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cachedJson = auditCached.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"warmups":$warmups,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"warmups":$warmups,"queries":$qs,"failed":$failedJson,"audit_cached":$cachedJson,"sf":"$sfDir"}"""
     // durable copies first: even if the stdout tail is clipped again, the
     // full metrics object survives as a whole file in the repo; the
     // per-rep detail (for variance audits) goes to its own file so the
