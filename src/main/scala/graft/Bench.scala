@@ -99,6 +99,8 @@ object Bench {
       graft.queries.IndexState.bm25FullPaths(spark, sfDir)
       graft.queries.IndexState.nbModelPaths(spark, sfDir)
       graft.queries.IndexState.contamIndexPaths(spark, sfDir)
+      graft.queries.IndexState.contamEvalIndexPaths(spark, sfDir)
+      graft.queries.IndexState.bm25ForwardPaths(spark, sfDir)
       graft.queries.IndexState.denseStorePaths(spark, sfDir)
       graft.queries.IndexState.pqCodesPaths(spark, sfDir)
       graft.queries.IndexState.rrfBruteFusedPaths(spark, sfDir)

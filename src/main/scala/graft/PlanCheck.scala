@@ -84,6 +84,20 @@ object PlanCheck {
       "forward-store probe must push the id In-filter into the parquet scan")
     println("OK: PartitionFilters[_kb INSET ...] + pushed In(doc_id ...) present")
 
+    // the deployed decontamination direction: the FIXED eval index joins
+    // as a BROADCAST build side (the corpus-scaling train store is never
+    // in this plan at all), and the delivery bounds are pushed into the
+    // documents scan — nothing in the timed plan is corpus-sized
+    println("\n========== contamination_delivery (broadcast eval index) ==========")
+    val cdPlan = SparkEntry.queries("contamination_delivery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    require(cdPlan.contains("BroadcastHashJoin"),
+      "delivery decontamination must broadcast the fixed eval index")
+    require(cdPlan.linesIterator.exists(l =>
+        l.contains("PushedFilters: [") && l.contains("GreaterThanOrEqual(doc_id,100)")),
+      "delivery bounds must be pushed into the documents parquet scan")
+    println("OK: BroadcastHashJoin on eval index + pushed delivery bounds")
+
     // PQ encode must be a narrow pass: the codebook is plan literals, so
     // assigning codes to the whole corpus cannot justify any exchange
     println("\n========== pq_codes (encode must not shuffle) ==========")

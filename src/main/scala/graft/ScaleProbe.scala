@@ -224,7 +224,7 @@ object ScaleProbe {
       // delivery-sized-serving claim measured directly
       Seq("dedup_minhash", "dedup_clusters", "hybrid_rrf_pq",
         "bm25_topk_persist", "dedup_clusters_persist", "contamination",
-        "dedup_incremental")
+        "dedup_incremental", "contamination_delivery")
         .filter(want).foreach { name =>
           graft.ops.ClusterOps.CcStats.drain()
           val times = timeBatch(spark, () => SparkEntry.queries(name)(spark, dir), 3)
@@ -234,6 +234,22 @@ object ScaleProbe {
           println(s"""{"family":"$name","scale":$s,"reps":${fmt(times)},""" +
             s""""median":${f"${times.sorted.apply(times.length / 2)}%.3f"}$rounds}""")
         }
+
+      if (want("serve_qload")) {
+        // serve cost at plant scale is queries × corpus-resident state:
+        // the corpus rows above scale the state; this row scales the
+        // QUERY load (nQ 8 → 64) at fixed corpus, so the marginal
+        // per-query cost — the number plant QPS multiplies — is read
+        // off directly (flat median across 8× the queries = the serve
+        // stack's floor dominates; the shortlist/fusion terms are
+        // per-query bounded by construction)
+        Seq(8, 64).foreach { nQ =>
+          val times = timeBatch(spark,
+            () => graft.queries.PipelineQueries.hybridRrfPq(spark, dir, nQ), 3)
+          println(s"""{"family":"serve_qload","scale":$s,"nq":$nQ,""" +
+            s""""reps":${fmt(times)},"median":${f"${times.sorted.apply(times.length / 2)}%.3f"}}""")
+        }
+      }
 
       if (want("dedup_clusters_dist")) {
         // the DISTRIBUTED star-contraction path, forced past the

@@ -110,6 +110,9 @@ object SparkEntry {
     "gopher_repetition" -> (PipelineQueries.gopherRepetition _),
     "contamination"     -> (PipelineQueries.contamination _),
     "contamination_persist" -> (PipelineQueries.contaminationPersist _),
+    // deployed per-delivery shape: bounded delivery probes the FIXED
+    // broadcast eval-suite index — no corpus-sized term in the timed plan
+    "contamination_delivery" -> (PipelineQueries.contaminationDelivery _),
     // near-dup decontamination: test docs with a verified train near-dup
     "contamination_near" -> (PipelineQueries.contaminationNear _),
     "embed_topk_ivf"    -> (PipelineQueries.embedTopKIvf _),

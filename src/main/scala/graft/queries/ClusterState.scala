@@ -403,4 +403,36 @@ object IndexState {
       }
       idxP
     }
+
+  /** Eval-suite shingle-hash index for contamination_delivery — the
+    * ROLE-CORRECT store of the deployed decontamination shape: the
+    * benchmark/eval suite is FIXED (test-split docs under `evalCap`, a
+    * corpus-independent set), its distinct shingle hashes are built once
+    * and broadcast at every probe; the TRAIN-side corpus — the store
+    * that grows to 100 TB — is never scanned at probe time. (The
+    * [[contamIndexPaths]] direction, train-index-probed-by-test, is the
+    * whole-corpus AUDIT semantics; its cost is ∝ corpus by definition.) */
+  def contamEvalIndexPaths(spark: SparkSession, dir: String,
+                           evalCap: Long = 500L): String =
+    synchronized {
+      val root = ClusterState.stateRoot(dir)
+      val idxP = new File(root, s"contam_eval_sh3_c$evalCap").getAbsolutePath
+      val done = new File(root, s"_DONE_contam_eval_sh3_c$evalCap")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          import org.apache.spark.sql.functions.col
+          val eval = Tables.documents(spark, dir)
+            .filter(col("doc_id") < evalCap)
+            .selectExpr("doc_id", "text",
+              s"${PipelineQueries.splitCase} AS split")
+            .filter(col("split") === "test")
+          DedupOps.shingleHashes(eval, "text", 3)
+            .select("h").distinct().coalesce(1)
+            .write.mode("overwrite").parquet(idxP)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      idxP
+    }
 }

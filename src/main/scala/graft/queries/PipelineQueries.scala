@@ -206,6 +206,34 @@ object PipelineQueries {
         "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
   }
 
+  /** Per-DELIVERY decontamination — the deployed direction with the
+    * roles the right way around for scale. [[contamination]] /
+    * [[contaminationPersist]] audit the WHOLE corpus (test split probed
+    * against the train shingle index — cost necessarily ∝ corpus, the
+    * SCALE.md `contamination` row). A plant doesn't run that per
+    * delivery: the eval/benchmark suite is FIXED and SMALL, its shingle
+    * index is built once ([[IndexState.contamEvalIndexPaths]]) and
+    * BROADCAST; each incoming training delivery (bounded, stood in here
+    * by a fixed doc_id range of train docs) probes it. Nothing in the
+    * timed plan scales with the corpus: delivery shingling is
+    * delivery-sized, the index is eval-suite-sized, the join is a
+    * broadcast hash join — measured flat across a 30× corpus
+    * (SCALE.md `contamination_delivery`). */
+  def contaminationDelivery(spark: SparkSession, dir: String): DataFrame = {
+    val idxP = IndexState.contamEvalIndexPaths(spark, dir)
+    val delivery = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 100L && col("doc_id") < 350L)
+      .selectExpr("doc_id", "text", s"$splitCase AS split")
+      .filter(col("split") === "train")
+    DedupOps.shingleHashes(delivery, "text", 3)
+      .join(broadcast(spark.read.parquet(idxP).withColumn("hit", lit(1))),
+        Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .selectExpr("doc_id", "n_sh", "n_hit",
+        "CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment")
+  }
+
   /** IVF ANN top-3 for query vectors vec_id < 32: 16 coarse centroids
     * (the first corpus vectors stand in for an offline-trained codebook),
     * 4 probes per query. */
@@ -3324,6 +3352,26 @@ object PipelineOracles {
       |  CAST(count(tr.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
       |FROM te LEFT JOIN tr ON te.sh = tr.sh GROUP BY 1""".stripMargin
 
+  /** [[PipelineQueries.contaminationDelivery]] restatement: the fixed
+    * eval-suite shingle set (test docs under the cap) left-joined by the
+    * bounded delivery's shingles — string shingles stand in for the
+    * 62-bit hashes exactly as in [[contamination]]. */
+  val contaminationDelivery: String =
+    """WITH spl AS (
+      |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS b
+      |        FROM documents)),
+      |t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]) AS sh FROM t)),
+      |ev AS (SELECT DISTINCT sh FROM g JOIN spl USING (doc_id) WHERE split = 'test' AND doc_id < 500),
+      |de AS (SELECT g.doc_id, g.sh FROM g JOIN spl USING (doc_id)
+      |       WHERE split = 'train' AND g.doc_id >= 100 AND g.doc_id < 350)
+      |SELECT de.doc_id, count(*) AS n_sh, count(ev.sh) AS n_hit,
+      |  CAST(count(ev.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
+      |FROM de LEFT JOIN ev ON de.sh = ev.sh GROUP BY 1""".stripMargin
+
   /** [[PipelineQueries.dedupSoft]] restatement: string shingles stand in
     * for the 62-bit hashes (identity-equivalent for df counting), the
     * SAME shared micro-unit statements
@@ -5230,6 +5278,7 @@ object PipelineOracles {
     "contamination"     -> contamination,
     // converges to contamination bit-exactly through the persisted index
     "contamination_persist" -> contamination,
+    "contamination_delivery" -> contaminationDelivery,
     "embed_topk_ivf"    -> embedTopKIvf,
     "semdedup"          -> semDedup,
     "embed_kmeans"      -> embedKmeans,

@@ -690,7 +690,7 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = false)(
+      segmented: Boolean = true)(
       sink: PressState => Unit): StreamingQuery =
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
       threshold, initial, segmented)((st, _, _) => sink(st))
@@ -704,7 +704,7 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = false)(
+      segmented: Boolean = true)(
       sink: (PressState, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -722,11 +722,16 @@ object StreamingJobs {
     var prevAssign: DataFrame = initial.map(_.assign.localCheckpoint())
       .getOrElse(empty(StructType(Seq(
         StructField("doc_id", LongType), StructField("cluster_id", LongType)))))
-    // `segmented = false` (the shipped default, r13-measured): the press
-    // tables keep the simple fold. `segmented = true`: sets/scores/
-    // manifest live in ONE TaggedPressStore — one queued append + one
-    // tombstone batch per micro-batch (the r14 adjudication; SCALE.md
-    // press rows carry the measured comparison at 100+-delivery feeds).
+    // `segmented = true` (the shipped default, r14-measured): sets/
+    // scores/manifest live in ONE TaggedPressStore — one queued append +
+    // one tombstone batch per micro-batch. At the 100-delivery probe feed
+    // the tagged store wins on TOTAL (785.7 s vs 807.6 s) and on SHAPE
+    // (per-delivery quartile means 7.4/9.6/7.0/7.5 s — flat with
+    // promotion spikes — vs the simple fold's monotone 6.1→8.4→8.7→9.0 s,
+    // still climbing); the crossover sits at ~delivery 100, exactly where
+    // r13's 40-delivery measurement extrapolated it. `segmented = false`
+    // keeps the simple union+re-checkpoint fold — measured faster below
+    // ~40 deliveries (SCALE.md press rows), the short-feed option.
     val store: Option[TaggedPressStore] =
       if (!segmented) None
       else Some(new TaggedPressStore(
@@ -849,7 +854,7 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = false)(
+      segmented: Boolean = true)(
       sink: (PressState, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
