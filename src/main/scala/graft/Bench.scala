@@ -103,6 +103,7 @@ object Bench {
       graft.queries.IndexState.bm25ForwardPaths(spark, sfDir)
       graft.queries.IndexState.denseStorePaths(spark, sfDir)
       graft.queries.IndexState.pqCodesPaths(spark, sfDir)
+      graft.queries.IndexState.pqCellCodesPaths(spark, sfDir)
       graft.queries.IndexState.rrfBruteFusedPaths(spark, sfDir)
       graft.ops.ClusterOps.CcStats.drain()
     } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }

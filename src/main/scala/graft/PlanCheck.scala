@@ -98,6 +98,19 @@ object PlanCheck {
       "delivery bounds must be pushed into the documents parquet scan")
     println("OK: BroadcastHashJoin on eval index + pushed delivery bounds")
 
+    // the IVF-PQ serve must prune the cell-partitioned codes store at
+    // plan time: the probed-cell union (a bounded literal) appears as
+    // PartitionFilters on `cell` — unprobed cell directories are never
+    // listed into the scan
+    println("\n========== pq_topk_ivf (cell-pruned codes store) ==========")
+    val ivfPlan = SparkEntry.queries("pq_topk_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    require(ivfPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("cell") &&
+          (l.contains("INSET") || l.contains(" IN "))),
+      "IVF-PQ serve must carry a non-empty cell partition filter on the codes scan")
+    println("OK: PartitionFilters[cell ...] present on the codes store scan")
+
     // PQ encode must be a narrow pass: the codebook is plan literals, so
     // assigning codes to the whole corpus cannot justify any exchange
     println("\n========== pq_codes (encode must not shuffle) ==========")

@@ -251,6 +251,51 @@ object ScaleProbe {
         }
       }
 
+      if (want("serve_qload_flat")) {
+        // the CONTROLLED flat baseline for serve_qload_ivf: the same
+        // persisted cell-codes store, the same ADC/shortlist/re-rank
+        // arithmetic, NO cell restriction — every query scores every
+        // stored code. The (flat, ivf) pair isolates the probed-cell
+        // restriction as the only variable; serve_qload (the full hybrid
+        // stack) stays as end-to-end context.
+        Seq(8, 64).foreach { nQ =>
+          val fn = () => {
+            val store = graft.ops.SimilarityOps.quantStore(
+              graft.sources.Tables.embeddings(spark, dir))
+            graft.ops.SimilarityOps.pqTopKRerankCodes(
+              spark.read.parquet(
+                graft.queries.IndexState.pqCellCodesPaths(spark, dir)),
+              store, 8, 8, s"vec_id < $nQ", 3, 48, fitOn = store)
+          }
+          val times = timeBatch(spark, fn, 3)
+          println(s"""{"family":"serve_qload_flat","scale":$s,"nq":$nQ,""" +
+            s""""reps":${fmt(times)},"median":${f"${times.sorted.apply(times.length / 2)}%.3f"}}""")
+        }
+      }
+
+      if (want("serve_qload_ivf")) {
+        // the IVF-PQ serve under the SAME query loads as serve_qload:
+        // the cell-partitioned store caps per-query ADC work at the
+        // probed fraction (nProbe/nCells of the corpus), so the nQ=64
+        // row should sit near probed-fraction × the flat serve's ADC
+        // term + the shared floor — the query-load scale path measured
+        // against its flat baseline (shipped gate geometry 16/4)
+        Seq(8, 64).foreach { nQ =>
+          val fn = () => {
+            val store = graft.ops.SimilarityOps.quantStore(
+              graft.sources.Tables.embeddings(spark, dir))
+            graft.ops.SimilarityOps.ivfPqTopKRerankCodes(
+              spark.read.parquet(
+                graft.queries.IndexState.pqCellCodesPaths(spark, dir)),
+              store, 8, 8, nCells = 16, nProbe = 4, s"vec_id < $nQ", 3, 48,
+              fitOn = store)
+          }
+          val times = timeBatch(spark, fn, 3)
+          println(s"""{"family":"serve_qload_ivf","scale":$s,"nq":$nQ,""" +
+            s""""reps":${fmt(times)},"median":${f"${times.sorted.apply(times.length / 2)}%.3f"}}""")
+        }
+      }
+
       if (want("dedup_clusters_dist")) {
         // the DISTRIBUTED star-contraction path, forced past the
         // small-graph driver-local guard (localMaxEdges = 0): the plain

@@ -275,6 +275,11 @@ object SparkEntry {
     "pq_codes"          -> (PipelineQueries.pqCodes _),
     "pq_topk"           -> (PipelineQueries.pqTopK _),
     "pq_topk_rr"        -> (PipelineQueries.pqTopKRerank _),
+    // IVF-PQ serve from the cell-partitioned persisted codes: probed
+    // cells only — the query-load scale path (plan-time pruned store)
+    "pq_topk_ivf"       -> (PipelineQueries.pqTopKIvf _),
+    // recall@3 of the IVF-PQ serve vs brute exact-L2 truth
+    "ann_recall_ivfpq"  -> (PipelineQueries.annRecallIvfPq _),
     "domain_mix"        -> (PipelineQueries.domainMix _),
     // α=0.5 temperature mixing: sqrt-damped minority upsampling
     "domain_mix_temp"   -> (PipelineQueries.domainMixTemp _),

@@ -741,6 +741,111 @@ object SimilarityOps {
       vecs, k)
   }
 
+  /** Coarse IVF cell of every corpus vector — the L2-metric companion of
+    * [[ivfTopK]]'s cosine assignment, used by the IVF-PQ serve (PQ
+    * approximates quantized L2, so its cells must be L2-assigned or the
+    * probe order and the metric disagree). Centroids are the first
+    * `nCells` corpus vectors (the deterministic stand-in for an
+    * offline-trained coarse codebook, same convention as [[ivfTopK]]),
+    * collected once as plan literals — a bounded MODEL collect. The
+    * assignment is one narrow codegen'd pass: per row `nCells` `ldot`s +
+    * an array argmin; ties go to the lowest cell id (array_position
+    * takes the first minimum over ascending cids). Input is the
+    * quantized store form (vec_id, qvec, norm2) like the rest of the PQ
+    * family. Output: (vec_id, cell). */
+  def ivfCellOf(store: DataFrame, nCells: Int): DataFrame = {
+    val vecs = registered(store)
+    val cents = collectCentroids(vecs, nCells)
+    val dArr = cents.map { case (_, qv, n2) =>
+      s"norm2 + ${n2}L - 2 * ldot(qvec, array(${qv.mkString("L,")}L))"
+    }.mkString("array(", ", ", ")")
+    val cidArr = cents.map(c => s"${c._1}L").mkString("array(", ", ", ")")
+    vecs.selectExpr("vec_id",
+      s"element_at($cidArr, CAST(array_position($dArr, array_min($dArr)) AS INT)) AS cell")
+  }
+
+  private def collectCentroids(vecs: DataFrame, nCells: Int)
+      : Array[(Long, Seq[Long], Long)] =
+    vecs.filter(col("vec_id") < nCells)
+      .selectExpr("vec_id", "qvec", "norm2")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+
+  /** IVF-PQ serve over a PERSISTED cell-partitioned codes table — the
+    * shape that survives query-load growth. The flat ADC serve
+    * ([[pqTopKRerankCodes]]) scores every stored code against every
+    * query: O(queries × corpus) lookups, measured growing 4.6× for 8×
+    * the queries at a 10× corpus (SCALE.md serve_qload). Here each query
+    * L2-ranks the literal coarse centroids, keeps its `nProbe` nearest
+    * cells, and scores ONLY those cells' codes: the probed fraction
+    * (nProbe/nCells of the corpus in expectation) bounds the per-query
+    * work, and because the store is PARTITIONED by cell
+    * ([[graft.queries.IndexState.pqCellCodesPaths]]) the union of probed
+    * cells — collected driver-side, bounded by nCells — becomes a
+    * literal partition filter: unprobed cell directories are pruned at
+    * PLAN time, never listed into the scan (the bm25_downfold_probe
+    * discipline applied to the dense store). The ADC arithmetic, the
+    * shortlist, and the exact re-rank are byte-identical to the flat
+    * serve — only the candidate set is restricted, which is the IVF
+    * recall trade, priced by the same shortlist logic.
+    *
+    * `cellCodes`: (vec_id, code_0.., cell); `vecs` supplies query LUT
+    * vectors and the shortlist rows' true vectors; `fitOn` must be the
+    * fit the codes were encoded against. Output: q_id, c_id, l2, rn. */
+  def ivfPqTopKRerankCodes(cellCodes: DataFrame, vecs: DataFrame,
+                           nSub: Int, subDim: Int, nCells: Int, nProbe: Int,
+                           queryPred: String, k: Int, shortlist: Int,
+                           fitOn: DataFrame): DataFrame = {
+    val codebook = pqCodebookQ(fitOn, nSub, subDim)
+    graft.functions.PqDists.register(vecs.sparkSession, centArray(codebook), subDim)
+    val qvecs = registered(vecs)
+    val cents = collectCentroids(qvecs, nCells)
+    // per query: nProbe L2-nearest cells (explode is over queries only;
+    // exact integer distances, ties to the lowest cell id like the store
+    // assignment so probe order and assignment cannot disagree)
+    val centroidStructs = cents.map { case (cid, qv, n2) =>
+      s"struct(${cid}L AS cid, norm2 + ${n2}L - 2 * ldot(qvec, array(${qv.mkString("L,")}L)) AS d2)"
+    }.mkString(", ")
+    val probes = qvecs.filter(expr(queryPred))
+      .selectExpr("vec_id AS q_id", "qvec", "norm2",
+        s"explode(array($centroidStructs)) AS c")
+      .selectExpr("q_id", "c.cid AS cell", "c.d2 AS d2")
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("pr") <= nProbe)
+      .select("q_id", "cell")
+      .localCheckpoint()
+    // the probed-cell union is bounded by nCells — a literal partition
+    // filter, so the store scan prunes to the probed directories
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lutCols = codebook.map { case (m, _) =>
+      s"element_at(pd, ${m + 1}) AS lut_$m"
+    }
+    val slotOf = codebook.map { case (m, cs) =>
+      val whens = cs.zipWithIndex
+        .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
+      s"CASE code_$m $whens END"
+    }
+    val queries = qvecs.filter(expr(queryPred))
+      .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
+      .selectExpr(Seq("q_id") ++ lutCols: _*)
+      .join(probes, "q_id") // (q_id, lut_0.., cell) — nQ × nProbe rows
+    val adc = (0 until nSub)
+      .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
+    val short = cellCodes
+      .filter(col("cell").isin(probedCells.map(Long.box): _*))
+      .join(broadcast(queries), Seq("cell"))
+      .selectExpr("q_id", "vec_id AS c_id", s"$adc AS adc")
+      .filter("q_id <> c_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)).cast("long"))
+      .filter(col("rn") <= shortlist)
+      .select("q_id", "c_id")
+    exactRerank(short, vecs, k)
+  }
+
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.
     * Output: q_id, c_id, cos, rn (may return < k rows per query — the
     * recall trade documented above). */

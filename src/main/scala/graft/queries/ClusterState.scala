@@ -311,6 +311,35 @@ object IndexState {
       codesP
     }
 
+  /** Absolute parquet path of the CELL-PARTITIONED full-corpus PQ codes
+    * — the IVF-PQ serving store ([[PipelineQueries.pqTopKIvf]]): codes
+    * encoded against the full-corpus fit, each carrying its L2-nearest
+    * coarse cell ([[graft.ops.SimilarityOps.ivfCellOf]]), written
+    * `partitionBy(cell)` with one file per cell (repartition first) so a
+    * query's probed-cell set — a bounded literal — prunes unprobed cell
+    * directories at PLAN time. Geometry (8×8 PQ, `nCells`) in the
+    * artifact name: codes from one fit can never serve another. */
+  def pqCellCodesPaths(spark: SparkSession, dir: String,
+                       nCells: Int = 16): String = synchronized {
+    import org.apache.spark.sql.functions.col
+    val root = ClusterState.stateRoot(dir)
+    val p = new File(root, s"pq_cell_codes_8x8_c$nCells").getAbsolutePath
+    val done = new File(root, s"_DONE_pq_cell_codes_8x8_c$nCells")
+    if (!ready.contains(done.getAbsolutePath)) {
+      if (!done.exists()) {
+        val store = graft.ops.SimilarityOps.quantStore(
+          Tables.embeddings(spark, dir))
+        graft.ops.SimilarityOps.pqEncode(store, 8, 8, fitOn = store)
+          .join(graft.ops.SimilarityOps.ivfCellOf(store, nCells), "vec_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(p)
+        done.createNewFile()
+      }
+      ready += done.getAbsolutePath
+    }
+    p
+  }
+
   /** Absolute parquet path of the BRUTE-fusion audit baseline — the
     * [[PipelineQueries.hybridRrf]] fused top-`kTop` (q_id, doc_id)
     * pairs, persisted once per corpus fingerprint (the r12 verdict's

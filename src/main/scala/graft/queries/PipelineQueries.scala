@@ -1664,6 +1664,23 @@ object PipelineQueries {
     SimilarityOps.pqTopKRerank(Tables.embeddings(spark, dir), 64, 8, 8,
       "vec_id < 8", 3, 48)
 
+  /** IVF-PQ serve from the persisted cell-partitioned codes store
+    * ([[IndexState.pqCellCodesPaths]]): each query probes its 4
+    * L2-nearest of 16 coarse cells and ADC-scores ONLY those cells'
+    * stored codes (plan-time pruned partitions — PlanCheck asserts the
+    * cell PartitionFilters), then exact-re-ranks the 48-shortlist. The
+    * query-load scale path: flat-ADC serve cost is queries × corpus
+    * (SCALE.md serve_qload); this caps per-query work at the probed
+    * fraction. Same arithmetic as [[pqTopKRerank]], restricted
+    * candidates — the recall trade is priced by `ann_recall_ivfpq`. */
+  def pqTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val store = SimilarityOps.quantStore(Tables.embeddings(spark, dir))
+    SimilarityOps.ivfPqTopKRerankCodes(
+      spark.read.parquet(IndexState.pqCellCodesPaths(spark, dir)),
+      store, 8, 8, nCells = 16, nProbe = 4, "vec_id < 8", 3, 48,
+      fitOn = store)
+  }
+
   /** Deterministic per-label embedding centroids in long (label, dim) form:
     * exact quantized-integer sums — BIGINT all the way through the shuffle,
     * so the mean is ONE double division and bit-stable under any partition
@@ -1921,6 +1938,17 @@ object PipelineQueries {
       SimilarityOps.sq8TopK(emb, 64, "vec_id < 8", 3))
     ivf.unionByName(pq).unionByName(sq8)
   }
+
+  /** Recall gate for the IVF-PQ serve ([[pqTopKIvf]]): per-query
+    * recall@3 against the brute exact-L2 truth — prices the probed-cell
+    * restriction (the IVF trade) on top of the PQ shortlist trade the
+    * `pq` row of [[annRecall]] already prices. Kept a separate row so
+    * the serve path that ships ([[IndexState.pqCellCodesPaths]]-backed)
+    * is gated as shipped. */
+  def annRecallIvfPq(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.recallAtK("ivfpq",
+      SimilarityOps.l2TopK(Tables.embeddings(spark, dir), 64, "vec_id < 8", 3),
+      pqTopKIvf(spark, dir))
 
   /** The BM25 per-term partial score in exact micro-units, shared
     * TEXTUALLY between the Spark plan and the DuckDB oracle (the
@@ -4920,6 +4948,66 @@ object PipelineOracles {
        |  FROM ex)
        |WHERE rn <= 3""".stripMargin
 
+  /** The IVF-PQ serve restatement, as a CTE chain over [[pqBase]]'s
+    * `v`/`kd`/`codes`: coarse L2 cells (centroids = first 16 corpus
+    * vectors, ties to the lowest cid), per-query 4 nearest probes, ADC
+    * restricted to probed cells, then the [[pqTopKRerank]] shortlist +
+    * exact re-rank tail. Shared by the serve oracle and its recall
+    * gate so they restate ONE chain. Ends in `ivfpq(q_id, c_id, l2,
+    * rn)`. */
+  private val ivfPqChain: String =
+    """cvec AS (SELECT id AS cid, pos, v FROM v WHERE id < 16),
+      |cdist AS (SELECT a.id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS d2
+      |          FROM v a JOIN cvec c ON c.pos = a.pos GROUP BY 1, 2),
+      |cell AS (SELECT id, cid AS cell FROM (
+      |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM cdist) WHERE rn = 1),
+      |probes AS (SELECT id AS q_id, cid AS cell FROM (
+      |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM cdist WHERE id < 8) WHERE rn <= 4),
+      |qd AS (SELECT id AS q_id, m, code, dist FROM kd WHERE id < 8),
+      |adcx AS (SELECT qd.q_id, k.id AS c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+      |        FROM codes k
+      |        JOIN cell ce ON ce.id = k.id
+      |        JOIN probes p ON p.cell = ce.cell
+      |        JOIN qd ON qd.m = k.m AND qd.code = k.code AND qd.q_id = p.q_id AND k.id <> qd.q_id
+      |        GROUP BY 1, 2),
+      |short AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
+      |    FROM adcx) WHERE rn <= 48),
+      |ex AS (SELECT s.q_id, s.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
+      |       FROM short s JOIN v a ON a.id = s.q_id
+      |       JOIN v b ON b.id = s.c_id AND b.pos = a.pos
+      |       GROUP BY 1, 2),
+      |ivfpq AS (SELECT q_id, c_id, l2,
+      |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS BIGINT) AS rn
+      |  FROM ex)""".stripMargin
+
+  /** [[PipelineQueries.pqTopKIvf]] restatement via [[ivfPqChain]]. */
+  val pqTopKIvf: String =
+    s"""WITH $pqBase,
+       |$ivfPqChain
+       |SELECT q_id, c_id, l2, rn FROM ivfpq WHERE rn <= 3""".stripMargin
+
+  /** [[PipelineQueries.annRecallIvfPq]] restatement: brute exact-L2
+    * top-3 truth vs the [[ivfPqChain]] serve, per-query recall@3. */
+  val annRecallIvfPq: String =
+    s"""WITH $pqBase,
+       |$ivfPqChain,
+       |bl2 AS (SELECT a.id AS q_id, b.id AS c_id, SUM((a.v - b.v) * (a.v - b.v)) AS l2
+       |        FROM v a JOIN v b ON b.pos = a.pos AND b.id <> a.id
+       |        WHERE a.id < 8 GROUP BY 1, 2),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, c_id ASC) AS rn
+       |    FROM bl2) WHERE rn <= 3),
+       |apx AS (SELECT q_id, c_id FROM ivfpq WHERE rn <= 3)
+       |SELECT 'ivfpq' AS family, t.q_id,
+       |  CAST(count(a.c_id) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(count(a.c_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN apx a ON a.q_id = t.q_id AND a.c_id = t.c_id
+       |GROUP BY 2""".stripMargin
+
   val spanScrub: String =
     """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w FROM documents),
       |sp AS (SELECT doc_id, s.i AS i, s.h AS h FROM (
@@ -5249,6 +5337,8 @@ object PipelineOracles {
     "pq_codes"          -> pqCodes,
     "pq_topk"           -> pqTopK,
     "pq_topk_rr"        -> pqTopKRerank,
+    "pq_topk_ivf"       -> pqTopKIvf,
+    "ann_recall_ivfpq"  -> annRecallIvfPq,
     "sample_stratified" -> sampleStratified,
     "dup_span_stats"    -> dupSpanStats,
     "embed_centroids"   -> embedCentroids,

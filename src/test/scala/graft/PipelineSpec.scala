@@ -420,6 +420,30 @@ class PipelineSpec extends SparkSpec {
     assert(full.length == 32 && full.forall(_.getAs[Long]("hits") == 3L))
   }
 
+  test("pq_topk_ivf: full-probe serve equals the flat PQ re-rank bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val store = SimilarityOps.quantStore(emb)
+    val codes = spark.read.parquet(
+      graft.queries.IndexState.pqCellCodesPaths(spark, sf0001))
+    // probing ALL 16 cells makes the IVF restriction vacuous: the served
+    // rows must reproduce the flat ADC+shortlist+re-rank exactly — the
+    // cell layout, the probe selection, and the pruned scan change the
+    // CANDIDATE SET only, never the arithmetic
+    val full = SimilarityOps.ivfPqTopKRerankCodes(codes, store, 8, 8,
+      nCells = 16, nProbe = 16, "vec_id < 8", 3, 48, fitOn = store)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val flat = SimilarityOps.pqTopKRerank(emb, 64, 8, 8, "vec_id < 8", 3, 48)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == flat)
+    // the shipped 4-probe serve: ≤3 rows per query, ranks 1..n by l2
+    val served = PipelineQueries.pqTopKIvf(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    served.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.sortBy(_._3).map(_._4).toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("bm25_topk: self-match ranks first, scores match a driver-local BM25") {
     val out = PipelineQueries.bm25TopK(spark, sf0001)
       .select("q_id", "doc_id", "score_micro", "rn")
