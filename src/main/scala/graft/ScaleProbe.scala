@@ -273,6 +273,31 @@ object ScaleProbe {
         }
       }
 
+      if (want("serve_qload_lex")) {
+        // the LEXICAL query-load pair: the exact serve from the persisted
+        // full index (candidates = all postings of the query's terms —
+        // the O(queries × corpus) term the controlled dense pair
+        // localized here) vs the impact-pruned serve (candidates ≤
+        // |terms| × 64, corpus-independent)
+        Seq(8, 64).foreach { nQ =>
+          val flat = () => {
+            val (pP, dlP, dfP) = graft.queries.IndexState.bm25FullPaths(spark, dir)
+            val tfq = spark.read.parquet(pP)
+            val dl = spark.read.parquet(dlP)
+            val dft = spark.read.parquet(dfP)
+            val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+            graft.queries.PipelineQueries.bm25Rank(tfq, dl, dft, stats, nQ, 5)
+          }
+          val tf = timeBatch(spark, flat, 3)
+          println(s"""{"family":"serve_qload_lex","mode":"exact","scale":$s,"nq":$nQ,""" +
+            s""""reps":${fmt(tf)},"median":${f"${tf.sorted.apply(tf.length / 2)}%.3f"}}""")
+          val imp = () => graft.queries.PipelineQueries.bm25TopKImpact(spark, dir, nQ, 5)
+          val ti = timeBatch(spark, imp, 3)
+          println(s"""{"family":"serve_qload_lex","mode":"impact","scale":$s,"nq":$nQ,""" +
+            s""""reps":${fmt(ti)},"median":${f"${ti.sorted.apply(ti.length / 2)}%.3f"}}""")
+        }
+      }
+
       if (want("serve_qload_ivf")) {
         // the IVF-PQ serve under the SAME query loads as serve_qload:
         // the cell-partitioned store caps per-query ADC work at the

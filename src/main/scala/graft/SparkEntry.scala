@@ -200,6 +200,11 @@ object SparkEntry {
     "chunk_topk"        -> ((s, d) => PipelineQueries.chunkTopK(s, d)),
     // lexical BM25 retrieval: posting-join shape, exact micro-unit scores
     "bm25_topk"         -> ((s, d) => PipelineQueries.bm25TopK(s, d)),
+    // impact-pruned lexical serve: per-term top-64 postings by
+    // precomputed score — candidates per query independent of corpus
+    "bm25_topk_impact"  -> ((s, d) => PipelineQueries.bm25TopKImpact(s, d)),
+    // recall@5 of the impact-pruned serve vs the exact BM25 ranking
+    "lex_recall"        -> (PipelineQueries.lexRecall _),
     "bm25_topk_persist" -> ((s, d) => PipelineQueries.bm25TopKPersist(s, d)),
     // takedown folded OUT of the persisted full index (df down-fold,
     // no re-tokenize): the removal half of the lexical serving lifecycle

@@ -311,6 +311,48 @@ object IndexState {
       codesP
     }
 
+  /** Absolute parquet path of the IMPACT-ORDERED PRUNED postings — the
+    * lexical query-load scale path (static index pruning, Carmel et al.
+    * 2001 / the impact-ordered-list family): the per-posting BM25
+    * micro-score is a pure function of index-time quantities
+    * (tf, df, dl, N, Σdl), so it is precomputed and each term keeps only
+    * its top-`m` postings by (s_micro DESC, doc_id ASC). A query's
+    * candidate set is then bounded by |query terms| × m — independent of
+    * corpus size — where the exact serve's candidates are all postings
+    * of its terms (O(corpus) for common terms; the measured serve_qload
+    * growth). The trade is recall against the exact ranking, priced by
+    * the oracle-backed `lex_recall` gate. */
+  def bm25ImpactPaths(spark: SparkSession, dir: String,
+                      m: Int = 64): String = synchronized {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
+    val root = ClusterState.stateRoot(dir)
+    val p = new File(root, s"bm25_impact_m$m").getAbsolutePath
+    val done = new File(root, s"_DONE_bm25_impact_m$m")
+    if (!ready.contains(done.getAbsolutePath)) {
+      if (!done.exists()) {
+        val (postingsP, dlP, dfP) = bm25FullPaths(spark, dir)
+        val tfq = spark.read.parquet(postingsP)
+        val dl = spark.read.parquet(dlP)
+        val dft = spark.read.parquet(dfP)
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        tfq.join(dft, "term").join(dl, "doc_id")
+          .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+          .selectExpr("term", "doc_id",
+            s"${PipelineQueries.bm25MicroTerm} AS s_micro")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+              .orderBy(col("s_micro").desc, col("doc_id").asc)))
+          .filter(col("rn") <= m)
+          .select("term", "doc_id", "s_micro")
+          .write.mode("overwrite").parquet(p)
+        done.createNewFile()
+      }
+      ready += done.getAbsolutePath
+    }
+    p
+  }
+
   /** Absolute parquet path of the CELL-PARTITIONED full-corpus PQ codes
     * — the IVF-PQ serving store ([[PipelineQueries.pqTopKIvf]]): codes
     * encoded against the full-corpus fit, each carrying its L2-nearest

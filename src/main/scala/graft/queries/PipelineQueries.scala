@@ -2041,6 +2041,83 @@ object PipelineQueries {
     * 17-convention. */
   val Bm25TakedownMod: Int = 17
 
+  /** BM25 retrieval from the IMPACT-PRUNED index
+    * ([[IndexState.bm25ImpactPaths]] — per term, only the top-64
+    * postings by precomputed score survive): the serve joins the
+    * bounded query-term set against the pruned lists, so candidates per
+    * query are ≤ |terms| × 64 — independent of corpus size, where the
+    * exact serve's candidate set is every posting of every query term
+    * (the measured O(queries × corpus) term in SCALE.md serve_qload; a
+    * corpus-wide common term contributes its WHOLE posting list there,
+    * and exactly 64 docs here). Scores of returned pairs are exact
+    * micro-unit sums over the SURVIVING postings — an underestimate
+    * when a match lived only in pruned tails.
+    *
+    * THE GATE IS THE POINT: static pruning presumes the Zipfian
+    * term-score concentration of natural text (few high-idf terms carry
+    * each winner — those lists are short and survive whole). The driver
+    * corpus is the measured WORST CASE — a uniform ~90-word vocabulary
+    * puts the score mass across many low-idf common terms, exact
+    * winners crack no per-term champion list, and [[lexRecall]]
+    * measures recall@5 = 0.0 at every pruning depth up to 20% of list
+    * length (SCALE.md). So the deployment rule this family ships is:
+    * run `lex_recall` on YOUR corpus; enable the pruned serve only when
+    * it holds (PipelineSpec measures 0.725 on generated Zipf text vs
+    * 0.0 here, same code path — and the hybrid fusion here
+    * correspondingly keeps the EXACT lexical leg). */
+  def bm25TopKImpact(spark: SparkSession, dir: String, nQ: Int = 8,
+                     kTop: Int = 5): DataFrame = {
+    val idx = spark.read.parquet(IndexState.bm25ImpactPaths(spark, dir))
+    val (postingsP, _, _) = IndexState.bm25FullPaths(spark, dir)
+    val qterms = spark.read.parquet(postingsP).filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term")
+    bm25ImpactRank(idx, qterms, kTop)
+  }
+
+  /** The impact serve's ranking stage — shared by the persisted-index
+    * [[bm25TopKImpact]] and the from-scratch [[bm25TopKImpactOver]] (the
+    * Zipf-corpus spec) so the two cannot drift. */
+  private def bm25ImpactRank(idx: DataFrame, qterms: DataFrame,
+                             kTop: Int): DataFrame =
+    idx.join(broadcast(qterms), "term")
+      .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= kTop)
+      .select("q_id", "doc_id", "score_micro", "rn")
+
+  /** From-scratch impact-pruned retrieval over an arbitrary document
+    * frame — the [[bm25TopKOver]] twin for the pruned index, used by the
+    * PipelineSpec Zipf-corpus case that proves the pruning's
+    * Zipfian-precondition claim by measurement. */
+  private[graft] def bm25TopKImpactOver(docs: DataFrame, nQ: Int,
+                                        kTop: Int, m: Int): DataFrame = {
+    val tok = bm25Postings(docs)
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idx = tok.join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("term", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("s_micro").desc, col("doc_id").asc)))
+      .filter(col("rn") <= m)
+      .select("term", "doc_id", "s_micro")
+    bm25ImpactRank(idx, tok.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term"), kTop)
+  }
+
+  /** Recall gate for the impact-pruned lexical serve: per-query
+    * recall@5 of [[bm25TopKImpact]] against the exact [[bm25TopK]]
+    * ranking — the lexical twin of [[annRecallIvfPq]], so the pruned
+    * index ships with its trade priced. */
+  def lexRecall(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.recallAtK("bm25_impact",
+      bm25TopK(spark, dir).selectExpr("q_id", "doc_id AS c_id"),
+      bm25TopKImpact(spark, dir).selectExpr("q_id", "doc_id AS c_id"))
+
   /** BM25 retrieval AFTER A TAKEDOWN folded OUT of the persisted
     * full-corpus index — the removal half of the lexical serving
     * lifecycle ([[bm25TopKPersist]] folds deliveries IN): the deployed
@@ -3775,6 +3852,49 @@ object PipelineOracles {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM g)
        |WHERE rn <= 5""".stripMargin
 
+  /** The impact-pruned index + serve as a CTE chain over [[bm25Chain]]'s
+    * tfq/dlt/dft/st/q: per-posting exact micro-score, top-64 per term by
+    * (s_micro DESC, doc_id ASC), then the bounded query-term join and
+    * the same aggregation — ends in `gi(q_id, doc_id, score_micro)`.
+    * Shared by the serve oracle and its recall gate. */
+  private val bm25ImpactChain: String =
+    s"""sc AS (SELECT t.term, t.doc_id, ${PipelineQueries.bm25MicroTerm} AS s_micro
+       |       FROM tfq t JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN st),
+       |pr AS (SELECT term, doc_id, s_micro FROM (
+       |    SELECT term, doc_id, s_micro,
+       |           row_number() OVER (PARTITION BY term ORDER BY s_micro DESC, doc_id ASC) AS rn
+       |    FROM sc) WHERE rn <= 64),
+       |gi AS (SELECT q.q_id, pr.doc_id, CAST(SUM(pr.s_micro) AS BIGINT) AS score_micro
+       |       FROM q JOIN pr USING (term) GROUP BY 1, 2)""".stripMargin
+
+  /** [[PipelineQueries.bm25TopKImpact]] restatement via
+    * [[bm25ImpactChain]]. */
+  val bm25TopKImpact: String =
+    s"""WITH $bm25Chain,
+       |$bm25ImpactChain
+       |SELECT q_id, doc_id, score_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM gi)
+       |WHERE rn <= 5""".stripMargin
+
+  /** [[PipelineQueries.lexRecall]] restatement: the exact chain's top-5
+    * (`g`) as truth, the impact chain's top-5 (`gi`) as the approx side,
+    * per-query recall@5 — one WITH, both rankings from the same
+    * tokenization. */
+  val lexRecall: String =
+    s"""WITH $bm25Chain,
+       |$bm25ImpactChain,
+       |tr AS (SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
+       |    FROM g) WHERE rn <= 5),
+       |ax AS (SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
+       |    FROM gi) WHERE rn <= 5)
+       |SELECT 'bm25_impact' AS family, tr.q_id,
+       |  CAST(count(ax.doc_id) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(count(ax.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM tr LEFT JOIN ax ON ax.q_id = tr.q_id AND ax.doc_id = tr.doc_id
+       |GROUP BY 2""".stripMargin
+
   /** [[PipelineQueries.bm25TopKTakedown]] restatement: the identical
     * chain over the SURVIVING corpus — the takedown fold must equal a
     * from-scratch index of the survivors. */
@@ -5419,6 +5539,8 @@ object PipelineOracles {
     "chunk_topk" -> chunkTopK,
     "chunk_topk_pq" -> chunkTopKPq,
     "bm25_topk" -> bm25TopK,
+    "bm25_topk_impact" -> bm25TopKImpact,
+    "lex_recall" -> lexRecall,
     // converges to the from-scratch ranking bit-exactly through the
     // persisted index — the oracle IS bm25_topk's SQL
     "bm25_topk_persist" -> bm25TopK,
