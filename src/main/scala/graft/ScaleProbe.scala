@@ -240,9 +240,10 @@ object ScaleProbe {
         // the corpus rows above scale the state; this row scales the
         // QUERY load (nQ 8 → 64) at fixed corpus, so the marginal
         // per-query cost — the number plant QPS multiplies — is read
-        // off directly (flat median across 8× the queries = the serve
-        // stack's floor dominates; the shortlist/fusion terms are
-        // per-query bounded by construction)
+        // off directly. MEASURED r14: the nQ=64 column grows ≈ linearly
+        // with the corpus — an O(queries × corpus) term the controlled
+        // pairs below localized to the EXACT LEXICAL leg (the dense ADC
+        // is tiny; see serve_qload_flat/_ivf/_lex and SCALE.md)
         Seq(8, 64).foreach { nQ =>
           val times = timeBatch(spark,
             () => graft.queries.PipelineQueries.hybridRrfPq(spark, dir, nQ), 3)
