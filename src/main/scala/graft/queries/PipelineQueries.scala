@@ -2075,9 +2075,10 @@ object PipelineQueries {
   }
 
   /** The impact serve's ranking stage — shared by the persisted-index
-    * [[bm25TopKImpact]] and the from-scratch [[bm25TopKImpactOver]] (the
-    * Zipf-corpus spec) so the two cannot drift. */
-  private def bm25ImpactRank(idx: DataFrame, qterms: DataFrame,
+    * [[bm25TopKImpact]], the from-scratch [[bm25TopKImpactOver]] (the
+    * Zipf-corpus spec) and the live [[StreamingJobs.runImpactServe]] so
+    * the three cannot drift. */
+  private[queries] def bm25ImpactRank(idx: DataFrame, qterms: DataFrame,
                              kTop: Int): DataFrame =
     idx.join(broadcast(qterms), "term")
       .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))

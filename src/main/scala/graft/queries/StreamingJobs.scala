@@ -152,6 +152,38 @@ object StreamingJobs {
       }
       .start()
 
+  /** LIVE retrieval over the impact-pruned index — the serve direction
+    * of the lexical family ([[runBm25Score]] scores arriving DOCUMENTS
+    * against frozen queries; this serves arriving QUERIES from the
+    * frozen pruned index `idx` = [[graft.queries.IndexState
+    * .bm25ImpactPaths]]): per micro-batch the arriving query docs are
+    * tokenized (batch-sized) and broadcast-joined against the pruned
+    * lists, so per-batch cost is |batch terms| × 64 — independent of the
+    * corpus behind the index, the flat 0.5–0.8 s serve SCALE.md's
+    * serve_qload_lex measures, run live. A query's result rows depend
+    * only on (its text, the frozen index), so the union over batches is
+    * bit-identical to the batch serve — parity-specced against the
+    * oracle-green bm25_topk_impact rows. The recall precondition and
+    * measure-then-enable rule are the batch serve's
+    * ([[PipelineQueries.bm25TopKImpact]] scaladoc). */
+  def runImpactServe(spark: SparkSession, queriesStream: DataFrame,
+                     idx: DataFrame, kTop: Int = 5)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queriesStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = spark.createDataFrame(batch.select("doc_id", "text").rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        sink(PipelineQueries.bm25ImpactRank(idx,
+          PipelineQueries.bm25Postings(b).selectExpr("doc_id AS q_id", "term"),
+          kTop))
+      }
+      .start()
+
   /** ONLINE incremental cluster maintenance over a delivery stream: every
     * micro-batch is one DELIVERY, folded into the maintained assignment by
     * [[graft.ops.ClusterOps.incrementalClusters]] while the signature

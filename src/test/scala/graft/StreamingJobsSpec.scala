@@ -482,6 +482,30 @@ class StreamingJobsSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("live impact serve: streamed queries retrieve the batch bm25_topk_impact rows exactly") {
+    val idx = spark.read.parquet(
+      graft.queries.IndexState.bm25ImpactPaths(spark, sf0001))
+    val queries = graft.sources.Tables.documents(spark, sf0001)
+      .filter("doc_id < 8").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](68, spark, None)
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val q = StreamingJobs.runImpactServe(
+        spark, in.toDS().toDF("doc_id", "text"), idx) { served =>
+      got ++= served.as[(Long, Long, Long, Long)].collect()
+    }
+    try {
+      // three uneven batches: batching-invariance is the claim
+      Seq(queries.take(3), queries.slice(3, 4), queries.drop(4)).foreach { c =>
+        in.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = graft.queries.PipelineQueries.bm25TopKImpact(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch && batch.nonEmpty)
+  }
+
   test("frozen-index BM25 stream scoring equals batch scoring and the bm25_topk rows") {
     val model = graft.queries.PipelineQueries.bm25Model(spark, sf0001)
     assert(model.terms.nonEmpty && model.nDocs > 0 && model.sumDl > 0)
