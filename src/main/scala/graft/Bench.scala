@@ -105,6 +105,7 @@ object Bench {
       graft.queries.IndexState.pqCodesPaths(spark, sfDir)
       graft.queries.IndexState.pqCellCodesPaths(spark, sfDir)
       graft.queries.IndexState.bm25ImpactPaths(spark, sfDir)
+      graft.queries.IndexState.bm25ImpactRankedPaths(spark, sfDir)
       graft.queries.IndexState.rrfBruteFusedPaths(spark, sfDir)
       graft.ops.ClusterOps.CcStats.drain()
     } catch { case e: Throwable => System.err.println(s"[bench] state prime: $e") }

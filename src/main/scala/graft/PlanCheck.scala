@@ -93,9 +93,12 @@ object PlanCheck {
       .queryExecution.executedPlan.toString
     require(cdPlan.contains("BroadcastHashJoin"),
       "delivery decontamination must broadcast the fixed eval index")
+    val lo = graft.queries.PipelineQueries.ContamDeliveryLo
     require(cdPlan.linesIterator.exists(l =>
-        l.contains("PushedFilters: [") && l.contains("GreaterThanOrEqual(doc_id,100)")),
-      "delivery bounds must be pushed into the documents parquet scan")
+        l.contains("PushedFilters: [") &&
+          l.contains(s"GreaterThanOrEqual(doc_id,$lo)")),
+      s"delivery lower bound (doc_id >= $lo, PipelineQueries.ContamDeliveryLo)" +
+        " must be pushed into the documents parquet scan")
     println("OK: BroadcastHashJoin on eval index + pushed delivery bounds")
 
     // the IVF-PQ serve must prune the cell-partitioned codes store at

@@ -205,6 +205,13 @@ object SparkEntry {
     "bm25_topk_impact"  -> ((s, d) => PipelineQueries.bm25TopKImpact(s, d)),
     // recall@5 of the impact-pruned serve vs the exact BM25 ranking
     "lex_recall"        -> (PipelineQueries.lexRecall _),
+    // exactness-CERTIFIED pruned serve: per-query WAND-style certificate
+    // from persisted pruned-tail bounds, exact-serve fallback where it
+    // fails — always bit-identical to bm25_topk (its oracle)
+    "bm25_topk_certified" -> ((s, d) => PipelineQueries.bm25TopKCertified(s, d)),
+    // the certificate/fallback ledger: certified flag + the bounds the
+    // decision compared, per query (fallback rate = 1 − avg(certified))
+    "lex_certified_rate" -> ((s, d) => PipelineQueries.lexCertifiedRate(s, d)),
     "bm25_topk_persist" -> ((s, d) => PipelineQueries.bm25TopKPersist(s, d)),
     // takedown folded OUT of the persisted full index (df down-fold,
     // no re-tokenize): the removal half of the lexical serving lifecycle

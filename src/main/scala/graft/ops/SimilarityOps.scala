@@ -610,30 +610,46 @@ object SimilarityOps {
     * persisted codes table ([[graft.queries.IndexState]]) can be probed
     * without re-encoding the corpus; `queryVecs` supplies the query
     * vectors' qvec for the per-query distance LUTs. */
+  /** The three ADC expression builders — per-query LUT projections, the
+    * code→LUT-slot CASE chains, and the lookup-sum — factored out of the
+    * flat shortlist so the IVF-PQ serve reuses the IDENTICAL codegen
+    * strings (two hand-maintained copies of performance-sensitive SQL
+    * drift silently; one builder means a fix lands once).
+    *
+    * Slot lookup is a flat literal CASE, NOT element_at(map(...)): the
+    * map literal is re-CONSTRUCTED per evaluated row, and the ADC scan
+    * evaluates this once per (candidate × query) — bulk retrieval
+    * (chunk_topk_pq, ~2.5M pairs at sf0.1) spent most of its probe time
+    * allocating maps before this was flattened. */
+  private def adcLutCols(codebook: Seq[(Int, Seq[(Long, Seq[Long])])])
+      : Seq[String] =
+    codebook.map { case (m, _) => s"element_at(pd, ${m + 1}) AS lut_$m" }
+
+  // code id → LUT slot (codes are the surviving init buckets, not 0..15)
+  private def adcSlotOf(codebook: Seq[(Int, Seq[(Long, Seq[Long])])])
+      : Seq[String] =
+    codebook.map { case (m, cents) =>
+      val whens = cents.zipWithIndex
+        .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
+      s"CASE code_$m $whens END"
+    }
+
+  private def adcSumExpr(codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
+                         nSub: Int): String = {
+    val slotOf = adcSlotOf(codebook)
+    (0 until nSub).map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
+  }
+
   private def pqShortlistWith(codes: DataFrame, queryVecs: DataFrame,
                               codebook: Seq[(Int, Seq[(Long, Seq[Long])])],
                               nSub: Int, subDim: Int,
                               queryPred: String, k: Int,
                               excludeExpr: String): DataFrame = {
     graft.functions.PqDists.register(codes.sparkSession, centArray(codebook), subDim)
-    val lutCols = codebook.map { case (m, _) =>
-      s"element_at(pd, ${m + 1}) AS lut_$m"
-    }
-    // code id → LUT slot (codes are the surviving init buckets, not 0..15)
-    // as a flat literal CASE, NOT element_at(map(...)): the map literal is
-    // re-CONSTRUCTED per evaluated row, and the ADC scan evaluates this
-    // once per (candidate × query) — bulk retrieval (chunk_topk_pq,
-    // ~2.5M pairs at sf0.1) spent most of its probe time allocating maps
-    val slotOf = codebook.map { case (m, cents) =>
-      val whens = cents.zipWithIndex
-        .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
-      s"CASE code_$m $whens END"
-    }
     val queries = registered(queryVecs).filter(expr(queryPred))
       .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
-      .selectExpr(Seq("q_id") ++ lutCols: _*)
-    val adc = (0 until nSub)
-      .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
+      .selectExpr(Seq("q_id") ++ adcLutCols(codebook): _*)
+    val adc = adcSumExpr(codebook, nSub)
     codes.crossJoin(broadcast(queries))
       .selectExpr("q_id", "vec_id AS c_id", s"$adc AS adc")
       .filter(expr(excludeExpr))
@@ -820,20 +836,14 @@ object SimilarityOps {
     // filter, so the store scan prunes to the probed directories
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val lutCols = codebook.map { case (m, _) =>
-      s"element_at(pd, ${m + 1}) AS lut_$m"
-    }
-    val slotOf = codebook.map { case (m, cs) =>
-      val whens = cs.zipWithIndex
-        .map { case ((code, _), ix) => s"WHEN ${code}L THEN ${ix + 1}" }.mkString(" ")
-      s"CASE code_$m $whens END"
-    }
+    // the LUT/slot/sum codegen strings come from the SAME builders as
+    // the flat shortlist ([[adcLutCols]]/[[adcSumExpr]]) — the ADC
+    // arithmetic here is byte-identical by construction, not by copy
     val queries = qvecs.filter(expr(queryPred))
       .selectExpr("vec_id AS q_id", "pq_dists(qvec) AS pd")
-      .selectExpr(Seq("q_id") ++ lutCols: _*)
+      .selectExpr(Seq("q_id") ++ adcLutCols(codebook): _*)
       .join(probes, "q_id") // (q_id, lut_0.., cell) — nQ × nProbe rows
-    val adc = (0 until nSub)
-      .map(m => s"element_at(lut_$m, ${slotOf(m)})").mkString(" + ")
+    val adc = adcSumExpr(codebook, nSub)
     val short = cellCodes
       .filter(col("cell").isin(probedCells.map(Long.box): _*))
       .join(broadcast(queries), Seq("cell"))

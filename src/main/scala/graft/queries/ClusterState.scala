@@ -353,6 +353,51 @@ object IndexState {
     p
   }
 
+  /** Absolute parquet path of the IMPACT-RANKED full postings — every
+    * (term, doc_id, s_micro) with its per-term impact rank `rn`
+    * ((s_micro DESC, doc_id ASC)-ordered), written PARTITIONED by the
+    * geometric level bucket `lvl` ([[PipelineQueries.certLvlOf]]: rank
+    * ranges (0,64], (64,256], (256,1024], (1024,∞) — the
+    * [[PipelineQueries.CertLevels]] ladder). One store serves every
+    * depth of the exactness-certified serve
+    * ([[PipelineQueries.bm25TopKCertified]]): the level-m champion
+    * lists are `lvl ≤ k ∧ rn ≤ m` (unneeded deeper level directories
+    * prune at PLAN time — the bm25_downfold_probe discipline) and the
+    * level-m pruned-tail upper bounds are the boundary rows
+    * `rn = m + 1` (the max over each term's pruned tail, because the
+    * lists are impact-ordered; terms with ≤ m postings simply have no
+    * boundary row — tail 0). */
+  def bm25ImpactRankedPaths(spark: SparkSession, dir: String): String =
+    synchronized {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, row_number, sum}
+      val root = ClusterState.stateRoot(dir)
+      val p = new File(root, "bm25_impact_ranked_l64").getAbsolutePath
+      val done = new File(root, "_DONE_bm25_impact_ranked_l64")
+      if (!ready.contains(done.getAbsolutePath)) {
+        if (!done.exists()) {
+          val (postingsP, dlP, dfP) = bm25FullPaths(spark, dir)
+          val tfq = spark.read.parquet(postingsP)
+          val dl = spark.read.parquet(dlP)
+          val dft = spark.read.parquet(dfP)
+          val stats = dl.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("sum_dl"))
+          tfq.join(dft, "term").join(dl, "doc_id")
+            .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+            .selectExpr("term", "doc_id",
+              s"${PipelineQueries.bm25MicroTerm} AS s_micro")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+                .orderBy(col("s_micro").desc, col("doc_id").asc)).cast("long"))
+            .withColumn("lvl", expr(PipelineQueries.certLvlSql))
+            .repartition(col("lvl"))
+            .write.mode("overwrite").partitionBy("lvl").parquet(p)
+          done.createNewFile()
+        }
+        ready += done.getAbsolutePath
+      }
+      p
+    }
+
   /** Absolute parquet path of the CELL-PARTITIONED full-corpus PQ codes
     * — the IVF-PQ serving store ([[PipelineQueries.pqTopKIvf]]): codes
     * encoded against the full-corpus fit, each carrying its L2-nearest
@@ -380,6 +425,28 @@ object IndexState {
       ready += done.getAbsolutePath
     }
     p
+  }
+
+  /** The cell-codes store read back with `cell` PINNED to LongType via
+    * an explicit user schema. `partitionBy("cell")` stores the value in
+    * directory names, and read-back partition-column type INFERENCE
+    * yields IntegerType while the probe side
+    * ([[graft.ops.SimilarityOps.ivfCellOf]]) produces Long — without
+    * the pin, the isin pruning filter and the join key only line up
+    * because Spark's UnwrapCastInBinaryComparison happens to unwrap the
+    * implicit cast (version-fragile). A user schema makes the partition
+    * column NATIVELY long (no cast in the plan at all), so the
+    * PartitionFilters pruning PlanCheck asserts is unconditional. All
+    * serving-path consumers read through this. */
+  def readPqCellCodes(spark: SparkSession, dir: String,
+                      nCells: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(
+      StructField("vec_id", LongType) +:
+        (0 until 8).map(m => StructField(s"code_$m", LongType)) :+
+        StructField("cell", LongType))
+    spark.read.schema(schema)
+      .parquet(pqCellCodesPaths(spark, dir, nCells))
   }
 
   /** Absolute parquet path of the BRUTE-fusion audit baseline — the

@@ -219,10 +219,18 @@ object PipelineQueries {
     * delivery-sized, the index is eval-suite-sized, the join is a
     * broadcast hash join — measured flat across a 30× corpus
     * (SCALE.md `contamination_delivery`). */
+  /** The stand-in delivery's doc_id bounds — named and shared with
+    * [[graft.PlanCheck]]'s pushed-filter assertion (which interpolates
+    * [[ContamDeliveryLo]] into the expected `PushedFilters` string) and
+    * with the DuckDB oracle, so changing the bound cannot silently
+    * desynchronize the query, its plan gate and its oracle. */
+  val ContamDeliveryLo: Long = 100L
+  val ContamDeliveryHi: Long = 350L
+
   def contaminationDelivery(spark: SparkSession, dir: String): DataFrame = {
     val idxP = IndexState.contamEvalIndexPaths(spark, dir)
     val delivery = Tables.documents(spark, dir)
-      .filter(col("doc_id") >= 100L && col("doc_id") < 350L)
+      .filter(col("doc_id") >= ContamDeliveryLo && col("doc_id") < ContamDeliveryHi)
       .selectExpr("doc_id", "text", s"$splitCase AS split")
       .filter(col("split") === "train")
     DedupOps.shingleHashes(delivery, "text", 3)
@@ -1676,7 +1684,7 @@ object PipelineQueries {
   def pqTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val store = SimilarityOps.quantStore(Tables.embeddings(spark, dir))
     SimilarityOps.ivfPqTopKRerankCodes(
-      spark.read.parquet(IndexState.pqCellCodesPaths(spark, dir)),
+      IndexState.readPqCellCodes(spark, dir),
       store, 8, 8, nCells = 16, nProbe = 4, "vec_id < 8", 3, 48,
       fitOn = store)
   }
@@ -2005,9 +2013,16 @@ object PipelineQueries {
     * from-scratch [[bm25TopK]] and the persisted-index
     * [[bm25TopKPersist]] so the two rankings cannot drift. */
   private[graft] def bm25Rank(tfq: DataFrame, dl: DataFrame, dft: DataFrame,
-                       stats: DataFrame, nQ: Int, kTop: Int): DataFrame = {
-    val qterms = tfq.filter(col("doc_id") < nQ)
-      .selectExpr("doc_id AS q_id", "term")
+                       stats: DataFrame, nQ: Int, kTop: Int): DataFrame =
+    bm25RankQ(tfq.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term"), tfq, dl, dft, stats, kTop)
+
+  /** [[bm25Rank]] over an EXPLICIT query-term set — factored so the
+    * certified serve's fallback leg ([[bm25TopKCertified]]) can run the
+    * exact ranking for ONLY the queries whose certificate failed. */
+  private[graft] def bm25RankQ(qterms: DataFrame, tfq: DataFrame,
+                       dl: DataFrame, dft: DataFrame,
+                       stats: DataFrame, kTop: Int): DataFrame =
     qterms.join(tfq, "term").join(dft, "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
@@ -2017,7 +2032,6 @@ object PipelineQueries {
           .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rn") <= kTop)
       .select("q_id", "doc_id", "score_micro", "rn")
-  }
 
   def bm25TopK(spark: SparkSession, dir: String, nQ: Int = 8,
                kTop: Int = 5): DataFrame =
@@ -2108,6 +2122,277 @@ object PipelineQueries {
       .select("term", "doc_id", "s_micro")
     bm25ImpactRank(idx, tok.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term"), kTop)
+  }
+
+  /** The certificate stage of the EXACTNESS-CERTIFIED pruned serve
+    * (max-score/WAND idiom — Turtle & Flood 1995 — applied to the
+    * static impact index): rank the champion-list candidates by their
+    * surviving-postings LOWER BOUNDS, then prove or refuse top-k set
+    * exactness per query from the per-term pruned-tail upper bounds.
+    *
+    * Soundness: for query q with terms T(q) and tail(t) = the max
+    * pruned micro-score of t (0 when t's whole list survives),
+    *  - every candidate's true score ≥ its lb (scores are sums of
+    *    non-negative micro-terms; lb sums the surviving subset);
+    *  - a doc d's true score ≤ lb(d) + Σ_{t ∈ T(q), d ∉ champ(t)}
+    *    tail(t) = lb(d) + tail_sum(q) − matched_tail(d) = ub(d);
+    *  - a doc in NO champion list has true score ≤ tail_sum(q).
+    * The exclusion test is TIE-AWARE, mirroring the serve's
+    * (score DESC, doc_id ASC) order: a lower-ranked candidate d is
+    * provably outside the true top-k iff ub(d) < kth_lb, OR
+    * ub(d) = kth_lb AND doc_id(d) > max{doc_id(i) : top-k candidate i
+    * with lb(i) = kth_lb} — if d's true score reaches the boundary at
+    * all it ties, and the tie-break sends it below every boundary-tied
+    * insider (whose true scores are ≥ kth_lb; insiders strictly above
+    * need no tie-break). Without the id clause, corpora with heavy
+    * score ties (constant-length docs, tf ≈ 1) can never certify even
+    * at FULL depth, where the pruned ranking is exact by construction.
+    * Docs outside every champion list have unknown ids, so their bound
+    * stays strict: tail_sum(q) < kth_lb. certified = 1 iff there are
+    * ≥ k candidates, the unseen bound holds, and every lower-ranked
+    * candidate is excluded.
+    *
+    * Scale shape: candidates ≤ |T(q)| × m (champion joins, the impact
+    * serve's bound); tails/tail-sums are query-sized; nothing here
+    * touches the corpus. Returns (topk, cert): topk = the pruned top-k
+    * candidates (q_id, doc_id, lb_micro, rn); cert = one row per query
+    * (q_id, certified 0/1, kth_lb, out_ub — −1 sentinels where
+    * undefined). */
+  private[graft] def bm25Certify(champ: DataFrame, tail: DataFrame,
+                                 qterms: DataFrame, kTop: Int)
+      : (DataFrame, DataFrame) = {
+    val qt = qterms.join(tail, Seq("term"), "left")
+      .selectExpr("q_id", "term", "coalesce(tail_micro, 0L) AS tail_micro")
+    val tailSum = qt.groupBy("q_id").agg(sum(col("tail_micro")).as("tail_sum"))
+    // candidates are ≤ |terms| × depth — checkpointed once, read by the
+    // top-k cut and the three certificate passes
+    val cand = champ.join(broadcast(qt), "term")
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("s_micro")).as("lb_micro"),
+        sum(col("tail_micro")).as("matched_tail"))
+      .join(broadcast(tailSum), "q_id")
+      .withColumn("ub_micro",
+        col("lb_micro") + col("tail_sum") - col("matched_tail"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("lb_micro").desc, col("doc_id").asc)).cast("long"))
+      .localCheckpoint()
+    val topk = cand.filter(col("rn") <= kTop)
+      .select("q_id", "doc_id", "lb_micro", "rn")
+    val kth = cand.filter(col("rn") === kTop)
+      .select(col("q_id"), col("lb_micro").as("kth_lb"))
+    // ids of the top-k candidates TIED at the boundary score — the
+    // tie-break comparison set for borderline outsiders
+    val tieMax = cand.join(broadcast(kth), "q_id")
+      .filter(col("rn") <= kTop && col("lb_micro") === col("kth_lb"))
+      .groupBy("q_id").agg(max(col("doc_id")).as("tie_max_id"))
+    val below = cand.filter(col("rn") > kTop)
+      .join(broadcast(kth), "q_id").join(broadcast(tieMax), "q_id")
+      .groupBy("q_id").agg(
+        max(col("ub_micro")).as("below_ub"),
+        min(when(col("ub_micro") < col("kth_lb") ||
+            (col("ub_micro") === col("kth_lb") &&
+              col("doc_id") > col("tie_max_id")), 1L)
+          .otherwise(0L)).as("out_ok"))
+    val cert = tailSum
+      .join(kth, Seq("q_id"), "left")
+      .join(below, Seq("q_id"), "left")
+      .selectExpr("q_id",
+        "CAST(CASE WHEN kth_lb IS NOT NULL AND tail_sum < kth_lb " +
+          "AND coalesce(out_ok, 1L) = 1L " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS certified",
+        "coalesce(kth_lb, -1L) AS kth_lb",
+        "greatest(coalesce(below_ub, -1L), tail_sum) AS out_ub")
+    (topk, cert)
+  }
+
+  /** The certified serve's escalation ladder: champion-list depths
+    * tried in order, geometrically spaced so the total postings read
+    * for a query certifying at depth m is < 2m (sum of the shallower
+    * tiers). Queries the deepest level cannot certify fall back to the
+    * exact serve — so the ladder bounds COST adaptively while the
+    * result is exact at every depth. Shared with the leveled store
+    * layout ([[IndexState.bm25ImpactRankedPaths]] partitions by
+    * [[certLvlSql]]'s bucket of these boundaries). */
+  val CertLevels: Seq[Int] = Seq(64, 256, 1024)
+
+  /** The geometric level bucket of an impact rank — SQL shared by the
+    * store writer (partition column) and the serve's pruning filters,
+    * so the layout and the reads cannot disagree. */
+  val certLvlSql: String = {
+    val cases = CertLevels.zipWithIndex
+      .map { case (m, i) => s"WHEN rn <= $m THEN $i" }.mkString(" ")
+    s"CASE $cases ELSE ${CertLevels.length} END"
+  }
+
+  /** The level bucket holding impact rank `rn` — Scala twin of
+    * [[certLvlSql]] for building literal partition filters. */
+  private def certLvlOf(rn: Long): Int = {
+    val i = CertLevels.indexWhere(rn <= _)
+    if (i < 0) CertLevels.length else i
+  }
+
+  /** The impact-ranked postings frame over prepared index tables —
+    * (term, doc_id, s_micro, rn, lvl), the in-memory twin of
+    * [[IndexState.bm25ImpactRankedPaths]]; shared by the from-scratch
+    * certified serve and the ScaleProbe serve pairs so the chain exists
+    * once. */
+  private[graft] def bm25ImpactRanked(tok: DataFrame, dl: DataFrame,
+      dft: DataFrame, stats: DataFrame): DataFrame =
+    tok.join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("term", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("s_micro").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("lvl", expr(certLvlSql))
+
+  /** The certificate ledger at depth `m` over an impact-ranked frame —
+    * champion lists and boundary tails are rank filters; shared by the
+    * persisted [[lexCertifiedRate]] and the ScaleProbe rate columns. */
+  private[graft] def certLedger(ranked: DataFrame, qterms: DataFrame,
+      kTop: Int, m: Int): DataFrame = {
+    val champ = ranked.filter(col("lvl") <= certLvlOf(m.toLong) && col("rn") <= m)
+      .select("term", "doc_id", "s_micro")
+    val tail = ranked
+      .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
+      .select(col("term"), col("s_micro").as("tail_micro"))
+    bm25Certify(champ, tail, qterms, kTop)._2
+  }
+
+  /** The certified serve's full ranking stage — shared by the
+    * persisted-index [[bm25TopKCertified]] and the from-scratch
+    * [[bm25TopKCertifiedOver]] (the Zipf-corpus spec) so the two cannot
+    * drift. `ranked` is the impact-ranked postings (term, doc_id,
+    * s_micro, rn); each query walks the [[CertLevels]] ladder and stops
+    * at the first depth whose certificate ([[bm25Certify]]) PROVES its
+    * pruned top-k exact — the proven set is then re-scored EXACTLY by a
+    * bounded doc-keyed probe of the full postings (candidate docs ≤
+    * |queries| × kTop, collected as a bounded witness so the probe
+    * carries literal pushed In-filters — the PQ re-rank discipline) and
+    * re-ranked on exact scores. Queries no level certifies run the
+    * exact serve, alone. Output is therefore bit-identical to
+    * [[bm25TopK]] on EVERY corpus — the oracle IS bm25_topk's SQL —
+    * while each query pays candidates ∝ its certification depth
+    * instead of its terms' full posting lists. [[lexCertifiedRate]]
+    * prices the base level; the PipelineSpec ladder case pins the
+    * measured depth-vs-rate curve on Zipf text (document-length
+    * queries certify DEEP — 0/8 at 64, 3/8 at 256, 8/8 at
+    * full-corpus depth on the 400-doc corpus: exactness with
+    * tight margins is information-dense, which is exactly why the
+    * serve escalates per query instead of picking one depth). */
+  private[graft] def bm25CertifiedRank(ranked: DataFrame,
+      qterms: DataFrame, tfq: DataFrame, dl: DataFrame, dft: DataFrame,
+      stats: DataFrame, kTop: Int,
+      levels: Seq[Int] = CertLevels): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val legs = Seq.newBuilder[DataFrame]
+    val provenPairs = Seq.newBuilder[(Long, Long)]
+    // bounded witness: the distinct query ids (≤ nQ)
+    var remaining = qterms.select("q_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    for (m <- levels if remaining.nonEmpty) {
+      val lvl = certLvlOf(m.toLong)
+      val champ = ranked
+        .filter(col("lvl") <= lvl && col("rn") <= m)
+        .select("term", "doc_id", "s_micro")
+      val tail = ranked
+        .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
+        .select(col("term"), col("s_micro").as("tail_micro"))
+      val qt = qterms.filter(col("q_id").isin(remaining.map(Long.box): _*))
+      val (topk, cert) = bm25Certify(champ, tail, qt, kTop)
+      val flags = cert.select("q_id", "certified").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1) == 1L)).toMap
+      val certified = remaining.filter(q => flags.getOrElse(q, false))
+      if (certified.nonEmpty)
+        provenPairs ++= topk
+          .filter(col("q_id").isin(certified.map(Long.box): _*))
+          .select("q_id", "doc_id").as[(Long, Long)].collect()
+      remaining = remaining.filterNot(q => flags.getOrElse(q, false))
+    }
+    val pairs = provenPairs.result().sorted
+    if (pairs.nonEmpty) {
+      val docIds = pairs.map(_._2).distinct.sorted
+      val exact = pairs.toDF("q_id", "doc_id")
+        .join(tfq.filter(col("doc_id").isin(docIds.map(Long.box): _*)), "doc_id")
+        .join(qterms.selectExpr("q_id", "term"), Seq("q_id", "term"))
+        .join(dft, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
+        .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+        .select("q_id", "doc_id", "score_micro", "rn")
+      legs += exact
+    }
+    if (remaining.nonEmpty)
+      legs += bm25RankQ(
+        qterms.filter(col("q_id").isin(remaining.map(Long.box): _*)),
+        tfq, dl, dft, stats, kTop)
+    legs.result().reduce(_.unionByName(_))
+  }
+
+  /** Exactness-CERTIFIED lexical retrieval from the leveled
+    * impact-ranked store — the r14 verdict's top item:
+    * [[bm25TopKImpact]] trades recall and ships disabled on non-Zipf
+    * corpora; this serve keeps pruned-candidate economics WITHOUT the
+    * trade by walking the [[CertLevels]] ladder per query and proving
+    * (from the boundary-row tail bounds) when the pruned top-k is
+    * exact, escalating — ultimately to the exact serve — when it
+    * cannot. Always bit-identical to [[bm25TopK]];
+    * [[lexCertifiedRate]] is the oracle-backed base-level ledger. */
+  def bm25TopKCertified(spark: SparkSession, dir: String, nQ: Int = 8,
+                        kTop: Int = 5): DataFrame = {
+    val ranked = spark.read.parquet(IndexState.bm25ImpactRankedPaths(spark, dir))
+    val (postingsP, dlP, dfP) = IndexState.bm25FullPaths(spark, dir)
+    val tfq = spark.read.parquet(postingsP)
+    val dl = spark.read.parquet(dlP)
+    val dft = spark.read.parquet(dfP)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = tfq.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term")
+    bm25CertifiedRank(ranked, qterms, tfq, dl, dft, stats, kTop)
+  }
+
+  /** The certificate LEDGER at the ladder's base level (m = 64) — one
+    * row per query: certified (1 = the base-level pruned top-k is
+    * provably exact), with the kth lower bound and the outside upper
+    * bound the decision compared. 1 − avg(certified) is the fraction
+    * of query load escalating past the base depth; the serve stays
+    * EXACT either way — only the cost moves. Document-length queries
+    * (this suite's convention) certify deep, so the base rate is
+    * honestly 0 on BOTH corpus profiles here; short term-queries — the
+    * deployment load — certify at the base (PipelineSpec pins both by
+    * measurement). */
+  def lexCertifiedRate(spark: SparkSession, dir: String, nQ: Int = 8,
+                       kTop: Int = 5): DataFrame = {
+    val ranked = spark.read.parquet(IndexState.bm25ImpactRankedPaths(spark, dir))
+    val (postingsP, _, _) = IndexState.bm25FullPaths(spark, dir)
+    val qterms = spark.read.parquet(postingsP).filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term")
+    certLedger(ranked, qterms, kTop, CertLevels.head)
+  }
+
+  /** From-scratch certified retrieval over an arbitrary document frame
+    * — the [[bm25TopKOver]]/[[bm25TopKImpactOver]] twin for the
+    * certified serve, used by the PipelineSpec cases that pin the
+    * depth-vs-certificate-rate curve by measurement and prove the
+    * always-exact claim on both corpus profiles. Returns (served rows,
+    * base-level cert ledger). */
+  private[graft] def bm25TopKCertifiedOver(docs: DataFrame, nQ: Int,
+      kTop: Int, levels: Seq[Int] = CertLevels,
+      qtermsOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val tok = bm25Postings(docs)
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val ranked = bm25ImpactRanked(tok, dl, dft, stats).localCheckpoint()
+    val qterms = qtermsOpt.getOrElse(tok.filter(col("doc_id") < nQ)
+      .selectExpr("doc_id AS q_id", "term"))
+    (bm25CertifiedRank(ranked, qterms, tok, dl, dft, stats, kTop, levels),
+      certLedger(ranked, qterms, kTop, levels.head))
   }
 
   /** Recall gate for the impact-pruned lexical serve: per-query
@@ -3463,7 +3748,7 @@ object PipelineOracles {
     * bounded delivery's shingles — string shingles stand in for the
     * 62-bit hashes exactly as in [[contamination]]. */
   val contaminationDelivery: String =
-    """WITH spl AS (
+    s"""WITH spl AS (
       |  SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
       |  FROM (SELECT doc_id,
       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT) % 10 AS b
@@ -3473,7 +3758,8 @@ object PipelineOracles {
       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)]) AS sh FROM t)),
       |ev AS (SELECT DISTINCT sh FROM g JOIN spl USING (doc_id) WHERE split = 'test' AND doc_id < 500),
       |de AS (SELECT g.doc_id, g.sh FROM g JOIN spl USING (doc_id)
-      |       WHERE split = 'train' AND g.doc_id >= 100 AND g.doc_id < 350)
+      |       WHERE split = 'train' AND g.doc_id >= ${PipelineQueries.ContamDeliveryLo}
+      |         AND g.doc_id < ${PipelineQueries.ContamDeliveryHi})
       |SELECT de.doc_id, count(*) AS n_sh, count(ev.sh) AS n_hit,
       |  CAST(count(ev.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
       |FROM de LEFT JOIN ev ON de.sh = ev.sh GROUP BY 1""".stripMargin
@@ -3858,15 +4144,67 @@ object PipelineOracles {
     * (s_micro DESC, doc_id ASC), then the bounded query-term join and
     * the same aggregation — ends in `gi(q_id, doc_id, score_micro)`.
     * Shared by the serve oracle and its recall gate. */
-  private val bm25ImpactChain: String =
+  /** The per-posting exact micro-score CTE over [[bm25ChainOver]]'s
+    * tfq/dlt/dft/st — shared by the impact chain and the certificate
+    * chain so the scored-postings statement exists once. */
+  private val bm25ScoredCte: String =
     s"""sc AS (SELECT t.term, t.doc_id, ${PipelineQueries.bm25MicroTerm} AS s_micro
-       |       FROM tfq t JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN st),
+       |       FROM tfq t JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN st)""".stripMargin
+
+  private val bm25ImpactChain: String =
+    s"""$bm25ScoredCte,
        |pr AS (SELECT term, doc_id, s_micro FROM (
        |    SELECT term, doc_id, s_micro,
        |           row_number() OVER (PARTITION BY term ORDER BY s_micro DESC, doc_id ASC) AS rn
        |    FROM sc) WHERE rn <= 64),
        |gi AS (SELECT q.q_id, pr.doc_id, CAST(SUM(pr.s_micro) AS BIGINT) AS score_micro
        |       FROM q JOIN pr USING (term) GROUP BY 1, 2)""".stripMargin
+
+  /** [[PipelineQueries.lexCertifiedRate]] restatement — the whole
+    * certificate computed independently in DuckDB: champion lists and
+    * the (m+1)-th-posting tail bounds from the same scored postings,
+    * candidate lower/upper bounds, and the TIE-AWARE kth-vs-outside
+    * test (borderline outsiders excluded by the serve's own
+    * (score DESC, doc_id ASC) tie-break — [[PipelineQueries
+    * .bm25Certify]] scaladoc has the soundness argument). kTop = 5 and
+    * m = 64 mirror the serve's base level. */
+  val lexCertifiedRate: String =
+    s"""WITH $bm25Chain,
+       |$bm25ScoredCte,
+       |ctr AS (SELECT term, doc_id, s_micro,
+       |          row_number() OVER (PARTITION BY term ORDER BY s_micro DESC, doc_id ASC) AS rn
+       |        FROM sc),
+       |chp AS (SELECT term, doc_id, s_micro FROM ctr WHERE rn <= 64),
+       |tlb AS (SELECT term, s_micro AS tail_micro FROM ctr WHERE rn = 65),
+       |qtl AS (SELECT q.q_id, q.term, coalesce(tlb.tail_micro, 0) AS tail_micro
+       |        FROM q LEFT JOIN tlb USING (term)),
+       |tsm AS (SELECT q_id, CAST(SUM(tail_micro) AS BIGINT) AS tail_sum FROM qtl GROUP BY 1),
+       |cnd AS (SELECT qtl.q_id, chp.doc_id, CAST(SUM(chp.s_micro) AS BIGINT) AS lb_micro,
+       |               CAST(SUM(qtl.tail_micro) AS BIGINT) AS matched_tail
+       |        FROM qtl JOIN chp USING (term) GROUP BY 1, 2),
+       |cnr AS (SELECT c.q_id, c.doc_id, c.lb_micro,
+       |               c.lb_micro + t.tail_sum - c.matched_tail AS ub_micro,
+       |               row_number() OVER (PARTITION BY c.q_id ORDER BY c.lb_micro DESC, c.doc_id ASC) AS rn
+       |        FROM cnd c JOIN tsm t USING (q_id)),
+       |kth AS (SELECT q_id, lb_micro AS kth_lb FROM cnr WHERE rn = 5),
+       |tmx AS (SELECT c.q_id, max(c.doc_id) AS tie_max_id
+       |        FROM cnr c JOIN kth k ON k.q_id = c.q_id
+       |        WHERE c.rn <= 5 AND c.lb_micro = k.kth_lb GROUP BY 1),
+       |blw AS (SELECT c.q_id, max(c.ub_micro) AS below_ub,
+       |               min(CASE WHEN c.ub_micro < k.kth_lb
+       |                          OR (c.ub_micro = k.kth_lb AND c.doc_id > t.tie_max_id)
+       |                   THEN 1 ELSE 0 END) AS out_ok
+       |        FROM cnr c JOIN kth k ON k.q_id = c.q_id
+       |        JOIN tmx t ON t.q_id = c.q_id
+       |        WHERE c.rn > 5 GROUP BY 1)
+       |SELECT ts.q_id,
+       |  CAST(CASE WHEN k.kth_lb IS NOT NULL AND ts.tail_sum < k.kth_lb
+       |              AND coalesce(b.out_ok, 1) = 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS certified,
+       |  CAST(coalesce(k.kth_lb, -1) AS BIGINT) AS kth_lb,
+       |  CAST(greatest(coalesce(b.below_ub, -1), ts.tail_sum) AS BIGINT) AS out_ub
+       |FROM tsm ts LEFT JOIN kth k ON k.q_id = ts.q_id
+       |LEFT JOIN blw b ON b.q_id = ts.q_id""".stripMargin
 
   /** [[PipelineQueries.bm25TopKImpact]] restatement via
     * [[bm25ImpactChain]]. */
@@ -5542,6 +5880,10 @@ object PipelineOracles {
     "bm25_topk" -> bm25TopK,
     "bm25_topk_impact" -> bm25TopKImpact,
     "lex_recall" -> lexRecall,
+    // the certified serve is ALWAYS exact (certificate or fallback) —
+    // the oracle IS bm25_topk's SQL, the persist-twin discipline
+    "bm25_topk_certified" -> bm25TopK,
+    "lex_certified_rate" -> lexCertifiedRate,
     // converges to the from-scratch ranking bit-exactly through the
     // persisted index — the oracle IS bm25_topk's SQL
     "bm25_topk_persist" -> bm25TopK,

@@ -423,8 +423,7 @@ class PipelineSpec extends SparkSpec {
   test("pq_topk_ivf: full-probe serve equals the flat PQ re-rank bit-for-bit") {
     val emb = Tables.embeddings(spark, sf0001)
     val store = SimilarityOps.quantStore(emb)
-    val codes = spark.read.parquet(
-      graft.queries.IndexState.pqCellCodesPaths(spark, sf0001))
+    val codes = graft.queries.IndexState.readPqCellCodes(spark, sf0001)
     // probing ALL 16 cells makes the IVF restriction vacuous: the served
     // rows must reproduce the flat ADC+shortlist+re-rank exactly — the
     // cell layout, the probe selection, and the pruned scan change the
@@ -444,6 +443,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic Zipf-text corpus — inverse-CDF Zipf over 5000 ranks
+    * (P(rank) ∝ 1/rank), the natural-text profile static pruning's
+    * precondition is ABOUT; shared by the impact-recall and
+    * certified-serve cases. */
+  private def zipfCorpus(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).selectExpr("id AS doc_id").as[Long].map { id =>
+      val r = new scala.util.Random(id * 2654435761L + 7)
+      val hN = (1 to 5000).map(1.0 / _).sum
+      val words = Array.fill(60) {
+        var u = r.nextDouble() * hN; var rank = 0
+        while (u > 0 && rank < 5000) { rank += 1; u -= 1.0 / rank }
+        s"t$rank"
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
   test("bm25 impact pruning: recall collapses on the uniform-vocab corpus and holds on Zipf text") {
     // the driver corpus is static pruning's measured worst case (uniform
     // common vocabulary — score mass spread over many low-idf terms):
@@ -453,17 +468,7 @@ class PipelineSpec extends SparkSpec {
     // text the same code path recalls the exact top-5 almost everywhere.
     val uniform = PipelineQueries.lexRecall(spark, sf0001).collect()
     assert(uniform.length == 8 && uniform.forall(_.getAs[Long]("k") == 5L))
-    val zipfDocs = spark.range(400).selectExpr("id AS doc_id").as[Long].map { id =>
-      val r = new scala.util.Random(id * 2654435761L + 7)
-      // inverse-CDF Zipf over 5000 ranks: P(rank) ∝ 1/rank
-      val hN = (1 to 5000).map(1.0 / _).sum
-      val words = Array.fill(60) {
-        var u = r.nextDouble() * hN; var rank = 0
-        while (u > 0 && rank < 5000) { rank += 1; u -= 1.0 / rank }
-        s"t$rank"
-      }
-      (id, words.mkString(" "))
-    }.toDF("doc_id", "text")
+    val zipfDocs = zipfCorpus(400)
     val exact = PipelineQueries.bm25TopKOver(zipfDocs, 8, 5)
       .selectExpr("q_id", "doc_id AS c_id")
     val pruned = PipelineQueries.bm25TopKImpactOver(zipfDocs, 8, 5, 64)
@@ -474,6 +479,77 @@ class PipelineSpec extends SparkSpec {
     // M=64 over 400 docs vs 0.0 on the uniform-vocab driver corpus —
     // the precondition contrast, not a tuned success number
     assert(mean >= 0.7, s"Zipf-corpus impact recall@5 = $mean (expected >= 0.7)")
+  }
+
+  test("bm25 certified serve: bit-identical to the exact ranking on BOTH corpus profiles; certificate fires on Zipf text") {
+    // soundness everywhere: the certificate either PROVES the pruned
+    // top-k exact (then the bounded re-score emits exact rows) or routes
+    // the query to the exact serve — so on the driver corpus (the
+    // pruning worst case, where lex_recall reads 0.0 and certificates
+    // should honestly fail) the served rows must STILL equal bm25_topk
+    val exactU = PipelineQueries.bm25TopK(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val certU = PipelineQueries.bm25TopKCertified(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(certU == exactU,
+      "certified serve must reproduce the exact ranking on the worst-case corpus")
+    val ledgerU = PipelineQueries.lexCertifiedRate(spark, sf0001).collect()
+    assert(ledgerU.length == 8)
+    // every refused certificate must have been refused FOR CAUSE: the
+    // recorded outside bound really reaches the kth lower bound
+    ledgerU.filter(_.getAs[Long]("certified") == 0L).foreach { r =>
+      assert(r.getAs[Long]("kth_lb") <= r.getAs[Long]("out_ub"))
+    }
+    // Zipf text: same bit-exactness through the default ladder
+    val zipf = zipfCorpus(400).localCheckpoint()
+    val (served, _) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5)
+    val exactZ = PipelineQueries.bm25TopKOver(zipf, 8, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served.as[(Long, Long, Long, Long)].collect().toSet == exactZ,
+      "certified serve must reproduce the exact ranking on Zipf text")
+    // the measured depth-vs-certificate-rate curve for DOCUMENT-length
+    // queries (this suite's convention: query docs are whole documents,
+    // so tail sums span ~40 terms and margins are tight): 0/8 certify
+    // at depth 64, 3/8 at 256, 8/8 at full-corpus depth — deterministic
+    // corpus, measured numbers. The ladder exists exactly because one
+    // static depth serves this badly.
+    def rateAt(levels: Seq[Int]): Double = {
+      val rows = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5, levels)
+        ._2.collect()
+      rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
+    }
+    assert(rateAt(Seq(64)) == 0.0)
+    assert(rateAt(Seq(256)) >= 0.25)
+    assert(rateAt(Seq(1024)) == 1.0,
+      "full-corpus depth (empty tails) must certify every query")
+  }
+
+  test("bm25 certified serve: short term-queries certify at shallow depth") {
+    // the deployment query load — a few terms per query, not whole
+    // documents: tail sums span 3 terms, so the base/shallow levels
+    // certify and the serve never touches the full posting lists
+    val zipf = zipfCorpus(400).localCheckpoint()
+    val qt = (0 until 16).flatMap { q =>
+      val r = new scala.util.Random(q * 7919L + 3)
+      Seq.fill(3)((q.toLong, s"t${20 + r.nextInt(300)}"))
+    }.distinct.toDF("q_id", "term").localCheckpoint()
+    val (served, _) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5,
+      qtermsOpt = Some(qt))
+    // exact baseline over the same query-term sets
+    val tok = PipelineQueries.bm25Postings(zipf)
+    val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val exact = PipelineQueries.bm25RankQ(qt, tok, dl, dft, stats, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served.as[(Long, Long, Long, Long)].collect().toSet == exact)
+    // measured: the 256-depth level certifies ≥ half the short queries
+    // on this corpus (deterministic; the documentation of WHERE the
+    // ladder pays — pinned after measurement, not argued)
+    val rows = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5,
+      Seq(256), Some(qt))._2.collect()
+    val rate = rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
+    assert(rate >= 0.5, s"short-query certificate rate at depth 256 = $rate")
   }
 
   test("bm25_topk: self-match ranks first, scores match a driver-local BM25") {
