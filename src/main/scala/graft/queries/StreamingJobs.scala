@@ -163,9 +163,17 @@ object StreamingJobs {
     * serve_qload_lex measures, run live. A query's result rows depend
     * only on (its text, the frozen index), so the union over batches is
     * bit-identical to the batch serve — parity-specced against the
-    * oracle-green bm25_topk_impact rows. The recall precondition and
-    * measure-then-enable rule are the batch serve's
-    * ([[PipelineQueries.bm25TopKImpact]] scaladoc). */
+    * oracle-green bm25_topk_impact rows. That identity is a SET
+    * identity, and foreachBatch is at-least-once: a replayed
+    * micro-batch (or the same q_id arriving in two batches) emits its
+    * result rows AGAIN to an appending sink. PRECONDITION for an
+    * exactly-once downstream: query ids are unique across the stream
+    * and the sink is idempotent per (q_id, doc_id) — dedup there, or
+    * relay through the graft-cdc sink whose per-(queryId, epoch)
+    * markers make replays no-ops (the [[runBm25Score]] family's same
+    * invariant). The recall precondition and measure-then-enable rule
+    * are the batch serve's ([[PipelineQueries.bm25TopKImpact]]
+    * scaladoc). */
   def runImpactServe(spark: SparkSession, queriesStream: DataFrame,
                      idx: DataFrame, kTop: Int = 5)(
       sink: DataFrame => Unit): StreamingQuery =
@@ -372,16 +380,46 @@ object StreamingJobs {
         .getOrElse(graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(empty(docSchema), "text", k)).localCheckpoint())
     def setsCur: DataFrame = pressStore.map(_.setsView).getOrElse(sets)
-    var assign: DataFrame = initialAssign.map(_.localCheckpoint())
-      .getOrElse(empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id"))
-    var pairs: DataFrame = initialPairs.map(_.localCheckpoint())
-      .getOrElse(empty(StructType(Seq(
-        StructField("doc_a", LongType), StructField("doc_b", LongType)))))
+    // In tagged-store (segmented) mode the ASSIGNMENT lives in a
+    // cluster_id-keyed SegmentedState and the CC folds report DELTAS
+    // (ClusterOps.incrementalClustersDelta / removeFromClustersDelta):
+    // only clusters the delivery TOUCHES retire-and-re-emit, untouched
+    // rows carry by reference — the r14 probe's last measured
+    // per-delivery growth term was exactly the full-assignment
+    // re-checkpoint this removes. The PAIR LIST likewise moves to an
+    // endpoint-tombstoned SegmentedState: per batch one delivery-sized
+    // segment append, removals as id tombstones masking either
+    // endpoint — no O(pairs) rewrite.
+    val assignSt: Option[graft.streaming.SegmentedState] =
+      if (pressStore.isDefined)
+        Some(new graft.streaming.SegmentedState(
+          initialAssign.getOrElse(
+            empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id")),
+          Seq("cluster_id")))
+      else None
+    val pairsSt: Option[graft.streaming.SegmentedState] =
+      if (pressStore.isDefined)
+        Some(new graft.streaming.SegmentedState(
+          initialPairs.getOrElse(empty(StructType(Seq(
+            StructField("doc_a", LongType), StructField("doc_b", LongType))))),
+          Seq("doc_a"), endpointCols = Seq("doc_a", "doc_b")))
+      else None
+    var assign: DataFrame =
+      if (assignSt.isDefined) null
+      else initialAssign.map(_.localCheckpoint())
+        .getOrElse(empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id"))
+    def assignCur: DataFrame = assignSt.map(_.view).getOrElse(assign)
+    var pairs: DataFrame =
+      if (pairsSt.isDefined) null
+      else initialPairs.map(_.localCheckpoint())
+        .getOrElse(empty(StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType)))))
+    def pairsCur: DataFrame = pairsSt.map(_.view).getOrElse(pairs)
     // bloom route for the per-batch add-idempotency probe of the
     // corpus-sized assignment (see IngestBloom): fresh docs admit
     // without scanning it; maybes fall back to the exact probe
     val ingBloom = new graft.streaming.IngestBloom(
-      assign.select("doc_id"), "doc_id",
+      assignCur.select("doc_id"), "doc_id",
       graft.streaming.IngestBloom.DefaultExpected,
       graft.streaming.IngestBloom.DefaultFpp)
     opsStream.writeStream
@@ -416,7 +454,7 @@ object StreamingJobs {
         val d = ingBloom.admitFresh(
             bAll.filter(col("op") === "add").select("doc_id", "text")
               .dropDuplicates("doc_id"),
-            assign.select("doc_id"))
+            assignCur.select("doc_id"))
           .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
@@ -424,22 +462,44 @@ object StreamingJobs {
           dSets, nPerms, rowsPerBand, threshold)
         val db = graft.ops.DedupOps.crossNearPairsOfSets(
           setsCur, dSets, nPerms, rowsPerBand, threshold)
-        assign = graft.ops.ClusterOps.incrementalClusters(
-          assign, d.select("doc_id"), dd, db).localCheckpoint()
+        assignSt match {
+          case Some(st) =>
+            // delta fold: the CC quotient runs as always, but only the
+            // touched clusters' ids tombstone and their rows re-emit —
+            // remove-then-append, reading the pre-mutation snapshot
+            val (retired, newRows) = graft.ops.ClusterOps
+              .incrementalClustersDelta(st.view, d.select("doc_id"), dd, db)
+            st.remove(retired)
+            st.append(newRows)
+          case None =>
+            assign = graft.ops.ClusterOps.incrementalClusters(
+              assign, d.select("doc_id"), dd, db).localCheckpoint()
+        }
         pressStore match {
           case Some(stq) => stq.queueSetsAppend(dSets)
           case None => sets = sets.union(dSets).localCheckpoint()
         }
-        pairs = pairs
-          .union(dd.select("doc_a", "doc_b"))
+        val dPairs = dd.select("doc_a", "doc_b")
           .union(db.selectExpr("doc_id AS doc_a", "base_id AS doc_b"))
-          .localCheckpoint()
+        pairsSt match {
+          case Some(st) => st.append(dPairs)
+          case None => pairs = pairs.union(dPairs).localCheckpoint()
+        }
         // REMOVES: affected-cluster re-resolution + state retirement
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          assign = graft.ops.ClusterOps.removeFromClusters(
-            assign, pairs, "doc_a", "doc_b", rem).localCheckpoint()
+          assignSt match {
+            case Some(st) =>
+              val (affected, reassigned) = graft.ops.ClusterOps
+                .removeFromClustersDelta(st.view, pairsCur,
+                  "doc_a", "doc_b", rem)
+              st.remove(affected)
+              st.append(reassigned)
+            case None =>
+              assign = graft.ops.ClusterOps.removeFromClusters(
+                assign, pairs, "doc_a", "doc_b", rem).localCheckpoint()
+          }
           // takedown batches are bounded by contract: broadcast them
           // into the corpus-sized retirement folds (scan-only rewrites,
           // no corpus-side exchange from the stat-less checkpoints)
@@ -449,15 +509,18 @@ object StreamingJobs {
               .join(broadcast(rem), Seq("doc_id"), "left_anti")
               .localCheckpoint()
           }
-          pairs = pairs
-            .join(broadcast(rem.withColumnRenamed("doc_id", "doc_a")),
-              Seq("doc_a"), "left_anti")
-            .join(broadcast(rem.withColumnRenamed("doc_id", "doc_b")),
-              Seq("doc_b"), "left_anti")
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
+          pairsSt match {
+            case Some(st) => st.remove(rem.select("doc_id"))
+            case None => pairs = pairs
+              .join(broadcast(rem.withColumnRenamed("doc_id", "doc_a")),
+                Seq("doc_a"), "left_anti")
+              .join(broadcast(rem.withColumnRenamed("doc_id", "doc_b")),
+                Seq("doc_b"), "left_anti")
+              .select("doc_a", "doc_b")
+              .localCheckpoint()
+          }
         }
-        sink(assign, setsCur, pairs, d, rem)
+        sink(assignCur, setsCur, pairsCur, d, rem)
       }
       .start()
   }

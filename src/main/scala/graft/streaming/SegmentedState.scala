@@ -29,10 +29,22 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
  * segment was appended BEFORE it, never a later re-add — and a
  * compaction applies all masks physically and resets.
  *
+ * ENDPOINT-TOMBSTONE mode (`endpointCols` non-empty — the near-dup
+ * EDGE LIST's retirement shape): [[remove]] takes a single-column
+ * frame of retired ids, and a tombstone masks any row where ANY of
+ * the endpoint columns equals a retired id (two broadcast hash
+ * anti-joins, one per endpoint — never an OR-condition nested-loop).
+ * Generations work unchanged, so an id removed at gen g kills edges
+ * appended at gens ≤ g and leaves a later re-add's new edges alive —
+ * exactly the lifecycle's remove-then-re-add contract applied to
+ * edges. In this mode `keyCols` is unused (edges retire by endpoint,
+ * never by row key).
+ *
  * Not thread-safe; foreachBatch bodies run serially per query, which is
  * the only intended call site.
  */
-final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
+final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
+                           endpointCols: Seq[String] = Nil) {
   private var base: DataFrame = base0.localCheckpoint()
   private var baseRows: Long = base.count()
   // TIERED segments (LSM levels): level-0 entries are deliveries,
@@ -74,11 +86,19 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
     val parts = tombMain.toVector ++ tombPending
     if (parts.isEmpty) df
     else {
-      val t = parts.reduce(_ unionByName _)
-        .filter(col("_tomb_gen") > g).select(keyCols.map(col): _*)
-      df.join(
-        if (tombRows <= SegmentedState.BroadcastTombMax) broadcast(t) else t,
-        keyCols, "left_anti")
+      val tAll = parts.reduce(_ unionByName _).filter(col("_tomb_gen") > g)
+      if (endpointCols.isEmpty) {
+        val t = tAll.select(keyCols.map(col): _*)
+        df.join(
+          if (tombRows <= SegmentedState.BroadcastTombMax) broadcast(t) else t,
+          keyCols, "left_anti")
+      } else
+        endpointCols.foldLeft(df) { (acc, c) =>
+          val t = tAll.select(col("_ek").as(c))
+          acc.join(
+            if (tombRows <= SegmentedState.BroadcastTombMax) broadcast(t) else t,
+            Seq(c), "left_anti")
+        }
     }
   }
 
@@ -138,7 +158,10 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String]) {
     * partition. */
   def remove(keys: DataFrame): Unit = {
     gen += 1
-    val k = keys.select(keyCols.map(col): _*).distinct()
+    val sel =
+      if (endpointCols.isEmpty) keys.select(keyCols.map(col): _*)
+      else keys.toDF("_ek") // endpoint mode: one retired-id column
+    val k = sel.distinct()
       .withColumn("_tomb_gen", lit(gen)).coalesce(1).localCheckpoint()
     val n = k.count()
     if (n == 0L) return // no empty masks — views stay anti-join-free

@@ -271,6 +271,55 @@ class ClusterTextOpsSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 20L -> 20L))
   }
 
+  test("delta-reported CC folds: applying (retired, rows) reproduces the full fold") {
+    // the delta variants move REPORTING from full-frame to
+    // (tombstoned cluster ids, replacement rows) so a maintained store
+    // rewrites only touched clusters — the algebra must be unchanged:
+    // retire + append over the base equals the full-fold output, row
+    // for row, on both lifecycle directions
+    def applied(base: org.apache.spark.sql.DataFrame,
+                delta: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      base.join(delta._1, Seq("cluster_id"), "left_anti")
+        .select("doc_id", "cluster_id")
+        .union(delta._2.select("doc_id", "cluster_id"))
+        .as[(Long, Long)].collect().toMap
+    // adds direction: the merge-through-delivery-chain case above
+    val baseAssign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)
+    ).toDF("doc_id", "cluster_id")
+    val delivery = Seq(30L, 31L, 32L).toDF("doc_id")
+    val dd = Seq((30L, 31L)).toDF("doc_a", "doc_b")
+    val db = Seq((31L, 3L), (30L, 10L)).toDF("doc_id", "base_id")
+    val fullAdd = ClusterOps.incrementalClusters(baseAssign, delivery, dd, db)
+      .as[(Long, Long)].collect().toMap
+    val dAdd = ClusterOps.incrementalClustersDelta(baseAssign, delivery, dd, db)
+    assert(applied(baseAssign, dAdd) == fullAdd)
+    // untouched clusters must NOT re-emit (20 stays out; cluster 1's
+    // rep kept its label, so it stays too); delivery-node ids may
+    // appear — harmless no-op tombstones, since a fresh doc id can
+    // never name an existing base cluster (cluster ids are ingested
+    // component minima)
+    val retired = dAdd._1.as[Long].collect().toSet
+    assert(retired.contains(10L) && !retired.contains(20L) &&
+      !retired.contains(1L))
+    // removes direction: the bridge-split case above
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)
+    ).toDF("doc_a", "doc_b")
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)
+    ).toDF("doc_id", "cluster_id")
+    val removed = Seq(3L, 11L).toDF("doc_id")
+    val fullRem = ClusterOps.removeFromClusters(
+      assign, pairs, "doc_a", "doc_b", removed)
+      .as[(Long, Long)].collect().toMap
+    val dRem = ClusterOps.removeFromClustersDelta(
+      assign, pairs, "doc_a", "doc_b", removed)
+    assert(applied(assign, dRem) == fullRem)
+    assert(dRem._1.as[Long].collect().toSet == Set(1L, 10L))
+  }
+
   test("dedup_clusters_takedown equals from-scratch on the surviving corpus") {
     val survivors = Tables.documents(spark, sf0001)
       .filter(col("doc_id") % 17 =!= 0)
