@@ -132,9 +132,13 @@ object Bench {
     // or GRAFT_AUDIT_FORCE=1; otherwise the previous BENCH_LAST value is
     // carried forward and the line marks it in "audit_cached". Its
     // CORRECTNESS row is untouched — Verify still runs it every round;
-    // only the redundant re-TIMING is tiered. The per-round serving-path
-    // gate row is the delivery-sized rrf_overlap_pq_persist.
-    val auditTwins = Set("rrf_overlap_pq")
+    // only the redundant re-TIMING is tiered. r15 (r14 verdict #6):
+    // the persist twin joins the tier — it audits the SAME stored
+    // brute-fusion baseline (suite cost #3 at 3.49 s) and its verdict
+    // is equally pinned to the state fingerprint; both audit rows now
+    // re-time only when the state root moves. The per-round
+    // serving-path gate rows remain the live hybrid_rrf_pq family.
+    val auditTwins = Set("rrf_overlap_pq", "rrf_overlap_pq_persist")
     val stateToken = graft.queries.ClusterState.stateRootToken(sfDir)
     def readIfExists(p: String): Option[String] =
       try {

@@ -131,24 +131,40 @@ object ScaleProbe {
   }
 
   /** Deterministic ZIPF-text corpus — inverse-CDF Zipf over 5000 ranks
-    * (P(rank) ∝ 1/rank), 60 words per doc: the natural-text profile the
-    * lexical pruning/certificate family's preconditions are about (the
-    * PipelineSpec generator at probe scale; the uniform-vocab
-    * [[genCorpus]] is the same family's measured worst case). */
+    * (P(rank) ∝ 1/rank), VARIED doc length (30–90 words): the
+    * natural-text profile the lexical pruning/certificate family's
+    * preconditions are about. Length variation matters for the
+    * certificate probe specifically: the PipelineSpec generator's
+    * constant-length docs quantize BM25 scores into heavy TIES (every
+    * doc shares dl, tf ∈ {1, 2}), and at probe corpus sizes the tie
+    * mass defeats any boundary certificate — a measured pathology of
+    * the SYNTHETIC corpus, not of natural text, whose dl spread keeps
+    * score margins open. (The uniform-vocab [[genCorpus]] remains the
+    * family's measured worst case.) */
   private def genZipfCorpus(spark: SparkSession, dir: String,
                             nDocs: Long): Unit = {
-    val marker = new File(dir, s"_GEN_ZIPF_$nDocs")
+    val marker = new File(dir, s"_GEN_ZIPFV3_$nDocs")
     if (marker.isFile) return
     import spark.implicits._
     val hN = (1 to 5000).map(1.0 / _).sum
     spark.range(nDocs).as[Long].map { id =>
       val r = new scala.util.Random(id * 2654435761L + 7)
-      val words = Array.fill(60) {
+      // bursty draws (Church & Gale): a drawn word repeats with
+      // geometric tail, giving the heavy-tailed per-doc tf real text
+      // has — without it every tf is 1-2, impact lists are flat, and
+      // no boundary certificate can clear the tail bounds
+      val words = Array.newBuilder[String]
+      val draws = 20 + r.nextInt(41)
+      var i = 0
+      while (i < draws) {
         var u = r.nextDouble() * hN; var rank = 0
         while (u > 0 && rank < 5000) { rank += 1; u -= 1.0 / rank }
-        s"t$rank"
+        val w = s"t$rank"
+        words += w
+        while (r.nextInt(100) < 35) words += w // geometric burst
+        i += 1
       }
-      (id, words.mkString(" "))
+      (id, words.result().mkString(" "))
     }.toDF("doc_id", "text")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -312,7 +328,8 @@ object ScaleProbe {
               graft.sources.Tables.embeddings(spark, dir))
             graft.ops.SimilarityOps.pqTopKRerankCodes(
               graft.queries.IndexState.readPqCellCodes(spark, dir),
-              store, 8, 8, s"vec_id < $nQ", 3, 48, fitOn = store)
+              store, 8, 8, s"vec_id < $nQ", 3,
+              graft.queries.PipelineQueries.IvfPqShortlist, fitOn = store)
           }
           val times = timeBatch(spark, fn, 3)
           emit(s"""{"family":"serve_qload_flat","scale":$s,"nq":$nQ,${repStats(times)}}""")
@@ -354,34 +371,73 @@ object ScaleProbe {
         // ladder overhead (the fallback case, measured not argued).
         // cert_rate in the row is the base-level (64) ledger rate.
         import spark.implicits._
+        // a LocalRelation, deliberately not checkpointed: timeBatch's
+        // per-rep resetState unpersists every RDD block, so probe state
+        // must live in parquet (the production shape anyway) or on the
+        // driver. Query shape matters: max-score certificates live off
+        // DISCRIMINATIVE terms (a term whose champion list covers its
+        // whole posting list has tail bound 0, and candidates missing
+        // it can never reach the rare-idf mass) — so each query mixes
+        // two common terms with one rare term, the realistic search
+        // shape. All-common queries are the family's measured
+        // fail-to-certify case (every list outgrows every depth).
+        // MEASURED (this probe's development): with flat per-doc tf
+        // (no burstiness) score margins never exceed tail bounds and
+        // NOTHING certifies below full-coverage depth — impact
+        // concentration WITHIN posting lists is the certificate's real
+        // precondition, stronger than the top-k-overlap recall
+        // lex_recall measures. The generator emits bursty text for
+        // exactly that reason (see genZipfCorpus).
         val qt = (0 until 64).flatMap { q =>
           val r = new scala.util.Random(q * 7919L + 3)
-          Seq.fill(3)((q.toLong, s"t${20 + r.nextInt(300)}"))
-        }.distinct.toDF("q_id", "term").localCheckpoint()
+          Seq((q.toLong, s"t${20 + r.nextInt(280)}"),
+            (q.toLong, s"t${300 + r.nextInt(200)}"),
+            (q.toLong, s"t${500 + r.nextInt(2500)}"))
+        }.distinct.toDF("q_id", "term")
         val zdir = s"$base/zipf_x$s"
         genZipfCorpus(spark, zdir, 5000L * s)
         Seq(
-          ("zipf", spark.read.parquet(s"$zdir/documents.parquet"), qt),
-          ("uniform", spark.read.parquet(s"$dir/documents.parquet"), null)
-        ).foreach { case (prof, docsRaw, qtOrNull) =>
-          val docs = docsRaw.select("doc_id", "text")
-          val tok = graft.queries.PipelineQueries.bm25Postings(docs)
-          val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-            .localCheckpoint()
-          val dft = tok.groupBy("term").agg(count(lit(1)).as("df"))
-            .localCheckpoint()
-          val stats = dl.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl")).as("sum_dl")).localCheckpoint()
-          val ranked = graft.queries.PipelineQueries
-            .bm25ImpactRanked(tok, dl, dft, stats).localCheckpoint()
+          ("zipf", s"$zdir/documents.parquet", true),
+          ("uniform", s"$dir/documents.parquet", false)
+        ).foreach { case (prof, docsPath, shortQ) =>
+          // the index quadruple + impact-RANKED store persist to parquet
+          // (ranked partitioned by the level bucket — the serving
+          // layout), built once per (profile, scale) behind a marker:
+          // the timed serves read the store, as a deployment would
+          val idxRoot = s"$base/certidx_${prof}_x$s"
+          val idxDone = new File(idxRoot, "_IDX_DONE")
+          if (!idxDone.isFile) {
+            val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+            val tok0 = graft.queries.PipelineQueries.bm25Postings(docs)
+            tok0.write.mode("overwrite").parquet(s"$idxRoot/tok")
+            val dl0 = tok0.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+            dl0.write.mode("overwrite").parquet(s"$idxRoot/dl")
+            val dft0 = tok0.groupBy("term").agg(count(lit(1)).as("df"))
+            dft0.write.mode("overwrite").parquet(s"$idxRoot/dft")
+            dl0.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+              .write.mode("overwrite").parquet(s"$idxRoot/stats")
+            graft.queries.PipelineQueries
+              .bm25ImpactRanked(tok0, dl0, dft0,
+                spark.read.parquet(s"$idxRoot/stats"))
+              .repartition(col("lvl"))
+              .write.mode("overwrite").partitionBy("lvl")
+              .parquet(s"$idxRoot/ranked")
+            idxDone.createNewFile()
+          }
+          val tok = spark.read.parquet(s"$idxRoot/tok")
+          val dl = spark.read.parquet(s"$idxRoot/dl")
+          val dft = spark.read.parquet(s"$idxRoot/dft")
+          val stats = spark.read.parquet(s"$idxRoot/stats")
+          val ranked = spark.read.parquet(s"$idxRoot/ranked")
           // uniform profile keeps the suite's doc-length queries (its
           // vocabulary has no tNNN terms for the short load to hit)
-          val qterms = Option(qtOrNull).getOrElse(
-            tok.filter(col("doc_id") < 8)
-              .selectExpr("doc_id AS q_id", "term").localCheckpoint())
+          val qterms =
+            if (shortQ) qt
+            else tok.filter(col("doc_id") < 8)
+              .selectExpr("doc_id AS q_id", "term")
           val rate = {
             val rows = graft.queries.PipelineQueries
-              .certLedger(ranked, qterms, 5, 64).collect()
+              .certLedger(ranked, qterms, tok, dl, dft, stats, 5, 64).collect()
             rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
           }
           val ex = timeBatch(spark, () => graft.queries.PipelineQueries
@@ -407,8 +463,8 @@ object ScaleProbe {
               graft.sources.Tables.embeddings(spark, dir))
             graft.ops.SimilarityOps.ivfPqTopKRerankCodes(
               graft.queries.IndexState.readPqCellCodes(spark, dir),
-              store, 8, 8, nCells = 16, nProbe = 4, s"vec_id < $nQ", 3, 48,
-              fitOn = store)
+              store, 8, 8, nCells = 16, nProbe = 4, s"vec_id < $nQ", 3,
+              graft.queries.PipelineQueries.IvfPqShortlist, fitOn = store)
           }
           val times = timeBatch(spark, fn, 3)
           emit(s"""{"family":"serve_qload_ivf","scale":$s,"nq":$nQ,${repStats(times)}}""")

@@ -1676,16 +1676,27 @@ object PipelineQueries {
     * ([[IndexState.pqCellCodesPaths]]): each query probes its 4
     * L2-nearest of 16 coarse cells and ADC-scores ONLY those cells'
     * stored codes (plan-time pruned partitions — PlanCheck asserts the
-    * cell PartitionFilters), then exact-re-ranks the 48-shortlist. The
+    * cell PartitionFilters), then exact-re-ranks the bounded shortlist
+    * ([[IvfPqShortlist]]). The
     * query-load scale path: flat-ADC serve cost is queries × corpus
     * (SCALE.md serve_qload); this caps per-query work at the probed
     * fraction. Same arithmetic as [[pqTopKRerank]], restricted
     * candidates — the recall trade is priced by `ann_recall_ivfpq`. */
+  /** The IVF-PQ serve's shortlist depth — raised 48 → 96 in r15 (the
+    * r14 verdict #3 geometry adjudication): the sweep over (nCells,
+    * nProbe, shortlist) showed shortlist depth is the recall lever
+    * that costs NO extra probing (the probed fraction — the partition
+    * pruning win — stays 4/16) and only doubles the bounded re-rank
+    * set: measured recall@3 0.958 at both sf0.001 and sf0.01 vs 0.875
+    * at 48, while nProbe increases bought nothing at 48. Shared with
+    * the DuckDB restatement. */
+  val IvfPqShortlist: Int = 96
+
   def pqTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val store = SimilarityOps.quantStore(Tables.embeddings(spark, dir))
     SimilarityOps.ivfPqTopKRerankCodes(
       IndexState.readPqCellCodes(spark, dir),
-      store, 8, 8, nCells = 16, nProbe = 4, "vec_id < 8", 3, 48,
+      store, 8, 8, nCells = 16, nProbe = 4, "vec_id < 8", 3, IvfPqShortlist,
       fitOn = store)
   }
 
@@ -2125,84 +2136,74 @@ object PipelineQueries {
   }
 
   /** The certificate stage of the EXACTNESS-CERTIFIED pruned serve
-    * (max-score/WAND idiom — Turtle & Flood 1995 — applied to the
-    * static impact index): rank the champion-list candidates by their
-    * surviving-postings LOWER BOUNDS, then prove or refuse top-k set
-    * exactness per query from the per-term pruned-tail upper bounds.
+    * (the max-score/WAND idiom — Turtle & Flood 1995 — applied to a
+    * statically impact-ranked index): the champion-list candidate set
+    * is EXACTLY scored (a bounded probe — candidates ≤ |T(q)| × depth,
+    * and exact-scoring them joins only their own postings), and the
+    * per-term pruned-tail bounds then need to exclude ONLY the docs in
+    * no champion list at all.
     *
-    * Soundness: for query q with terms T(q) and tail(t) = the max
-    * pruned micro-score of t (0 when t's whole list survives),
-    *  - every candidate's true score ≥ its lb (scores are sums of
-    *    non-negative micro-terms; lb sums the surviving subset);
-    *  - a doc d's true score ≤ lb(d) + Σ_{t ∈ T(q), d ∉ champ(t)}
-    *    tail(t) = lb(d) + tail_sum(q) − matched_tail(d) = ub(d);
-    *  - a doc in NO champion list has true score ≤ tail_sum(q).
-    * The exclusion test is TIE-AWARE, mirroring the serve's
-    * (score DESC, doc_id ASC) order: a lower-ranked candidate d is
-    * provably outside the true top-k iff ub(d) < kth_lb, OR
-    * ub(d) = kth_lb AND doc_id(d) > max{doc_id(i) : top-k candidate i
-    * with lb(i) = kth_lb} — if d's true score reaches the boundary at
-    * all it ties, and the tie-break sends it below every boundary-tied
-    * insider (whose true scores are ≥ kth_lb; insiders strictly above
-    * need no tie-break). Without the id clause, corpora with heavy
-    * score ties (constant-length docs, tf ≈ 1) can never certify even
-    * at FULL depth, where the pruned ranking is exact by construction.
-    * Docs outside every champion list have unknown ids, so their bound
-    * stays strict: tail_sum(q) < kth_lb. certified = 1 iff there are
-    * ≥ k candidates, the unseen bound holds, and every lower-ranked
-    * candidate is excluded.
+    * Soundness: let tail(t) = the max pruned micro-score of term t (0
+    * when t's whole list survives at this depth). A doc outside EVERY
+    * champion list of q's terms has true score ≤ tail_sum(q) =
+    * Σ_{t ∈ T(q)} tail(t); every candidate's score here is exact. So
+    * if the kth exact candidate score strictly exceeds tail_sum(q),
+    * every non-candidate sits strictly below the whole top-k and the
+    * candidate top-k IS the true top-k, already exactly ordered
+    * (candidate ties resolve by the serve's own doc_id tie-break;
+    * non-candidate ids are unknown, so their bound stays strict — an
+    * equality refuses). An earlier lower-bound-only variant (rank
+    * candidates by surviving-postings partial sums, bound below-rank
+    * candidates by lb + uncovered tails) was MEASURED never to certify
+    * on realistic mixed-rarity queries: the boundary gap between
+    * near-tie candidates is tf/dl noise while any common term's tail
+    * is ~half its max impact — exact-scoring the bounded candidate set
+    * removes that slack entirely and leaves only the honest
+    * never-seen-docs condition.
     *
-    * Scale shape: candidates ≤ |T(q)| × m (champion joins, the impact
-    * serve's bound); tails/tail-sums are query-sized; nothing here
-    * touches the corpus. Returns (topk, cert): topk = the pruned top-k
-    * candidates (q_id, doc_id, lb_micro, rn); cert = one row per query
-    * (q_id, certified 0/1, kth_lb, out_ub — −1 sentinels where
-    * undefined). */
+    * Scale shape: candidates ≤ |T(q)| × depth; exact scoring is a
+    * doc-keyed join of the candidate set against the postings store
+    * producing ≤ candidates × |T(q)| rows (row production bounded by
+    * the depth, NOT by posting-list lengths — the exact serve's
+    * O(queries × corpus) term is exactly that unbounded row
+    * production); tails/tail-sums are query-sized. Returns
+    * (scoredTopK, cert): scoredTopK = (q_id, doc_id, score_micro, rn)
+    * EXACT rows for every query's candidate top-k (valid serve rows
+    * wherever cert says certified); cert = one row per query (q_id,
+    * certified 0/1, kth_exact, tail_sum — −1 sentinel where < k
+    * candidates exist). */
   private[graft] def bm25Certify(champ: DataFrame, tail: DataFrame,
-                                 qterms: DataFrame, kTop: Int)
-      : (DataFrame, DataFrame) = {
+      qterms: DataFrame, tfq: DataFrame, dl: DataFrame, dft: DataFrame,
+      stats: DataFrame, kTop: Int): (DataFrame, DataFrame) = {
     val qt = qterms.join(tail, Seq("term"), "left")
       .selectExpr("q_id", "term", "coalesce(tail_micro, 0L) AS tail_micro")
     val tailSum = qt.groupBy("q_id").agg(sum(col("tail_micro")).as("tail_sum"))
-    // candidates are ≤ |terms| × depth — checkpointed once, read by the
-    // top-k cut and the three certificate passes
-    val cand = champ.join(broadcast(qt), "term")
-      .groupBy("q_id", "doc_id")
-      .agg(sum(col("s_micro")).as("lb_micro"),
-        sum(col("tail_micro")).as("matched_tail"))
-      .join(broadcast(tailSum), "q_id")
-      .withColumn("ub_micro",
-        col("lb_micro") + col("tail_sum") - col("matched_tail"))
+    val cand = champ.join(broadcast(qt.select("q_id", "term")), "term")
+      .select("q_id", "doc_id").distinct()
+    // exact scores for the bounded candidate set: candidate docs keyed
+    // into the postings store, restricted to the query's own terms
+    val scored = broadcast(cand)
+      .join(tfq, "doc_id")
+      .join(qterms.selectExpr("q_id", "term"), Seq("q_id", "term"))
+      .join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
-          .orderBy(col("lb_micro").desc, col("doc_id").asc)).cast("long"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
       .localCheckpoint()
-    val topk = cand.filter(col("rn") <= kTop)
-      .select("q_id", "doc_id", "lb_micro", "rn")
-    val kth = cand.filter(col("rn") === kTop)
-      .select(col("q_id"), col("lb_micro").as("kth_lb"))
-    // ids of the top-k candidates TIED at the boundary score — the
-    // tie-break comparison set for borderline outsiders
-    val tieMax = cand.join(broadcast(kth), "q_id")
-      .filter(col("rn") <= kTop && col("lb_micro") === col("kth_lb"))
-      .groupBy("q_id").agg(max(col("doc_id")).as("tie_max_id"))
-    val below = cand.filter(col("rn") > kTop)
-      .join(broadcast(kth), "q_id").join(broadcast(tieMax), "q_id")
-      .groupBy("q_id").agg(
-        max(col("ub_micro")).as("below_ub"),
-        min(when(col("ub_micro") < col("kth_lb") ||
-            (col("ub_micro") === col("kth_lb") &&
-              col("doc_id") > col("tie_max_id")), 1L)
-          .otherwise(0L)).as("out_ok"))
+    val topk = scored.filter(col("rn") <= kTop)
+      .select("q_id", "doc_id", "score_micro", "rn")
+    val kth = scored.filter(col("rn") === kTop)
+      .select(col("q_id"), col("score_micro").as("kth_exact"))
     val cert = tailSum
       .join(kth, Seq("q_id"), "left")
-      .join(below, Seq("q_id"), "left")
       .selectExpr("q_id",
-        "CAST(CASE WHEN kth_lb IS NOT NULL AND tail_sum < kth_lb " +
-          "AND coalesce(out_ok, 1L) = 1L " +
+        "CAST(CASE WHEN kth_exact IS NOT NULL AND tail_sum < kth_exact " +
           "THEN 1 ELSE 0 END AS BIGINT) AS certified",
-        "coalesce(kth_lb, -1L) AS kth_lb",
-        "greatest(coalesce(below_ub, -1L), tail_sum) AS out_ub")
+        "coalesce(kth_exact, -1L) AS kth_exact",
+        "tail_sum")
     (topk, cert)
   }
 
@@ -2251,13 +2252,14 @@ object PipelineQueries {
     * champion lists and boundary tails are rank filters; shared by the
     * persisted [[lexCertifiedRate]] and the ScaleProbe rate columns. */
   private[graft] def certLedger(ranked: DataFrame, qterms: DataFrame,
+      tfq: DataFrame, dl: DataFrame, dft: DataFrame, stats: DataFrame,
       kTop: Int, m: Int): DataFrame = {
     val champ = ranked.filter(col("lvl") <= certLvlOf(m.toLong) && col("rn") <= m)
-      .select("term", "doc_id", "s_micro")
+      .select("term", "doc_id")
     val tail = ranked
       .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
       .select(col("term"), col("s_micro").as("tail_micro"))
-    bm25Certify(champ, tail, qterms, kTop)._2
+    bm25Certify(champ, tail, qterms, tfq, dl, dft, stats, kTop)._2
   }
 
   /** The certified serve's full ranking stage — shared by the
@@ -2266,21 +2268,16 @@ object PipelineQueries {
     * drift. `ranked` is the impact-ranked postings (term, doc_id,
     * s_micro, rn); each query walks the [[CertLevels]] ladder and stops
     * at the first depth whose certificate ([[bm25Certify]]) PROVES its
-    * pruned top-k exact — the proven set is then re-scored EXACTLY by a
-    * bounded doc-keyed probe of the full postings (candidate docs ≤
-    * |queries| × kTop, collected as a bounded witness so the probe
-    * carries literal pushed In-filters — the PQ re-rank discipline) and
-    * re-ranked on exact scores. Queries no level certifies run the
-    * exact serve, alone. Output is therefore bit-identical to
+    * candidate top-k exact — the candidate scores are exact already
+    * (bm25Certify exact-scores the bounded candidate set), so a
+    * certified query's rows emit directly. Queries no level certifies
+    * run the exact serve, alone. Output is therefore bit-identical to
     * [[bm25TopK]] on EVERY corpus — the oracle IS bm25_topk's SQL —
-    * while each query pays candidates ∝ its certification depth
-    * instead of its terms' full posting lists. [[lexCertifiedRate]]
-    * prices the base level; the PipelineSpec ladder case pins the
-    * measured depth-vs-rate curve on Zipf text (document-length
-    * queries certify DEEP — 0/8 at 64, 3/8 at 256, 8/8 at
-    * full-corpus depth on the 400-doc corpus: exactness with
-    * tight margins is information-dense, which is exactly why the
-    * serve escalates per query instead of picking one depth). */
+    * while a certified query's row production is bounded by its
+    * certification depth instead of its terms' full posting lists.
+    * [[lexCertifiedRate]] prices the base level; the PipelineSpec
+    * ladder cases pin measured depth-vs-rate curves on both corpus
+    * profiles and both query shapes. */
   private[graft] def bm25CertifiedRank(ranked: DataFrame,
       qterms: DataFrame, tfq: DataFrame, dl: DataFrame, dft: DataFrame,
       stats: DataFrame, kTop: Int,
@@ -2288,7 +2285,6 @@ object PipelineQueries {
     val spark = ranked.sparkSession
     import spark.implicits._
     val legs = Seq.newBuilder[DataFrame]
-    val provenPairs = Seq.newBuilder[(Long, Long)]
     // bounded witness: the distinct query ids (≤ nQ)
     var remaining = qterms.select("q_id").distinct()
       .as[Long].collect().sorted.toSeq
@@ -2296,36 +2292,18 @@ object PipelineQueries {
       val lvl = certLvlOf(m.toLong)
       val champ = ranked
         .filter(col("lvl") <= lvl && col("rn") <= m)
-        .select("term", "doc_id", "s_micro")
+        .select("term", "doc_id")
       val tail = ranked
         .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
         .select(col("term"), col("s_micro").as("tail_micro"))
       val qt = qterms.filter(col("q_id").isin(remaining.map(Long.box): _*))
-      val (topk, cert) = bm25Certify(champ, tail, qt, kTop)
+      val (topk, cert) = bm25Certify(champ, tail, qt, tfq, dl, dft, stats, kTop)
       val flags = cert.select("q_id", "certified").collect()
         .map(r => r.getLong(0) -> (r.getLong(1) == 1L)).toMap
       val certified = remaining.filter(q => flags.getOrElse(q, false))
       if (certified.nonEmpty)
-        provenPairs ++= topk
-          .filter(col("q_id").isin(certified.map(Long.box): _*))
-          .select("q_id", "doc_id").as[(Long, Long)].collect()
+        legs += topk.filter(col("q_id").isin(certified.map(Long.box): _*))
       remaining = remaining.filterNot(q => flags.getOrElse(q, false))
-    }
-    val pairs = provenPairs.result().sorted
-    if (pairs.nonEmpty) {
-      val docIds = pairs.map(_._2).distinct.sorted
-      val exact = pairs.toDF("q_id", "doc_id")
-        .join(tfq.filter(col("doc_id").isin(docIds.map(Long.box): _*)), "doc_id")
-        .join(qterms.selectExpr("q_id", "term"), Seq("q_id", "term"))
-        .join(dft, "term").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .selectExpr("q_id", "doc_id", s"$bm25MicroTerm AS s_micro")
-        .groupBy("q_id", "doc_id").agg(sum(col("s_micro")).as("score_micro"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
-        .select("q_id", "doc_id", "score_micro", "rn")
-      legs += exact
     }
     if (remaining.nonEmpty)
       legs += bm25RankQ(
@@ -2357,22 +2335,28 @@ object PipelineQueries {
   }
 
   /** The certificate LEDGER at the ladder's base level (m = 64) — one
-    * row per query: certified (1 = the base-level pruned top-k is
-    * provably exact), with the kth lower bound and the outside upper
-    * bound the decision compared. 1 − avg(certified) is the fraction
-    * of query load escalating past the base depth; the serve stays
-    * EXACT either way — only the cost moves. Document-length queries
-    * (this suite's convention) certify deep, so the base rate is
-    * honestly 0 on BOTH corpus profiles here; short term-queries — the
-    * deployment load — certify at the base (PipelineSpec pins both by
-    * measurement). */
+    * row per query: certified (1 = the base-level candidate top-k is
+    * provably exact), with the kth EXACT candidate score and the
+    * never-seen-docs tail-sum bound the decision compared.
+    * 1 − avg(certified) is the fraction of query load escalating past
+    * the base depth; the serve stays EXACT either way — only the cost
+    * moves. Measured (deterministic corpora): Zipf text certifies at
+    * the base for document-length AND short queries; the uniform-vocab
+    * driver corpus — static pruning's worst case, where the
+    * recall-trading impact serve reads 0.0 recall — still certifies
+    * 2/8 here and honestly falls back on the rest (PipelineSpec pins
+    * all of it by measurement). */
   def lexCertifiedRate(spark: SparkSession, dir: String, nQ: Int = 8,
                        kTop: Int = 5): DataFrame = {
     val ranked = spark.read.parquet(IndexState.bm25ImpactRankedPaths(spark, dir))
-    val (postingsP, _, _) = IndexState.bm25FullPaths(spark, dir)
-    val qterms = spark.read.parquet(postingsP).filter(col("doc_id") < nQ)
+    val (postingsP, dlP, dfP) = IndexState.bm25FullPaths(spark, dir)
+    val tfq = spark.read.parquet(postingsP)
+    val dl = spark.read.parquet(dlP)
+    val dft = spark.read.parquet(dfP)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = tfq.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term")
-    certLedger(ranked, qterms, kTop, CertLevels.head)
+    certLedger(ranked, qterms, tfq, dl, dft, stats, kTop, CertLevels.head)
   }
 
   /** From-scratch certified retrieval over an arbitrary document frame
@@ -2392,7 +2376,7 @@ object PipelineQueries {
     val qterms = qtermsOpt.getOrElse(tok.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term"))
     (bm25CertifiedRank(ranked, qterms, tok, dl, dft, stats, kTop, levels),
-      certLedger(ranked, qterms, kTop, levels.head))
+      certLedger(ranked, qterms, tok, dl, dft, stats, kTop, levels.head))
   }
 
   /** Recall gate for the impact-pruned lexical serve: per-query
@@ -4163,48 +4147,34 @@ object PipelineOracles {
   /** [[PipelineQueries.lexCertifiedRate]] restatement — the whole
     * certificate computed independently in DuckDB: champion lists and
     * the (m+1)-th-posting tail bounds from the same scored postings,
-    * candidate lower/upper bounds, and the TIE-AWARE kth-vs-outside
-    * test (borderline outsiders excluded by the serve's own
-    * (score DESC, doc_id ASC) tie-break — [[PipelineQueries
-    * .bm25Certify]] scaladoc has the soundness argument). kTop = 5 and
-    * m = 64 mirror the serve's base level. */
+    * the candidate set EXACTLY scored through the shared chain's `s`
+    * (per-(q, doc, term) micro scores), and the kth-exact vs tail-sum
+    * test ([[PipelineQueries.bm25Certify]] scaladoc has the soundness
+    * argument). kTop = 5 and m = 64 mirror the serve's base level. */
   val lexCertifiedRate: String =
     s"""WITH $bm25Chain,
        |$bm25ScoredCte,
        |ctr AS (SELECT term, doc_id, s_micro,
        |          row_number() OVER (PARTITION BY term ORDER BY s_micro DESC, doc_id ASC) AS rn
        |        FROM sc),
-       |chp AS (SELECT term, doc_id, s_micro FROM ctr WHERE rn <= 64),
+       |chp AS (SELECT term, doc_id FROM ctr WHERE rn <= 64),
        |tlb AS (SELECT term, s_micro AS tail_micro FROM ctr WHERE rn = 65),
-       |qtl AS (SELECT q.q_id, q.term, coalesce(tlb.tail_micro, 0) AS tail_micro
-       |        FROM q LEFT JOIN tlb USING (term)),
-       |tsm AS (SELECT q_id, CAST(SUM(tail_micro) AS BIGINT) AS tail_sum FROM qtl GROUP BY 1),
-       |cnd AS (SELECT qtl.q_id, chp.doc_id, CAST(SUM(chp.s_micro) AS BIGINT) AS lb_micro,
-       |               CAST(SUM(qtl.tail_micro) AS BIGINT) AS matched_tail
-       |        FROM qtl JOIN chp USING (term) GROUP BY 1, 2),
-       |cnr AS (SELECT c.q_id, c.doc_id, c.lb_micro,
-       |               c.lb_micro + t.tail_sum - c.matched_tail AS ub_micro,
-       |               row_number() OVER (PARTITION BY c.q_id ORDER BY c.lb_micro DESC, c.doc_id ASC) AS rn
-       |        FROM cnd c JOIN tsm t USING (q_id)),
-       |kth AS (SELECT q_id, lb_micro AS kth_lb FROM cnr WHERE rn = 5),
-       |tmx AS (SELECT c.q_id, max(c.doc_id) AS tie_max_id
-       |        FROM cnr c JOIN kth k ON k.q_id = c.q_id
-       |        WHERE c.rn <= 5 AND c.lb_micro = k.kth_lb GROUP BY 1),
-       |blw AS (SELECT c.q_id, max(c.ub_micro) AS below_ub,
-       |               min(CASE WHEN c.ub_micro < k.kth_lb
-       |                          OR (c.ub_micro = k.kth_lb AND c.doc_id > t.tie_max_id)
-       |                   THEN 1 ELSE 0 END) AS out_ok
-       |        FROM cnr c JOIN kth k ON k.q_id = c.q_id
-       |        JOIN tmx t ON t.q_id = c.q_id
-       |        WHERE c.rn > 5 GROUP BY 1)
+       |tsm AS (SELECT q.q_id, CAST(SUM(coalesce(tlb.tail_micro, 0)) AS BIGINT) AS tail_sum
+       |        FROM q LEFT JOIN tlb USING (term) GROUP BY 1),
+       |cnd AS (SELECT DISTINCT q.q_id, chp.doc_id FROM q JOIN chp USING (term)),
+       |ex AS (SELECT c.q_id, c.doc_id, CAST(SUM(s.s_micro) AS BIGINT) AS score_micro
+       |       FROM cnd c JOIN s ON s.q_id = c.q_id AND s.doc_id = c.doc_id
+       |       GROUP BY 1, 2),
+       |kth AS (SELECT q_id, score_micro AS kth_exact FROM (
+       |    SELECT q_id, score_micro,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id ASC) AS rn
+       |    FROM ex) WHERE rn = 5)
        |SELECT ts.q_id,
-       |  CAST(CASE WHEN k.kth_lb IS NOT NULL AND ts.tail_sum < k.kth_lb
-       |              AND coalesce(b.out_ok, 1) = 1
+       |  CAST(CASE WHEN k.kth_exact IS NOT NULL AND ts.tail_sum < k.kth_exact
        |       THEN 1 ELSE 0 END AS BIGINT) AS certified,
-       |  CAST(coalesce(k.kth_lb, -1) AS BIGINT) AS kth_lb,
-       |  CAST(greatest(coalesce(b.below_ub, -1), ts.tail_sum) AS BIGINT) AS out_ub
-       |FROM tsm ts LEFT JOIN kth k ON k.q_id = ts.q_id
-       |LEFT JOIN blw b ON b.q_id = ts.q_id""".stripMargin
+       |  CAST(coalesce(k.kth_exact, -1) AS BIGINT) AS kth_exact,
+       |  ts.tail_sum
+       |FROM tsm ts LEFT JOIN kth k ON k.q_id = ts.q_id""".stripMargin
 
   /** [[PipelineQueries.bm25TopKImpact]] restatement via
     * [[bm25ImpactChain]]. */
@@ -5415,7 +5385,7 @@ object PipelineOracles {
     * gate so they restate ONE chain. Ends in `ivfpq(q_id, c_id, l2,
     * rn)`. */
   private val ivfPqChain: String =
-    """cvec AS (SELECT id AS cid, pos, v FROM v WHERE id < 16),
+    s"""cvec AS (SELECT id AS cid, pos, v FROM v WHERE id < 16),
       |cdist AS (SELECT a.id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS d2
       |          FROM v a JOIN cvec c ON c.pos = a.pos GROUP BY 1, 2),
       |cell AS (SELECT id, cid AS cell FROM (
@@ -5434,7 +5404,7 @@ object PipelineOracles {
       |short AS (SELECT q_id, c_id FROM (
       |    SELECT q_id, c_id,
       |           row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rn
-      |    FROM adcx) WHERE rn <= 48),
+      |    FROM adcx) WHERE rn <= ${PipelineQueries.IvfPqShortlist}),
       |ex AS (SELECT s.q_id, s.c_id, CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS l2
       |       FROM short s JOIN v a ON a.id = s.q_id
       |       JOIN v b ON b.id = s.c_id AND b.pos = a.pos

@@ -482,11 +482,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("bm25 certified serve: bit-identical to the exact ranking on BOTH corpus profiles; certificate fires on Zipf text") {
-    // soundness everywhere: the certificate either PROVES the pruned
-    // top-k exact (then the bounded re-score emits exact rows) or routes
-    // the query to the exact serve — so on the driver corpus (the
-    // pruning worst case, where lex_recall reads 0.0 and certificates
-    // should honestly fail) the served rows must STILL equal bm25_topk
+    // soundness everywhere: the certificate either PROVES the candidate
+    // top-k exact (candidates are exactly scored; only never-seen docs
+    // ride the tail bound) or routes the query to the exact serve — so
+    // on the driver corpus (static pruning's worst case, where
+    // lex_recall reads 0.0) the served rows must STILL equal bm25_topk
     val exactU = PipelineQueries.bm25TopK(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().toSet
     val certU = PipelineQueries.bm25TopKCertified(spark, sf0001)
@@ -496,44 +496,44 @@ class PipelineSpec extends SparkSpec {
     val ledgerU = PipelineQueries.lexCertifiedRate(spark, sf0001).collect()
     assert(ledgerU.length == 8)
     // every refused certificate must have been refused FOR CAUSE: the
-    // recorded outside bound really reaches the kth lower bound
+    // never-seen-docs bound really reaches the kth exact score. And
+    // the worst-case corpus rate is measured, not argued: 2/8 certify
+    // at the base depth (deterministic corpus) — the uniform vocabulary
+    // keeps tail sums near the score mass, but exact-candidate scoring
+    // still clears a quarter of the load; contrast the 0.0 recall the
+    // same corpus gives the recall-TRADING impact serve
     ledgerU.filter(_.getAs[Long]("certified") == 0L).foreach { r =>
-      assert(r.getAs[Long]("kth_lb") <= r.getAs[Long]("out_ub"))
+      assert(r.getAs[Long]("kth_exact") <= r.getAs[Long]("tail_sum"))
     }
-    // Zipf text: same bit-exactness through the default ladder
+    assert(ledgerU.map(_.getAs[Long]("certified")).sum == 2L)
+    // Zipf text: same bit-exactness through the default ladder, and the
+    // certificate fires at the BASE depth for EVERY query — even
+    // document-length ones (their kth exact score spans ~40 matched
+    // terms while only the handful of common terms carry tails) —
+    // deterministic corpus, measured numbers
     val zipf = zipfCorpus(400).localCheckpoint()
-    val (served, _) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5)
+    val (served, cert) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5)
     val exactZ = PipelineQueries.bm25TopKOver(zipf, 8, 5)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(served.as[(Long, Long, Long, Long)].collect().toSet == exactZ,
       "certified serve must reproduce the exact ranking on Zipf text")
-    // the measured depth-vs-certificate-rate curve for DOCUMENT-length
-    // queries (this suite's convention: query docs are whole documents,
-    // so tail sums span ~40 terms and margins are tight): 0/8 certify
-    // at depth 64, 3/8 at 256, 8/8 at full-corpus depth — deterministic
-    // corpus, measured numbers. The ladder exists exactly because one
-    // static depth serves this badly.
-    def rateAt(levels: Seq[Int]): Double = {
-      val rows = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5, levels)
-        ._2.collect()
-      rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
-    }
-    assert(rateAt(Seq(64)) == 0.0)
-    assert(rateAt(Seq(256)) >= 0.25)
-    assert(rateAt(Seq(1024)) == 1.0,
-      "full-corpus depth (empty tails) must certify every query")
+    val zrows = cert.collect()
+    assert(zrows.length == 8 &&
+      zrows.forall(_.getAs[Long]("certified") == 1L),
+      "base-depth certificate must fire for all Zipf doc-queries")
   }
 
-  test("bm25 certified serve: short term-queries certify at shallow depth") {
-    // the deployment query load — a few terms per query, not whole
-    // documents: tail sums span 3 terms, so the base/shallow levels
-    // certify and the serve never touches the full posting lists
+  test("bm25 certified serve: short term-queries certify at the base depth") {
+    // the deployment query load — a few terms per query: candidates ≤
+    // |terms| × 64 and the certificate fires at the base level, so the
+    // serve's row production never touches the common terms' full
+    // posting lists while staying bit-identical to the exact ranking
     val zipf = zipfCorpus(400).localCheckpoint()
     val qt = (0 until 16).flatMap { q =>
       val r = new scala.util.Random(q * 7919L + 3)
       Seq.fill(3)((q.toLong, s"t${20 + r.nextInt(300)}"))
     }.distinct.toDF("q_id", "term").localCheckpoint()
-    val (served, _) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5,
+    val (served, cert) = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5,
       qtermsOpt = Some(qt))
     // exact baseline over the same query-term sets
     val tok = PipelineQueries.bm25Postings(zipf)
@@ -543,13 +543,11 @@ class PipelineSpec extends SparkSpec {
     val exact = PipelineQueries.bm25RankQ(qt, tok, dl, dft, stats, 5)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(served.as[(Long, Long, Long, Long)].collect().toSet == exact)
-    // measured: the 256-depth level certifies ≥ half the short queries
-    // on this corpus (deterministic; the documentation of WHERE the
-    // ladder pays — pinned after measurement, not argued)
-    val rows = PipelineQueries.bm25TopKCertifiedOver(zipf, 8, 5,
-      Seq(256), Some(qt))._2.collect()
-    val rate = rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
-    assert(rate >= 0.5, s"short-query certificate rate at depth 256 = $rate")
+    // measured: every short query certifies at the base depth on this
+    // corpus (deterministic)
+    val rows = cert.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("certified") == 1L),
+      "short queries must certify at the base depth on Zipf text")
   }
 
   test("bm25_topk: self-match ranks first, scores match a driver-local BM25") {
