@@ -450,6 +450,46 @@ object ScaleProbe {
         }
       }
 
+      if (want("state_probe")) {
+        // bucketed-SegmentedState POINT READS (r14 verdict #5): the
+        // corpus postings fold into a key-bucketed state (8 deliveries,
+        // then a compaction that re-roots the base on a _kb-partitioned
+        // parquet read), and a bounded 50-key probe is timed against
+        // the unbucketed alternative (view scan + semi join). The probe
+        // reads only the keys' bucket directories (plan-time
+        // PartitionFilters) + intersecting segments, so its cost tracks
+        // the probed buckets, not the corpus; the view-scan lookup pays
+        // the whole state every time. Timed WITHOUT resetState — the
+        // maintained state (checkpointed segments) IS the probed
+        // artifact, same reasoning as the stream families.
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val tok = graft.queries.PipelineQueries.bm25Postings(docs)
+        val root = s"$base/segkb_x$s"
+        val st = new graft.streaming.SegmentedState(
+          tok.limit(0), Seq("doc_id"), bucketed = Some((64, root)))
+        (0 until 8).foreach { i =>
+          st.append(tok.filter(expr(s"pmod(doc_id, 8) = $i")))
+        }
+        st.compact()
+        val keys = spark.range(50).selectExpr("id * 97 AS doc_id")
+          .coalesce(1).localCheckpoint()
+        def timeNoReset(fn: () => DataFrame): Seq[Double] = {
+          try fn().write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[scale] warmup: $e") }
+          (0 until 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val tp = timeNoReset(() => st.probe(keys))
+        emit(s"""{"family":"state_probe","mode":"probe","scale":$s,${repStats(tp)}}""")
+        val tv = timeNoReset(() =>
+          st.view.join(broadcast(keys), Seq("doc_id"), "left_semi"))
+        emit(s"""{"family":"state_probe","mode":"view_scan","scale":$s,${repStats(tv)}}""")
+      }
+
       if (want("serve_qload_ivf")) {
         // the IVF-PQ serve under the SAME query loads as serve_qload:
         // the cell-partitioned store caps per-query ADC work at the

@@ -357,20 +357,19 @@ object StreamingJobs {
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    // NOTE (r13): the press tables deliberately KEEP the simple
-    // union+re-checkpoint fold. Converting them to SegmentedState — and
-    // even maintaining the banded signature index incrementally
-    // (crossNearPairsFromIndex over maintained band keys) — was BUILT and
-    // MEASURED in the r13 scale probe and came out consistently SLOWER at
-    // both 1× and 10× (249 → 297 → 312 s for the 10× pipeline feed): the
-    // press maintains many small tables, so the segmented form's extra
-    // per-batch jobs (segment checkpoints, tombstone folds, counts)
-    // dominate everything the segmentation saves, and the pipeline's real
-    // growth lives in the assign/pairs quotient folds, which segmentation
-    // cannot express (merges rewrite arbitrary rows; pair removal masks
-    // on either endpoint). The serving folds, where one large table
-    // dominates, DID win and use SegmentedState. Full numbers and the
-    // adjudication in SCALE.md.
+    // NOTE (r13, amended r15): converting the press's MANY SMALL tables
+    // to per-table SegmentedStates was built and measured SLOWER at both
+    // 1× and 10× (249 → 297 → 312 s for the 10× pipeline feed) — the
+    // per-table bookkeeping dominates; the r14 TaggedPressStore (one
+    // tagged store) won that back at plant feed lengths. r13 also judged
+    // the assign/pairs quotient folds non-segmentable ("merges rewrite
+    // arbitrary rows; pair removal masks on either endpoint") — r15
+    // REFUTED both halves by construction: merges rewrite only TOUCHED
+    // clusters (delta-reported folds + a cluster_id-keyed state, below),
+    // and either-endpoint masking is exactly what the endpoint-tombstone
+    // SegmentedState mode expresses. Measured: the 100-delivery pipeline
+    // front-20→back-20 per-delivery growth fell +24% → +8% (SCALE.md
+    // r15). The simple folds remain the unsegmented (short-feed) mode.
     // in tagged-store mode ([[TaggedPressStore]]) the signature sets live
     // in the store (the press seeds it from the same initial state), so
     // the local fold variable stays untouched

@@ -40,12 +40,48 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
  * edges. In this mode `keyCols` is unused (edges retire by endpoint,
  * never by row key).
  *
+ * KEY-BUCKETED mode (`bucketed = Some((B, diskRoot))` — the r14
+ * verdict #5 close): every row carries `_kb = pmod(hash(key₀), B)`
+ * internally, each segment remembers its bucket SET (a driver-side
+ * bitmap, delivery-sized to compute), and compactions write the base
+ * to `diskRoot` as parquet PARTITIONED by `_kb` and re-root the state
+ * on the read-back — so [[probe]] (a bounded key lookup: takedown
+ * folds, ingest-idempotency maybes) (a) skips whole segments whose
+ * bucket sets miss the probe's buckets at PLAN-CONSTRUCTION time and
+ * (b) prunes unneeded base bucket DIRECTORIES at plan time
+ * (`PartitionFilters`, the bm25ForwardPaths discipline applied to the
+ * maintained state itself) — probe cost tracks the probed buckets,
+ * not the corpus. [[view]] output schema is unchanged (`_kb` is
+ * internal and dropped). Unbucketed states behave exactly as before.
+ *
  * Not thread-safe; foreachBatch bodies run serially per query, which is
  * the only intended call site.
  */
 final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
-                           endpointCols: Seq[String] = Nil) {
-  private var base: DataFrame = base0.localCheckpoint()
+                           endpointCols: Seq[String] = Nil,
+                           bucketed: Option[(Int, String)] = None) {
+  import org.apache.spark.sql.functions.{hash, pmod}
+
+  private def withKb(df: DataFrame): DataFrame =
+    bucketed match {
+      case Some((b, _)) if !df.columns.contains("_kb") =>
+        df.withColumn("_kb", pmod(hash(col(keyCols.head)), lit(b)))
+      case _ => df
+    }
+
+  /** Distinct `_kb` values of a (delivery-sized) frame — the per-segment
+    * bucket bitmap. Bounded by min(B, delta rows). */
+  private def bucketsOf(df: DataFrame): Set[Int] =
+    if (bucketed.isEmpty) Set.empty
+    else df.select("_kb").distinct().collect().map(_.getInt(0)).toSet
+
+  private var base: DataFrame = {
+    // an unbucketed state booting from a bucketed persist drops the
+    // internal column (recomputed if re-bucketed later)
+    val b0 = if (bucketed.isEmpty && base0.columns.contains("_kb"))
+      base0.drop("_kb") else base0
+    withKb(b0).localCheckpoint()
+  }
   private var baseRows: Long = base.count()
   // TIERED segments (LSM levels): level-0 entries are deliveries,
   // level-(k+1) entries are merges of MaxSegments level-k entries — so a
@@ -55,7 +91,7 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
   // re-fold the whole history every MaxSegments batches — a linear
   // per-delivery term at 1/MaxSegments weight, measured in the r13
   // probe's compaction spikes before this tiering landed).
-  private var levels = Vector.empty[Vector[(DataFrame, Long, Long)]] // (rows, gen, count)
+  private var levels = Vector.empty[Vector[(DataFrame, Long, Long, Set[Int])]] // (rows, gen, count, buckets)
   private var segmentRows = 0L
   // tombstones (keyCols :+ per-row _tomb_gen) in two tiers: a compacted
   // MAIN frame plus a short PENDING list of per-removal batches. A
@@ -106,9 +142,45 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     * by the tombstones newer than it. Lazy — a returned view is an
     * immutable snapshot plan, unaffected by later appends/removes. */
   def view: DataFrame =
+    if (bucketed.isDefined) fullView.drop("_kb") else fullView
+
+  /** The internal content INCLUDING `_kb` — compaction's input. */
+  private def fullView: DataFrame =
     levels.flatten.foldLeft(masked(base, 0L)) {
-      case (acc, (s, g, _)) => acc.unionByName(masked(s, g))
+      case (acc, (s, g, _, _)) => acc.unionByName(masked(s, g))
     }
+
+  /** BOUNDED key lookup against the current content — the bucketed
+    * mode's point-read path (takedown down-folds, ingest-idempotency
+    * maybes): the probe keys' bucket set (a bounded collect — probes
+    * are takedown-/delivery-sized by the lifecycle contract) skips
+    * segments whose bucket bitmaps don't intersect at PLAN-CONSTRUCTION
+    * time, and filters the base and surviving segments on `_kb` — after
+    * a compaction the base is a `_kb`-partitioned parquet read, so the
+    * filter prunes bucket DIRECTORIES at plan time (PartitionFilters;
+    * spec-asserted). Returns the matching rows, view schema. Requires
+    * bucketed mode. [[lastProbeSegments]] records how many segment
+    * frames the most recent probe actually unioned — the spec's
+    * skip-evidence. */
+  def probe(keys: DataFrame): DataFrame = {
+    val (b, _) = bucketed.getOrElse(
+      throw new IllegalStateException("graft: probe() requires bucketed mode"))
+    val k0 = keyCols.head
+    val ks = keys.select(col(k0)).distinct().coalesce(1).localCheckpoint()
+    val kbs = ks.select(pmod(hash(col(k0)), lit(b)).as("_kb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val kbList = kbs.toSeq.sorted.map(Int.box)
+    val segs = levels.flatten.filter(_._4.exists(kbs))
+    lastProbeSegments = segs.length
+    val full = segs.foldLeft(
+        masked(base.filter(col("_kb").isin(kbList: _*)), 0L)) {
+      case (acc, (s, g, _, _)) =>
+        acc.unionByName(masked(s.filter(col("_kb").isin(kbList: _*)), g))
+    }
+    full.join(broadcast(ks), Seq(k0), "left_semi").drop("_kb")
+  }
+
+  private[graft] var lastProbeSegments: Int = -1
 
   /** Fold a delivery IN: checkpoint cost is O(delta), never O(corpus).
     * The segment coalesces to [[SegmentedState.DeltaParts]] partitions
@@ -120,10 +192,10 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     * no segment. */
   def append(delta: DataFrame): Unit = {
     gen += 1
-    val d = delta.coalesce(SegmentedState.DeltaParts).localCheckpoint()
+    val d = withKb(delta).coalesce(SegmentedState.DeltaParts).localCheckpoint()
     val n = d.count()
     if (n > 0) {
-      addAt(0, (d, gen, n))
+      addAt(0, (d, gen, n, bucketsOf(d)))
       segmentRows += n
     }
     maybeCompact()
@@ -135,7 +207,7 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     * every future tombstone is newer than the merged generation and
     * still masks the merged rows; every existing one is already
     * applied). */
-  private def addAt(level: Int, entry: (DataFrame, Long, Long)): Unit = {
+  private def addAt(level: Int, entry: (DataFrame, Long, Long, Set[Int])): Unit = {
     while (levels.length <= level) levels :+= Vector.empty
     levels = levels.updated(level, levels(level) :+ entry)
     if (levels(level).length > SegmentedState.MaxSegments) {
@@ -147,7 +219,10 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
         .coalesce(SegmentedState.partsFor(estRows)).localCheckpoint()
       val n = merged.count()
       segmentRows += n - estRows // masked-away rows leave the estimate
-      addAt(level + 1, (merged, entries.map(_._2).max, n))
+      // promoted bucket bitmap = union of the children's (masking only
+      // removes rows, so the union stays a sound superset)
+      addAt(level + 1,
+        (merged, entries.map(_._2).max, n, entries.map(_._4).reduce(_ | _)))
     }
   }
 
@@ -186,7 +261,20 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     * maintainer can force a compaction at a persistence boundary. */
   def compact(): Unit = {
     val est = math.max(1L, baseRows + segmentRows - tombRows)
-    base = view.coalesce(SegmentedState.partsFor(est)).localCheckpoint()
+    base = bucketed match {
+      case Some((_, root)) =>
+        // bucketed mode compacts THROUGH disk: the base becomes a
+        // `_kb`-partitioned parquet read (crash-safe versioned publish,
+        // the compactTo discipline), so probe()'s bucket filter prunes
+        // base directories at plan time — the LSM shape where the big
+        // immutable level lives in prunable storage
+        val dataDir = publishBase(
+          fullView.coalesce(SegmentedState.partsFor(est)), root,
+          partitionByKb = true)
+        base.sparkSession.read.parquet(dataDir)
+      case None =>
+        fullView.coalesce(SegmentedState.partsFor(est)).localCheckpoint()
+    }
     baseRows = base.count()
     levels = Vector.empty
     segmentRows = 0L
@@ -194,6 +282,32 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     tombPending = Vector.empty
     tombRows = 0L
     gen = 0L
+  }
+
+  /** Versioned crash-safe base write (see [[compactTo]] for the
+    * publish contract) — returns the published data directory. */
+  private def publishBase(df: DataFrame, path: String,
+                          partitionByKb: Boolean): String = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) d.mkdirs()
+    val next = SegmentedState.currentVersion(path) + 1
+    val dataDir = new java.io.File(d, f"base-$next%06d")
+    val w = df.write.mode("overwrite")
+    (if (partitionByKb) w.partitionBy("_kb") else w)
+      .parquet(dataDir.getAbsolutePath)
+    val tmp = new java.io.File(d, ".CURRENT.tmp")
+    val out = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    try out.write(f"base-$next%06d\n") finally out.close()
+    val cur = new java.io.File(d, "CURRENT")
+    require(tmp.renameTo(cur) || { cur.delete(); tmp.renameTo(cur) },
+      s"graft: atomic publish failed for $cur")
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("base-") &&
+        f.getName != f"base-$next%06d")
+      .foreach(old => SegmentedState.deleteRecursively(old))
+    dataDir.getAbsolutePath
   }
 
   private def maybeCompact(): Unit =
@@ -219,25 +333,15 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     * atomic same-directory rename (POSIX / HDFS-style semantics —
     * the same assumption as the CDC feed's publishes). Returns `path`. */
   def compactTo(path: String): String = {
+    val samePath = bucketed.exists { case (_, root) =>
+      new java.io.File(root).getAbsolutePath ==
+        new java.io.File(path).getAbsolutePath
+    }
     compact()
-    val d = new java.io.File(path)
-    if (!d.isDirectory) d.mkdirs()
-    val next = SegmentedState.currentVersion(path) + 1
-    val dataDir = new java.io.File(d, f"base-$next%06d")
-    base.write.mode("overwrite").parquet(dataDir.getAbsolutePath)
-    val tmp = new java.io.File(d, ".CURRENT.tmp")
-    val out = new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(tmp),
-      java.nio.charset.StandardCharsets.US_ASCII)
-    try out.write(f"base-$next%06d\n") finally out.close()
-    val cur = new java.io.File(d, "CURRENT")
-    require(tmp.renameTo(cur) || { cur.delete(); tmp.renameTo(cur) },
-      s"graft: atomic publish failed for $cur")
-    // retire superseded versions (safe: CURRENT already points past them)
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("base-") &&
-        f.getName != f"base-$next%06d")
-      .foreach(old => SegmentedState.deleteRecursively(old))
+    // a bucketed compaction already published into its own disk root —
+    // publishing the same path again would retire the directory the
+    // re-rooted base now reads
+    if (!samePath) publishBase(base, path, partitionByKb = bucketed.isDefined)
     path
   }
 }

@@ -168,4 +168,47 @@ class SegmentedStateSpec extends SparkSpec {
     assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
       Set(7L -> "x", 8L -> "y"))
   }
+
+  test("bucketed mode: probe equals a view lookup, skips segments, and prunes base partitions at plan time") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val b = 16
+    // pick keys in PROVABLY different buckets (hash() is Spark's
+    // murmur3 — computed, not assumed)
+    def bucketOf(k: Long): Int = Seq(k).toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(b))).collect()(0).getInt(0)
+    val k1 = 100L
+    val k2 = (101L to 200L).find(k => bucketOf(k) != bucketOf(k1)).get
+    val root = java.nio.file.Files.createTempDirectory("graft-segkb")
+      .toFile.getAbsolutePath
+    val st = new SegmentedState(frame(1L -> "base"), Seq("doc_id"),
+      bucketed = Some((b, root)))
+    st.append(frame(k1 -> "a"))
+    st.append(frame(k2 -> "c"))
+    // view schema stays external (no _kb), content correct
+    assert(rows(st.view) == Set(1L -> "base", k1 -> "a", k2 -> "c"))
+    // probe == the view restricted to the keys
+    val keys = Seq(k1).toDF("doc_id")
+    assert(rows(st.probe(keys)) == Set(k1 -> "a"))
+    // skip evidence: k2's segment lives in a different bucket and never
+    // enters the probe plan (k1's bucket may or may not coincide with
+    // the base row's — the SEGMENT count is the deterministic part)
+    assert(st.lastProbeSegments <= 1,
+      s"probe unioned ${st.lastProbeSegments} segments; expected the k1 segment only")
+    // compaction re-roots the base on a _kb-partitioned parquet read:
+    // the probe's bucket filter must prune base DIRECTORIES at plan time
+    st.compact()
+    assert(rows(st.probe(keys)) == Set(k1 -> "a"))
+    val plan = st.probe(keys).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("_kb") &&
+          !l.contains("PartitionFilters: []")),
+      "bucketed probe must carry a non-empty _kb partition filter on the base scan")
+    // tombstones keep working through the bucketed read path
+    st.remove(Seq(k1).toDF("doc_id"))
+    assert(rows(st.probe(keys)) == Set.empty[(Long, String)])
+    assert(rows(st.view) == Set(1L -> "base", k2 -> "c"))
+    // and the logical content survives another compaction
+    st.compact()
+    assert(rows(st.view) == Set(1L -> "base", k2 -> "c"))
+  }
 }
