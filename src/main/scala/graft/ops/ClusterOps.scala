@@ -401,12 +401,19 @@ object ClusterOps {
     val dAssign = deliveryIds.select("doc_id")
       .join(delta.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
-    // only reps whose label MOVED force their cluster to re-emit; a
-    // delivery doc joining a cluster whose rep stays minimal touches
-    // nothing in the base
+    // only BASE reps whose label MOVED force their cluster to re-emit:
+    // a delivery doc joining a cluster whose rep stays minimal touches
+    // nothing, and delivery-node ids are EXCLUDED from the retired set
+    // (they could only be no-op tombstones — fresh ids never name an
+    // existing cluster — but a maintained store pays every tombstone
+    // row on every later read: the first cut emitted them and the
+    // 100-delivery press probe measured the accumulated masks as a
+    // monotone per-delivery growth term)
+    val baseReps = repEdges.select(col("v").as("rep")).distinct()
     val moved = delta
       .select(col("id").as("rep"), col("cluster_id").as("new_cid"))
       .filter(col("new_cid") =!= col("rep"))
+      .join(broadcast(baseReps), Seq("rep"), "left_semi")
     val movedMembers = baseAssign
       .join(broadcast(moved), baseAssign("cluster_id") === moved("rep"))
       .select(col("doc_id"), col("new_cid").as("cluster_id"))

@@ -371,8 +371,14 @@ object IndexState {
     synchronized {
       import org.apache.spark.sql.functions.{col, count, expr, lit, row_number, sum}
       val root = ClusterState.stateRoot(dir)
-      val p = new File(root, "bm25_impact_ranked_l64").getAbsolutePath
-      val done = new File(root, "_DONE_bm25_impact_ranked_l64")
+      // the LADDER is part of the layout identity: a store bucketed at
+      // one set of level boundaries must never serve a ladder with
+      // another — a deeper new level would look for its boundary tail
+      // rows in a bucket the old layout never split out, read tail 0,
+      // and certify UNSOUNDLY. Same convention as the PQ geometry names.
+      val tag = PipelineQueries.CertLevels.mkString("_")
+      val p = new File(root, s"bm25_impact_ranked_$tag").getAbsolutePath
+      val done = new File(root, s"_DONE_bm25_impact_ranked_$tag")
       if (!ready.contains(done.getAbsolutePath)) {
         if (!done.exists()) {
           val (postingsP, dlP, dfP) = bm25FullPaths(spark, dir)

@@ -192,6 +192,40 @@ object StreamingJobs {
       }
       .start()
 
+  /** LIVE exactness-CERTIFIED retrieval — the [[runImpactServe]] twin
+    * with NO recall trade: per micro-batch the arriving query docs are
+    * tokenized (batch-sized) and walk the certificate ladder against
+    * the frozen leveled store (`ranked` =
+    * [[graft.queries.IndexState.bm25ImpactRankedPaths]], with the full
+    * (tfq, dl, dft, stats) quadruple for exact candidate scoring and
+    * the per-query exact-serve fallback) — so every served row is
+    * bit-identical to the batch exact serve for that query, whatever
+    * the corpus profile (parity-specced against the oracle-green
+    * bm25_topk rows through uneven batches). Per-batch cost: certified
+    * queries pay candidates ≤ |terms| × certification depth;
+    * fallback queries pay their exact serve — the
+    * [[PipelineQueries.bm25TopKCertified]] economics, run live. Same
+    * at-least-once / idempotent-sink precondition as
+    * [[runImpactServe]]. */
+  def runCertifiedServe(spark: SparkSession, queriesStream: DataFrame,
+      ranked: DataFrame, tfq: DataFrame, dl: DataFrame, dft: DataFrame,
+      stats: DataFrame, kTop: Int = 5)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queriesStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = spark.createDataFrame(batch.select("doc_id", "text").rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        sink(PipelineQueries.bm25CertifiedRank(ranked,
+          PipelineQueries.bm25Postings(b).selectExpr("doc_id AS q_id", "term"),
+          tfq, dl, dft, stats, kTop))
+      }
+      .start()
+
   /** ONLINE incremental cluster maintenance over a delivery stream: every
     * micro-batch is one DELIVERY, folded into the maintained assignment by
     * [[graft.ops.ClusterOps.incrementalClusters]] while the signature

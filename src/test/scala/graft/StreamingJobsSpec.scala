@@ -506,6 +506,45 @@ class StreamingJobsSpec extends SparkSpec {
     assert(got.toSet == batch && batch.nonEmpty)
   }
 
+  test("live certified serve: streamed queries retrieve the batch bm25_topk rows exactly") {
+    // the no-recall-trade live serve: whatever the batching, every
+    // query's served rows must equal the EXACT batch ranking (the
+    // certificate either proves the pruned top-k or the query runs its
+    // exact serve inside the batch) — on the driver corpus, the
+    // certificate's measured worst case
+    val ranked = spark.read.parquet(
+      graft.queries.IndexState.bm25ImpactRankedPaths(spark, sf0001))
+    val (postingsP, dlP, dfP) =
+      graft.queries.IndexState.bm25FullPaths(spark, sf0001)
+    val tfq = spark.read.parquet(postingsP)
+    val dl = spark.read.parquet(dlP)
+    val dft = spark.read.parquet(dfP)
+    val stats = dl.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("dl")).as("sum_dl"))
+    val queries = graft.sources.Tables.documents(spark, sf0001)
+      .filter("doc_id < 8").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](69, spark, None)
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val q = StreamingJobs.runCertifiedServe(
+        spark, in.toDS().toDF("doc_id", "text"),
+        ranked, tfq, dl, dft, stats) { served =>
+      got ++= served.as[(Long, Long, Long, Long)].collect()
+    }
+    try {
+      Seq(queries.take(3), queries.slice(3, 4), queries.drop(4)).foreach { c =>
+        in.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = graft.queries.PipelineQueries.bm25TopK(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch && batch.nonEmpty)
+  }
+
   test("frozen-index BM25 stream scoring equals batch scoring and the bm25_topk rows") {
     val model = graft.queries.PipelineQueries.bm25Model(spark, sf0001)
     assert(model.terms.nonEmpty && model.nDocs > 0 && model.sumDl > 0)
