@@ -51,6 +51,15 @@ object ClusterState {
   val BandRows = 4
   val BandThreshold = 0.5
 
+  /** PQ geometry (subspaces × dims-per-subspace) shared by every PQ
+    * state writer here and the explicit read schemas
+    * ([[IndexState.readPqCellCodes]]): a reader pinning a different
+    * code_m column count than the writer encoded would get
+    * silently-null columns from the explicit-schema read, with only
+    * the downstream oracle hash to catch it. */
+  val PqNSub = 8
+  val PqSubDim = 8
+
   /** Process-local fast path: state roots already verified on disk. */
   private val ready = scala.collection.mutable.Set[String]()
 
@@ -293,15 +302,17 @@ object IndexState {
                    mod: Int = ClusterState.PersistDeliveryMod): String =
     synchronized {
       val root = ClusterState.stateRoot(dir)
-      val codesP = new File(root, s"pq_codes_8x8_m$mod").getAbsolutePath
-      val done = new File(root, s"_DONE_pqcodes_8x8_m$mod")
+      val geo = s"${ClusterState.PqNSub}x${ClusterState.PqSubDim}"
+      val codesP = new File(root, s"pq_codes_${geo}_m$mod").getAbsolutePath
+      val done = new File(root, s"_DONE_pqcodes_${geo}_m$mod")
       if (!ready.contains(done.getAbsolutePath)) {
         if (!done.exists()) {
           val emb = Tables.embeddings(spark, dir)
           val base = emb
             .filter(org.apache.spark.sql.functions.expr(s"vec_id % $mod != 0"))
           graft.ops.SimilarityOps.pqEncode(
-              graft.ops.SimilarityOps.quantStore(base), 8, 8,
+              graft.ops.SimilarityOps.quantStore(base),
+              ClusterState.PqNSub, ClusterState.PqSubDim,
               fitOn = graft.ops.SimilarityOps.quantStore(emb))
             .write.mode("overwrite").parquet(codesP)
           done.createNewFile()
@@ -416,13 +427,15 @@ object IndexState {
                        nCells: Int = 16): String = synchronized {
     import org.apache.spark.sql.functions.col
     val root = ClusterState.stateRoot(dir)
-    val p = new File(root, s"pq_cell_codes_8x8_c$nCells").getAbsolutePath
-    val done = new File(root, s"_DONE_pq_cell_codes_8x8_c$nCells")
+    val geo = s"${ClusterState.PqNSub}x${ClusterState.PqSubDim}"
+    val p = new File(root, s"pq_cell_codes_${geo}_c$nCells").getAbsolutePath
+    val done = new File(root, s"_DONE_pq_cell_codes_${geo}_c$nCells")
     if (!ready.contains(done.getAbsolutePath)) {
       if (!done.exists()) {
         val store = graft.ops.SimilarityOps.quantStore(
           Tables.embeddings(spark, dir))
-        graft.ops.SimilarityOps.pqEncode(store, 8, 8, fitOn = store)
+        graft.ops.SimilarityOps.pqEncode(store,
+            ClusterState.PqNSub, ClusterState.PqSubDim, fitOn = store)
           .join(graft.ops.SimilarityOps.ivfCellOf(store, nCells), "vec_id")
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(p)
@@ -449,7 +462,8 @@ object IndexState {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(
       StructField("vec_id", LongType) +:
-        (0 until 8).map(m => StructField(s"code_$m", LongType)) :+
+        (0 until ClusterState.PqNSub)
+          .map(m => StructField(s"code_$m", LongType)) :+
         StructField("cell", LongType))
     spark.read.schema(schema)
       .parquet(pqCellCodesPaths(spark, dir, nCells))

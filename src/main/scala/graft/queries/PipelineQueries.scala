@@ -2285,9 +2285,19 @@ object PipelineQueries {
     val spark = ranked.sparkSession
     import spark.implicits._
     val legs = Seq.newBuilder[DataFrame]
-    // bounded witness: the distinct query ids (≤ nQ)
+    // bounded witness: the distinct query ids (≤ nQ). The ladder is
+    // driver-side BY DESIGN (per-level certificate flags route queries
+    // between legs), so its plans carry isin literal lists over the
+    // remaining ids — fine for the delivery-sized query batches the
+    // serve contract names, catastrophic for a corpus-sized frame
+    // (a 100k-literal plan per level). Fail fast instead of building
+    // it (GuardrailSpec trips this).
     var remaining = qterms.select("q_id").distinct()
       .as[Long].collect().sorted.toSeq
+    require(remaining.length <= CertBatchMax,
+      s"graft: bm25CertifiedRank serves delivery-sized query batches " +
+        s"(got ${remaining.length} distinct q_ids, cap $CertBatchMax); " +
+        s"partition the query frame or use the exact serve for bulk loads")
     for (m <- levels if remaining.nonEmpty) {
       val lvl = certLvlOf(m.toLong)
       val champ = ranked
@@ -2309,8 +2319,32 @@ object PipelineQueries {
       legs += bm25RankQ(
         qterms.filter(col("q_id").isin(remaining.map(Long.box): _*)),
         tfq, dl, dft, stats, kTop)
-    legs.result().reduce(_.unionByName(_))
+    val built = legs.result()
+    // an empty query frame (e.g. a live micro-batch whose docs all
+    // tokenize to zero terms) builds no legs — return the empty serve
+    // frame instead of crashing the streaming query on reduce
+    if (built.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score_micro",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.LongType))))
+    else built.reduce(_.unionByName(_))
   }
+
+  /** Fail-fast cap on distinct query ids per [[bm25CertifiedRank]]
+    * invocation — the ladder's per-level certificate flags are a
+    * driver-side witness and its legs carry isin literal filters over
+    * the remaining ids, both bounded by this (the engine's GuardrailSpec
+    * discipline: every driver-bounded path trips loudly, never builds
+    * an unbounded plan). Generously above any delivery-sized batch. */
+  val CertBatchMax: Int = 4096
 
   /** Exactness-CERTIFIED lexical retrieval from the leveled
     * impact-ranked store — the r14 verdict's top item:

@@ -97,4 +97,29 @@ class GuardrailSpec extends SparkSpec {
       s"the boilerplate probe must report nothing (all its bands are over " +
         s"the 20-image cap) and the clean probe exactly its one match, got $out")
   }
+
+  test("bm25CertifiedRank fails fast past the query-batch cap; empty query frames serve empty") {
+    // the certified serve's ladder is driver-side by design (per-level
+    // certificate flags route queries between legs via isin literals) —
+    // a corpus-sized query frame must trip the cap BEFORE any plan builds
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val over = (0 until PipelineQueries.CertBatchMax + 1)
+      .map(q => (q.toLong, "alpha")).toDF("q_id", "term")
+    val ex = intercept[IllegalArgumentException] {
+      PipelineQueries.bm25TopKCertifiedOver(docs, 8, 5,
+        qtermsOpt = Some(over))._1.collect()
+    }
+    assert(ex.getMessage.contains("delivery-sized query batches"),
+      s"cap message missing: ${ex.getMessage}")
+    // a batch whose docs all tokenize to nothing yields ZERO query terms:
+    // the serve must return the empty serve frame, not crash on reduce
+    // (the live runCertifiedServe micro-batch shape)
+    val none = Seq.empty[(Long, String)].toDF("q_id", "term")
+    val served = PipelineQueries.bm25TopKCertifiedOver(docs, 8, 5,
+      qtermsOpt = Some(none))._1
+    assert(served.columns.toSeq ==
+      Seq("q_id", "doc_id", "score_micro", "rn") && served.isEmpty,
+      "empty query frame must serve an empty frame with the serve schema")
+  }
 }
