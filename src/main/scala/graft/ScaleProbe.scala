@@ -396,16 +396,33 @@ object ScaleProbe {
         }.distinct.toDF("q_id", "term")
         val zdir = s"$base/zipf_x$s"
         genZipfCorpus(spark, zdir, 5000L * s)
+        // three (corpus, load) rows: zipf × 64 short queries (the
+        // deployment search load), zipf × 64 DOCUMENT-LENGTH queries
+        // (the r14 93-second load — where serve_qload_lex measured the
+        // exact serve's O(queries × corpus) term, and where the
+        // deployment rule promises the certified win), uniform ×
+        // doc-length (the measured fail-to-certify fallback case; its
+        // vocabulary has no tNNN terms for the short load to hit).
+        // zipf rows share one leveled store (corpus-keyed, not
+        // load-keyed).
         Seq(
-          ("zipf", s"$zdir/documents.parquet", true),
-          ("uniform", s"$dir/documents.parquet", false)
-        ).foreach { case (prof, docsPath, shortQ) =>
+          ("zipf", "zipf", s"$zdir/documents.parquet", "short"),
+          ("zipf_doclen", "zipf", s"$zdir/documents.parquet", "doclen64"),
+          ("uniform", "uniform", s"$dir/documents.parquet", "doclen8")
+        ).foreach { case (prof, corpusKey, docsPath, load) =>
           // the index quadruple + impact-RANKED store persist to parquet
           // (ranked partitioned by the level bucket — the serving
-          // layout), built once per (profile, scale) behind a marker:
+          // layout), built once per (corpus, scale) behind a marker:
           // the timed serves read the store, as a deployment would
-          val idxRoot = s"$base/certidx_${prof}_x$s"
-          val idxDone = new File(idxRoot, "_IDX_DONE")
+          // the ladder is part of the store-layout identity (the
+          // bm25ImpactRankedPaths convention): a CertLevels/CertFrac
+          // change must rebuild the leveled store, or the deeper tail
+          // lookups read an absent bucket (tail 0) and the probe's
+          // certificate fires unsoundly
+          val ladderTag = s"nd${graft.queries.PipelineQueries.CertFrac}_" +
+            graft.queries.PipelineQueries.CertLevels.mkString("_")
+          val idxRoot = s"$base/certidx_${corpusKey}_x$s"
+          val idxDone = new File(idxRoot, s"_IDX_DONE_$ladderTag")
           if (!idxDone.isFile) {
             val docs = spark.read.parquet(docsPath).select("doc_id", "text")
             val tok0 = graft.queries.PipelineQueries.bm25Postings(docs)
@@ -429,15 +446,16 @@ object ScaleProbe {
           val dft = spark.read.parquet(s"$idxRoot/dft")
           val stats = spark.read.parquet(s"$idxRoot/stats")
           val ranked = spark.read.parquet(s"$idxRoot/ranked")
-          // uniform profile keeps the suite's doc-length queries (its
-          // vocabulary has no tNNN terms for the short load to hit)
-          val qterms =
-            if (shortQ) qt
-            else tok.filter(col("doc_id") < 8)
+          val qterms = load match {
+            case "short" => qt
+            case "doclen64" => tok.filter(col("doc_id") < 64)
               .selectExpr("doc_id AS q_id", "term")
+            case _ => tok.filter(col("doc_id") < 8)
+              .selectExpr("doc_id AS q_id", "term")
+          }
           val rate = {
             val rows = graft.queries.PipelineQueries
-              .certLedger(ranked, qterms, tok, dl, dft, stats, 5, 64).collect()
+              .certLedger(ranked, qterms, tok, dl, dft, stats, 5, level = 0).collect()
             rows.map(_.getAs[Long]("certified")).sum.toDouble / rows.length
           }
           val ex = timeBatch(spark, () => graft.queries.PipelineQueries
@@ -578,38 +596,65 @@ object ScaleProbe {
       // SCALE.md's r13 crossover extrapolation (simple fold's linear
       // per-delivery term overtakes the segmented constant past
       // ~delivery 100) is what these rows test directly.
-      if (want("press_fold") || want("press_fold_tagged")) {
+      if (want("press_fold") || want("press_fold_tagged") ||
+          want("press_fold_tagged_kb")) {
         val feed = s"$base/feed_cp_x$s" // same shape as corpus_pipeline
         val n = genFeed(spark, dir, feed, 2000L * s, 500)
-        Seq(("press_fold", false), ("press_fold_tagged", true))
-          .filter(t => want(t._1)).foreach { case (nm, seg) =>
+        // third mode (r15 verdict #5 re-adjudication): tagged + delta
+        // folds with the bounded point reads routed through the
+        // key-bucketed probe() — the read-side cost that made
+        // tagged+delta LOSE press-only at 100 deliveries is exactly
+        // what the probe removes
+        Seq(("press_fold", false, false), ("press_fold_tagged", true, false),
+            ("press_fold_tagged_kb", true, true))
+          .filter(t => want(t._1)).foreach { case (nm, seg, kb) =>
+            val rootOpt = if (!kb) None else {
+              val r = s"$base/presskb_x$s"
+              graft.streaming.SegmentedState.deleteRecursively(new File(r))
+              Some(r)
+            }
             Bench.resetState(spark)
             val run = timeStream { marks =>
               StreamingJobs.runCurationPress(spark, cdcStream(spark, feed),
-                segmented = seg) { _ => marks += System.nanoTime() }
+                segmented = seg, stateRoot = rootOpt) { _ =>
+                marks += System.nanoTime() }
             }
             emit(s"""{"family":"$nm","scale":$s,"deliveries":$n,""" +
               s""""total":${f"${run._1}%.2f"},"per_delivery":${fmt(run._2)}}""")
           }
       }
 
-      if (want("corpus_pipeline")) {
+      if (want("corpus_pipeline") || want("corpus_pipeline_probe")) {
         val feed = s"$base/feed_cp_x$s"
         val n = genFeed(spark, dir, feed, 2000L * s, 500)
         val emb = graft.sources.Tables.embeddings(spark, dir)
           .filter(col("vec_id") < 2000L * s)
-        val reps = if (s >= 10) 1 else 2
-        val runs = (0 until reps).map { _ =>
-          Bench.resetState(spark)
-          timeStream { marks =>
-            StreamingJobs.runCorpusPipeline(spark, cdcStream(spark, feed), emb) {
-              (_, _, _, _, _) => marks += System.nanoTime() }
+        // the r15 verdict #2 A/B: the same pipeline feed with the
+        // lifecycle stores' bounded point reads routed through the
+        // key-bucketed probe() (stateRoot set — assignment, pair list,
+        // tagged press store, serving postings) vs the view-scan
+        // default. Probe roots are wiped per rep (fresh CURRENT chain).
+        Seq(("corpus_pipeline", false), ("corpus_pipeline_probe", true))
+          .filter(t => want(t._1)).foreach { case (nm, kb) =>
+            val reps = if (s >= 10) 1 else 2
+            val runs = (0 until reps).map { _ =>
+              val rootOpt = if (!kb) None else {
+                val r = s"$base/cpkb_x$s"
+                graft.streaming.SegmentedState.deleteRecursively(new File(r))
+                Some(r)
+              }
+              Bench.resetState(spark)
+              timeStream { marks =>
+                StreamingJobs.runCorpusPipeline(spark, cdcStream(spark, feed),
+                  emb, stateRoot = rootOpt) {
+                  (_, _, _, _, _) => marks += System.nanoTime() }
+              }
+            }
+            val bestIdx = runs.map(_._1).zipWithIndex.min._2
+            emit(s"""{"family":"$nm","scale":$s,"deliveries":$n,""" +
+              s""""totals":${fmt(runs.map(_._1))},""" +
+              s""""total":${f"${runs(bestIdx)._1}%.2f"},"per_delivery":${fmt(runs(bestIdx)._2)}}""")
           }
-        }
-        val bestIdx = runs.map(_._1).zipWithIndex.min._2
-        emit(s"""{"family":"corpus_pipeline","scale":$s,"deliveries":$n,""" +
-          s""""totals":${fmt(runs.map(_._1))},""" +
-          s""""total":${f"${runs(bestIdx)._1}%.2f"},"per_delivery":${fmt(runs(bestIdx)._2)}}""")
       }
     }
     spark.stop()

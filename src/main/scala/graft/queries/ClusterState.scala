@@ -366,28 +366,34 @@ object IndexState {
 
   /** Absolute parquet path of the IMPACT-RANKED full postings — every
     * (term, doc_id, s_micro) with its per-term impact rank `rn`
-    * ((s_micro DESC, doc_id ASC)-ordered), written PARTITIONED by the
-    * geometric level bucket `lvl` ([[PipelineQueries.certLvlOf]]: rank
-    * ranges (0,64], (64,256], (256,1024], (1024,∞) — the
-    * [[PipelineQueries.CertLevels]] ladder). One store serves every
+    * ((s_micro DESC, doc_id ASC)-ordered) and the CORPUS-SCALED base depth
+    * `d0` ([[PipelineQueries.certD0Sql]], a build-time constant column), written PARTITIONED by the
+    * geometric level bucket `lvl` ([[PipelineQueries.certLvlSql]]:
+    * rank ranges (0, d0], (d0, 4·d0], (4·d0, 16·d0], (16·d0, ∞) — the
+    * [[PipelineQueries.CertLevels]] ladder scaled to the corpus so the
+    * zero-tail df/n_docs threshold — the certificate's real invariant —
+    * survives growth). One store serves every
     * depth of the exactness-certified serve
-    * ([[PipelineQueries.bm25TopKCertified]]): the level-m champion
-    * lists are `lvl ≤ k ∧ rn ≤ m` (unneeded deeper level directories
-    * prune at PLAN time — the bm25_downfold_probe discipline) and the
-    * level-m pruned-tail upper bounds are the boundary rows
-    * `rn = m + 1` (the max over each term's pruned tail, because the
-    * lists are impact-ordered; terms with ≤ m postings simply have no
-    * boundary row — tail 0). */
+    * ([[PipelineQueries.bm25TopKCertified]]): the level-i champion
+    * lists are `lvl ≤ i` — a PURE partition filter, unneeded deeper
+    * level directories prune at PLAN time (the bm25_downfold_probe
+    * discipline) — and the level-i pruned-tail upper bounds are the
+    * boundary rows `rn = d0·mult(i) + 1` in bucket i+1 (the max over
+    * each term's pruned tail, because the lists are impact-ordered;
+    * terms whose whole list fits in level i have no boundary row —
+    * tail 0). */
   def bm25ImpactRankedPaths(spark: SparkSession, dir: String): String =
     synchronized {
-      import org.apache.spark.sql.functions.{col, count, expr, lit, row_number, sum}
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
       val root = ClusterState.stateRoot(dir)
       // the LADDER is part of the layout identity: a store bucketed at
       // one set of level boundaries must never serve a ladder with
       // another — a deeper new level would look for its boundary tail
       // rows in a bucket the old layout never split out, read tail 0,
       // and certify UNSOUNDLY. Same convention as the PQ geometry names.
-      val tag = PipelineQueries.CertLevels.mkString("_")
+      // The df-aware scheme (CertFrac) is part of that identity too.
+      val tag = s"nd${PipelineQueries.CertFrac}_" +
+        PipelineQueries.CertLevels.mkString("_")
       val p = new File(root, s"bm25_impact_ranked_$tag").getAbsolutePath
       val done = new File(root, s"_DONE_bm25_impact_ranked_$tag")
       if (!ready.contains(done.getAbsolutePath)) {
@@ -398,14 +404,7 @@ object IndexState {
           val dft = spark.read.parquet(dfP)
           val stats = dl.agg(count(lit(1)).as("n_docs"),
             sum(col("dl")).as("sum_dl"))
-          tfq.join(dft, "term").join(dl, "doc_id")
-            .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
-            .selectExpr("term", "doc_id",
-              s"${PipelineQueries.bm25MicroTerm} AS s_micro")
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-                .orderBy(col("s_micro").desc, col("doc_id").asc)).cast("long"))
-            .withColumn("lvl", expr(PipelineQueries.certLvlSql))
+          PipelineQueries.bm25ImpactRanked(tfq, dl, dft, stats)
             .repartition(col("lvl"))
             .write.mode("overwrite").partitionBy("lvl").parquet(p)
           done.createNewFile()

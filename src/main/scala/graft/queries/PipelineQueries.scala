@@ -2166,7 +2166,16 @@ object PipelineQueries {
     * producing ≤ candidates × |T(q)| rows (row production bounded by
     * the depth, NOT by posting-list lengths — the exact serve's
     * O(queries × corpus) term is exactly that unbounded row
-    * production); tails/tail-sums are query-sized. Returns
+    * production); tails/tail-sums are query-sized. With the
+    * corpus-scaled ladder the base depth is n_docs/CertFrac, so the
+    * candidate set is a 1/CertFrac-of-corpus fraction per common term
+    * — a constant-FACTOR win over the exact serve, scale-stable rate
+    * (the absolute ≤ |terms| × 64 bound belonged to the fixed ladder
+    * whose certificates collapsed at 10×). The candidate broadcast
+    * assumes the certifying (short, search-shaped) query load; a bulk
+    * doc-length load neither certifies nor should pay this probe — the
+    * ladder bails to the exact serve after one non-certifying level.
+    * Returns
     * (scoredTopK, cert): scoredTopK = (q_id, doc_id, score_micro, rn)
     * EXACT rows for every query's candidate top-k (valid serve rows
     * wherever cert says certified); cert = one row per query (q_id,
@@ -2207,30 +2216,67 @@ object PipelineQueries {
     (topk, cert)
   }
 
-  /** The certified serve's escalation ladder: champion-list depths
-    * tried in order, geometrically spaced so the total postings read
-    * for a query certifying at depth m is < 2m (sum of the shallower
-    * tiers). Queries the deepest level cannot certify fall back to the
-    * exact serve — so the ladder bounds COST adaptively while the
-    * result is exact at every depth. Shared with the leveled store
-    * layout ([[IndexState.bm25ImpactRankedPaths]] partitions by
-    * [[certLvlSql]]'s bucket of these boundaries). */
+  /** The certified serve's escalation ladder: MINIMUM champion-list
+    * depths tried in order, geometrically spaced (×4) so the total
+    * postings read for a query certifying at level i is < 4/3 of that
+    * level's depth (sum of the shallower tiers). Queries the deepest
+    * level cannot certify fall back to the exact serve — so the ladder
+    * bounds COST adaptively while the result is exact at every depth.
+    *
+    * The depths are CORPUS-SCALED (r15 verdict #1): the base depth is
+    * d0 = max(64, ⌈n_docs/[[CertFrac]]⌉) — a build-time constant of the
+    * index, level i's depth is d0 × (CertLevels(i)/CertLevels.head).
+    * Fixed absolute depths were measured collapsing the base-level
+    * certificate rate 0.97 → 0.0 from 1× → 10× on Zipf text (SCALE.md
+    * r15 serve_qload_cert), and the r16 diagnosis is WHY corpus-scaled
+    * is the right geometry: at 1× the certificates' slack came from the
+    * query's DISCRIMINATIVE (rare/mid-df) terms being FULLY covered —
+    * tail bound 0 — while only the common terms' bulk-level tails
+    * remained; as the corpus grows ×10, a fixed (or per-term-df
+    * fractional) depth lets the rare terms' lists outgrow coverage, and
+    * their boundary tails — carrying exactly the high idf that made
+    * them discriminative — kill every certificate. A depth scaled to
+    * the CORPUS keeps "df ≤ n_docs/CertFrac ⟹ whole list covered"
+    * true at every scale: which terms have zero tails is a function of
+    * df/n_docs (the idf axis), so the certificate rate is
+    * scale-INVARIANT by construction (measured 1.000 at 1× and 10× on
+    * the Zipf short-query load; a per-term df-fraction variant was
+    * built first and measured 0.97 → 0.0 — the covered fraction is the
+    * wrong invariant, the zero-tail df/N threshold is the right one).
+    * For n_docs ≤ 64 × CertFrac = 4096 the depths equal the old
+    * absolute ladder exactly. Shared with the leveled store layout
+    * ([[IndexState.bm25ImpactRankedPaths]] partitions by
+    * [[certLvlSql]]'s bucket of these boundaries; the store carries
+    * d0 as a constant column so the serve derives the layout from the
+    * store itself — a stats/store N drift can never make tail lookups
+    * read an absent boundary and certify unsoundly). */
   val CertLevels: Seq[Int] = Seq(64, 256, 1024)
 
-  /** The geometric level bucket of an impact rank — SQL shared by the
-    * store writer (partition column) and the serve's pruning filters,
-    * so the layout and the reads cannot disagree. */
-  val certLvlSql: String = {
-    val cases = CertLevels.zipWithIndex
-      .map { case (m, i) => s"WHEN rn <= $m THEN $i" }.mkString(" ")
-    s"CASE $cases ELSE ${CertLevels.length} END"
-  }
+  /** Corpus-fraction denominator of the base depth: level 0 fully
+    * covers every term present in ≤ 1/CertFrac of the corpus'
+    * documents (d0 = max(CertLevels.head, ⌈n_docs/CertFrac⌉)). */
+  val CertFrac: Int = 64
 
-  /** The level bucket holding impact rank `rn` — Scala twin of
-    * [[certLvlSql]] for building literal partition filters. */
-  private def certLvlOf(rn: Long): Int = {
-    val i = CertLevels.indexWhere(rn <= _)
-    if (i < 0) CertLevels.length else i
+  /** The BASE champion depth as SQL over an `n_docs` column — shared by
+    * the store writer, the in-memory ranked twin and the DuckDB oracle
+    * restatement so the three cannot disagree. */
+  val certD0Sql: String =
+    s"greatest(CAST(${CertLevels.head} AS BIGINT), " +
+      s"CAST(ceil(n_docs / $CertFrac.0) AS BIGINT))"
+
+  /** Per-level depth multiplier over the base depth: level i's depth is
+    * d0 × certLvlMult(i) (= 1, 4, 16 for the shipped ladder). */
+  def certLvlMult(i: Int): Long = (CertLevels(i) / CertLevels.head).toLong
+
+  /** The geometric level bucket of an impact rank — SQL over `rn` and
+    * `d0` columns, shared by the store writer (partition column) and
+    * the serve's pruning filters, so the layout and the reads cannot
+    * disagree. Level i holds ranks in (d0·mult(i−1), d0·mult(i)];
+    * the overflow bucket holds everything past the deepest level. */
+  val certLvlSql: String = {
+    val cases = CertLevels.indices
+      .map(i => s"WHEN rn <= ${certLvlMult(i)} * d0 THEN $i").mkString(" ")
+    s"CASE $cases ELSE ${CertLevels.length} END"
   }
 
   /** The impact-ranked postings frame over prepared index tables —
@@ -2242,25 +2288,46 @@ object PipelineQueries {
       dft: DataFrame, stats: DataFrame): DataFrame =
     tok.join(dft, "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .selectExpr("term", "doc_id", s"$bm25MicroTerm AS s_micro")
+      .selectExpr("term", "doc_id", "n_docs", s"$bm25MicroTerm AS s_micro")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("term"))
           .orderBy(col("s_micro").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("d0", expr(certD0Sql))
       .withColumn("lvl", expr(certLvlSql))
+      .drop("n_docs")
 
-  /** The certificate ledger at depth `m` over an impact-ranked frame —
-    * champion lists and boundary tails are rank filters; shared by the
-    * persisted [[lexCertifiedRate]] and the ScaleProbe rate columns. */
+  /** The LEVEL-i champion lists of an impact-ranked frame — with the
+    * df-aware bucketing, membership of level ≤ i IS the depth filter
+    * (lvl ≤ i ⟺ rn ≤ d0·mult(i)), so the champion read is a pure
+    * partition filter: unneeded deeper level directories prune at PLAN
+    * time on the persisted store. */
+  private def certChamp(ranked: DataFrame, level: Int): DataFrame =
+    ranked.filter(col("lvl") <= level).select("term", "doc_id")
+
+  /** The LEVEL-i boundary tail bounds: per term, the first posting
+    * PAST the level-i depth (rn = d0·mult(i) + 1 — the max of the
+    * pruned tail, because lists are impact-ordered). That row always
+    * lives in bucket i+1 (depths grow ×4 ≥ +1 per level), so the read
+    * prunes to ONE level directory plus a per-row rank predicate;
+    * terms whose whole list fits in level i — on the corpus-scaled
+    * ladder, exactly the df ≤ n_docs·mult(i)/CertFrac discriminative
+    * band, at EVERY corpus size — have no boundary row: tail 0 via the
+    * certify join's coalesce. */
+  private def certTail(ranked: DataFrame, level: Int): DataFrame =
+    ranked
+      .filter(col("lvl") === (level + 1) &&
+        col("rn") === col("d0") * lit(certLvlMult(level)) + lit(1L))
+      .select(col("term"), col("s_micro").as("tail_micro"))
+
+  /** The certificate ledger at ladder level `level` over an
+    * impact-ranked frame — champion lists and boundary tails are level
+    * filters; shared by the persisted [[lexCertifiedRate]] and the
+    * ScaleProbe rate columns. */
   private[graft] def certLedger(ranked: DataFrame, qterms: DataFrame,
       tfq: DataFrame, dl: DataFrame, dft: DataFrame, stats: DataFrame,
-      kTop: Int, m: Int): DataFrame = {
-    val champ = ranked.filter(col("lvl") <= certLvlOf(m.toLong) && col("rn") <= m)
-      .select("term", "doc_id")
-    val tail = ranked
-      .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
-      .select(col("term"), col("s_micro").as("tail_micro"))
-    bm25Certify(champ, tail, qterms, tfq, dl, dft, stats, kTop)._2
-  }
+      kTop: Int, level: Int = 0): DataFrame =
+    bm25Certify(certChamp(ranked, level), certTail(ranked, level),
+      qterms, tfq, dl, dft, stats, kTop)._2
 
   /** The certified serve's full ranking stage — shared by the
     * persisted-index [[bm25TopKCertified]] and the from-scratch
@@ -2298,14 +2365,10 @@ object PipelineQueries {
       s"graft: bm25CertifiedRank serves delivery-sized query batches " +
         s"(got ${remaining.length} distinct q_ids, cap $CertBatchMax); " +
         s"partition the query frame or use the exact serve for bulk loads")
-    for (m <- levels if remaining.nonEmpty) {
-      val lvl = certLvlOf(m.toLong)
-      val champ = ranked
-        .filter(col("lvl") <= lvl && col("rn") <= m)
-        .select("term", "doc_id")
-      val tail = ranked
-        .filter(col("lvl") === certLvlOf(m + 1L) && col("rn") === (m + 1L))
-        .select(col("term"), col("s_micro").as("tail_micro"))
+    var bail = false
+    for (i <- levels.indices if remaining.nonEmpty && !bail) {
+      val champ = certChamp(ranked, i)
+      val tail = certTail(ranked, i)
       val qt = qterms.filter(col("q_id").isin(remaining.map(Long.box): _*))
       val (topk, cert) = bm25Certify(champ, tail, qt, tfq, dl, dft, stats, kTop)
       val flags = cert.select("q_id", "certified").collect()
@@ -2314,6 +2377,14 @@ object PipelineQueries {
       if (certified.nonEmpty)
         legs += topk.filter(col("q_id").isin(certified.map(Long.box): _*))
       remaining = remaining.filterNot(q => flags.getOrElse(q, false))
+      // a level that certifies NOTHING routes the whole remaining load
+      // to the exact serve instead of escalating: the non-certifying
+      // loads (doc-length dedup queries — every query's tail sum spans
+      // ~50 terms while its kth margin doesn't grow with depth) were
+      // measured paying the full ladder before the inevitable exact
+      // fallback, pure overhead. Cost-only heuristic: results are exact
+      // on every path, only which path pays changes.
+      bail = certified.isEmpty
     }
     if (remaining.nonEmpty)
       legs += bm25RankQ(
@@ -2368,9 +2439,10 @@ object PipelineQueries {
     bm25CertifiedRank(ranked, qterms, tfq, dl, dft, stats, kTop)
   }
 
-  /** The certificate LEDGER at the ladder's base level (m = 64) — one
-    * row per query: certified (1 = the base-level candidate top-k is
-    * provably exact), with the kth EXACT candidate score and the
+  /** The certificate LEDGER at the ladder's base level (per-term
+    * df-aware depth d0 = max(64, ⌈df/[[CertFrac]]⌉)) — one row per
+    * query: certified (1 = the base-level candidate top-k is provably
+    * exact), with the kth EXACT candidate score and the
     * never-seen-docs tail-sum bound the decision compared.
     * 1 − avg(certified) is the fraction of query load escalating past
     * the base depth; the serve stays EXACT either way — only the cost
@@ -2390,7 +2462,7 @@ object PipelineQueries {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = tfq.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term")
-    certLedger(ranked, qterms, tfq, dl, dft, stats, kTop, CertLevels.head)
+    certLedger(ranked, qterms, tfq, dl, dft, stats, kTop, level = 0)
   }
 
   /** From-scratch certified retrieval over an arbitrary document frame
@@ -2410,7 +2482,7 @@ object PipelineQueries {
     val qterms = qtermsOpt.getOrElse(tok.filter(col("doc_id") < nQ)
       .selectExpr("doc_id AS q_id", "term"))
     (bm25CertifiedRank(ranked, qterms, tok, dl, dft, stats, kTop, levels),
-      certLedger(ranked, qterms, tok, dl, dft, stats, kTop, levels.head))
+      certLedger(ranked, qterms, tok, dl, dft, stats, kTop, level = 0))
   }
 
   /** Recall gate for the impact-pruned lexical serve: per-query
@@ -4166,7 +4238,7 @@ object PipelineOracles {
     * tfq/dlt/dft/st — shared by the impact chain and the certificate
     * chain so the scored-postings statement exists once. */
   private val bm25ScoredCte: String =
-    s"""sc AS (SELECT t.term, t.doc_id, ${PipelineQueries.bm25MicroTerm} AS s_micro
+    s"""sc AS (SELECT t.term, t.doc_id, n_docs, ${PipelineQueries.bm25MicroTerm} AS s_micro
        |       FROM tfq t JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN st)""".stripMargin
 
   private val bm25ImpactChain: String =
@@ -4180,19 +4252,24 @@ object PipelineOracles {
 
   /** [[PipelineQueries.lexCertifiedRate]] restatement — the whole
     * certificate computed independently in DuckDB: champion lists and
-    * the (m+1)-th-posting tail bounds from the same scored postings,
-    * the candidate set EXACTLY scored through the shared chain's `s`
-    * (per-(q, doc, term) micro scores), and the kth-exact vs tail-sum
-    * test ([[PipelineQueries.bm25Certify]] scaladoc has the soundness
-    * argument). kTop = 5 and m = 64 mirror the serve's base level. */
+    * the boundary-posting tail bounds from the same scored postings —
+    * at the CORPUS-SCALED base depth d0 = max(64, ⌈n_docs/CertFrac⌉)
+    * ([[PipelineQueries.certD0Sql]], restated verbatim so the oracle
+    * recomputes the ladder geometry too) — the candidate set EXACTLY
+    * scored through the shared chain's `s` (per-(q, doc, term) micro
+    * scores), and the kth-exact vs tail-sum test
+    * ([[PipelineQueries.bm25Certify]] scaladoc has the soundness
+    * argument). kTop = 5 and level 0 mirror the serve's base level. */
   val lexCertifiedRate: String =
     s"""WITH $bm25Chain,
        |$bm25ScoredCte,
        |ctr AS (SELECT term, doc_id, s_micro,
+       |          greatest(CAST(${PipelineQueries.CertLevels.head} AS BIGINT),
+       |                   CAST(ceil(n_docs / ${PipelineQueries.CertFrac}.0) AS BIGINT)) AS d0,
        |          row_number() OVER (PARTITION BY term ORDER BY s_micro DESC, doc_id ASC) AS rn
        |        FROM sc),
-       |chp AS (SELECT term, doc_id FROM ctr WHERE rn <= 64),
-       |tlb AS (SELECT term, s_micro AS tail_micro FROM ctr WHERE rn = 65),
+       |chp AS (SELECT term, doc_id FROM ctr WHERE rn <= d0),
+       |tlb AS (SELECT term, s_micro AS tail_micro FROM ctr WHERE rn = d0 + 1),
        |tsm AS (SELECT q.q_id, CAST(SUM(coalesce(tlb.tail_micro, 0)) AS BIGINT) AS tail_sum
        |        FROM q LEFT JOIN tlb USING (term) GROUP BY 1),
        |cnd AS (SELECT DISTINCT q.q_id, chp.doc_id FROM q JOIN chp USING (term)),
