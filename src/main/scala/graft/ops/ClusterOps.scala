@@ -390,7 +390,9 @@ object ClusterOps {
     * full-frame to delta. */
   def incrementalClustersDelta(baseAssign: DataFrame, deliveryIds: DataFrame,
                                ddPairs: DataFrame, dbPairs: DataFrame,
-                               maxIter: Int = 50): (DataFrame, DataFrame) = {
+                               maxIter: Int = 50,
+                               membersOf: Option[DataFrame => DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val repEdges = dbPairs
       .join(baseAssign.select(col("doc_id").as("base_id"),
         col("cluster_id").as("rep")), "base_id")
@@ -410,13 +412,29 @@ object ClusterOps {
     // 100-delivery press probe measured the accumulated masks as a
     // monotone per-delivery growth term)
     val baseReps = repEdges.select(col("v").as("rep")).distinct()
-    val moved = delta
+    val moved0 = delta
       .select(col("id").as("rep"), col("cluster_id").as("new_cid"))
       .filter(col("new_cid") =!= col("rep"))
       .join(broadcast(baseReps), Seq("rep"), "left_semi")
-    val movedMembers = baseAssign
-      .join(broadcast(moved), baseAssign("cluster_id") === moved("rep"))
-      .select(col("doc_id"), col("new_cid").as("cluster_id"))
+    // the moved-rep set is re-read by the membership lookup AND the
+    // retired output — touched-cluster-sized, checkpoint when a point
+    // read will consume it (the probe collects its bucket set)
+    val moved = if (membersOf.isDefined) moved0.localCheckpoint() else moved0
+    // members of the moved clusters: a bounded cluster-id point read —
+    // `membersOf` routes it through a key-bucketed store's probe()
+    // (plan-time directory pruning; the r15 verdict #2 wiring) instead
+    // of a scan of the corpus-sized assignment
+    val movedMembers = membersOf match {
+      case Some(lookup) =>
+        lookup(moved.select(col("rep").as("cluster_id")))
+          .select("doc_id", "cluster_id")
+          .join(broadcast(moved), col("cluster_id") === col("rep"))
+          .select(col("doc_id"), col("new_cid").as("cluster_id"))
+      case None =>
+        baseAssign
+          .join(broadcast(moved), baseAssign("cluster_id") === moved("rep"))
+          .select(col("doc_id"), col("new_cid").as("cluster_id"))
+    }
     (moved.select(col("rep").as("cluster_id")),
       dAssign.select("doc_id", "cluster_id")
         .union(movedMembers.select("doc_id", "cluster_id")))
@@ -430,14 +448,39 @@ object ClusterOps {
     * reproduces [[removeFromClusters]] exactly (spec-asserted). */
   def removeFromClustersDelta(assign: DataFrame, pairs: DataFrame,
                               aCol: String, bCol: String, removed: DataFrame,
-                              maxIter: Int = 50): (DataFrame, DataFrame) = {
+                              maxIter: Int = 50,
+                              membersOf: Option[DataFrame => DataFrame] = None,
+                              edgesOf: Option[DataFrame => DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val rem = removed.select(col("doc_id").as("rid"))
-    val affected = assign.join(rem, col("doc_id") === col("rid"))
+    // the affected-cluster NAMES are a doc-keyed lookup of the
+    // assignment (the state is cluster-keyed, so this leg stays a
+    // broadcast-probe scan — takedown batches only); checkpoint when
+    // point reads will consume it downstream
+    val affected0 = assign.join(rem, col("doc_id") === col("rid"))
       .select("cluster_id").distinct()
-    val members = assign.join(broadcast(affected), Seq("cluster_id"))
+    val affected = if (membersOf.isDefined || edgesOf.isDefined)
+      affected0.localCheckpoint() else affected0
+    // affected-cluster MEMBERSHIP is a bounded cluster-id point read —
+    // `membersOf` routes it through a bucketed store's probe()
+    val members = membersOf match {
+      case Some(lookup) => lookup(affected).select("doc_id", "cluster_id")
+      case None => assign.join(broadcast(affected), Seq("cluster_id"))
+    }
     val survivors = members.join(rem, col("doc_id") === col("rid"), "left_anti")
-    val scoped = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .join(members.select(col("doc_id").as("u")), Seq("u"))
+    // the affected clusters' surviving EDGES: scoping by the a-side
+    // membership catches them all (components never span clusters) —
+    // a bounded doc-id point read of the pair list when `edgesOf` is a
+    // bucketed probe
+    val scopedIn = edgesOf match {
+      case Some(lookup) =>
+        lookup(members.select(col("doc_id").as(aCol)))
+          .select(col(aCol).as("u"), col(bCol).as("v"))
+      case None =>
+        pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+          .join(members.select(col("doc_id").as("u")), Seq("u"))
+    }
+    val scoped = scopedIn
       .join(rem, col("u") === col("rid"), "left_anti")
       .join(rem.withColumnRenamed("rid", "rid2"), col("v") === col("rid2"), "left_anti")
       .select("u", "v")

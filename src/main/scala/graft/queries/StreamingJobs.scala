@@ -369,7 +369,7 @@ object StreamingJobs {
       sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery =
     runClusterLifecycleDelta(spark, opsStream, k, nPerms, rowsPerBand,
       threshold, initialAssign, initialSets, initialPairs)(
-      (assign, sets, pairs, _, _) => sink(assign, sets, pairs))
+      (assign, sets, pairs, _, _, _) => sink(assign, sets, pairs))
 
   /** [[runClusterLifecycle]] with the per-batch DELTAS handed to the sink
     * alongside the maintained state: `added` is the (doc_id, text) frame
@@ -377,15 +377,34 @@ object StreamingJobs {
     * anti-join — never a re-add), `removed` the distinct takedown ids
     * applied after the adds. Downstream per-batch maintainers (the
     * curation press) need exactly these to keep their own delivery-sized
-    * state without re-deriving the netting semantics. */
+    * state without re-deriving the netting semantics.
+    *
+    * In tagged-store (segmented) mode the sink additionally receives
+    * `touched` = Some((touched cluster ids, their CURRENT membership
+    * rows)) — derived from the delta folds themselves (retired ∪
+    * re-emitted cluster ids), both frames touched-cluster-sized and
+    * checkpointed. The press consumes this instead of diffing two
+    * corpus-sized assignments per batch (the full-outer `changed` join
+    * SCALE.md r15 named in the residual +8 % per-delivery drift).
+    * Simple-fold mode passes None (the press falls back to its diff).
+    *
+    * `stateRoot` (segmented mode only): a disk root enabling
+    * KEY-BUCKETED state ([[graft.streaming.SegmentedState]] bucketed
+    * mode) for the assignment (cluster_id-keyed) and the pair list
+    * (doc_a-keyed) — the bounded per-batch point reads (moved/affected
+    * cluster membership, takedown edge scoping, touched membership)
+    * then run through `probe()` (segment skip + plan-time partition
+    * pruning) instead of scanning corpus-sized views. */
   def runClusterLifecycleDelta(spark: SparkSession, opsStream: DataFrame,
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initialAssign: Option[DataFrame] = None,
       initialSets: Option[DataFrame] = None,
       initialPairs: Option[DataFrame] = None,
-      pressStore: Option[TaggedPressStore] = None)(
-      sink: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
+      pressStore: Option[TaggedPressStore] = None,
+      stateRoot: Option[String] = None)(
+      sink: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+             Option[(DataFrame, DataFrame)]) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -423,20 +442,30 @@ object StreamingJobs {
     // endpoint-tombstoned SegmentedState: per batch one delivery-sized
     // segment append, removals as id tombstones masking either
     // endpoint — no O(pairs) rewrite.
+    val bkts = graft.streaming.SegmentedState.DefaultBuckets
     val assignSt: Option[graft.streaming.SegmentedState] =
       if (pressStore.isDefined)
         Some(new graft.streaming.SegmentedState(
           initialAssign.getOrElse(
             empty(docSchema).selectExpr("doc_id", "doc_id AS cluster_id")),
-          Seq("cluster_id")))
+          Seq("cluster_id"),
+          bucketed = stateRoot.map(r => (bkts, s"$r/assign"))))
       else None
     val pairsSt: Option[graft.streaming.SegmentedState] =
       if (pressStore.isDefined)
         Some(new graft.streaming.SegmentedState(
           initialPairs.getOrElse(empty(StructType(Seq(
             StructField("doc_a", LongType), StructField("doc_b", LongType))))),
-          Seq("doc_a"), endpointCols = Seq("doc_a", "doc_b")))
+          Seq("doc_a"), endpointCols = Seq("doc_a", "doc_b"),
+          bucketed = stateRoot.map(r => (bkts, s"$r/pairs"))))
       else None
+    // bounded point-read routes for the delta folds: through the
+    // bucketed probe() when a state root was given, else the plain
+    // broadcast-scan joins inside ClusterOps
+    val assignLookup: Option[DataFrame => DataFrame] =
+      assignSt.filter(_ => stateRoot.isDefined).map(st => st.probe _)
+    val pairsLookup: Option[DataFrame => DataFrame] =
+      pairsSt.filter(_ => stateRoot.isDefined).map(st => st.probe _)
     var assign: DataFrame =
       if (assignSt.isDefined) null
       else initialAssign.map(_.localCheckpoint())
@@ -487,7 +516,8 @@ object StreamingJobs {
         val d = ingBloom.admitFresh(
             bAll.filter(col("op") === "add").select("doc_id", "text")
               .dropDuplicates("doc_id"),
-            assignCur.select("doc_id"))
+            graft.streaming.IngestBloom.viewProbe(
+              assignCur.select("doc_id"), "doc_id"))
           .localCheckpoint()
         val dSets = graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(d, "text", k)).localCheckpoint()
@@ -495,15 +525,23 @@ object StreamingJobs {
           dSets, nPerms, rowsPerBand, threshold)
         val db = graft.ops.DedupOps.crossNearPairsOfSets(
           setsCur, dSets, nPerms, rowsPerBand, threshold)
+        // touched-cluster ids accumulated from the delta folds (segmented
+        // mode) — the press's diff-free change feed
+        var touchedParts = Vector.empty[DataFrame]
         assignSt match {
           case Some(st) =>
             // delta fold: the CC quotient runs as always, but only the
             // touched clusters' ids tombstone and their rows re-emit —
             // remove-then-append, reading the pre-mutation snapshot
-            val (retired, newRows) = graft.ops.ClusterOps
-              .incrementalClustersDelta(st.view, d.select("doc_id"), dd, db)
+            val (retired0, newRows0) = graft.ops.ClusterOps
+              .incrementalClustersDelta(st.view, d.select("doc_id"), dd, db,
+                membersOf = assignLookup)
+            val retired = retired0.localCheckpoint()
+            val newRows = newRows0.localCheckpoint()
             st.remove(retired)
             st.append(newRows)
+            touchedParts :+= retired.select("cluster_id")
+            touchedParts :+= newRows.select("cluster_id")
           case None =>
             assign = graft.ops.ClusterOps.incrementalClusters(
               assign, d.select("doc_id"), dd, db).localCheckpoint()
@@ -524,11 +562,16 @@ object StreamingJobs {
         if (!rem.isEmpty) {
           assignSt match {
             case Some(st) =>
-              val (affected, reassigned) = graft.ops.ClusterOps
+              val (affected0, reassigned0) = graft.ops.ClusterOps
                 .removeFromClustersDelta(st.view, pairsCur,
-                  "doc_a", "doc_b", rem)
+                  "doc_a", "doc_b", rem,
+                  membersOf = assignLookup, edgesOf = pairsLookup)
+              val affected = affected0.localCheckpoint()
+              val reassigned = reassigned0.localCheckpoint()
               st.remove(affected)
               st.append(reassigned)
+              touchedParts :+= affected.select("cluster_id")
+              touchedParts :+= reassigned.select("cluster_id")
             case None =>
               assign = graft.ops.ClusterOps.removeFromClusters(
                 assign, pairs, "doc_a", "doc_b", rem).localCheckpoint()
@@ -553,7 +596,21 @@ object StreamingJobs {
               .localCheckpoint()
           }
         }
-        sink(assignCur, setsCur, pairsCur, d, rem)
+        // the press's change feed (segmented mode): touched cluster ids +
+        // their CURRENT (post-mutation) membership — both bounded by the
+        // delivery's blast radius; membership via the bucketed probe when
+        // available, else one broadcast-probe scan (which REPLACES the
+        // press's own scan, it doesn't add one)
+        val touchedInfo: Option[(DataFrame, DataFrame)] = assignSt.map { st =>
+          val t = (touchedParts :+ empty(StructType(Seq(
+              StructField("cluster_id", LongType)))))
+            .reduce(_ unionByName _).distinct().localCheckpoint()
+          val m = (if (stateRoot.isDefined) st.probe(t)
+            else st.view.join(broadcast(t), Seq("cluster_id"), "left_semi"))
+            .localCheckpoint()
+          (t, m)
+        }
+        sink(assignCur, setsCur, pairsCur, d, rem, touchedInfo)
       }
       .start()
   }
@@ -594,7 +651,8 @@ object StreamingJobs {
   def runBm25Lifecycle(spark: SparkSession, opsStream: DataFrame,
       initialPostings: Option[DataFrame] = None,
       initialIds: Option[DataFrame] = None,
-      checkpoint: Option[String] = None)(
+      checkpoint: Option[String] = None,
+      stateRoot: Option[String] = None)(
       sink: (DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -607,21 +665,34 @@ object StreamingJobs {
     val post0: DataFrame = initialPostings.map(_.localCheckpoint())
       .getOrElse(empty(StructType(Seq(StructField("doc_id", LongType),
         StructField("term", StringType), StructField("tf", LongType)))))
-    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    // `stateRoot` flips the doc-keyed states to KEY-BUCKETED mode (r15
+    // verdict #2): the per-batch bounded point reads — the takedown df
+    // down-fold and the ingest-idempotency maybe-probe — then run
+    // through probe() (segment skip + plan-time bucket pruning) instead
+    // of scanning the corpus-sized views
+    val bkts = graft.streaming.SegmentedState.DefaultBuckets
+    def bk(name: String) = stateRoot.map(r => (bkts, s"$r/$name"))
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"),
+      bucketed = bk("postings"))
     val dl = new graft.streaming.SegmentedState(
-      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"),
+      bucketed = bk("dl"))
     var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
     val ids0 = initialIds.getOrElse(post0.select("doc_id").distinct())
       .localCheckpoint()
-    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"))
+    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"),
+      bucketed = bk("ids"))
     // the r14 fix for the stated per-batch O(corpus) add-idempotency
     // term: fresh keys admit without probing the maintained id set at
     // all; only bloom-maybes (re-deliveries, remove-then-re-add, fpp
-    // noise) pay one broadcast-probe scan of it
+    // noise) pay one bounded probe of it
     val idsBloom = new graft.streaming.IngestBloom(ids0, "doc_id",
       graft.streaming.IngestBloom.DefaultExpected,
       graft.streaming.IngestBloom.DefaultFpp)
+    val idsPresent: DataFrame => DataFrame =
+      if (stateRoot.isDefined) mk => ids.probe(mk)
+      else graft.streaming.IngestBloom.viewProbe(ids.view, "doc_id")
     val writer = opsStream.writeStream.outputMode("append")
     checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
     writer
@@ -646,7 +717,7 @@ object StreamingJobs {
         // IngestBloom: fresh keys skip the corpus-sized membership probe)
         val cand = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-        val d = idsBloom.admitFresh(cand, ids.view).localCheckpoint()
+        val d = idsBloom.admitFresh(cand, idsPresent).localCheckpoint()
         val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
         postings.append(dPost)
         dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
@@ -655,14 +726,19 @@ object StreamingJobs {
         ids.append(d.select("doc_id"))
         // REMOVES: doc-keyed retirement + the df down-fold from the
         // store — the takedown batch is bounded by contract, so it
-        // BROADCASTS into the probe of the stored postings (scan-only;
-        // without the hint the stat-less checkpointed store plans a
-        // corpus-side shuffle write before AQE can rescue the join)
+        // reads through the bucketed probe() when a state root was
+        // given (plan-time bucket pruning — never touching unprobed
+        // store directories), else BROADCASTS into a scan of the stored
+        // postings (scan-only; without the hint the stat-less
+        // checkpointed store plans a corpus-side shuffle write before
+        // AQE can rescue the join)
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.view
-            .join(broadcast(rem), Seq("doc_id"), "left_semi")
+          val remPost =
+            if (stateRoot.isDefined) postings.probe(rem)
+            else postings.view.join(broadcast(rem), Seq("doc_id"), "left_semi")
+          val dfRem = remPost
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
           dft = dft.join(broadcast(dfRem), Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
@@ -696,7 +772,8 @@ object StreamingJobs {
     * survivors match its residue class (spec-verified through
     * interleaved adds and removals). */
   def runServingLifecycle(spark: SparkSession, opsStream: DataFrame,
-      embeddings: DataFrame, checkpoint: Option[String] = None)(
+      embeddings: DataFrame, checkpoint: Option[String] = None,
+      stateRoot: Option[String] = None)(
       sink: (DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -707,17 +784,29 @@ object StreamingJobs {
       StructField("term", StringType), StructField("tf", LongType))))
     // the maintained quadruple lives in SegmentedState (delivery-sized
     // segment checkpoints + geometric compaction) — the r13 fix for the
-    // measured per-batch O(corpus) state rewrite (SCALE.md)
-    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    // measured per-batch O(corpus) state rewrite (SCALE.md). `stateRoot`
+    // flips the doc-keyed states to bucketed mode so the bounded point
+    // reads run through probe() (runBm25Lifecycle rationale). The dense
+    // store stays unbucketed: removals are tombstone masks and it takes
+    // no point reads.
+    val bkts = graft.streaming.SegmentedState.DefaultBuckets
+    def bk(name: String) = stateRoot.map(r => (bkts, s"$r/$name"))
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"),
+      bucketed = bk("postings"))
     val dl = new graft.streaming.SegmentedState(
-      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"),
+      bucketed = bk("dl"))
     var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
     val ids0 = post0.select("doc_id").distinct().localCheckpoint()
-    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"))
+    val ids = new graft.streaming.SegmentedState(ids0, Seq("doc_id"),
+      bucketed = bk("ids"))
     val idsBloom = new graft.streaming.IngestBloom(ids0, "doc_id",
       graft.streaming.IngestBloom.DefaultExpected,
       graft.streaming.IngestBloom.DefaultFpp)
+    val idsPresent: DataFrame => DataFrame =
+      if (stateRoot.isDefined) mk => ids.probe(mk)
+      else graft.streaming.IngestBloom.viewProbe(ids.view, "doc_id")
     val store = new graft.streaming.SegmentedState(
       graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
@@ -745,7 +834,7 @@ object StreamingJobs {
         // through the bloom route (see runBm25Lifecycle)
         val cand = bAll.filter(col("op") === "add").select("doc_id", "text")
           .dropDuplicates("doc_id")
-        val d = idsBloom.admitFresh(cand, ids.view).localCheckpoint()
+        val d = idsBloom.admitFresh(cand, idsPresent).localCheckpoint()
         val dPost = PipelineQueries.bm25Postings(d).localCheckpoint()
         postings.append(dPost)
         dl.append(dPost.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
@@ -756,12 +845,15 @@ object StreamingJobs {
           embSrc.join(broadcast(d.selectExpr("doc_id AS vec_id")),
             Seq("vec_id"), "left_semi")))
         // REMOVES: lexical down-fold + dense row drops (bounded takedown
-        // batch broadcasts into the store probe)
+        // batch reads through the bucketed probe when rooted, else
+        // broadcasts into the store scan)
         val rem = bAll.filter(col("op") === "remove")
           .select("doc_id").distinct().localCheckpoint()
         if (!rem.isEmpty) {
-          val dfRem = postings.view
-            .join(broadcast(rem), Seq("doc_id"), "left_semi")
+          val remPost =
+            if (stateRoot.isDefined) postings.probe(rem)
+            else postings.view.join(broadcast(rem), Seq("doc_id"), "left_semi")
+          val dfRem = remPost
             .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
           dft = dft.join(broadcast(dfRem), Seq("term"), "left")
             .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
@@ -818,10 +910,11 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = true)(
+      segmented: Boolean = true,
+      stateRoot: Option[String] = None)(
       sink: PressState => Unit): StreamingQuery =
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
-      threshold, initial, segmented)((st, _, _) => sink(st))
+      threshold, initial, segmented, stateRoot)((st, _, _) => sink(st))
 
   /** [[runCurationPress]] with the per-batch DELTAS handed to the sink
     * alongside the press state ([[runClusterLifecycleDelta]]'s `added` /
@@ -832,7 +925,8 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = true)(
+      segmented: Boolean = true,
+      stateRoot: Option[String] = None)(
       sink: (PressState, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -866,7 +960,9 @@ object StreamingJobs {
         initial.map(_.sets).getOrElse(graft.ops.DedupOps.setsOfShingles(
           graft.ops.DedupOps.allShingles(empty(docSchema), "text", k))),
         initial.map(_.scores).getOrElse(empty(scoresSchema)),
-        initial.map(_.manifest).getOrElse(empty(manifestSchema))))
+        initial.map(_.manifest).getOrElse(empty(manifestSchema)),
+        bucketed = stateRoot.map(r =>
+          (graft.streaming.SegmentedState.DefaultBuckets, s"$r/press"))))
     var scores: DataFrame =
       if (segmented) null
       else initial.map(_.scores.localCheckpoint()).getOrElse(empty(scoresSchema))
@@ -878,7 +974,9 @@ object StreamingJobs {
       initialAssign = initial.map(_.assign),
       initialSets = initial.map(_.sets),
       initialPairs = initial.map(_.pairs),
-      pressStore = store) { (assign, sets, pairs, added, removed) =>
+      pressStore = store,
+      stateRoot = stateRoot) { (assign, sets, pairs, added, removed,
+                                touchedInfo) =>
       // 1. frozen-model scoring of exactly this delivery; inner join =
       //    the batch trigram gate. The scorers are per-doc pure functions,
       //    so delivery scoring ≡ batch scoring doc-for-doc.
@@ -886,38 +984,53 @@ object StreamingJobs {
         .join(graft.queries.PipelineQueries.gopherRepetitionOf(added)
           .select(col("doc_id"), col("pass").as("rep_pass")), "doc_id")
         .select("doc_id", "quality", "rep_pass")
-      // the CURRENT score table this batch ranks over (old - removed +
-      // new); in store mode it is a lazy view + delta, queued for the
-      // single flush instead of re-checkpointed
-      val scoresCur = store match {
+      store.foreach { stq =>
+        stq.queueScoresAppend(newScores)
+        stq.queueScoresRemove(removed)
+      }
+      if (store.isEmpty)
+        scores = scores.unionByName(newScores)
+          .join(broadcast(removed), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      // 2. touched clusters + their CURRENT membership: handed down by
+      //    the lifecycle's delta folds in segmented mode (retired ∪
+      //    re-emitted cluster ids — no corpus-sized assignment diff);
+      //    the simple fold keeps the legacy full-outer diff of
+      //    consecutive assignments (it has no delta to read)
+      val (touched, membership) = touchedInfo match {
+        case Some((t, m)) => (t, m.select("doc_id", "cluster_id"))
+        case None =>
+          val changed = prevAssign.selectExpr("doc_id", "cluster_id AS old_cid")
+            .join(assign.selectExpr("doc_id", "cluster_id AS new_cid"),
+              Seq("doc_id"), "full_outer")
+            .filter("old_cid IS NULL OR new_cid IS NULL OR old_cid <> new_cid")
+          val t = changed.selectExpr("old_cid AS cluster_id")
+            .union(changed.selectExpr("new_cid AS cluster_id"))
+            .filter("cluster_id IS NOT NULL").distinct().localCheckpoint()
+          (t, assign.select("doc_id", "cluster_id")
+            .join(broadcast(t), Seq("cluster_id"), "left_semi"))
+      }
+      // the score rows this batch ranks over: in store mode a BOUNDED
+      // point read of the touched members' scores (bucketed probe when
+      // the store has a disk root) minus removals plus this delivery's
+      // fresh scores — never a scan of the corpus-sized score table;
+      // the simple fold ranks over its maintained frame
+      val scoresSrc = store match {
+        case Some(stq) if touchedInfo.isDefined =>
+          stq.scoresFor(membership.select("doc_id"))
+            .join(broadcast(removed), Seq("doc_id"), "left_anti")
+            .unionByName(newScores)
         case Some(stq) =>
-          stq.queueScoresAppend(newScores)
-          stq.queueScoresRemove(removed)
           stq.scoresView.join(broadcast(removed), Seq("doc_id"), "left_anti")
             .unionByName(newScores)
-        case None =>
-          scores = scores.unionByName(newScores)
-            .join(broadcast(removed), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          scores
+        case None => scores
       }
-      // 2. touched clusters: every cluster (previous or current) of any
-      //    doc whose assignment row changed this batch — covers adds,
-      //    merges (members' cluster_id changes), and takedown splits
-      val changed = prevAssign.selectExpr("doc_id", "cluster_id AS old_cid")
-        .join(assign.selectExpr("doc_id", "cluster_id AS new_cid"),
-          Seq("doc_id"), "full_outer")
-        .filter("old_cid IS NULL OR new_cid IS NULL OR old_cid <> new_cid")
-      val touched = changed.selectExpr("old_cid AS cluster_id")
-        .union(changed.selectExpr("new_cid AS cluster_id"))
-        .filter("cluster_id IS NOT NULL").distinct().localCheckpoint()
-      // 3. re-rank ONLY the touched clusters over the maintained scores —
-      // touched is a bounded cluster-id set and the touched MEMBERSHIP is
-      // touched-cluster-sized, so both sides of the probe broadcast: the
-      // corpus-sized assign/scores tables are scanned, never shuffled
-      val rebuilt = broadcast(assign.select("doc_id", "cluster_id")
-          .join(broadcast(touched), Seq("cluster_id"), "left_semi"))
-        .join(scoresCur, "doc_id")
+      // 3. re-rank ONLY the touched clusters over those scores — both
+      // sides are touched-cluster-sized, so both broadcast: nothing
+      // corpus-sized is shuffled (and with the probe, nothing
+      // corpus-sized is even scanned)
+      val rebuilt = broadcast(membership)
+        .join(scoresSrc, "doc_id")
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster_id"))
@@ -945,7 +1058,10 @@ object StreamingJobs {
             .unionByName(rebuilt)
             .localCheckpoint()
       }
-      prevAssign = assign // already lineage-truncated by the lifecycle
+      // only the legacy diff path reads prevAssign (segmented mode gets
+      // touched ids from the delta folds and never diffs)
+      if (touchedInfo.isEmpty)
+        prevAssign = assign // already lineage-truncated by the lifecycle
       val st = store match {
         case Some(stq) =>
           PressState(assign, stq.setsView, pairs, stq.scoresView, stq.manifestView)
@@ -982,7 +1098,8 @@ object StreamingJobs {
       k: Int = 3, nPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       initial: Option[PressState] = None,
-      segmented: Boolean = true)(
+      segmented: Boolean = true,
+      stateRoot: Option[String] = None)(
       sink: (PressState, DataFrame, DataFrame, DataFrame, DataFrame) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     def empty(schema: StructType): DataFrame = spark.createDataFrame(
@@ -990,17 +1107,23 @@ object StreamingJobs {
     val post0: DataFrame = empty(StructType(Seq(StructField("doc_id", LongType),
       StructField("term", StringType), StructField("tf", LongType))))
     // SegmentedState for the serving quadruple (r13: the per-batch
-    // O(corpus) state rewrite was the pipeline's measured growth term)
-    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"))
+    // O(corpus) state rewrite was the pipeline's measured growth term);
+    // `stateRoot` flips the point-read states — here and down the press
+    // stack — to bucketed mode (r15 verdict #2)
+    val bkts = graft.streaming.SegmentedState.DefaultBuckets
+    def bk(name: String) = stateRoot.map(r => (bkts, s"$r/$name"))
+    val postings = new graft.streaming.SegmentedState(post0, Seq("doc_id"),
+      bucketed = bk("postings"))
     val dl = new graft.streaming.SegmentedState(
-      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"))
+      post0.groupBy("doc_id").agg(sum(col("tf")).as("dl")), Seq("doc_id"),
+      bucketed = bk("dl"))
     var dft: DataFrame = post0.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df")).localCheckpoint()
     val store = new graft.streaming.SegmentedState(
       graft.ops.SimilarityOps.quantStore(embeddings.limit(0)), Seq("vec_id"))
     val embSrc = embeddings.localCheckpoint()
     runCurationPressDelta(spark, opsStream, k, nPerms, rowsPerBand,
-      threshold, initial, segmented) { (press, added, removed) =>
+      threshold, initial, segmented, stateRoot) { (press, added, removed) =>
       // ADDS: lexical fold + delivery-sized embed+encode (the
       // runServingLifecycle algebra over the press's netted delta)
       val dPost = PipelineQueries.bm25Postings(added).localCheckpoint()
@@ -1012,10 +1135,13 @@ object StreamingJobs {
         embSrc.join(broadcast(added.selectExpr("doc_id AS vec_id")),
           Seq("vec_id"), "left_semi")))
       // REMOVES: lexical down-fold from the store + dense row drops
-      // (bounded takedown batch broadcasts into the store probe)
+      // (bounded takedown batch reads through the bucketed probe when
+      // rooted, else broadcasts into the store scan)
       if (!removed.isEmpty) {
-        val dfRem = postings.view
-          .join(broadcast(removed), Seq("doc_id"), "left_semi")
+        val remPost =
+          if (stateRoot.isDefined) postings.probe(removed)
+          else postings.view.join(broadcast(removed), Seq("doc_id"), "left_semi")
+        val dfRem = remPost
           .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
         dft = dft.join(broadcast(dfRem), Seq("term"), "left")
           .selectExpr("term", "df - coalesce(df_t, 0L) AS df")
@@ -1062,13 +1188,18 @@ object StreamingJobs {
     * reads see the previous batch's state, the snapshot the press's
     * fold algebra expects. */
   private[queries] final class TaggedPressStore(sets0: DataFrame,
-      scores0: DataFrame, manifest0: DataFrame) {
+      scores0: DataFrame, manifest0: DataFrame,
+      bucketed: Option[(Int, String)] = None) {
     import TaggedPressStore._
 
+    // keyed (k, tbl) — k FIRST so bucketed mode hashes the natural
+    // retirement id (doc_id / cluster_id) and [[scoresFor]]'s bounded
+    // point reads prune on it; the tombstone anti-join matches both
+    // columns by name, so key order is otherwise inert
     private val st = new graft.streaming.SegmentedState(
       tagSets(sets0).unionByName(tagScores(scores0))
         .unionByName(tagManifest(manifest0)),
-      Seq("tbl", "k"))
+      Seq("k", "tbl"), bucketed = bucketed)
 
     private var pendApp = Vector.empty[DataFrame]
     private var pendRem = Vector.empty[DataFrame]
@@ -1080,6 +1211,21 @@ object StreamingJobs {
     def manifestView: DataFrame = st.view.filter(col("tbl") === "manifest")
       .select("doc_id", "cluster_id", "quality", "rep_pass", "canonical",
         "keep", "split")
+
+    /** Bounded point read of the SCORES table for a touched-membership-
+      * sized doc_id set — the bucketed probe (segment skip + plan-time
+      * bucket pruning) when the store is bucketed, one broadcast-probe
+      * scan otherwise. Reads the CURRENT store (pre-flush), like the
+      * views. */
+    def scoresFor(ids: DataFrame): DataFrame = {
+      val keys = ids.selectExpr("doc_id AS k")
+      val rows = bucketed match {
+        case Some(_) => st.probe(keys)
+        case None => st.view.join(broadcast(keys), Seq("k"), "left_semi")
+      }
+      rows.filter(col("tbl") === "scores")
+        .select("doc_id", "quality", "rep_pass")
+    }
 
     def queueSetsAppend(dSets: DataFrame): Unit = pendApp :+= tagSets(dSets)
     def queueScoresAppend(dScores: DataFrame): Unit =

@@ -51,27 +51,33 @@ private[graft] final class IngestBloom(ids0: DataFrame, keyCol: String,
     else ids0.stat.bloomFilter(keyCol, n, fpp)
 
   /** Rows of the delivery-sized, key-distinct `cand` whose key has NOT
-    * been ingested, consulting `idsView` (the exact maintained set) only
-    * for the bloom's maybe-set; every key this call returns is folded
-    * into the bloom before returning (route-and-admit is one atomic
-    * driver-side step — the caller needs no further protocol). */
-  def admitFresh(cand: DataFrame, idsView: => DataFrame): DataFrame = {
+    * been ingested, consulting `presentOf` (the exact maintained set)
+    * only for the bloom's maybe-set; every key this call returns is
+    * folded into the bloom before returning (route-and-admit is one
+    * atomic driver-side step — the caller needs no further protocol).
+    * `presentOf` receives the bounded maybe-key frame (one `keyCol`
+    * column) and returns the subset that EXISTS in the maintained set —
+    * [[IngestBloom.viewProbe]] for an unbucketed view (one
+    * broadcast-probe scan), or `st.probe(_)` for a key-bucketed
+    * [[SegmentedState]] (a plan-time-pruned point read — the r15
+    * verdict #2 wiring: the maybe-probe then never scans the
+    * corpus-sized view at all). */
+  def admitFresh(cand: DataFrame,
+                 presentOf: DataFrame => DataFrame): DataFrame = {
     val keys = cand.select(keyCol).na.drop().distinct()
       .collect().map(_.getLong(0))
     val maybe = keys.filter(bloom.mightContainLong)
     val present: Set[Long] =
       if (maybe.isEmpty) Set.empty
       else {
-        // exact truth for the bounded maybe-set: one broadcast-probe
-        // scan of the maintained view, no corpus-side exchange
+        // exact truth for the bounded maybe-set
         val spark = cand.sparkSession
         val mk = spark.createDataFrame(
           java.util.Arrays.asList(maybe.map(Row(_)): _*),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(keyCol,
               org.apache.spark.sql.types.LongType, nullable = false))))
-        idsView.join(broadcast(mk), Seq(keyCol), "left_semi")
-          .select(keyCol).collect().map(_.getLong(0)).toSet
+        presentOf(mk).select(keyCol).collect().map(_.getLong(0)).toSet
       }
     keys.foreach(k => if (!present(k)) bloom.putLong(k))
     if (present.isEmpty) cand
@@ -85,4 +91,11 @@ private[graft] object IngestBloom {
     * headroom; a plant deployment sizes `expected` to its corpus. */
   val DefaultExpected: Long = 1L << 21
   val DefaultFpp: Double = 0.001
+
+  /** The unbucketed `presentOf`: one broadcast-probe SCAN of the
+    * maintained view per maybe-set (semi-join with the bounded maybe
+    * frame broadcast — never a corpus-side exchange). */
+  def viewProbe(idsView: => DataFrame, keyCol: String)
+      : DataFrame => DataFrame =
+    mk => idsView.join(broadcast(mk), Seq(keyCol), "left_semi")
 }

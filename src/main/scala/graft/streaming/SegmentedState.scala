@@ -267,11 +267,17 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
         // `_kb`-partitioned parquet read (crash-safe versioned publish,
         // the compactTo discipline), so probe()'s bucket filter prunes
         // base directories at plan time — the LSM shape where the big
-        // immutable level lives in prunable storage
+        // immutable level lives in prunable storage. The read-back pins
+        // the view's schema explicitly (the readPqCellCodes
+        // discipline): an EMPTY compaction (a fresh state whose first
+        // batch is all tombstones) writes no part files, and schema
+        // inference would fail on the bare directory; the pin also
+        // keeps `_kb`'s type identical to the writer's.
+        val full = fullView
         val dataDir = publishBase(
-          fullView.coalesce(SegmentedState.partsFor(est)), root,
+          full.coalesce(SegmentedState.partsFor(est)), root,
           partitionByKb = true)
-        base.sparkSession.read.parquet(dataDir)
+        base.sparkSession.read.schema(full.schema).parquet(dataDir)
       case None =>
         fullView.coalesce(SegmentedState.partsFor(est)).localCheckpoint()
     }
@@ -290,7 +296,8 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
                           partitionByKb: Boolean): String = {
     val d = new java.io.File(path)
     if (!d.isDirectory) d.mkdirs()
-    val next = SegmentedState.currentVersion(path) + 1
+    val prev = SegmentedState.currentVersion(path)
+    val next = prev + 1
     val dataDir = new java.io.File(d, f"base-$next%06d")
     val w = df.write.mode("overwrite")
     (if (partitionByKb) w.partitionBy("_kb") else w)
@@ -303,9 +310,18 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     val cur = new java.io.File(d, "CURRENT")
     require(tmp.renameTo(cur) || { cur.delete(); tmp.renameTo(cur) },
       s"graft: atomic publish failed for $cur")
+    // retire-on-NEXT-publish: the immediately superseded version stays
+    // on disk for one more publish cycle, so a view/probe plan captured
+    // BEFORE this compaction (its scan is rooted at base-(next-1)) stays
+    // executable afterward — without the grace window a bucketed
+    // compaction silently broke the "returned view is an immutable
+    // snapshot" contract that localCheckpoint-rooted bases keep for
+    // free (a pre-compaction plan threw FileNotFoundException when
+    // executed later). Disk cost is bounded at 2× the base. Versions
+    // older than the superseded one retire now.
     Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("base-") &&
-        f.getName != f"base-$next%06d")
+        f.getName != f"base-$next%06d" && f.getName != f"base-$prev%06d")
       .foreach(old => SegmentedState.deleteRecursively(old))
     dataDir.getAbsolutePath
   }
@@ -353,6 +369,13 @@ object SegmentedState {
     * per-scan task count. */
   val MaxSegments: Int = 8
 
+  /** Default key-bucket count for bucketed mode — the probe-validated
+    * geometry (SCALE.md state_probe: 50-key probes read ~¾ fewer bucket
+    * directories than a view scan at 20× corpus). A plant deployment
+    * sizes B to its corpus (more buckets = finer pruning, more
+    * directories). */
+  val DefaultBuckets: Int = 64
+
   /** Partitions per delivery segment (deliveries are delivery-sized by
     * the lifecycle contract; a handful of tasks covers them). */
   val DeltaParts: Int = 4
@@ -386,7 +409,7 @@ object SegmentedState {
     }
   }
 
-  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach(deleteRecursively)
     f.delete(); ()

@@ -100,14 +100,23 @@ class SegmentedStateSpec extends SparkSpec {
     st2.remove(Seq(1L).toDF("doc_id"))
     assert(rows(st2.view) == Set(3L -> "c", 4L -> "d"),
       "post-restart folds must compose with the persisted base")
-    // a second persistence boundary bumps the version and retires the
-    // superseded directory
+    // a second persistence boundary bumps the version; the superseded
+    // directory survives ONE more cycle (the r16 snapshot grace window —
+    // plans captured before the publish stay executable) and retires at
+    // the publish after that
     st2.compactTo(dir)
     assert(SegmentedState.currentVersion(dir) == 2)
-    assert(!new java.io.File(dir, "base-000001").exists(),
-      "superseded base versions retire at the next publish")
+    assert(new java.io.File(dir, "base-000001").exists(),
+      "the immediately superseded base version survives one publish cycle")
     assert(rows(SegmentedState.fromParquet(spark, dir, Seq("doc_id")).view) ==
       Set(3L -> "c", 4L -> "d"))
+    val st3 = SegmentedState.fromParquet(spark, dir, Seq("doc_id"))
+    st3.append(frame(5L -> "e"))
+    st3.compactTo(dir)
+    assert(SegmentedState.currentVersion(dir) == 3)
+    assert(!new java.io.File(dir, "base-000001").exists(),
+      "superseded base versions retire at the NEXT publish")
+    assert(new java.io.File(dir, "base-000002").exists())
   }
 
   test("compactTo interruption matrix: every crash point leaves a bootable state") {
@@ -210,5 +219,41 @@ class SegmentedStateSpec extends SparkSpec {
     // and the logical content survives another compaction
     st.compact()
     assert(rows(st.view) == Set(1L -> "base", k2 -> "c"))
+  }
+
+  test("bucketed mode: a view captured before a compaction stays readable after it") {
+    // the snapshot contract bucketed mode silently weakened before r16
+    // (ADVICE r15): compaction re-roots the base on a parquet read and
+    // the publish used to DELETE the superseded base directory — a
+    // view/probe plan captured earlier (rooted at the old version) then
+    // threw FileNotFoundException on execution. The publish now retires
+    // a superseded version only on the NEXT publish (one-cycle grace
+    // window, disk bounded at 2× the base).
+    val root = java.nio.file.Files.createTempDirectory("graft-segkb2")
+      .toFile.getAbsolutePath
+    val st = new SegmentedState(frame(1L -> "base"), Seq("doc_id"),
+      bucketed = Some((4, root)))
+    st.append(frame(2L -> "a"))
+    st.compact()
+    val snapshot = st.view   // plan rooted at the just-published base
+    val probeSnap = st.probe(Seq(2L).toDF("doc_id"))
+    st.append(frame(3L -> "b"))
+    st.compact() // publishes the next version; the prior one must SURVIVE
+    assert(rows(snapshot) == Set(1L -> "base", 2L -> "a"),
+      "a pre-compaction view must stay executable after one compaction")
+    assert(rows(probeSnap) == Set(2L -> "a"))
+    assert(rows(st.view) == Set(1L -> "base", 2L -> "a", 3L -> "b"))
+    // the grace window is ONE publish wide: after any further publish
+    // only the newest two versions remain on disk (bounded at 2× base)
+    st.append(frame(4L -> "c"))
+    st.compact()
+    def baseDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("base-"))
+      .map(_.getName).sorted.toSeq
+    val dirs = baseDirs
+    val cur = SegmentedState.currentVersion(root)
+    assert(dirs.length == 2 &&
+      dirs == Seq(f"base-${cur - 1}%06d", f"base-$cur%06d"),
+      s"exactly the current and superseded versions may remain, got $dirs")
   }
 }
