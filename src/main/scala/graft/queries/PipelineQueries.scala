@@ -2366,30 +2366,69 @@ object PipelineQueries {
         s"(got ${remaining.length} distinct q_ids, cap $CertBatchMax); " +
         s"partition the query frame or use the exact serve for bulk loads")
     var bail = false
-    for (i <- levels.indices if remaining.nonEmpty && !bail) {
-      val champ = certChamp(ranked, i)
-      val tail = certTail(ranked, i)
-      val qt = qterms.filter(col("q_id").isin(remaining.map(Long.box): _*))
-      val (topk, cert) = bm25Certify(champ, tail, qt, tfq, dl, dft, stats, kTop)
+    val levelCertified = Seq.newBuilder[Int]
+    var levelsWalked = 0
+    // one ladder level over a bounded id set: emits the certified ids'
+    // exact top-k rows and returns which ids certified
+    def certifyLevel(i: Int, ids: Seq[Long]): Seq[Long] = {
+      val qt = qterms.filter(col("q_id").isin(ids.map(Long.box): _*))
+      val (topk, cert) =
+        bm25Certify(certChamp(ranked, i), certTail(ranked, i),
+          qt, tfq, dl, dft, stats, kTop)
       val flags = cert.select("q_id", "certified").collect()
-        .map(r => r.getLong(0) -> (r.getLong(1) == 1L)).toMap
-      val certified = remaining.filter(q => flags.getOrElse(q, false))
+        .filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+      val certified = ids.filter(flags)
       if (certified.nonEmpty)
         legs += topk.filter(col("q_id").isin(certified.map(Long.box): _*))
-      remaining = remaining.filterNot(q => flags.getOrElse(q, false))
-      // a level that certifies NOTHING routes the whole remaining load
-      // to the exact serve instead of escalating: the non-certifying
-      // loads (doc-length dedup queries — every query's tail sum spans
-      // ~50 terms while its kth margin doesn't grow with depth) were
-      // measured paying the full ladder before the inevitable exact
-      // fallback, pure overhead. Cost-only heuristic: results are exact
-      // on every path, only which path pays changes.
-      bail = certified.isEmpty
+      certified
+    }
+    // PILOT probe (r16): whether a LOAD certifies is a load-level
+    // property — the measured regimes are ≥ 0.75 (short/search-shaped
+    // loads, uniform doc-loads) vs ≤ 0.05 (bulk doc-length loads on
+    // Zipf text), nothing in between — so a fixed-size pilot decides
+    // the routing before the full load pays the base probe. Without
+    // it, a misrouted 64-doc-length-query load at 30× Zipf paid 32.0 s
+    // vs the exact serve's 13.0 s — ~19 s of that was the full-load
+    // base certify whose only product was the decision to bail (the
+    // candidate-scoring join reads the same posting mass the exact
+    // serve reads when queries span the vocabulary — no depth bound
+    // can win there). The pilot caps that discovery price at
+    // [[CertPilot]]/load of the base probe. Exactness unaffected on
+    // every path; pilot-certified queries' rows emit directly.
+    var pilotCertified = -1
+    if (remaining.length > CertPilot) {
+      val pilot = remaining.take(CertPilot)
+      val certified = certifyLevel(0, pilot)
+      pilotCertified = certified.length
+      remaining = remaining.filterNot(certified.toSet)
+      bail = certified.length < CertPilot * CertBailFrac
+    }
+    for (i <- levels.indices if remaining.nonEmpty && !bail) {
+      val before = remaining.length
+      val certified = certifyLevel(i, remaining)
+      remaining = remaining.filterNot(certified.toSet)
+      levelCertified += certified.length
+      levelsWalked = i + 1
+      // a level certifying less than CertBailFrac of its load routes the
+      // remainder to the exact serve instead of escalating: the level's
+      // own ledger is the evidence this load doesn't certify (doc-length
+      // loads — every query's tail sum spans ~50 terms' common-term mass
+      // while its kth margin doesn't grow with depth). The original
+      // bail-only-on-ZERO heuristic was MEASURED paying the full
+      // corpus-scaled ladder for a 0.047-rate load: 64 doc-length
+      // queries on 30× Zipf cost 51.4 s vs the exact serve's 13.7 s,
+      // because 3 base certificates kept 61 queries escalating through
+      // depths of N/64 × 4^i. Cost-only heuristic: results are exact on
+      // every path, only which path pays changes.
+      bail = certified.length < before * CertBailFrac
     }
     if (remaining.nonEmpty)
       legs += bm25RankQ(
         qterms.filter(col("q_id").isin(remaining.map(Long.box): _*)),
         tfq, dl, dft, stats, kTop)
+    CertStats.record(CertStats.Run(levelsWalked, levelCertified.result(),
+      bailed = bail, exactFallback = remaining.length,
+      pilotCertified = if (pilotCertified < 0) None else Some(pilotCertified)))
     val built = legs.result()
     // an empty query frame (e.g. a live micro-batch whose docs all
     // tokenize to zero terms) builds no legs — return the empty serve
@@ -2417,6 +2456,52 @@ object PipelineQueries {
     * an unbounded plan). Generously above any delivery-sized batch. */
   val CertBatchMax: Int = 4096
 
+  /** Minimum fraction of a level's remaining load that must certify for
+    * the ladder to escalate the rest; below it the remainder routes to
+    * the exact serve immediately. 1/4 separates the two measured
+    * regimes by an order of magnitude on every probe corpus: loads the
+    * certificates FIT certify ≥ 0.75 of queries at the base level
+    * (Zipf short 1.0, uniform 0.75–1.0 across 1×–30×), loads they
+    * don't sit ≤ 0.05 (Zipf doc-length 0.0–0.047) — there is no
+    * measured load in between, so the threshold is not delicate.
+    * Cost-only: the serve is exact on every path. */
+  val CertBailFrac: Double = 0.25
+
+  /** Pilot size for [[bm25CertifiedRank]]'s load-routing probe: loads
+    * larger than this certify a take-first pilot at the base level
+    * before committing the full load, and a pilot rate below
+    * [[CertBailFrac]] routes everything straight to the exact serve —
+    * capping what a misrouted bulk load pays for the routing decision
+    * at pilot-sized rather than load-sized base-probe work. Sized well
+    * above the rate gap between the two measured regimes (≥ 0.75 vs
+    * ≤ 0.05; a 16-query pilot cannot read ≥ 4 certificates from a
+    * 0.05-rate load except vanishingly rarely, and a miss costs only
+    * one more level-0 pass, never correctness). */
+  val CertPilot: Int = 16
+
+  /** Per-invocation witness of [[bm25CertifiedRank]]'s ladder walk —
+    * how many levels ran, how many queries each certified, whether the
+    * [[CertBailFrac]] bail fired, how many queries fell back to the
+    * exact serve, and the [[CertPilot]] pilot's certified count (None =
+    * load fit inside the pilot, no pilot ran). Mirrors
+    * [[graft.ops.ClusterOps.CcStats]]: a few appends per QUERY BATCH
+    * (never per row), drained by specs and probes to assert routing
+    * behavior that result equality cannot see (every path returns the
+    * same exact rows — only cost moves). */
+  object CertStats {
+    final case class Run(levelsWalked: Int, certifiedPerLevel: Seq[Int],
+                         bailed: Boolean, exactFallback: Int,
+                         pilotCertified: Option[Int])
+    private val MaxBuffered = 512
+    private val buf = scala.collection.mutable.ArrayBuffer[Run]()
+    private[queries] def record(r: Run): Unit = synchronized {
+      if (buf.size >= MaxBuffered) buf.remove(0)
+      buf += r
+    }
+    /** Returns and clears everything recorded since the last drain. */
+    def drain(): Seq[Run] = synchronized { val r = buf.toList; buf.clear(); r }
+  }
+
   /** Exactness-CERTIFIED lexical retrieval from the leveled
     * impact-ranked store — the r14 verdict's top item:
     * [[bm25TopKImpact]] trades recall and ships disabled on non-Zipf
@@ -2439,8 +2524,8 @@ object PipelineQueries {
     bm25CertifiedRank(ranked, qterms, tfq, dl, dft, stats, kTop)
   }
 
-  /** The certificate LEDGER at the ladder's base level (per-term
-    * df-aware depth d0 = max(64, ⌈df/[[CertFrac]]⌉)) — one row per
+  /** The certificate LEDGER at the ladder's base level (corpus-scaled
+    * depth d0 = max(64, ⌈n_docs/[[CertFrac]]⌉)) — one row per
     * query: certified (1 = the base-level candidate top-k is provably
     * exact), with the kth EXACT candidate score and the
     * never-seen-docs tail-sum bound the decision compared.

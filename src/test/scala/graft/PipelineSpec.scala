@@ -550,6 +550,40 @@ class PipelineSpec extends SparkSpec {
       "short queries must certify at the base depth on Zipf text")
   }
 
+  test("bm25 certified serve: a low-certifying load bails to the exact serve after one level") {
+    // the CertBailFrac routing rule (r16): a level certifying less than
+    // a quarter of its load routes the remainder to the exact serve
+    // instead of escalating — the zero-only bail was measured paying
+    // the full corpus-scaled ladder for a 0.047-rate doc-length load
+    // (51.4 s vs exact 13.7 s at 30×, SCALE_RUNS serve_qload_cert).
+    // Load: the uniform-vocab driver corpus at nQ=24 doc-queries —
+    // measured base ledger 5/24 = 0.208 (deterministic corpus; the
+    // same corpus reads 2/8 = 0.25 at the gate's nQ=8, exactly AT the
+    // strict threshold, so the gate load still escalates — the strict
+    // `<` is load-bearing). The 16-query pilot certifies the measured
+    // 4/16 — again exactly AT the threshold, so the pilot does NOT
+    // bail and the ladder's own level-0 pass (1/20) makes the call:
+    // both boundary semantics exercised by one deterministic load.
+    // Routing is invisible in the results — every path is exact — so
+    // the witness is CertStats, the ladder's own walk record.
+    PipelineQueries.CertStats.drain()
+    val served = PipelineQueries.bm25TopKCertified(spark, sf0001, nQ = 24)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = PipelineQueries.bm25TopK(spark, sf0001, nQ = 24)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served == exact, "bailed load must still serve the exact ranking")
+    val walks = PipelineQueries.CertStats.drain()
+    assert(walks.length == 1)
+    val w = walks.head
+    assert(w.pilotCertified == Some(4),
+      s"the 16-query pilot must certify the measured 4/16, got $w")
+    assert(w.certifiedPerLevel == Seq(1),
+      s"level 0 must certify the measured 1/20 after the pilot, got ${w.certifiedPerLevel}")
+    assert(w.levelsWalked == 1 && w.bailed,
+      s"1/20 < CertBailFrac must stop the ladder at the base level, got $w")
+    assert(w.exactFallback == 19)
+  }
+
   test("bm25_topk: self-match ranks first, scores match a driver-local BM25") {
     val out = PipelineQueries.bm25TopK(spark, sf0001)
       .select("q_id", "doc_id", "score_micro", "rn")
