@@ -69,11 +69,19 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
       case _ => df
     }
 
-  /** Distinct `_kb` values of a (delivery-sized) frame — the per-segment
-    * bucket bitmap. Bounded by min(B, delta rows). */
-  private def bucketsOf(df: DataFrame): Set[Int] =
-    if (bucketed.isEmpty) Set.empty
-    else df.select("_kb").distinct().collect().map(_.getInt(0)).toSet
+  /** Row count and distinct `_kb` bucket bitmap of a checkpointed
+    * (delivery-sized) segment, in ONE Spark job — bucketed mode's
+    * per-append bookkeeping. A separate `count()` + `distinct().collect()`
+    * pair was measured as the bucketed arm's per-delivery floor tax in
+    * the 100-delivery pipeline A/B: each append paid one extra driver
+    * job whose result (≤ B groups) a single grouped count already
+    * carries. Unbucketed mode has no bitmap and keeps the plain count. */
+  private def countAndBuckets(df: DataFrame): (Long, Set[Int]) =
+    if (bucketed.isEmpty) (df.count(), Set.empty)
+    else {
+      val g = df.groupBy("_kb").count().collect()
+      (g.iterator.map(_.getLong(1)).sum, g.iterator.map(_.getInt(0)).toSet)
+    }
 
   private var base: DataFrame = {
     // an unbucketed state booting from a bucketed persist drops the
@@ -166,9 +174,22 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
     val (b, _) = bucketed.getOrElse(
       throw new IllegalStateException("graft: probe() requires bucketed mode"))
     val k0 = keyCols.head
-    val ks = keys.select(col(k0)).distinct().coalesce(1).localCheckpoint()
-    val kbs = ks.select(pmod(hash(col(k0)), lit(b)).as("_kb"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // ONE bounded job: the distinct probe keys WITH their buckets —
+    // probes are takedown-/delivery-sized by the lifecycle contract, so
+    // collecting the keys themselves costs what collecting their bucket
+    // set already cost. The former checkpoint-then-collect pair paid two
+    // driver jobs per probe; the collected keys also come back as a
+    // LocalRelation, so the semi-join's broadcast side needs no scan.
+    val kRows = keys.select(col(k0)).distinct()
+      .withColumn("_kb", pmod(hash(col(k0)), lit(b))).collect()
+    val kbs = kRows.iterator.map(_.getInt(1)).toSet
+    val ks = {
+      import scala.jdk.CollectionConverters._
+      keys.sparkSession.createDataFrame(
+        kRows.map(r => org.apache.spark.sql.Row(r.get(0))).toList.asJava,
+        org.apache.spark.sql.types.StructType(
+          Seq(keys.select(col(k0)).schema.head)))
+    }
     val kbList = kbs.toSeq.sorted.map(Int.box)
     val segs = levels.flatten.filter(_._4.exists(kbs))
     lastProbeSegments = segs.length
@@ -193,9 +214,9 @@ final class SegmentedState(base0: DataFrame, keyCols: Seq[String],
   def append(delta: DataFrame): Unit = {
     gen += 1
     val d = withKb(delta).coalesce(SegmentedState.DeltaParts).localCheckpoint()
-    val n = d.count()
+    val (n, bks) = countAndBuckets(d)
     if (n > 0) {
-      addAt(0, (d, gen, n, bucketsOf(d)))
+      addAt(0, (d, gen, n, bks))
       segmentRows += n
     }
     maybeCompact()
