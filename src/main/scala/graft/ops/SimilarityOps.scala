@@ -67,7 +67,11 @@ object SimilarityOps {
     * selects. Output: q_id, c_id, cos, rn. */
   def cosineTopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
     val vecs = quantVecs(emb)
-    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    // query side: quantize the FILTERED rows — queryPred pushes into the
+    // query-side scan (PushedFilters, a pruned read at scale) instead of
+    // semi-joining the whole quantized corpus against the matching id set.
+    // Per-row quantization commutes with the filter, so rows are identical.
+    val qs = quantVecs(emb.filter(expr(queryPred)))
       .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
     cosineRank(vecs, qs, k)
   }
@@ -193,8 +197,7 @@ object SimilarityOps {
     val centroidStructs = centroids.map { case (cid, qv, n2) =>
       s"struct(${cid}L AS cid, ${cosExpr(qv, n2)} AS cos)"
     }.mkString(", ")
-    val probes = vecs
-      .join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    val probes = quantVecs(emb.filter(expr(queryPred)))
       .selectExpr("vec_id AS q_id", "qvec", "norm2",
         s"explode(array($centroidStructs)) AS c")
       .selectExpr("q_id", "qvec AS qq", "norm2 AS nq", "c.cid AS bucket", "c.cos AS ccos")
@@ -220,7 +223,8 @@ object SimilarityOps {
     * cosine brute. Output: q_id, c_id, l2, rn. */
   def l2TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
     val vecs = quantVecs(emb)
-    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    // pruned query-side scan, not a corpus semi-join (see cosineTopK)
+    val qs = quantVecs(emb.filter(expr(queryPred)))
       .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")
     vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc")
       .crossJoin(broadcast(qs))
@@ -297,8 +301,12 @@ object SimilarityOps {
   }
 
   def sq8TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
-    val codes = sq8CodesWith(emb, sq8ScaleArray(emb, dim))
-    val qs = codes.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    val scales = sq8ScaleArray(emb, dim) // model fit stays corpus-wide
+    val codes = sq8CodesWith(emb, scales)
+    // pruned query-side scan encoded against the same frozen scales, not
+    // a corpus semi-join (see cosineTopK) — identical rows by per-row
+    // determinism of the encode
+    val qs = sq8CodesWith(emb.filter(expr(queryPred)), scales)
       .selectExpr("vec_id AS q_id", "c8 AS q8", "n8 AS nq")
     codes.selectExpr("vec_id AS c_id", "c8", "n8 AS nc")
       .crossJoin(broadcast(qs))
@@ -712,16 +720,22 @@ object SimilarityOps {
     exactRerank(
       pqTopKWith(vecs, codebook, nSub, subDim, queryPred, shortlist,
         excludeExpr).select("q_id", "c_id"),
-      vecs, k)
+      vecs, k, queryPred)
 
   /** The exact quantized-L2 re-rank of a (q_id, c_id) shortlist against
-    * the true vectors — only shortlist rows ever see a dot product. */
-  private def exactRerank(short: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    * the true vectors — only shortlist rows ever see a dot product.
+    * `queryPred` (the caller's query predicate over `vecs`) prunes the
+    * broadcast query-vector fetch to a filtered scan: the previous
+    * formulation broadcast the ENTIRE vector table to serve a handful of
+    * q_ids — a corpus-sized broadcast at scale. */
+  private def exactRerank(short: DataFrame, vecs: DataFrame, k: Int,
+                          queryPred: String): DataFrame = {
     val nv = registered(vecs)
       .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2")
     short
       .join(nv.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc"), "c_id")
-      .join(broadcast(nv.selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")), "q_id")
+      .join(broadcast(nv.filter(expr(queryPred))
+        .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq")), "q_id")
       .selectExpr("q_id", "c_id", "nq + nc - 2 * ldot(qq, qc) AS l2")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("c_id").asc)).cast("long"))
@@ -754,7 +768,7 @@ object SimilarityOps {
     exactRerank(
       pqShortlistWith(codes, vecs, codebook, nSub, subDim, queryPred,
         shortlist, excludeExpr).select("q_id", "c_id"),
-      vecs, k)
+      vecs, k, queryPred)
   }
 
   /** Coarse IVF cell of every corpus vector — the L2-metric companion of
@@ -853,7 +867,7 @@ object SimilarityOps {
         Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)).cast("long"))
       .filter(col("rn") <= shortlist)
       .select("q_id", "c_id")
-    exactRerank(short, vecs, k)
+    exactRerank(short, vecs, k, queryPred)
   }
 
   /** LSH-bucketed ANN: score only same-bucket collisions, top-k per query.
@@ -862,8 +876,9 @@ object SimilarityOps {
   def lshCosineTopK(emb: DataFrame, dim: Int, nPlanes: Int, queryPred: String,
                     k: Int): DataFrame = {
     val buckets = lshBuckets(emb, dim, nPlanes)
-    val qs = buckets
-      .join(emb.filter(expr(queryPred)).select(col("vec_id").as("id")), "id")
+    // pruned query-side scan re-deriving the same per-row buckets, not a
+    // corpus semi-join (see cosineTopK)
+    val qs = lshBuckets(emb.filter(expr(queryPred)), dim, nPlanes)
       .selectExpr("id AS q_id", "qvec AS qq", "bucket", "norm2 AS nq")
     val cs = buckets
       .selectExpr("id AS c_id", "qvec AS qc", "bucket AS bucket_c", "norm2 AS nc")
@@ -886,9 +901,15 @@ object SimilarityOps {
     * c_label, cos, rn. */
   def hardNegatives(emb: DataFrame, dim: Int, queryPred: String,
                     k: Int): DataFrame = {
-    val vecs = quantVecs(emb)
-      .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
-    val qs = vecs.join(emb.filter(expr(queryPred)).select("vec_id"), "vec_id")
+    // label is carried through the quantization projection — one narrow
+    // pass; the previous quantVecs-join-emb formulation self-joined the
+    // corpus just to re-attach a column the scan already had
+    def labeled(df: DataFrame): DataFrame = registered(df)
+      .selectExpr("vec_id", s"$qvecExpr AS qvec", "CAST(label AS BIGINT) AS label")
+      .selectExpr("vec_id", "qvec", "ldot(qvec, qvec) AS norm2", "label")
+    val vecs = labeled(emb)
+    // pruned query-side scan, not a corpus semi-join (see cosineTopK)
+    val qs = labeled(emb.filter(expr(queryPred)))
       .selectExpr("vec_id AS q_id", "qvec AS qq", "norm2 AS nq",
         "label AS q_label")
     vecs.selectExpr("vec_id AS c_id", "qvec AS qc", "norm2 AS nc",

@@ -250,9 +250,11 @@ object IndexState {
     val done = new File(root, s"_DONE_nb_b$buckets")
     if (!ready.contains(done.getAbsolutePath)) {
       if (!done.exists()) {
-        val priors = PipelineQueries.nbPriors(spark, dir).localCheckpoint()
+        val counts = PipelineQueries.nbCounts(spark, dir, buckets)
+        val priors = PipelineQueries.nbPriorsFrom(spark, dir, counts)
+          .localCheckpoint()
         priors.write.mode("overwrite").parquet(priorsP)
-        PipelineQueries.nbModel(spark, dir, buckets, priors)
+        PipelineQueries.nbModelFrom(counts, priors, buckets)
           .write.mode("overwrite").parquet(modelP)
         done.createNewFile()
       }

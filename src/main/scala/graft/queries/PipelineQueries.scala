@@ -1943,8 +1943,16 @@ object PipelineQueries {
     * recall rows price those indexes as shipped. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // ONE brute cosine pass serves BOTH metric-matched truths: ranking is
+    // per-q_id over the same full candidate corpus, so truth(vec_id < 8)
+    // IS truth(vec_id < 32) filtered to q_id < 8 — row-identical. The
+    // ranked frame is ≤ 32×3 rows; localCheckpoint materializes it once
+    // so the sq8 leg reads a bounded frame instead of re-running the
+    // whole brute stack (a second corpus-wide scan+rank at 100 TB).
+    val cosTruth = SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3)
+      .localCheckpoint()
     val ivf = SimilarityOps.recallAtK("ivf",
-      SimilarityOps.cosineTopK(emb, 64, "vec_id < 32", 3),
+      cosTruth,
       SimilarityOps.ivfTopK(emb, 64, nCentroids = 16, nProbe = 4, "vec_id < 32", 3))
     val pq = SimilarityOps.recallAtK("pq",
       SimilarityOps.l2TopK(emb, 64, "vec_id < 8", 3),
@@ -1953,7 +1961,7 @@ object PipelineQueries {
     // top-k (metric-matched, like ivf's) — the recall gate that prices
     // the int8 codec's precision loss next to its 16× memory win
     val sq8 = SimilarityOps.recallAtK("sq8",
-      SimilarityOps.cosineTopK(emb, 64, "vec_id < 8", 3),
+      cosTruth.filter(col("q_id") < 8),
       SimilarityOps.sq8TopK(emb, 64, "vec_id < 8", 3))
     ivf.unionByName(pq).unionByName(sq8)
   }
@@ -3347,45 +3355,65 @@ object PipelineQueries {
       .selectExpr("doc_id", "lang", s"$nbMarkedTextExpr AS mtext",
         s"$nbBucketExpr AS bucket")
 
+  /** The train split's hashed-feature count table (c, b, cnt) — ONE
+    * tokenize+explode pass over the train corpus, ≤ C·B rows out,
+    * localCheckpointed because every NB surface hangs at least two
+    * consumers off it (the per-class token totals feeding the priors and
+    * the dense model grid; uncheckpointed, each branch re-runs the
+    * corpus scan — differing downstream groupings defeat ReusedExchange).
+    * The priors' token totals derive from THIS table (n_c = Σ_b cnt —
+    * every token lands in exactly one bucket), so the train corpus is
+    * tokenized exactly once per NB query; the old separate nbPriors
+    * tokenize-for-`size()` scan was a second full pass. */
+  private[queries] def nbCounts(spark: SparkSession, dir: String,
+                                buckets: Int): DataFrame = {
+    val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
+    // explode FIRST, hash the exploded column: the md5 bucket hash then
+    // runs inside whole-stage codegen; the same hash inside a
+    // `transform(w, t -> ...)` lambda is interpreted expression-tree
+    // evaluation per token
+    graft.ops.Parallelism.ensureMin(
+        nbDocs(spark, dir).filter(col("bucket") < 8)
+          .selectExpr("lang AS c", s"$nbTokExpr AS w"))
+      .selectExpr("c", "explode(w) AS t")
+      .selectExpr("c", s"$bExpr AS b")
+      .groupBy("c", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+  }
+
   /** Train-split class summary: per language, document count, token count,
-    * and the 1e6-quantized log prior — C rows at any corpus size. */
-  private[queries] def nbPriors(spark: SparkSession, dir: String): DataFrame = {
-    val train = nbDocs(spark, dir).filter(col("bucket") < 8)
-    // C rows, localCheckpointed: `classes` feeds both the crossJoin left
-    // side and its own total — uncheckpointed, each branch re-runs the
-    // train-corpus tokenize scan (and every nbPriors CONSUMER — nbModel,
-    // the scorer — re-runs it again; ReusedExchange never fires across
-    // separately-built frames). One bounded materialization ends the
-    // fan-out; same discipline as the PQ codebook / postings tables.
-    val classes = train
-      .selectExpr("lang", s"CAST(size($nbTokExpr) AS BIGINT) AS n")
-      .groupBy("lang").agg(count(lit(1)).as("d_c"), sum(col("n")).as("n_c"))
+    * and the 1e6-quantized log prior — C rows at any corpus size. Doc
+    * counts come from a tokenize-FREE scan (column pruning drops the
+    * marker/tokenize projection — the scan reads lang + the split hash
+    * only); token totals fold out of `counts`. */
+  private[queries] def nbPriorsFrom(spark: SparkSession, dir: String,
+                                    counts: DataFrame): DataFrame = {
+    val dc = nbDocs(spark, dir).filter(col("bucket") < 8)
+      .groupBy("lang").agg(count(lit(1)).as("d_c"))
+    val nc = counts.groupBy("c").agg(sum(col("cnt")).as("n_c"))
+    // left join + coalesce: a class whose train docs all tokenize empty
+    // has no counts rows — its n_c is 0, exactly what the old
+    // sum(size(tokens)) produced
+    val classes = dc.join(nc, col("lang") === col("c"), "left")
+      .selectExpr("lang", "d_c", "coalesce(n_c, 0L) AS n_c")
       .localCheckpoint()
     classes.crossJoin(broadcast(classes.agg(sum(col("d_c")).as("d"))))
       .selectExpr("lang AS c", "d_c", "n_c",
         "CAST(round(1000000.0 * ln(CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT) AS prior_q")
   }
 
+  /** [[nbPriorsFrom]] building its own count table — for standalone
+    * consumers; surfaces that also need the model must build
+    * [[nbCounts]] once and use the From-variants so the train corpus is
+    * scanned once. */
+  private[queries] def nbPriors(spark: SparkSession, dir: String): DataFrame =
+    nbPriorsFrom(spark, dir, nbCounts(spark, dir, NbBuckets))
+
   /** Dense smoothed per-(class, bucket) log-likelihoods: every class ×
     * every bucket, Laplace +1 — C·B rows, broadcast to the scorer so
     * test-side features never shuffle to meet the model. */
-  private[queries] def nbModel(spark: SparkSession, dir: String,
-                      buckets: Int = NbBuckets,
-                      priorsIn: DataFrame = null): DataFrame = {
-    val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
-    // explode FIRST, hash the exploded column: the md5 bucket hash then
-    // runs inside whole-stage codegen; the same hash inside a
-    // `transform(w, t -> ...)` lambda is interpreted expression-tree
-    // evaluation per token
-    val counts = graft.ops.Parallelism.ensureMin(
-        nbDocs(spark, dir).filter(col("bucket") < 8)
-          .selectExpr("lang AS c", s"$nbTokExpr AS w"))
-      .selectExpr("c", "explode(w) AS t")
-      .selectExpr("c", s"$bExpr AS b")
-      .groupBy("c", "b").agg(count(lit(1)).as("cnt"))
-    // callers that already built priors pass them in: a fresh nbPriors
-    // here would re-run the train-corpus class scan per consumer
-    val priors = Option(priorsIn).getOrElse(nbPriors(spark, dir))
+  private[queries] def nbModelFrom(counts: DataFrame, priors: DataFrame,
+                                   buckets: Int): DataFrame =
     priors
       .selectExpr("c", "n_c",
         s"explode(sequence(0L, ${buckets - 1}L)) AS b")
@@ -3393,6 +3421,16 @@ object PipelineQueries {
       .selectExpr("c", "b",
         "CAST(round(1000000.0 * ln(CAST(coalesce(cnt, 0L) + 1 AS DOUBLE)" +
           s" / CAST(n_c + $buckets AS DOUBLE))) AS BIGINT) AS llh_q")
+
+  /** [[nbModelFrom]] building its own inputs (callers that already built
+    * priors pass them in — a fresh build here would re-run the
+    * train-corpus scan per consumer). */
+  private[queries] def nbModel(spark: SparkSession, dir: String,
+                      buckets: Int = NbBuckets,
+                      priorsIn: DataFrame = null): DataFrame = {
+    val counts = nbCounts(spark, dir, buckets)
+    val priors = Option(priorsIn).getOrElse(nbPriorsFrom(spark, dir, counts))
+    nbModelFrom(counts, priors, buckets)
   }
 
   /** Multinomial Naive-Bayes language classifier — the model-based quality
@@ -3448,9 +3486,12 @@ object PipelineQueries {
     * micro-log-units. */
   private def nbScoredAll(spark: SparkSession, dir: String,
                           buckets: Int): DataFrame = {
-    val priorsFull = nbPriors(spark, dir)
+    // one shared count table → priors and model; the train corpus is
+    // tokenized exactly once per classifier run
+    val counts = nbCounts(spark, dir, buckets)
+    val priorsFull = nbPriorsFrom(spark, dir, counts)
     nbScoredAllWith(spark, dir, buckets, priorsFull,
-      nbModel(spark, dir, buckets, priorsFull))
+      nbModelFrom(counts, priorsFull, buckets))
   }
 
   /** [[nbScoredAll]] against caller-supplied model frames — the seam the
@@ -3544,10 +3585,11 @@ object PipelineQueries {
     * bounded model params (C·B longs), the PQ-codebook collect discipline. */
   def nbModelArrays(spark: SparkSession, dir: String,
                     buckets: Int = NbBuckets): Seq[(String, Long, Array[Long])] = {
-    val priorsFull = nbPriors(spark, dir)
+    val counts = nbCounts(spark, dir, buckets)
+    val priorsFull = nbPriorsFrom(spark, dir, counts)
     val pri = priorsFull.select("c", "prior_q").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    nbModel(spark, dir, buckets, priorsFull).collect()
+    nbModelFrom(counts, priorsFull, buckets).collect()
       .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (c, rows) =>
