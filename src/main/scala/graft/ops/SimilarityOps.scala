@@ -173,12 +173,9 @@ object SimilarityOps {
   def ivfTopK(emb: DataFrame, dim: Int, nCentroids: Int, nProbe: Int,
               queryPred: String, k: Int): DataFrame = {
     val vecs = quantVecs(emb)
-    // the "codebook": (cid, quantized vector literal, norm2)
-    val centroids = vecs.filter(col("vec_id") < nCentroids)
-      .selectExpr("vec_id", "qvec", "norm2")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-      .sortBy(_._1)
+    // the "codebook": (cid, quantized vector literal, norm2) — the shared
+    // memoized collect (one fit job per plan, not one per serve)
+    val centroids = collectCentroids(vecs, nCentroids)
     def cosExpr(qv: Seq[Long], n2: Long): String =
       s"CAST(ldot(qvec, array(${qv.mkString("L,")}L)) AS DOUBLE)" +
         s" / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(${n2}L AS DOUBLE)))"
@@ -294,11 +291,12 @@ object SimilarityOps {
 
   /** The fitted per-dim scale vector in pos order — the bounded artifact
     * [[sq8CodesWith]] freezes. */
-  def sq8ScaleArray(emb: DataFrame, dim: Int): Seq[Long] = {
-    val scales = sq8Scales(emb).orderBy("pos").collect().map(_.getLong(1)).toSeq
-    require(scales.length == dim, s"sq8: expected $dim dims, got ${scales.length}")
-    scales
-  }
+  def sq8ScaleArray(emb: DataFrame, dim: Int): Seq[Long] =
+    memoModel(s"sq8scales|$dim", emb) {
+      val scales = sq8Scales(emb).orderBy("pos").collect().map(_.getLong(1)).toSeq
+      require(scales.length == dim, s"sq8: expected $dim dims, got ${scales.length}")
+      scales
+    }
 
   def sq8TopK(emb: DataFrame, dim: Int, queryPred: String, k: Int): DataFrame = {
     val scales = sq8ScaleArray(emb, dim) // model fit stays corpus-wide
@@ -448,7 +446,28 @@ object SimilarityOps {
 
   /** Test/ops hook: drop all memoized codebooks (e.g. after overwriting a
     * corpus in-place when mtime granularity could mask the rewrite). */
-  def clearCodebookCache(): Unit = codebookCache.clear()
+  def clearCodebookCache(): Unit = { codebookCache.clear(); modelCache.clear() }
+
+  /** The codebook memo discipline applied to the OTHER bounded fitted
+    * parameters (per-dim SQ8 scales, coarse IVF centroids): each is a
+    * deterministic function of its training plan, so a hit IS the re-fit
+    * result. Without the memo every serve re-runs the fit collect as a
+    * separate driver job per invocation — at scale, a full corpus
+    * aggregation per query batch for a dim-row constant. Keyed like the
+    * PQ codebook (params + canonicalized plan + leaf-file fingerprint);
+    * same staleness contract. */
+  private val modelCacheMax = 256
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoModel[T <: AnyRef](tag: String, df: DataFrame)(fit: => T): T = {
+    val key = s"$tag|${df.queryExecution.analyzed.canonicalized}|${dataFingerprint(df)}"
+    val hit = modelCache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val v = fit
+    if (modelCache.size >= modelCacheMax) modelCache.clear()
+    modelCache.put(key, v)
+    v
+  }
 
   /** Leaf-file identity of every file-based relation under `df`'s plan:
     * (path, length, modificationTime) per file. Non-file sources (in-memory
@@ -796,11 +815,13 @@ object SimilarityOps {
 
   private def collectCentroids(vecs: DataFrame, nCells: Int)
       : Array[(Long, Seq[Long], Long)] =
-    vecs.filter(col("vec_id") < nCells)
-      .selectExpr("vec_id", "qvec", "norm2")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-      .sortBy(_._1)
+    memoModel(s"centroids|$nCells", vecs) {
+      vecs.filter(col("vec_id") < nCells)
+        .selectExpr("vec_id", "qvec", "norm2")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1)
+    }
 
   /** IVF-PQ serve over a PERSISTED cell-partitioned codes table — the
     * shape that survives query-load growth. The flat ADC serve
