@@ -3350,53 +3350,67 @@ object PipelineQueries {
 
   /** Documents with the marker-injected feature text alongside the raw
     * split key. */
-  private def nbDocs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def nbDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "lang", s"$nbMarkedTextExpr AS mtext",
         s"$nbBucketExpr AS bucket")
 
-  /** The train split's hashed-feature count table (c, b, cnt) — ONE
-    * tokenize+explode pass over the train corpus, ≤ C·B rows out,
+  /** The train split's hashed-feature count table (c, b, cnt, fd) — ONE
+    * tokenize+explode pass over the train corpus, ≤ C·(B+1) rows out,
     * localCheckpointed because every NB surface hangs at least two
     * consumers off it (the per-class token totals feeding the priors and
     * the dense model grid; uncheckpointed, each branch re-runs the
     * corpus scan — differing downstream groupings defeat ReusedExchange).
-    * The priors' token totals derive from THIS table (n_c = Σ_b cnt —
-    * every token lands in exactly one bucket), so the train corpus is
-    * tokenized exactly once per NB query; the old separate nbPriors
-    * tokenize-for-`size()` scan was a second full pass. */
+    *
+    * `posexplode_outer` lets the SAME pass carry the per-class DOC count
+    * (`fd` sums one marker row per document: its pos-0 token, or the
+    * single null row an empty/null token array explodes to), so the r16
+    * separate doc-count corpus scan is gone — priors (d_c = Σ_b fd,
+    * n_c = Σ_b cnt: every token lands in exactly one bucket) and the
+    * dense model grid all fold out of this one table. Null-bucket rows
+    * (empty docs) carry cnt = 0 (`count(t)` skips the null token) and
+    * never match the model grid's 0..B-1 join keys, so the dense model
+    * is unchanged by their presence. */
   private[queries] def nbCounts(spark: SparkSession, dir: String,
                                 buckets: Int): DataFrame = {
     val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
     // explode FIRST, hash the exploded column: the md5 bucket hash then
     // runs inside whole-stage codegen; the same hash inside a
     // `transform(w, t -> ...)` lambda is interpreted expression-tree
-    // evaluation per token
-    graft.ops.Parallelism.ensureMin(
-        nbDocs(spark, dir).filter(col("bucket") < 8)
-          .selectExpr("lang AS c", s"$nbTokExpr AS w"))
-      .selectExpr("c", "explode(w) AS t")
-      .selectExpr("c", s"$bExpr AS b")
-      .groupBy("c", "b").agg(count(lit(1)).as("cnt"))
+    // evaluation per token.
+    // No ensureMin repartition: the tokenize pass runs at the scan's own
+    // parallelism — a corpus big enough for single-task tokenize to hurt
+    // arrives in many splits anyway, while on a small corpus the
+    // round-robin exchange (sortBeforeRepartition + 32-task scheduling)
+    // costs more than the tokenize itself (r17 A/B at 32 cores/sf0.1:
+    // 1.1-1.3 s with the repartition vs 0.62-0.75 s without).
+    // coalesce(1): the aggregate is ≤ C·(B+1) rows — checkpointing it as
+    // one partition makes the eager materialization a single task and
+    // every downstream reference a 1-partition read (the r16 verdict's
+    // NB fix).
+    nbDocs(spark, dir).filter(col("bucket") < 8)
+      .selectExpr("lang AS c", s"$nbTokExpr AS w")
+      .select(col("c"), posexplode_outer(col("w")).as(Seq("pos", "t")))
+      .selectExpr("c", s"$bExpr AS b", "t",
+        "IF(pos IS NULL OR pos = 0, 1L, 0L) AS fd0")
+      .groupBy("c", "b").agg(count(col("t")).as("cnt"), sum(col("fd0")).as("fd"))
+      .coalesce(1)
       .localCheckpoint()
   }
 
   /** Train-split class summary: per language, document count, token count,
-    * and the 1e6-quantized log prior — C rows at any corpus size. Doc
-    * counts come from a tokenize-FREE scan (column pruning drops the
-    * marker/tokenize projection — the scan reads lang + the split hash
-    * only); token totals fold out of `counts`. */
+    * and the 1e6-quantized log prior — C rows at any corpus size, derived
+    * ENTIRELY from the checkpointed count table (doc counts from its `fd`
+    * marker sums — every train doc leaves exactly one marker row, so
+    * classes whose docs all tokenize empty still appear with n_c = 0;
+    * token totals from its `cnt` sums): no second corpus scan and no
+    * second checkpoint — every reference re-plans only a C·(B+1)-row
+    * single-partition aggregation (the r16 verdict's second NB fix). */
   private[queries] def nbPriorsFrom(spark: SparkSession, dir: String,
                                     counts: DataFrame): DataFrame = {
-    val dc = nbDocs(spark, dir).filter(col("bucket") < 8)
-      .groupBy("lang").agg(count(lit(1)).as("d_c"))
-    val nc = counts.groupBy("c").agg(sum(col("cnt")).as("n_c"))
-    // left join + coalesce: a class whose train docs all tokenize empty
-    // has no counts rows — its n_c is 0, exactly what the old
-    // sum(size(tokens)) produced
-    val classes = dc.join(nc, col("lang") === col("c"), "left")
-      .selectExpr("lang", "d_c", "coalesce(n_c, 0L) AS n_c")
-      .localCheckpoint()
+    val classes = counts.groupBy("c")
+      .agg(sum(col("fd")).as("d_c"), sum(col("cnt")).as("n_c"))
+      .selectExpr("c AS lang", "d_c", "n_c")
     classes.crossJoin(broadcast(classes.agg(sum(col("d_c")).as("d"))))
       .selectExpr("lang AS c", "d_c", "n_c",
         "CAST(round(1000000.0 * ln(CAST(d_c AS DOUBLE) / CAST(d AS DOUBLE))) AS BIGINT) AS prior_q")
@@ -3502,21 +3516,30 @@ object PipelineQueries {
     val bExpr = s"${DedupOps.md5Long("t")} % $buckets"
     val priors = priorsFull.select("c", "prior_q")
     val test = nbDocs(spark, dir).filter(col("bucket") === 9)
-    val scoredTok = graft.ops.Parallelism.ensureMin(
-        test.selectExpr("doc_id", "lang", s"$nbTokExpr AS w"))
+    // ONE held-out pass (r17): posexplode_outer keeps empty-tokenizing
+    // docs as a single null-token row that hashes to the sentinel bucket
+    // -1 (token buckets are 0..B-1, so no collision); the model is
+    // widened by C sentinel rows with llh_q = 0, so an empty doc joins
+    // every class once and scores prior_q + 0 — exactly the old
+    // crossJoin(priors) empty branch, without its second corpus scan or
+    // the union. Docs whose tokenization is NULL (null text) were absent
+    // from both old branches (explode drops null arrays; size(null) ≠ 0)
+    // — the isNotNull filter pins that.
+    // No ensureMin: same measured trade as nbCounts — the held-out split
+    // is a tenth of the corpus, and the round-robin exchange of its token
+    // arrays costs more than tokenizing them at scan parallelism.
+    val modelPlus = model.unionByName(
+      priors.selectExpr("c", "CAST(-1 AS BIGINT) AS b", "CAST(0 AS BIGINT) AS llh_q"))
+    test
+      .selectExpr("doc_id", "lang", s"$nbTokExpr AS w")
+      .filter(col("w").isNotNull)
       // explode-then-hash keeps the md5 bucket hash codegen'd (see nbModel)
-      .selectExpr("doc_id", "lang", "explode(w) AS t")
-      .selectExpr("doc_id", "lang", s"$bExpr AS b")
-      .join(broadcast(model), "b")
+      .select(col("doc_id"), col("lang"), posexplode_outer(col("w")).as(Seq("pos", "t")))
+      .selectExpr("doc_id", "lang", s"coalesce($bExpr, -1L) AS b")
+      .join(broadcast(modelPlus), "b")
       .groupBy("doc_id", "lang", "c").agg(sum(col("llh_q")).as("s_q"))
       .join(broadcast(priors), "c")
       .selectExpr("doc_id", "lang", "c", "prior_q + s_q AS score_q")
-    val scoredEmpty = test
-      .selectExpr("doc_id", "lang", s"size($nbTokExpr) AS n")
-      .filter(col("n") === 0)
-      .crossJoin(broadcast(priors))
-      .selectExpr("doc_id", "lang", "c", "prior_q AS score_q")
-    scoredTok.unionByName(scoredEmpty)
   }
 
   /** Reliability diagram of the NB classifier — the evaluation that
