@@ -140,6 +140,33 @@ object Bench {
     // serving-path gate rows remain the live hybrid_rrf_pq family.
     val auditTwins = Set("rrf_overlap_pq", "rrf_overlap_pq_persist")
     val stateToken = graft.queries.ClusterState.stateRootToken(sfDir)
+    // r17 (r16 verdict #2): the carried-forward timing was keyed ONLY on
+    // the persisted-state root, so an optimization changing the SERVING
+    // stack under an unchanged state root (exactly what r16's exactRerank
+    // narrowing did) would silently reuse a stale number. The stamp now
+    // also carries the query's canonicalized-plan semantic hash: any plan
+    // change — code or state — forces a re-time. Building the plan runs
+    // query CONSTRUCTION (bounded codebook fits), not the timed reps the
+    // tier exists to skip. A legacy state-token-only stamp never matches
+    // the extended format, so the first r17 bench re-times both twins
+    // (the verdict's requested one-shot refresh) without needing
+    // GRAFT_AUDIT_FORCE.
+    // md5 of the canonicalized plan TEXT, not semanticHash(): the text is
+    // deterministic across JVMs (exprIds normalized, state paths literal),
+    // while semanticHash may fold in process-local object hashes — a
+    // nondeterministic key would force a spurious re-time every run
+    def planHash(name: String): String =
+      try {
+        val txt = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] audit plan hash $name: $e"); "plan_err"
+      }
+    val stampNow: Map[String, String] =
+      auditTwins.map(t => t -> s"$stateToken|${planHash(t)}").toMap
     def readIfExists(p: String): Option[String] =
       try {
         val f = java.nio.file.Paths.get(p)
@@ -161,7 +188,7 @@ object Bench {
       }.getOrElse(Map.empty)
     val auditForce = sys.env.get("GRAFT_AUDIT_FORCE").map(_.trim).contains("1")
     val auditCached: Map[String, Double] = auditTwins.flatMap { t =>
-      if (!auditForce && stampOf.get(t).contains(stateToken))
+      if (!auditForce && stampOf.get(t).contains(stampNow(t)))
         lastVal.get(t).filter(_ >= 0).map(t -> _)
       else None
     }.toMap
@@ -208,7 +235,7 @@ object Bench {
     // or carried forward against an unchanged root)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("AUDIT_STAMP.json"),
-      auditTwins.toSeq.sorted.map(t => s"$t\t$stateToken\n").mkString
+      auditTwins.toSeq.sorted.map(t => s"$t\t${stampNow(t)}\n").mkString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] stamp: $e") }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted

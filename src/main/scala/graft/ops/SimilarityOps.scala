@@ -965,50 +965,81 @@ object SimilarityOps {
     * order), score. */
   def mmrTopK(emb: DataFrame, dim: Int, queryPred: String, shortlist: Int,
               nSelect: Int): DataFrame = {
-    // localCheckpoint both bounded frames (queries×shortlist rows): every
-    // greedy round references them, and without truncation the DAG
-    // re-plans the corpus-shortlist scan per reference — the r9 plan
-    // audit counted 65 shuffle exchanges in the composed plan; with the
-    // checkpoints the corpus is scanned once and the rounds operate on
-    // materialized KB-scale frames (the chunk_topk discipline)
+    // Both greedy inputs are queries×shortlist-bounded, so the selection
+    // itself is MODEL-SIZED work: collect the shortlist and the candidate
+    // vectors once (two bounded driver jobs — the kmeansCentroids/codebook
+    // discipline) and run the nSelect greedy rounds driver-side, emitting
+    // the selection as one local frame. The r16 shape checkpointed a
+    // KB-scale frame per greedy round — O(nSelect) sequential driver jobs
+    // whose task-scheduling cost grew with core count (the suite's worst
+    // anti-scaler at 8↔32 cores, r16 verdict #4/next-round #3).
+    //
+    // Bit-determinism is unchanged: rel/sim are collected (rel) or
+    // recomputed from collected qvecs (sim) with the identical IEEE ops in
+    // the identical operand order as the old per-round SQL — exact Long
+    // dot, Math.sqrt, one multiply, one divide, ×0.5 halvings, one
+    // subtraction — and the argmax resolves exactly like the old
+    // row_number window: score DESC by java.lang.Double.compare (NaN
+    // greatest, Spark's double ordering), ties to the lowest c_id.
+    val spark = emb.sparkSession
     val cands = cosineTopK(emb, dim, queryPred, shortlist)
       .select(col("q_id"), col("c_id"), col("cos").as("rel"))
-      .localCheckpoint()
-    val vecs = quantVecs(emb)
-    // candidate vectors: one corpus scan semi-joined to the bounded id set
-    val cvecs = vecs
-      .join(broadcast(cands.select(col("c_id").as("vec_id")).distinct()), "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // candidate vectors: the bounded id set becomes a pushed In-filter on
+    // the corpus scan (no join at all — PushedFilters prunes at the source)
+    val ids = cands.map(_._2).distinct.toSeq
+    val cvecs = quantVecs(emb).filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"), col("qvec"), col("norm2"))
-    val sims = cands.select(col("q_id"), col("c_id").as("a_id"))
-      .join(cands.select(col("q_id").as("q2"), col("c_id").as("b_id")),
-        col("q_id") === col("q2") && col("a_id") =!= col("b_id"))
-      .drop("q2")
-      .join(broadcast(cvecs.select(col("vec_id").as("a_id"),
-        col("qvec").as("qa"), col("norm2").as("na"))), "a_id")
-      .join(broadcast(cvecs.select(col("vec_id").as("b_id"),
-        col("qvec").as("qb"), col("norm2").as("nb"))), "b_id")
-      .selectExpr("q_id", "a_id", "b_id",
-        "CAST(ldot(qa, qb) AS DOUBLE)" +
-          " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim")
-      .localCheckpoint()
-    def pick(scored: DataFrame, r: Int): DataFrame = scored
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)))
-      .filter(col("prn") === 1)
-      .selectExpr("q_id", "c_id", s"CAST($r AS BIGINT) AS mmr_rank", "score")
-    var sel = pick(cands.withColumn("score", col("rel") * 0.5), 1)
-    for (r <- 2 to nSelect) {
-      val rem = cands.join(sel.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
-      val scored = rem
-        .join(sel.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id"))
-        .join(sims.withColumnRenamed("a_id", "c_id"), Seq("q_id", "c_id", "b_id"))
-        .groupBy("q_id", "c_id", "rel").agg(max(col("sim")).as("maxsim"))
-        .withColumn("score", col("rel") * 0.5 - col("maxsim") * 0.5)
-      // truncate per round: later rounds and the final union otherwise
-      // re-plan every earlier round's subtree on each reference
-      sel = sel.union(pick(scored, r)).localCheckpoint()
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toArray, r.getLong(2))))
+      .toMap
+    def sim(a: Long, b: Long): Double = {
+      val (qa, na) = cvecs(a)
+      val (qb, nb) = cvecs(b)
+      val n = math.min(qa.length, qb.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += qa(i) * qb(i); i += 1 }
+      dot.toDouble / (Math.sqrt(na.toDouble) * Math.sqrt(nb.toDouble))
     }
-    sel
+    // (score, c_id) argmax with the window's exact ordering: score desc
+    // via Double.compare, ties broken by the LOWEST candidate id
+    def better(s: Double, c: Long, bs: Double, bc: Long): Boolean = {
+      val cmp = java.lang.Double.compare(s, bs)
+      cmp > 0 || (cmp == 0 && c < bc)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    cands.groupBy(_._1).foreach { case (q, qc) =>
+      val rel = qc.map(t => t._2 -> t._3).toMap
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      val remaining = scala.collection.mutable.Set[Long](rel.keySet.toSeq: _*)
+      for (r <- 1 to math.min(nSelect, qc.length)) {
+        var bestC = Long.MinValue
+        var bestS = Double.NaN
+        remaining.foreach { c =>
+          val score =
+            if (r == 1) rel(c) * 0.5
+            else {
+              var maxsim = Double.NegativeInfinity
+              selected.foreach { b =>
+                val s = sim(c, b)
+                if (java.lang.Double.compare(s, maxsim) > 0) maxsim = s
+              }
+              rel(c) * 0.5 - maxsim * 0.5
+            }
+          if (bestC == Long.MinValue || better(score, c, bestS, bestC)) {
+            bestC = c; bestS = score
+          }
+        }
+        out += ((q, bestC, r.toLong, bestS))
+        selected += bestC
+        remaining -= bestC
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("q_id", "c_id", "mmr_rank", "score")
   }
 
   /** Distributed fixed-round Lloyd k-means over the embedding corpus —

@@ -142,11 +142,20 @@ object UnigramOps {
     * hard-EM rounds → (final model rows (piece, cnt, score_micro) in
     * piece order, final score map). `cnt` is the last round's Viterbi
     * usage count (0 for kept-but-unused single characters). */
-  private[graft] def train(vocab: DataFrame): (Seq[(String, Long, Long)], Map[String, Long]) = {
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    val words = vocab.select(col("word"), col("freq").cast("long").as("freq"))
+  private[graft] def train(vocab: DataFrame): (Seq[(String, Long, Long)], Map[String, Long]) =
+    trainOn(checkpointedWords(vocab))
+
+  /** The one vocabulary materialization every training/apply pass reads —
+    * factored so [[segmentCounts]] can share it with [[trainOn]] instead
+    * of re-running the corpus word-count for its final segment map (r17:
+    * the apply path paid the corpus tokenize+aggregate twice). */
+  private def checkpointedWords(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("freq").cast("long").as("freq"))
       .localCheckpoint(true)
+
+  private def trainOn(words: DataFrame): (Seq[(String, Long, Long)], Map[String, Long]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
     // seed: every single character + top-SeedMulti multi-char substrings.
     // Both collects are model-sized (|alphabet| and SeedMulti rows).
     val counts = substrings(words).groupBy("piece").agg(sum("freq").as("cnt"))
@@ -313,9 +322,10 @@ object UnigramOps {
   private[graft] def segmentCounts(vocab: DataFrame): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val (_, score) = train(vocab)
+    val words = checkpointedWords(vocab)
+    val (_, score) = trainOn(words)
     val sc = score
-    vocab.select("word").as[String]
+    words.select("word").as[String]
       .map(w => (w, segment(w, sc).length.toLong)).toDF("word", "n_tok")
   }
 }

@@ -347,7 +347,16 @@ object PipelineQueries {
 
   /** Stopword-profile language ID: argmax stopword hits over four small
     * language lists (deterministic tie-break by language code). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir), Seq.empty)
+
+  /** [[langId]] over a caller-supplied documents frame, with `keep`
+    * columns carried through — the seam that lets a consumer compute the
+    * language verdict ON ITS OWN corpus scan row (and keep e.g. `text`
+    * for further per-row work) instead of joining two corpus-sized
+    * frames by doc_id (r17: the fertility queries' doc_id shuffle join
+    * is gone — lang rides the encode pass). */
+  private def langIdOf(docs: DataFrame, keep: Seq[String]): DataFrame = {
     // one codegen'd regexp_count per language profile (token boundaries
     // asserted by lookarounds), argmax as a per-row CASE chain — narrow
     // plan: no token-array explode and NO per-doc window shuffle. Ties
@@ -361,10 +370,11 @@ object PipelineQueries {
     val best = langsSorted.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val pick = langsSorted.map(l => s"WHEN s_$l = __best THEN '$l'")
       .mkString("CASE ", " ", " END")
-    Tables.documents(spark, dir)
-      .selectExpr(Seq("doc_id") ++ scoreCols: _*)
+    docs
+      .selectExpr(Seq("doc_id") ++ keep ++ scoreCols: _*)
       .withColumn("__best", expr(best))
-      .selectExpr("doc_id", s"$pick AS lang", "__best AS score")
+      .selectExpr(Seq("doc_id") ++ keep ++
+        Seq(s"$pick AS lang", "__best AS score"): _*)
   }
 
   /** Multimodal metadata pass: binary payload column + typed metadata
@@ -1003,7 +1013,17 @@ object PipelineQueries {
     * corpus tokenization twice). Same chunking, shared code. */
   def docChunksTok(spark: SparkSession, dir: String, win: Int = 64,
                    stride: Int = 48): DataFrame =
-    Tables.documents(spark, dir)
+    docChunksTokOf(Tables.documents(spark, dir), win, stride)
+
+  /** [[docChunksTok]] over a caller-supplied documents frame — the seam
+    * the chunk-retrieval queries use to raise scan parallelism on the RAW
+    * (doc_id, text) rows BEFORE the tokenize/explode (an exchange of
+    * exploded token-array chunk rows moves ~win/stride× the text and
+    * sorts it; r17 A/B at 32 cores/sf0.1: chunk-table checkpoint
+    * 0.93 → 0.53 s raw-first). */
+  def docChunksTokOf(docs: DataFrame, win: Int = 64,
+                     stride: Int = 48): DataFrame =
+    docs
       .selectExpr("doc_id", "filter(split(trim(text), ' '), t -> t <> '') AS w")
       .selectExpr("doc_id", "w", "size(w) AS n")
       .filter(col("n") > 0)
@@ -1076,9 +1096,12 @@ object PipelineQueries {
     // norm/filter consumers re-fold cheap integers instead of re-hashing,
     // the second stops the whole embedding chain from being re-evaluated
     // by BOTH join sides
-    // parallelism raised BEFORE the hash projection so the md5 work is
-    // distributed, not single-task upstream of the exchange
-    val hashed = withMinParallelism(docChunksTok(spark, dir))
+    // parallelism raised on the RAW (doc_id, text) rows BEFORE the
+    // chunk/tokenize explode so the md5 work is distributed and the
+    // exchange moves un-exploded text, not win/stride-duplicated token
+    // arrays (r17: 0.93 → 0.53 s for the chunk-table materialization)
+    val hashed = docChunksTokOf(withMinParallelism(
+        Tables.documents(spark, dir).select("doc_id", "text")))
       .selectExpr("doc_id", "chunk_idx", "tok_start", s"$hv AS hv")
       .localCheckpoint()
     val vecs = hashed
@@ -1145,11 +1168,14 @@ object PipelineQueries {
     // subspaces that silently drop the trailing dimensions
     require(dim % 8 == 0, s"chunkTopKPq: dim $dim must be a multiple of 8")
     graft.functions.QuantizedDot.register(spark)
-    // parallelism raised BEFORE the hash+fold projections (the expensive
-    // per-chunk work) so they run distributed even off a one-split scan;
+    // parallelism raised on the RAW documents rows BEFORE the
+    // chunk/tokenize explode and the hash+fold projections (the expensive
+    // per-chunk work) so they run distributed even off a one-split scan
+    // while the exchange moves un-exploded text (see docChunksTokOf);
     // the repartition is part of the fitOn plan too, which is fine — the
     // codebook memo needs the plan STABLE across invocations, not minimal
-    val vecsPlan = withMinParallelism(docChunksTok(spark, dir))
+    val vecsPlan = docChunksTokOf(withMinParallelism(
+        Tables.documents(spark, dir).select("doc_id", "text")))
       .selectExpr(s"doc_id * $ChunkIdMod + chunk_idx AS vec_id",
         s"$chunkHvExpr AS hv")
       .selectExpr("vec_id", s"${chunkFoldExpr(dim)} AS qvec")
@@ -3135,6 +3161,24 @@ object PipelineQueries {
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
 
+  /** [[bpeEncode]] over a caller-supplied documents frame carrying a
+    * per-document slice column (`lang`, `source`) computed ON THE SAME
+    * scan row — the fertility/compression consumers group per
+    * (doc, slice) with no second corpus scan and no corpus-sized doc_id
+    * join (r17; the slice is functionally dependent on the doc, so the
+    * extra group key changes nothing). */
+  private def bpeEncodeBy(spark: SparkSession, dir: String,
+                          docs: DataFrame, slice: String): DataFrame = {
+    val seg = graft.ops.BpeOps.segmentCounts(bpeVocab(spark, dir), BpeRounds)
+    docs
+      .selectExpr("doc_id", slice,
+        "explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id", slice)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+  }
+
   /** Tokenizer fertility by language — the multilingual-fairness
     * diagnostic a shared-tokenizer pipeline reports before fixing a token
     * budget: per detected language, corpus-summed word/subword/char
@@ -3148,8 +3192,11 @@ object PipelineQueries {
     * (sum × 10^6 div sum): headroom to ~9×10^12 tokens per language —
     * beyond that, widen to DECIMAL(38,0) before the multiply. */
   def tokFertility(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(spark, dir)
-      .join(langId(spark, dir).select("doc_id", "lang"), "doc_id")
+    // lang rides the encode scan ([[langIdOf]] keeps text for the word
+    // explode) — one corpus pass, no doc_id shuffle join (r17)
+    bpeEncodeBy(spark, dir,
+        langIdOf(Tables.documents(spark, dir), Seq("text"))
+          .select("doc_id", "lang", "text"), "lang")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
@@ -3169,8 +3216,11 @@ object PipelineQueries {
     * bpeEncode pass + a |sources|-row aggregation (the source column
     * rides the documents scan — no second text pass). */
   def tokCompression(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    // source is a column of the SAME scan the encode pass reads — carry
+    // it through the explode instead of a corpus-sized doc_id join (r17)
+    bpeEncodeBy(spark, dir,
+        Tables.documents(spark, dir).select("doc_id", "source", "text"),
+        "source")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
@@ -3236,6 +3286,21 @@ object PipelineQueries {
         sum(length(col("word")).cast("long")).as("n_chars"))
   }
 
+  /** [[uniEncode]] with a per-document slice column on the same scan row
+    * — [[bpeEncodeBy]]'s unigram twin. */
+  private def uniEncodeBy(spark: SparkSession, dir: String,
+                          docs: DataFrame, slice: String): DataFrame = {
+    val seg = graft.ops.UnigramOps.segmentCounts(uniVocab(spark, dir))
+    docs
+      .selectExpr("doc_id", slice,
+        "explode(filter(split(trim(text), ' '), x -> x <> '')) AS word")
+      .filter(length(col("word")) <= graft.ops.UnigramOps.MaxWordLen)
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id", slice)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+  }
+
   /** Unigram fertility by language — [[tokFertility]]'s twin under the
     * unigram-LM tokenizer, and together with it the LANGUAGE-level
     * tokenizer A/B ([[tokAb]] compares per word; this compares where the
@@ -3247,8 +3312,10 @@ object PipelineQueries {
     * the uniEncode pass + the langId narrow scan + a |languages|-row
     * aggregation. */
   def uniFertility(spark: SparkSession, dir: String): DataFrame =
-    uniEncode(spark, dir)
-      .join(langId(spark, dir).select("doc_id", "lang"), "doc_id")
+    // lang rides the encode scan — one corpus pass, no doc_id join (r17)
+    uniEncodeBy(spark, dir,
+        langIdOf(Tables.documents(spark, dir), Seq("text"))
+          .select("doc_id", "lang", "text"), "lang")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
@@ -3270,11 +3337,19 @@ object PipelineQueries {
     * trainings' one-corpus-aggregation each, then everything is
     * vocabulary-sized. */
   def tokAb(spark: SparkSession, dir: String): DataFrame = {
-    val bpe = graft.ops.BpeOps.segmentCounts(bpeVocab(spark, dir), BpeRounds)
+    // ONE corpus word-count pass (r17): the unfiltered vocabulary is
+    // checkpointed once and everything downstream — the BPE training
+    // input, the MaxWordLen-filtered unigram vocabulary, and the join
+    // base — derives from the materialized vocabulary-sized table; the
+    // old shape re-ran the corpus tokenize+aggregate three times (BPE
+    // vocab, unigram vocab, join base)
+    val base = bpeVocab(spark, dir).localCheckpoint()
+    val uniV = base.filter(length(col("word")) <= graft.ops.UnigramOps.MaxWordLen)
+    val bpe = graft.ops.BpeOps.segmentCounts(base, BpeRounds)
       .withColumnRenamed("n_tok", "n_bpe")
-    val uni = graft.ops.UnigramOps.segmentCounts(uniVocab(spark, dir))
+    val uni = graft.ops.UnigramOps.segmentCounts(uniV)
       .withColumnRenamed("n_tok", "n_uni")
-    uniVocab(spark, dir)
+    uniV
       .join(bpe, "word").join(uni, "word")
       .selectExpr("word", "freq", "CAST(length(word) AS BIGINT) AS len",
         "n_bpe", "n_uni", "n_bpe - n_uni AS diff")

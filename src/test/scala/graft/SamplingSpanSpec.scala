@@ -322,6 +322,23 @@ class SamplingSpanSpec extends SparkSpec {
     assert(mmr == Seq(2L, 3L, 1L), s"mmr order was $mmr")
   }
 
+  test("mmrTopK: a query with fewer candidates than nSelect stops early") {
+    import graft.ops.SimilarityOps
+    // only 2 non-query vectors exist but 5 selections are requested: the
+    // greedy loop must emit exactly 2 rows (ranks 1, 2) — the contract the
+    // old per-round SQL satisfied by producing empty remainder frames
+    val emb = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0.1f, 1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val mmr = SimilarityOps.mmrTopK(emb, 4, "vec_id = 0", 10, 5)
+      .orderBy("mmr_rank").select("c_id", "mmr_rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(mmr.map(_._2) == Seq(1L, 2L), s"ranks were $mmr")
+    assert(mmr.map(_._1).toSet == Set(1L, 3L), s"ids were $mmr")
+  }
+
   test("kmeans: fixed-round Lloyd matches a driver-local replay bit-for-bit") {
     import graft.ops.SimilarityOps
     val emb = Tables.embeddings(spark, sf0001)
