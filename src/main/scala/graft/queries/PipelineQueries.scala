@@ -1430,7 +1430,11 @@ object PipelineQueries {
     * materializes it once (ReusedExchange-verified via ExecPlan). */
   private def dsirFeats(spark: SparkSession, dir: String, buckets: Int): DataFrame =
     // one-split corpora otherwise serialize the per-token md5 explode on a
-    // single task (see [[graft.ops.Parallelism]]); no-op on real corpora
+    // single task (see [[graft.ops.Parallelism]]); no-op on real corpora.
+    // r17 probe: moving the repartition ahead of the tokenize (the
+    // chunk-table win) A/B'd as a wash here under ±40% ambient — the
+    // pre-exchange projection is only a cheap split, unlike the chunk
+    // path's md5+fold — so the proven shape stays (honest-revert rule)
     graft.ops.Parallelism.ensureMin(Tables.documents(spark, dir)
         .selectExpr("doc_id", "lang",
           "filter(split(trim(text), ' '), t -> t <> '') AS w"))
@@ -2667,13 +2671,17 @@ object PipelineQueries {
   def bm25DownfoldProbe(spark: SparkSession, dir: String): DataFrame = {
     val fwdP = IndexState.bm25ForwardPaths(spark, dir)
     val td = Bm25TakedownMod
-    val ids = Tables.documents(spark, dir)
+    // ONE witness collect for both the id list and the bucket set (r17:
+    // the separate ids + distinct-buckets collects were two sequential
+    // driver jobs over the same pruned scan); the bucket hash rides the
+    // same bounded row set and distincts driver-side
+    val idRows = Tables.documents(spark, dir)
       .filter(expr(s"doc_id % $td = 0 AND doc_id < 340"))
-      .select("doc_id")
-    val idVals = ids.collect().map(_.getLong(0)).sorted.toSeq
-    val buckets = ids
-      .select(pmod(hash(col("doc_id")), lit(IndexState.ForwardBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      .select(col("doc_id"),
+        pmod(hash(col("doc_id")), lit(IndexState.ForwardBuckets)).as("b"))
+      .collect()
+    val idVals = idRows.map(_.getLong(0)).sorted.toSeq
+    val buckets = idRows.map(_.getInt(1)).distinct.sorted.toSeq
     spark.read.parquet(fwdP)
       .filter(col("_kb").isin(buckets: _*) && col("doc_id").isin(idVals: _*))
       .groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
