@@ -2918,9 +2918,14 @@ object PipelineQueries {
     val fitOn = SimilarityOps.quantStore(Tables.embeddings(spark, dir))
     val delivery = SimilarityOps.quantStore(
       Tables.embeddings(spark, dir).filter(expr(s"vec_id % $mod = 0")))
-    // one-split guards: both persisted artifacts land as single files
-    val store = graft.ops.Parallelism.ensureMin(
-      spark.read.parquet(IndexState.denseStorePaths(spark, dir)))
+    // one-split guard on the CODES side only — that scan feeds the ADC
+    // loop (the per-row × per-query lookup work that serializes on a
+    // single task without it). The vector store's consumers are cheap
+    // probes (query-LUT filter, shortlist-broadcast re-rank joins), and
+    // the r17 interleaved A/B read the store-side round-robin exchange +
+    // 32-partition checkpoint as pure overhead: leg 0.96-1.36 s with it,
+    // 0.89-1.03 s without, NEW ≤ OLD in every round.
+    val store = spark.read.parquet(IndexState.denseStorePaths(spark, dir))
     val codes = graft.ops.Parallelism.ensureMin(
       spark.read.parquet(IndexState.pqCodesPaths(spark, dir)))
     // the folded vector store is checkpointed ONCE: it feeds the query
